@@ -1,0 +1,115 @@
+"""Column-level text building blocks.
+
+Covers the reference's normalization/tokenization surface (SURVEY.md §2.7
+F6-F11 and §2.8 N1-N8) as pure `pyspark.sql.functions` expressions — JVM-side,
+whole-stage-codegen friendly, no Python UDFs in the hot path.
+
+Reference sites:
+- tokenize on whitespace/punctuation: ScalaNotebooks/MovieSearchEngine.scala:114-118
+- normalize (lowercase, strip non-alphanumeric): ScalaNotebooks/MovieSearchEngine.scala:59-63
+- stop-word removal with custom case-insensitive list: ScalaNotebooks/MovieSearchEngine.scala:71-75
+- entity cleanup regex: ScalaNotebooks/NamedEntitiesWordCount.scala:55-56
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Compact english stop-word list; stands in for the reference's StopWords.txt
+# driver file (ScalaNotebooks/MovieSearchEngine.scala:38). Deterministic and
+# mirrored verbatim into the DuckDB oracle SQL, so both sides agree.
+STOP_WORDS = (
+    "a",
+    "an",
+    "and",
+    "are",
+    "as",
+    "at",
+    "be",
+    "but",
+    "by",
+    "for",
+    "if",
+    "in",
+    "into",
+    "is",
+    "it",
+    "no",
+    "not",
+    "of",
+    "on",
+    "or",
+    "such",
+    "that",
+    "the",
+    "their",
+    "then",
+    "there",
+    "these",
+    "they",
+    "this",
+    "to",
+    "was",
+    "will",
+    "with",
+)
+
+
+def sql_stopword_list() -> str:
+    """The stop-word list as a SQL literal, for oracle queries."""
+    return "(" + ", ".join(f"'{w}'" for w in STOP_WORDS) + ")"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """N4/F11: lowercase and collapse every non-alphanumeric run to a single
+    space (ScalaNotebooks/MovieSearchEngine.scala:59-63)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def tokens(col: Column | str, normalize: bool = True) -> Column:
+    """F6/N3: normalized token array; empty strings filtered out
+    (ScalaNotebooks/MovieSearchEngine.scala:114-118)."""
+    c = normalize_text(col) if normalize else (F.col(col) if isinstance(col, str) else col)
+    return F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def remove_stopwords(token_col: Column, stop_words: tuple[str, ...] = STOP_WORDS) -> Column:
+    """N6: case-insensitive stop-word removal, expressed as `array_except`
+    instead of the reference's driver-collected Set (SURVEY.md §4.3.6) —
+    note array_except also dedups; use F.filter when duplicates matter."""
+    return F.filter(token_col, lambda t: ~t.isin(*stop_words))
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """Deterministic 60-bit hash computable identically in Spark and DuckDB:
+    first 15 hex digits of md5, parsed base-16.
+
+    Spark:  conv(substring(md5(x), 1, 15), 16, 10) :: bigint
+    DuckDB: CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+
+    Used by MinHash/SimHash so the dedup operators are fully oracle-checkable.
+    On the hot path at 100 TB scale you would swap in xxhash64 (cheaper,
+    JVM-intrinsic); the md5 form exists for cross-engine verifiability.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def sql_portable_hash64(expr: str) -> str:
+    """DuckDB-side twin of :func:`portable_hash64`."""
+    return f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def portable_hash40(col: Column | str) -> Column:
+    """40-bit variant (first 10 hex digits of md5) for arithmetic hashing:
+    small enough that `a * h + b` stays far below 2^63 (Spark 4 runs in ANSI
+    mode, where bigint overflow raises instead of wrapping)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 10), 16, 10).cast("long")
+
+
+def sql_portable_hash40(expr: str) -> str:
+    """DuckDB-side twin of :func:`portable_hash40`."""
+    return f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 10)) AS BIGINT)"

@@ -1,0 +1,195 @@
+"""Deduplication operators for training-data pipelines (beyond-reference;
+BASELINE.json north star). All candidate-pair generation is join-based —
+never an O(n²) cross join — so each operator scales to very large corpora:
+
+- exact:    hash groupBy on normalized text (one shuffle on the hash key)
+- ngram-jaccard: shingle inverted index -> self-join on shingle -> pair agg
+  (pairs only materialize for docs that SHARE a shingle)
+- minhash-LSH:  per-doc signature -> banding -> join on (band, band-hash)
+  (pairs only materialize for docs that collide in >=1 band)
+- simhash:  64-bit fingerprint; near-dups = small hamming distance, found
+  by banding the fingerprint into chunks (join on exact chunk match)
+
+Hashes use functions.text.portable_hash64 (md5-derived) so the exact,
+jaccard, and minhash paths are fully DuckDB-oracle-checkable; swap to
+xxhash64 for raw speed on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, portable_hash40, portable_hash64, tokens
+
+# Deterministic multipliers/addends for the minhash permutation family
+# h_i(x) = (a_i * h40(x) + b_i) mod M with M = 2^31 - 1 (Mersenne prime).
+# h40 is 40-bit and a_i <= 2*num_perm+1, so a*h+b < 2^48 — no bigint
+# overflow under Spark 4's ANSI mode, and identical arithmetic in DuckDB.
+MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    # Fixed (seedless) params: deterministic across engines and runs.
+    return [(2 * i + 1, i * i + 7) for i in range(1, num_perm + 1)]
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_group_size: int = 1
+) -> DataFrame:
+    """Exact dedup on normalized text. Returns one row per content GROUP:
+    (dup_hash, n_dups, keep_id) where keep_id is the smallest member id —
+    the canonical survivor. `min_group_size=2` restricts to true duplicate
+    groups. Single hash-aggregate; no pairwise blowup."""
+    h = portable_hash64(normalize_text(text_col))
+    out = (
+        docs.select(F.col(id_col), h.alias("dup_hash"))
+        .groupBy("dup_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+    return out.filter(F.col("n_dups") >= min_group_size) if min_group_size > 1 else out
+
+
+def shingle_table(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct k-token shingles per doc: (id, shingle). The inverted-index
+    building block for jaccard and minhash."""
+    toks = tokens(text_col)
+    # sequence(1, n) counts DOWN when n < 1 — guard short docs explicitly.
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-shingle Jaccard similarity.
+
+    Inverted-index self-join: pairs are generated ONLY for docs sharing at
+    least one shingle, then |A∩B| is an aggregate over shared shingles and
+    |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale note: hot shingles fan out quadratically — at 100 TB you cap them
+    (drop shingles with document-frequency above a bound, as in Spark's own
+    MinHashLSH practice) or go through :func:`minhash_candidates` first.
+    """
+    sh = shingle_table(docs, k, id_col, text_col).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per doc: (id, perm, minhash), num_perm rows per doc.
+
+    One shuffle: groupBy(id, perm) min over the exploded
+    (shingle x permutation) table. Permutations are arithmetic transforms of
+    one base hash — the base md5 is computed once per shingle.
+    """
+    sh = shingle_table(docs, k, id_col, text_col)
+    base = sh.select("id", portable_hash40(F.col("shingle")).alias("h"))
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("perm"),
+                ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias("ph"),
+            )
+            for i, (a, b) in enumerate(_perm_params(num_perm))
+        ]
+    )
+    return (
+        base.select("id", F.explode(perms).alias("p"))
+        .select("id", F.col("p.perm").alias("perm"), F.col("p.ph").alias("ph"))
+        .groupBy("id", "perm")
+        .agg(F.min("ph").alias("minhash"))
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs whose signatures agree on ALL rows of at
+    least one band. Returns (id_a, id_b, n_bands) with id_a < id_b.
+
+    The join key is (band, hash-of-band-rows) — collisions localize to
+    buckets, never a global pairwise comparison.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, k, id_col, text_col)
+    banded = (
+        sig.withColumn("band", ((F.col("perm") - 1) / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(portable_hash64(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias("band_key"))
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash fingerprint per doc over token hashes: bit j of the
+    fingerprint is 1 iff the sum of (+1/-1) votes of all token-hash bits j
+    is positive. Pure expression pipeline: explode tokens -> per-bit votes
+    -> one hash aggregate. Returns (id, simhash)."""
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+    h = portable_hash64(F.col("t"))
+    votes = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.cast("long").alias("simhash"))

@@ -1,0 +1,218 @@
+"""DataFrame-native graph analytics (SURVEY.md §2.10 G1-G7).
+
+The reference uses GraphFrames (StandaloneScala/EpinionsGraphFrameAnalysis.scala)
+plus a hand-rolled DataFrame PageRank (StandaloneScala/PageRank.scala).
+GraphFrames is not available here, and the hand-rolled loop grows an
+unbounded lineage (SURVEY.md §4.3.2) — so every algorithm below is a plain
+DataFrame program with `localCheckpoint()` lineage cuts per iteration.
+
+A graph is just `(vertices_df, edges_df)` — edges have `src`/`dst` columns
+(StandaloneScala/EpinionsGraphFrameAnalysis.scala:56-61).
+
+Scale posture: degrees are single hash aggregations; triangle counting
+canonicalizes + dedups edges first (halves the join input) and joins on
+vertex keys — AQE's skew-join handles hot vertices; the iterative loops
+shuffle once per iteration on the vertex key and checkpoint to keep the
+plan O(1) deep regardless of iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def edges_from_events(events: DataFrame) -> DataFrame:
+    """Derive a deterministic directed edge list from the `events` fixture
+    (FIXTURES.md §2): consecutive events inside each (event_type, day)
+    partition, ordered by event_id, contribute edge
+    user_id(i) -> user_id(i+1). Self-loops dropped.
+
+    Partitioning by (event_type, day) keeps window partitions bounded as
+    data grows — no global single-partition sort at 100 TB. The day key is
+    floor(epoch/86400), not to_date(), so it is session-timezone-independent
+    (matches DuckDB's epoch() on the same parquet instants).
+    """
+    day = F.floor(F.unix_timestamp("ts") / 86400)
+    w = Window.partitionBy("event_type", day).orderBy("event_id")
+    return (
+        events.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """G2 (EpinionsGraphFrameAnalysis.scala:66): edge count per src."""
+    return edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    """G3 (EpinionsGraphFrameAnalysis.scala:79): edge count per dst."""
+    return edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
+
+
+def canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edges with src < dst (prep for triangles/CC)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """G6 (EpinionsGraphFrameAnalysis.scala:121): triangles per vertex.
+
+    Canonical a<b<c enumeration: wedge join e1(a,b) |><| e2(b,c) then close
+    with e3(a,c). Each triangle found exactly once; per-vertex counts via
+    explode of the three corners. Returns (id, triangles) for vertices in
+    at least one triangle.
+    """
+    e = canonical_undirected(edges).cache()
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(e3, ["x", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+
+
+def _vertices_from_edges(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.15,
+    max_iterations: int = 10,
+    reference_semantics: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Iterative PageRank as a DataFrame fixpoint loop.
+
+    Default mode (standard-ish, GraphFrames-style damping
+    EpinionsGraphFrameAnalysis.scala:93): init 1/N, out-degree counts every
+    parallel edge, vertices with no in-links keep the teleport term via a
+    left join on the full vertex set.
+
+    `reference_semantics=True` reproduces StandaloneScala/PageRank.scala
+    exactly, including its quirks (SURVEY.md Q3-Q5):
+      Q3 init rank = 10.0 (:17,42), not 1/N;
+      Q4 inner joins (:54,63) so vertices without in-links drop out after
+         iteration 1 and dangling mass vanishes;
+      Q5 in-links dedup parallel edges via collect_set (:33) while
+         out-degree `count` (:30) does not.
+
+    Each iteration ends with `localCheckpoint()` so the logical plan stays
+    O(1) deep instead of growing linearly (SURVEY.md §4.3.2).
+
+    Returns (id, pagerank).
+    """
+    vertices = _vertices_from_edges(edges)
+    n = vertices.count()
+
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))  # Q5: counts parallel edges
+
+    if reference_semantics:
+        # Q5: contributions flow over DEDUPED edges (collect_set at :33 ==
+        # distinct src per dst once exploded at :48).
+        flow_edges = edges.select("src", "dst").distinct()
+        init_rank = 10.0  # Q3
+        join_mode = "inner"  # Q4
+    else:
+        flow_edges = edges.select("src", "dst")
+        init_rank = 1.0 / n
+        join_mode = "left"
+
+    # Pre-join edge->out_deg once; this is loop-invariant.
+    contrib_edges = flow_edges.join(out_deg, "src").localCheckpoint()
+
+    ranks = vertices.select("id", F.lit(float(init_rank)).alias("pagerank")).localCheckpoint()
+
+    for i in range(max_iterations):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.id, "inner")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pagerank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        if join_mode == "left":
+            updated = vertices.join(contribs, "id", "left").select(
+                "id",
+                (F.lit(alpha / n) + F.lit(1 - alpha) * F.coalesce("mass", F.lit(0.0))).alias("pagerank"),
+            )
+        else:
+            # Reference formula at PageRank.scala:66 with inner-join dropout.
+            updated = contribs.select(
+                "id",
+                (F.lit(alpha / n) + F.lit(1 - alpha) * F.col("mass")).alias("pagerank"),
+            )
+        ranks = updated.localCheckpoint() if (i + 1) % checkpoint_every == 0 else updated
+
+    return ranks
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """G5 (EpinionsGraphFrameAnalysis.scala:107): undirected connected
+    components via min-label propagation to fixpoint.
+
+    Each iteration: every vertex takes min(own label, neighbors' labels)
+    over symmetrized edges; stop when no label changes. O(diameter)
+    iterations; `localCheckpoint()` per iteration cuts lineage exactly
+    where GraphFrames needed its checkpoint dir (:45).
+
+    Returns (id, component) with component = min vertex id in component.
+    """
+    und = canonical_undirected(edges)
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+
+    labels = _vertices_from_edges(edges).select("id", F.col("id").alias("component")).localCheckpoint()
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym.a == labels.id)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    """Community sizes (EpinionsGraphFrameAnalysis.scala:108)."""
+    return components.groupBy("component").agg(F.count("*").alias("size"))

@@ -1,0 +1,72 @@
+"""Multimodal column handling (beyond-reference; BASELINE.json north star).
+
+Design: image/audio/video payloads are opaque `binary` columns with typed
+metadata columns alongside. All heavy per-item work (decode, resize,
+feature-extract, frame-sample) runs as Arrow-batched `mapInPandas` — one
+Python worker invocation per batch, never per row, and the surrounding
+plan (partitioning, pruning, joins on metadata) stays in Catalyst.
+
+The decode stage itself is STUBBED: the container has no image/audio
+libraries, so `decode_image`/`decode_audio` raise NotImplementedError and
+`fake_payload_features` provides a deterministic md5-based stand-in. The
+Spark-side plumbing — schema, batch iteration, output contract — is real
+and oracle-tested (the fake features are reproducible in SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, content_hash string, fake_width int, fake_height int"
+
+
+def decode_image(payload: bytes):
+    """Real image decode would go here (PIL/libvips not in this container)."""
+    raise NotImplementedError("image decoding requires an imaging library not present in this environment")
+
+
+def decode_audio(payload: bytes):
+    """Real audio decode would go here (soundfile/ffmpeg not in this container)."""
+    raise NotImplementedError("audio decoding requires an audio library not present in this environment")
+
+
+def _fake_features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for a decode+feature-extract batch: byte
+    length, content md5, and md5-derived pseudo-dimensions. Mirrors the
+    SQL oracle in plans/pipeline_queries.py exactly."""
+    hashes = [hashlib.md5(b).hexdigest() for b in pdf["payload"]]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": [len(b) for b in pdf["payload"]],
+            "content_hash": hashes,
+            "fake_width": [int(h[:4], 16) % 1024 for h in hashes],
+            "fake_height": [int(h[4:8], 16) % 1024 for h in hashes],
+        }
+    )
+
+
+def payload_features(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over a (doc_id, payload binary) frame.
+
+    Arrow moves each partition to Python in columnar batches; per-batch
+    (not per-row) Python cost — the pattern a real decoder would use.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _fake_features_batch(pdf)
+
+    return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def documents_as_binary(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text as an opaque utf-8 payload so the
+    multimodal plumbing is exercised against the fixtures."""
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))

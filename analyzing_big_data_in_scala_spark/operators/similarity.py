@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (beyond-reference;
+BASELINE.json north star). Works on `array<float>` columns like the
+`embeddings` fixture (FIXTURES.md §2).
+
+Two paths:
+- brute-force cosine top-k: exact; one broadcast of the query vector(s),
+  one pass over the corpus, TakeOrderedAndProject top-k. The 100 TB
+  baseline when recall must be 1.0.
+- LSH-bucketed (random-hyperplane signs): approximate; corpus is hashed
+  once into buckets, probes only join their own bucket. The scale path —
+  candidate generation is a bucket-key equi-join, never a cross join.
+
+All arithmetic is JVM-side (`zip_with`/`aggregate` higher-order functions,
+double precision); no Python UDF in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Cosine similarity of every (corpus row, query row) pair.
+
+    `query` is expected to be small (it is broadcast). Returns
+    (id_col, query_id, cosine)."""
+    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    joined = c.join(F.broadcast(q))  # cartesian with tiny broadcast side
+    return joined.select(
+        id_col,
+        "query_id",
+        (_dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec")))).alias("cosine"),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k nearest neighbors by cosine for each query row.
+    Excludes self-matches. Deterministic tiebreak on corpus id."""
+    scores = cosine_scores(corpus, query, id_col, vec_col).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: bit p = sign(v . h_p)
+    with h_p a deterministic +-1 hyperplane derived from (p, index) parity.
+    Returns (id_col, bucket)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = None
+    for p in range(n_planes):
+        # Deterministic ±1 pattern per plane: sign flips where (i*(p+1)+p) % 3 == 0.
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: F.when(((i * (p + 1) + p) % 3) == 0, -x).otherwise(x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH bucket.
+    Recall < 1.0 by design; at scale this replaces the full corpus scan with
+    a bucket equi-join (multi-probe / more tables raise recall)."""
+    csig = hyperplane_signatures(corpus, n_planes, id_col, vec_col, dim)
+    qsig = hyperplane_signatures(query, n_planes, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"), "bucket"
+    )
+    cand = csig.join(F.broadcast(qsig), "bucket").select("query_id", id_col)
+    scored = (
+        cand.join(corpus.select(id_col, F.col(vec_col).alias("cvec")), id_col)
+        .join(
+            F.broadcast(query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))),
+            "query_id",
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            (_dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec")))).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )

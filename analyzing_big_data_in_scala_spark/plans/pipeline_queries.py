@@ -1,0 +1,376 @@
+"""Training-data-pipeline queries (BASELINE.json north star): dedup,
+similarity search, multimodal plumbing, NER, events/JSON/windows, ML.
+
+Wherever the algorithm is deterministic, the DuckDB oracle reimplements it
+with the SAME hash arithmetic (md5-derived portable hashes) so even
+MinHash/SimHash are value-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_stopword_list
+from ..operators import dedup as D
+from ..operators import entities as E
+from ..operators import ml as M
+from ..operators import multimodal as MM
+from ..operators import similarity as S
+from ..operators.dedup import MERSENNE31, _perm_params
+from ..sources.catalog import load_table
+from .registry import query
+
+_HASH64 = "CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
+_HASH40 = "CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 10)) AS BIGINT)"
+
+# DuckDB twin of dedup.shingle_table (k=3): distinct 3-token shingles.
+_SQL_SHINGLES = r"""
+doc_toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id AS id,
+           array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+    FROM doc_toks, UNNEST(generate_series(1, len(toks) - 2)) t(i)
+    WHERE len(toks) >= 3
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+        SELECT {_HASH64.format(x="trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))")} AS dup_hash,
+               COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        FROM documents
+        GROUP BY dup_hash
+    """,
+    description="Exact dedup: content-hash groups with canonical survivor (min id)",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM shingles a JOIN shingles b USING (shingle)
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+    description="Near-dup pairs by 3-shingle Jaccard via inverted-index join",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2)
+
+
+def _minhash_sql(num_perm: int = 16) -> str:
+    params = ", ".join(f"({i + 1}, {a}, {b})" for i, (a, b) in enumerate(_perm_params(num_perm)))
+    return f"""
+        WITH {_SQL_SHINGLES},
+        params(perm, a, b) AS (VALUES {params}),
+        base AS (SELECT id, {_HASH40.format(x='shingle')} AS h FROM shingles)
+        SELECT base.id AS doc_id, params.perm AS perm,
+               MIN((params.a * base.h + params.b) % {MERSENNE31}) AS minhash
+        FROM base, params
+        GROUP BY base.id, params.perm
+    """
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=_minhash_sql(),
+    description="MinHash signatures (16 perms over 3-shingles), portable-hash arithmetic",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.minhash_signatures(_docs(spark, sf_dir), num_perm=16, k=3)
+    return sig.select(F.col("id").alias("doc_id"), "perm", "minhash")
+
+
+@query(
+    "dedup_minhash_candidates",
+    oracle=f"""
+        WITH sig AS ({_minhash_sql()}),
+        banded AS (
+            SELECT doc_id AS id, (perm - 1) // 4 AS band,
+                   {_HASH64.format(x="string_agg(concat(perm, ':', minhash), ',' ORDER BY concat(perm, ':', minhash))")} AS band_key
+            FROM sig
+            GROUP BY doc_id, (perm - 1) // 4
+        )
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_bands
+        FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.id < b.id
+        GROUP BY a.id, b.id
+    """,
+    description="MinHash-LSH candidate pairs (4 bands x 4 rows): bucket join, no cross product",
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_candidates(_docs(spark, sf_dir), num_perm=16, bands=4, k=3)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS t
+                FROM documents
+            ) WHERE t <> ''
+        ),
+        th AS (SELECT doc_id, {_HASH64.format(x='term')} AS h FROM toks),
+        votes AS (
+            SELECT doc_id, j,
+                   SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th, UNNEST(generate_series(0, 31)) t(j)
+            GROUP BY doc_id, j
+        )
+        SELECT doc_id AS id,
+               CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    description="SimHash 32-bit fingerprints from token-hash bit votes",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_fingerprints(_docs(spark, sf_dir), bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "similarity_cosine_topk",
+    oracle="""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        scored AS (
+            SELECT q.query_id AS query_id, e.vec_id AS vec_id,
+                   ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))
+                       / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                          * sqrt(SUM(CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))), 6) AS cosine
+            FROM embeddings e
+            JOIN q ON e.vec_id <> q.query_id
+            , UNNEST(generate_series(1, len(e.embedding))) t(i)
+            GROUP BY q.query_id, e.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    description="Brute-force cosine top-10 neighbors for 3 probe vectors (exact ANN baseline)",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+
+
+@query(
+    "similarity_lsh_topk",
+    oracle=None,  # approximate path; recall checked against brute force in tests
+    description="Random-hyperplane LSH bucketed approximate top-10 (the 100 TB scale path)",
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas; deterministic fake decode — see operator)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_payload_features",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_hash,
+               CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 1024 AS INT) AS fake_width,
+               CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) % 1024 AS INT) AS fake_height
+        FROM documents
+    """,
+    description="Binary-column feature extraction via Arrow mapInPandas (decode stubbed deterministically)",
+)
+def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.payload_features(MM.documents_as_binary(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# NER (gazetteer mode — oracle-checkable on the lowercase fixtures)
+# ---------------------------------------------------------------------------
+
+GAZETTEER = ("spark", "customer", "window", "stream", "vector")
+
+
+@query(
+    "ner_gazetteer_counts",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS term
+            FROM documents
+        )
+        SELECT term AS entity, COUNT(*) AS cnt
+        FROM toks
+        WHERE term IN {str(GAZETTEER)}
+          AND term NOT IN {sql_stopword_list()}
+        GROUP BY term
+        ORDER BY cnt DESC, entity ASC
+    """,
+    description="N9 contract via gazetteer NER + reference cleanup pipeline (NamedEntitiesWordCount.scala:50-77)",
+)
+def ner_gazetteer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return E.entity_counts(docs, E.extract_gazetteer_entities(F.col("text"), GAZETTEER))
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON extraction, tumbling windows, sessionization
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_json_by_type",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="JSON extraction from events.props + per-type aggregates (engine extension, SURVEY.md §2.7 note)",
+)
+def events_json_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_tumbling_10min",
+    oracle="""
+        SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY bucket, event_type
+    """,
+    description="Tumbling 10-minute window aggregate (epoch bucketing; tz-independent)",
+)
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("bucket"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+@query(
+    "events_user_sessions",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER w)) > 1800
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+               CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    description="Sessionization: 30-min-gap sessions per user via window lag + running sum",
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(
+            (epoch - F.unix_timestamp(F.lag("ts").over(w)) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w2).cast("long"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.floor(F.min(F.unix_timestamp("ts"))).cast("long").alias("start_epoch"),
+        (F.floor(F.max(F.unix_timestamp("ts"))) - F.floor(F.min(F.unix_timestamp("ts"))))
+        .cast("long")
+        .alias("duration_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML pipeline (rows-only: model internals aren't SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_sentiment_metrics",
+    oracle=None,
+    description="M1-M9: CV-selected sentiment model -> per-class precision/recall/F1 (AirlineSentimentAnalysis.scala:70-136)",
+)
+def ml_sentiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = M.with_synthetic_label(_docs(spark, sf_dir))
+    train, test = labeled.randomSplit([0.8, 0.2], seed=42)
+    model = M.cross_validated_model(train, small_grid=True)
+    return M.classification_metrics(model.transform(test))

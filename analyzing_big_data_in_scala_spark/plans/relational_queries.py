@@ -1,0 +1,274 @@
+"""Relational-core queries (SURVEY.md §2.2-§2.7: P*, J*, A*, O*, F* layers).
+
+Every aggregation here is a Catalyst hash aggregate with map-side partials;
+every small dimension join is explicitly broadcast; every top-k is
+`orderBy(...).limit(n)` which Spark plans as TakeOrderedAndProject (no full
+global sort). Ties at limit boundaries are always broken by a unique key so
+both engines select the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship (SURVEY.md §7.2 slice 0): the Epinions "top-5 by in-degree" shape
+# (StandaloneScala/EpinionsGraphFrameAnalysis.scala:79-81) retargeted at the
+# fixtures: rank customers by order count, join the name dimension.
+# --------------------------------------------------------------------------
+@query(
+    "top_customers_by_orders",
+    oracle="""
+        SELECT o.o_custkey AS custkey,
+               c.c_name AS c_name,
+               COUNT(*) AS order_cnt,
+               ROUND(SUM(o.o_totalprice), 2) AS total_spend
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_name
+        ORDER BY order_cnt DESC, total_spend DESC, custkey ASC
+        LIMIT 10
+    """,
+    description="A1+J1+O1+O2: top customers by order count (in-degree analog)",
+)
+def top_customers_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("order_cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    # customer is a bounded dimension (SF-proportional but tiny vs. facts);
+    # broadcast keeps this a map-side join — no shuffle of the agg output.
+    return (
+        agg.join(F.broadcast(customer.select("c_custkey", "c_name")), agg.o_custkey == F.col("c_custkey"))
+        .select(F.col("o_custkey").alias("custkey"), "c_name", "order_cnt", "total_spend")
+        .orderBy(F.desc("order_cnt"), F.desc("total_spend"), F.asc("custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 shape: filtered multi-aggregate over lineitem (A1/A2/P7)",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "revenue_by_nation",
+    oracle="""
+        SELECT n.n_name AS nation, r.r_name AS region,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(*) AS line_cnt
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+        ORDER BY revenue DESC, nation ASC
+    """,
+    description="Multi-way star join (J1 chain) + agg: revenue per nation/region",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    # lineitem |><| orders is the only big-big join (shuffle on orderkey);
+    # everything downstream is broadcast of bounded dimensions.
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("line_cnt"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+@query(
+    "order_priority_counts",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_cnt,
+               COUNT(DISTINCT o_custkey) AS distinct_customers
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="P8 inequality filter + A1 count + A9 countDistinct",
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "top_parts_by_revenue",
+    oracle="""
+        SELECT p.p_partkey AS partkey, p.p_name AS p_name, p.p_brand AS p_brand,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               ROUND(SUM(l.l_quantity), 2) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_name, p.p_brand
+        ORDER BY revenue DESC, partkey ASC
+        LIMIT 20
+    """,
+    description="Fact-dim broadcast join + top-k (O1/O2 TakeOrderedAndProject)",
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    # Aggregate the fact table BEFORE the join (partial agg on l_partkey),
+    # then broadcast-join the part dimension — at 100 TB the pre-agg shrinks
+    # the join input by orders of magnitude.
+    agg = l.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+    return (
+        agg.join(F.broadcast(p), agg.l_partkey == p.p_partkey)
+        .select(F.col("p_partkey").alias("partkey"), "p_name", "p_brand", "revenue", "qty")
+        .orderBy(F.desc("revenue"), F.asc("partkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "customer_order_full_outer",
+    oracle="""
+        WITH big_orders AS (
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000
+        )
+        SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+               COUNT(o.o_orderkey) AS big_order_cnt,
+               MAX(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS missing_customer
+        FROM customer c FULL OUTER JOIN big_orders o ON c.c_custkey = o.o_custkey
+        GROUP BY COALESCE(c.c_custkey, o.o_custkey)
+        ORDER BY custkey
+    """,
+    description="J2 full-outer join on key (PageRank.scala:36 shape): customers x high-value orders, both sides preserved",
+)
+def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_custkey")
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return (
+        joined.groupBy(F.coalesce("c_custkey", "o_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("big_order_cnt"),
+            F.max(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("missing_customer"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "supplier_part_type_share",
+    oracle="""
+        SELECT s.s_name AS s_name, p.p_type AS p_type,
+               COUNT(*) AS line_cnt,
+               ROUND(SUM(l.l_extendedprice), 2) AS gross
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY s.s_name, p.p_type
+        ORDER BY gross DESC, s_name ASC, p_type ASC
+        LIMIT 25
+    """,
+    description="Two broadcast dim joins + composite-key agg (tuple-key analog of MovieSearchEngine (id,term) grouping)",
+)
+def supplier_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("s_name", "p_type")
+        .agg(F.count("*").alias("line_cnt"), F.round(F.sum("l_extendedprice"), 2).alias("gross"))
+        .orderBy(F.desc("gross"), F.asc("s_name"), F.asc("p_type"))
+        .limit(25)
+    )
+
+
+@query(
+    "global_agg_stats",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               ROUND(SUM(l_quantity), 2) AS total_qty,
+               ROUND(MIN(l_extendedprice), 2) AS min_price,
+               ROUND(MAX(l_extendedprice), 2) AS max_price
+        FROM lineitem
+    """,
+    description="A5/A6 global (no-group) aggregate, the ||query|| / N-docs pattern",
+)
+def global_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )

@@ -1,0 +1,274 @@
+"""Text-analytics queries: TF-IDF search family (SURVEY.md §2.11 1-6),
+entity word count (§2.11 7), and the beyond-reference text-analysis
+operators for training-data pipelines (token stats, quality score, lang id).
+
+Tokenization semantics are identical on both sides: lowercase, collapse
+non-alphanumeric runs to single spaces, split on whitespace, drop empties
+(ScalaNotebooks/MovieSearchEngine.scala:59-63,114-118).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOP_WORDS, sql_stopword_list, tokens
+from ..operators import tfidf as T
+from ..sources.catalog import load_table
+from .registry import query
+
+# DuckDB twin of functions.text.tokens(): one row per (doc_id, term).
+_SQL_TOKS = r"""
+toks AS (
+    SELECT doc_id, t AS term
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   '\s+')) AS t
+        FROM documents
+    )
+    WHERE t <> ''
+)
+"""
+
+_SQL_TF = _SQL_TOKS + """,
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term)
+"""
+
+_SQL_TFIDF_CORE = _SQL_TF + """,
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln(n.n / df) AS idf FROM dfreq, n),
+tfidf AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w
+          FROM tf JOIN idf USING (term))
+"""
+
+QUERY_TERMS = ("spark", "merge", "window", "big")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "tfidf_term_frequencies",
+    oracle=f"WITH {_SQL_TF} SELECT doc_id, term, tf FROM tf",
+    description="TF per (doc, term): MovieSearchEngine.scala:111-135 as explode+groupBy",
+)
+def tfidf_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.term_frequencies(_docs(spark, sf_dir))
+
+
+@query(
+    "tfidf_doc_frequencies",
+    oracle=f"WITH {_SQL_TF} SELECT term, COUNT(*) AS df FROM tf GROUP BY term",
+    description="DF per term (docs containing term): MovieSearchEngine.scala:140-151",
+)
+def tfidf_doc_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_frequencies(T.term_frequencies(_docs(spark, sf_dir)))
+
+
+@query(
+    "tfidf_idf",
+    oracle=f"""
+        WITH {_SQL_TF},
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        SELECT term, ROUND(ln(n.n / df), 6) AS idf FROM dfreq, n
+    """,
+    description="IDF = ln(N/df): MovieSearchEngine.scala:156-163",
+)
+def tfidf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tf = T.term_frequencies(docs)
+    idf = T.inverse_doc_frequencies(T.doc_frequencies(tf), docs.count())
+    return idf.select("term", F.round("idf", 6).alias("idf"))
+
+
+@query(
+    "tfidf_matrix",
+    oracle=f"WITH {_SQL_TFIDF_CORE} SELECT doc_id, term, ROUND(w, 6) AS tfidf FROM tfidf",
+    description="TF-IDF = tf*idf via broadcast join: MovieSearchEngine.scala:168-187",
+)
+def tfidf_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = T.tfidf_matrix(_docs(spark, sf_dir))
+    return m.select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+
+
+@query(
+    "search_single_word",
+    oracle=f"""
+        WITH {_SQL_TFIDF_CORE}
+        SELECT doc_id, ROUND(w, 6) AS score
+        FROM tfidf WHERE term = 'merge'
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
+    """,
+    description="Single-word search, rank by tf-idf: MovieSearchEngine.scala:237-257",
+)
+def search_single_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.search_single_term(T.tfidf_matrix(_docs(spark, sf_dir)), "merge")
+
+
+def _search_sql(reference_semantics: bool) -> str:
+    values = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+    if reference_semantics:
+        qn, dn = "SUM(qw*qw)", "SUM(w*w)"
+    else:
+        qn, dn = "sqrt(SUM(qw*qw))", "sqrt(SUM(w*w))"
+    return f"""
+        WITH {_SQL_TFIDF_CORE},
+        q AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS qtf
+              FROM (VALUES {values}) v(term) GROUP BY term),
+        qvec AS (SELECT q.term, q.qtf * idf.idf AS qw FROM q JOIN idf USING (term)),
+        qnorm AS (SELECT {qn} AS qn FROM qvec),
+        dots AS (SELECT doc_id, SUM(w * qw) AS dot
+                 FROM tfidf JOIN qvec USING (term) GROUP BY doc_id),
+        norms AS (SELECT doc_id, {dn} AS nrm FROM tfidf GROUP BY doc_id)
+        SELECT d.doc_id AS doc_id, ROUND(d.dot / (n.nrm * qnorm.qn), 6) AS score
+        FROM dots d JOIN norms n USING (doc_id), qnorm
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
+    """
+
+
+@query(
+    "search_multi_word_cosine",
+    oracle=_search_sql(reference_semantics=False),
+    description="Multi-word search, true cosine similarity: MovieSearchEngine.scala:263-308 (corrected Q1)",
+)
+def search_multi_word_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.search_query(_docs(spark, sf_dir), list(QUERY_TERMS), reference_semantics=False)
+
+
+@query(
+    "search_multi_word_reference",
+    oracle=_search_sql(reference_semantics=True),
+    description="Multi-word search under quirk Q1 (dot / (Σw²·Σq²), no sqrt): MovieSearchEngine.scala:232,291-304",
+)
+def search_multi_word_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.search_query(_docs(spark, sf_dir), list(QUERY_TERMS), reference_semantics=True)
+
+
+@query(
+    "entity_word_count",
+    oracle=f"""
+        WITH {_SQL_TOKS}
+        SELECT term AS word, COUNT(*) AS cnt
+        FROM toks
+        WHERE term NOT IN {sql_stopword_list()}
+        GROUP BY term
+        ORDER BY cnt DESC, word ASC
+    """,
+    description="NamedEntitiesWordCount contract (:50-77): normalize, drop stopwords, count desc",
+)
+def entity_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter(~F.col("word").isin(*STOP_WORDS))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: text analysis for training-data pipelines (BASELINE.json
+# north star). All pure JVM-side expressions; oracle-checked.
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+        WITH {_SQL_TOKS}
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT term) AS n_unique,
+               ROUND(AVG(CAST(len(term) AS DOUBLE)), 6) AS avg_token_len
+        FROM toks GROUP BY doc_id
+    """,
+    description="Token counting per document (whitespace tokenizer)",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("term").alias("n_unique"),
+            F.round(F.avg(F.length("term").cast("double")), 6).alias("avg_token_len"),
+        )
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        stats AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*) AS uniq_ratio,
+                   AVG(CASE WHEN term IN {sql_stopword_list()} THEN 1.0 ELSE 0.0 END) AS stop_ratio
+            FROM toks GROUP BY doc_id
+        )
+        SELECT d.doc_id AS doc_id,
+               ROUND(0.5 * LEAST(s.n_tokens / 100.0, 1.0)
+                   + 0.25 * s.uniq_ratio
+                   + 0.25 * LEAST(s.stop_ratio * 4, 1.0), 6) AS quality
+        FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+    """,
+    description="Heuristic quality score: length, lexical diversity, stopword ratio",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    stats = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.countDistinct("term").cast("double") / F.count("*")).alias("uniq_ratio"),
+            F.avg(F.when(F.col("term").isin(*STOP_WORDS), 1.0).otherwise(0.0)).alias("stop_ratio"),
+        )
+    )
+    quality = (
+        0.5 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.25 * F.col("uniq_ratio")
+        + 0.25 * F.least(F.col("stop_ratio") * 4, F.lit(1.0))
+    )
+    return docs.select("doc_id").join(stats, "doc_id").select(
+        "doc_id", F.round(quality, 6).alias("quality")
+    )
+
+
+@query(
+    "doc_language_id",
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        hits AS (
+            SELECT doc_id,
+                   AVG(CASE WHEN term IN {sql_stopword_list()} THEN 1.0 ELSE 0.0 END) AS en_ratio
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN en_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang,
+               ROUND(en_ratio, 6) AS en_ratio
+        FROM hits
+    """,
+    description="Heuristic language ID via english-stopword hit ratio",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    hits = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id")
+        .agg(F.avg(F.when(F.col("term").isin(*STOP_WORDS), 1.0).otherwise(0.0)).alias("en_ratio"))
+    )
+    return hits.select(
+        "doc_id",
+        F.when(F.col("en_ratio") >= 0.05, "en").otherwise("unknown").alias("pred_lang"),
+        F.round("en_ratio", 6).alias("en_ratio"),
+    )

@@ -1,0 +1,114 @@
+"""Structured Streaming equivalents of the reference's DStream workload
+(SURVEY.md §2.10 T1-T6; StandaloneScala/TwitterStreaming.scala).
+
+The reference: 10s micro-batches over a Twitter receiver (:104-105),
+stateless map/flatMap sentiment transform (:108-110), driver-side
+collect-then-Kafka sink (:116-120). DStreams are gone in Spark 4, and the
+driver-side sink is the anti-pattern SURVEY.md §4.3.5 flags — so here:
+
+- source: file stream over the `events`/`documents` parquet (standing in
+  for the receiver), `trigger(processingTime="10 seconds")` for live runs
+  and `availableNow` for deterministic tests;
+- transform: sentiment as a pure column expression (per-batch, no
+  per-record heavyweight init — fixing §4.3.4);
+- sink: `foreachBatch` (executor-side) or an in-memory table for tests.
+
+Beyond-reference (flagged per SURVEY.md §2.10): event-time tumbling
+windows + watermark over `events.ts`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+# Tiny deterministic sentiment lexicon: the contract of the reference's
+# CoreNLP scorer (TwitterStreaming.scala:66-86) — 3 labels {NEGATIVE,
+# NEUTRAL, POSITIVE} per text — not its model weights.
+POSITIVE_WORDS = ("fast", "small", "big")
+NEGATIVE_WORDS = ("slow", "error",)
+
+
+def sentiment_label(text_col) -> F.Column:
+    """T3/N10: label = sign of (positive hits - negative hits). Pure
+    expression — evaluated JVM-side per row with zero init cost."""
+    toks = tokens(text_col)
+    pos = F.size(F.filter(toks, lambda t: t.isin(*POSITIVE_WORDS)))
+    neg = F.size(F.filter(toks, lambda t: t.isin(*NEGATIVE_WORDS)))
+    return (
+        F.when(pos > neg, "POSITIVE").when(neg > pos, "NEGATIVE").otherwise("NEUTRAL")
+    )
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: file-source stream over the events fixture (schema from the
+    batch read — streaming sources need an explicit schema). The fixture's
+    nanos timestamps are read as long and rebuilt at micros precision
+    (see sources.catalog.load_events)."""
+    from ..sources.catalog import normalize_nanos_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # File streams need a directory source: stream the sf_dir with a glob
+    # filter selecting just the events file.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_nanos_ts(stream)
+
+
+def windowed_counts(stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Beyond-reference: event-time tumbling window + watermark for late
+    data. Output keyed by (window_start, event_type)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.floor(F.unix_timestamp("w.start") / 600).cast("long").alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, table_name: str) -> DataFrame:
+    """Drain the stream deterministically (T5-style sink, in-memory table):
+    `availableNow` processes everything present then stops — the test/
+    correctness harness's replacement for a live 10s trigger."""
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return result.sparkSession.table(table_name)
+
+
+def sentiment_stream(stream: DataFrame, text_col: str = "event_type") -> DataFrame:
+    """T2/T3: project text, attach sentiment label (stateless transform)."""
+    return stream.select(
+        F.col(text_col).alias("text"), sentiment_label(F.col(text_col)).alias("sentiment")
+    )
+
+
+def foreach_batch_collector(result: DataFrame, sink: list) -> None:
+    """T5 foreachBatch sink: executor-side computation, tiny summarized
+    per-batch payload appended to `sink` (replaces the reference's
+    collect-then-Kafka driver loop, TwitterStreaming.scala:116-120)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink.append((batch_id, batch_df.count()))
+
+    q = result.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination(120)

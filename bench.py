@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed via a `noop`-format write (all partitions
+computed, nothing shipped to the driver) — honest end-to-end plan cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from analyzing_big_data_in_scala_spark.plans.registry import QUERIES  # noqa: E402
+from analyzing_big_data_in_scala_spark.session import get_spark  # noqa: E402
+import analyzing_big_data_in_scala_spark.plans  # noqa: F401,E402
+
+HEADLINE = [
+    # relational core
+    "top_customers_by_orders",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_parts_by_revenue",
+    "supplier_part_type_share",
+    # tf-idf search engine
+    "tfidf_matrix",
+    "search_multi_word_cosine",
+    "entity_word_count",
+    # graph
+    "graph_out_degrees",
+    "graph_triangle_counts",
+    "graph_pagerank",
+    # dedup / similarity / text pipeline
+    "dedup_exact_groups",
+    "dedup_minhash_candidates",
+    "doc_quality_scores",
+    "similarity_cosine_topk",
+    # events / streaming
+    "events_tumbling_10min",
+    "events_user_sessions",
+    "streaming_tumbling_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("abds-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup outside the timed region.
+    QUERIES["top_customers_by_orders"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Local replica of the driver's DuckDB-oracle comparison (SURVEY.md §5.1):
+row-count + schema-width + order-insensitive value hash, with columns sorted
+by name. Used by tests and by `python tests/oracle_check.py` for a quick
+self-check before the driver's own gate runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}"
+    if isinstance(v, int):
+        return str(v)
+    if v is None:
+        return ""
+    return str(v)
+
+
+def canonical_rows(columns: list[str], rows: list[tuple]) -> list[str]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = spark_df.columns
+    res = con.execute(sql)
+    o_cols = [d[0] for d in res.description]
+    o_rows = res.fetchall()
+    out = {
+        "rows_match": len(s_rows) == len(o_rows),
+        "cols_match": sorted(s_cols) == sorted(o_cols),
+        "spark_rows": len(s_rows),
+        "oracle_rows": len(o_rows),
+        "spark_cols": sorted(s_cols),
+        "oracle_cols": sorted(o_cols),
+    }
+    if out["rows_match"] and out["cols_match"]:
+        sc = canonical_rows(s_cols, s_rows)
+        oc = canonical_rows(o_cols, o_rows)
+        out["values_match"] = sc == oc
+        if not out["values_match"]:
+            diff = [(a, b) for a, b in zip(sc, oc) if a != b]
+            out["first_diffs"] = diff[:5]
+    else:
+        out["values_match"] = False
+    return out
+
+
+def main() -> int:
+    import sys
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+    sys.path.insert(0, "/root/repo")
+    from analyzing_big_data_in_scala_spark.plans.registry import QUERIES
+    from analyzing_big_data_in_scala_spark.session import get_spark
+    import analyzing_big_data_in_scala_spark.plans  # noqa: F401
+
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+    con = duckdb_conn(sf_dir)
+    failures = 0
+    for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            df = spec.fn(spark, sf_dir)
+            if spec.oracle is None:
+                n = df.count()
+                print(f"ROWS-ONLY {name}: {n} rows")
+                continue
+            r = compare(df, con, spec.oracle)
+            ok = r["values_match"]
+            print(f"{'OK  ' if ok else 'FAIL'} {name}: spark={r['spark_rows']} oracle={r['oracle_rows']}")
+            if not ok:
+                failures += 1
+                print("   ", {k: v for k, v in r.items() if k not in ("spark_rows", "oracle_rows")})
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

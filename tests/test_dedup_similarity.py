@@ -1,0 +1,120 @@
+"""Dedup + similarity operator tests on hand-built micro-corpora:
+exact/jaccard/minhash/simhash semantics, and LSH recall vs. brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyzing_big_data_in_scala_spark.operators import dedup as D
+from analyzing_big_data_in_scala_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+            (4, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(spark, docs):
+    groups = D.exact_duplicates(docs, min_group_size=2).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 2
+    assert groups[0].keep_id == 1
+
+
+def test_exact_duplicates_normalization(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    groups = D.exact_duplicates(docs, min_group_size=2).collect()
+    assert len(groups) == 1 and groups[0].keep_id == 1
+
+
+def test_shingles(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    sh = {r.shingle for r in D.shingle_table(docs, k=3).collect()}
+    assert sh == {"a b c", "b c d"}
+
+
+def test_shingles_short_doc_empty(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert D.shingle_table(docs, k=3).count() == 0
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)  # identical
+    assert (1, 3) in pairs and 0.1 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_identical_docs_identical_signatures(spark, docs):
+    sig = D.minhash_signatures(docs, num_perm=16, k=3)
+    s1 = sorted((r.perm, r.minhash) for r in sig.filter(F.col("id") == 1).collect())
+    s2 = sorted((r.perm, r.minhash) for r in sig.filter(F.col("id") == 2).collect())
+    assert s1 == s2 and len(s1) == 16
+
+
+def test_minhash_candidates_find_dups_not_distinct(spark, docs):
+    cand = {(r.id_a, r.id_b) for r in D.minhash_candidates(docs).collect()}
+    assert (1, 2) in cand
+    assert not any(4 in p for p in cand)
+
+
+def test_simhash_near_dups_close_in_hamming(spark, docs):
+    fps = {r.id: r.simhash for r in D.simhash_fingerprints(docs, bits=32).collect()}
+    assert fps[1] == fps[2]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[1], fps[3]) < ham(fps[1], fps[4])
+
+
+# ---------------------------------------------------------------------------
+# Similarity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    top = S.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=3).collect()
+    ordered = [r.vec_id for r in sorted(top, key=lambda r: r.rank)]
+    assert ordered == [1, 2, 3]
+    by_id = {r.vec_id: r.cosine for r in top}
+    assert by_id[1] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-5)
+    assert by_id[2] == pytest.approx(0.0, abs=1e-6)
+    assert by_id[3] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_lsh_recall_against_brute_force(spark):
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 2)
+    exact = S.cosine_topk(emb, probes, k=5).collect()
+    approx = S.lsh_topk(emb, probes, k=5, n_planes=4).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    # LSH with 4 planes on 500 vecs should recover a reasonable share.
+    assert len(approx_set & exact_set) / len(exact_set) >= 0.3
+    # And every approx hit must carry the SAME cosine as brute force would.
+    exact_scores = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert r.cosine == pytest.approx(exact_scores[(r.query_id, r.vec_id)], abs=1e-6)

@@ -1,0 +1,93 @@
+"""Graph operator tests on hand-computed micro-graphs (FIXTURES.md §3):
+degrees, triangles, connected components, and PageRank under both standard
+and reference (Q3-Q5) semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from analyzing_big_data_in_scala_spark.operators import graph as G
+
+
+@pytest.fixture(scope="module")
+def tri_graph(spark):
+    # Triangle 1-2-3 plus pendant 3->4 (FIXTURES.md §3).
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+
+
+def test_degrees(spark, tri_graph):
+    out = {r.id: r.out_degree for r in G.out_degrees(tri_graph).collect()}
+    inn = {r.id: r.in_degree for r in G.in_degrees(tri_graph).collect()}
+    assert out == {1: 2, 2: 1, 3: 1}
+    assert inn == {2: 1, 3: 2, 4: 1}
+    # Σ out-degree == Σ in-degree == |E| (SURVEY.md §5.4 invariant)
+    assert sum(out.values()) == sum(inn.values()) == 4
+
+
+def test_triangle_counts(spark, tri_graph):
+    tri = {r.id: r.triangles for r in G.triangle_counts(tri_graph).collect()}
+    assert tri == {1: 1, 2: 1, 3: 1}  # vertex 4 in no triangle
+
+
+def test_triangle_counts_ignores_direction_and_parallel_edges(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    tri = {r.id: r.triangles for r in G.triangle_counts(edges).collect()}
+    assert tri == {1: 1, 2: 1, 3: 1}
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    comp = {r.id: r.component for r in G.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_pagerank_standard_sums_below_one_and_ranks_hub(spark):
+    # 4-node graph: 1->2, 2->3, 3->1, 1->3 — vertex 3 has two in-links.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    pr = {r.id: r.pagerank for r in G.pagerank(edges, max_iterations=20).collect()}
+    assert set(pr) == {1, 2, 3}
+    assert pr[3] == max(pr.values())  # most in-mass
+    assert sum(pr.values()) == pytest.approx(1.0, abs=0.05)
+
+
+def test_pagerank_reference_quirks(spark):
+    """Q3: init 10.0; Q4: inner joins drop no-in-link vertices; Q5: parallel
+    edges count in out-degree but dedup in flow (SURVEY.md §2.11.9)."""
+    # Vertex 4 has out-links only — must DROP OUT under reference semantics.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (4, 1), (4, 1)], "src long, dst long"
+    )
+    ref = {r.id: r.pagerank for r in G.pagerank(edges, max_iterations=3, reference_semantics=True).collect()}
+    assert 4 not in ref  # Q4 dropout
+    std = {r.id: r.pagerank for r in G.pagerank(edges, max_iterations=3).collect()}
+    assert 4 in std  # standard mode keeps it via left join
+
+    # Q3+Q5 exact first-iteration value: contribs to 2 come only from 1
+    # (dedup'd), rank0=10, out_deg(1)=1 -> mass=10;
+    # pr(2) = 0.15/3 + 0.85*10 = 8.55
+    one_iter = {
+        r.id: r.pagerank
+        for r in G.pagerank(edges, max_iterations=1, reference_semantics=True).collect()
+    }
+    assert one_iter[2] == pytest.approx(0.15 / 3 + 0.85 * 10.0)
+    # Q5: vertex 1 receives from 2 (10/1) and from 4 (10/2 — out_deg counts
+    # BOTH parallel edges, flow dedup'd to one edge):
+    assert one_iter[1] == pytest.approx(0.15 / 3 + 0.85 * (10.0 + 5.0))
+
+
+def test_edges_from_events_deterministic(spark):
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    e1 = G.edges_from_events(ev).collect()
+    e2 = G.edges_from_events(ev).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e2))
+    assert len(e1) > 0

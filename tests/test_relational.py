@@ -1,0 +1,49 @@
+"""Relational-core operator tests + DuckDB-oracle parity for every
+SQL-expressible query (the driver's sf0.01 gate, run here at sf0.001 for
+speed — SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from analyzing_big_data_in_scala_spark.plans.registry import QUERIES
+import analyzing_big_data_in_scala_spark.plans  # noqa: F401
+
+from .conftest import SF_SMALL
+from .oracle_check import compare, duckdb_conn
+
+ORACLE_QUERIES = sorted(
+    name
+    for name, spec in QUERIES.items()
+    if spec.oracle is not None and name != "ml_sentiment_metrics"
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_conn(SF_SMALL)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, con, name):
+    spec = QUERIES[name]
+    df = spec.fn(spark, SF_SMALL)
+    result = compare(df, con, spec.oracle)
+    assert result["values_match"], result
+
+
+def test_entry_smoke(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "custkey" in df.columns
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30

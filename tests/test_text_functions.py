@@ -1,0 +1,121 @@
+"""Text building-block + NER + multimodal + streaming tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyzing_big_data_in_scala_spark.functions.text import (
+    normalize_text,
+    portable_hash40,
+    portable_hash64,
+    tokens,
+)
+from analyzing_big_data_in_scala_spark.operators import entities as E
+from analyzing_big_data_in_scala_spark.operators import multimodal as MM
+
+
+def test_normalize_and_tokenize(spark):
+    df = spark.createDataFrame([("Hello, WORLD!! 42  ok",)], "text string")
+    row = df.select(
+        normalize_text("text").alias("n"), tokens("text").alias("t")
+    ).first()
+    assert row.n == "hello world 42 ok"
+    assert row.t == ["hello", "world", "42", "ok"]
+
+
+def test_tokens_drop_empties(spark):
+    df = spark.createDataFrame([("...",), ("",), ("a",)], "text string")
+    rows = [r.t for r in df.select(tokens("text").alias("t")).collect()]
+    assert rows == [[], [], ["a"]]
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame([("abc",), ("xyz 123",)], "s string")
+    got = {
+        r.s: (r.h64, r.h40)
+        for r in df.select(
+            "s", portable_hash64("s").alias("h64"), portable_hash40("s").alias("h40")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s, (h64, h40) in got.items():
+        o64, o40 = con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT),"
+            "       CAST(concat('0x', substr(md5(?), 1, 10)) AS BIGINT)",
+            [s, s],
+        ).fetchone()
+        assert (h64, h40) == (o64, o40)
+
+
+def test_capitalized_entity_extraction(spark):
+    df = spark.createDataFrame(
+        [("Sherlock Holmes met Dr Watson in London yesterday",)], "text string"
+    )
+    ents = df.select(E.extract_capitalized_entities("text").alias("e")).first().e
+    assert "Sherlock Holmes" in ents
+    assert "London" in ents
+    assert "yesterday" not in " ".join(ents)
+
+
+def test_entity_counts_cleanup_pipeline(spark):
+    docs = spark.createDataFrame(
+        [("London! London, Paris.",), ("the London",)], "text string"
+    )
+    out = E.entity_counts(docs, F.split(F.col("text"), " "))
+    rows = {r.entity: r.cnt for r in out.collect()}
+    # punctuation stripped, lowercased, stop word 'the' dropped
+    assert rows == {"london": 3, "paris": 1}
+
+
+def test_multimodal_features_match_hashlib(spark):
+    docs = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+    row = MM.payload_features(MM.documents_as_binary(docs)).first()
+    h = hashlib.md5(b"hello world").hexdigest()
+    assert row.n_bytes == 11
+    assert row.content_hash == h
+    assert row.fake_width == int(h[:4], 16) % 1024
+    assert row.fake_height == int(h[4:8], 16) % 1024
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"")
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(b"")
+
+
+def test_stream_batch_equivalence(spark):
+    """SURVEY.md §5.6: the streamed windowed aggregate equals the batch
+    computation over the same fixture."""
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_events
+    from analyzing_big_data_in_scala_spark.streaming import stream as ST
+
+    sf = "/root/testdata/sf0.001"
+    streamed = ST.run_available_now(
+        ST.windowed_counts(ST.events_stream(spark, sf)), "t_stream_eq"
+    ).collect()
+    ev = load_events(spark, sf)
+    batch = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    )
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_sentiment_labels(spark):
+    from analyzing_big_data_in_scala_spark.streaming.stream import sentiment_label
+
+    df = spark.createDataFrame(
+        [("fast and big",), ("slow error mess",), ("plain words",)], "text string"
+    )
+    rows = [r.s for r in df.select(sentiment_label(F.col("text")).alias("s")).collect()]
+    assert rows == ["POSITIVE", "NEGATIVE", "NEUTRAL"]
