@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, portable_hash40, portable_hash64, tokens
+from ._util import ensure_parallelism
 
 # Deterministic multipliers/addends for the minhash permutation family
 # h_i(x) = (a_i * h40(x) + b_i) mod M with M = 2^31 - 1 (Mersenne prime).
@@ -54,17 +55,20 @@ def shingle_table(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Distinct k-token shingles per doc: (id, shingle). The inverted-index
-    building block for jaccard and minhash."""
-    toks = tokens(text_col)
+    building block for jaccard and minhash.
+
+    Tokenization happens in its own projection BEFORE the shingle
+    transform: referencing `tokens(text)` inside the lambda would re-run
+    the regex tokenizer once per shingle (O(tokens²) per doc)."""
+    toked = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    )
     # sequence(1, n) counts DOWN when n < 1 — guard short docs explicitly.
     idx = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)))
+    return toked.select("id", F.explode(shingles).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -124,23 +128,36 @@ def minhash_signatures(
     (shingle x permutation) table. Permutations are arithmetic transforms of
     one base hash — the base md5 is computed once per shingle.
     """
-    sh = shingle_table(docs, k, id_col, text_col)
-    base = sh.select("id", portable_hash40(F.col("shingle")).alias("h"))
-    perms = F.array(
+    wide = minhash_signatures_wide(docs, num_perm, k, id_col, text_col)
+    pairs = F.array(
         *[
-            F.struct(
-                F.lit(i + 1).alias("perm"),
-                ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias("ph"),
-            )
-            for i, (a, b) in enumerate(_perm_params(num_perm))
+            F.struct(F.lit(i + 1).alias("perm"), F.col(f"mh{i + 1}").alias("minhash"))
+            for i in range(num_perm)
         ]
     )
-    return (
-        base.select("id", F.explode(perms).alias("p"))
-        .select("id", F.col("p.perm").alias("perm"), F.col("p.ph").alias("ph"))
-        .groupBy("id", "perm")
-        .agg(F.min("ph").alias("minhash"))
+    return wide.select("id", F.explode(pairs).alias("p")).select(
+        "id", F.col("p.perm").alias("perm"), F.col("p.minhash").alias("minhash")
     )
+
+
+def minhash_signatures_wide(
+    docs: DataFrame,
+    num_perm: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Signature as ONE row per doc with columns mh1..mhN: a single
+    hash-aggregate with num_perm conditional min columns — one shuffle total
+    (vs. exploding num_perm rows per shingle and shuffling all of them).
+    The base md5 is computed once per (doc, shingle)."""
+    sh = shingle_table(docs, k, id_col, text_col)
+    base = sh.select("id", portable_hash40(F.col("shingle")).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{i + 1}")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    return base.groupBy("id").agg(*mins)
 
 
 def minhash_candidates(
@@ -158,11 +175,18 @@ def minhash_candidates(
     buckets, never a global pairwise comparison.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, k, id_col, text_col)
-    banded = (
-        sig.withColumn("band", ((F.col("perm") - 1) / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(portable_hash64(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias("band_key"))
+    wide = minhash_signatures_wide(docs, num_perm, k, id_col, text_col)
+    # Band keys straight off the wide signature — zero extra shuffles. The
+    # key formula (hash of lexicographically-sorted "perm:minhash" strings)
+    # matches the DuckDB oracle's string_agg(... ORDER BY ...) exactly.
+    band_structs = []
+    for band in range(bands):
+        perms = range(band * rows_per_band + 1, (band + 1) * rows_per_band + 1)
+        entries = F.array(*[F.concat_ws(":", F.lit(p), F.col(f"mh{p}")) for p in perms])
+        key = portable_hash64(F.concat_ws(",", F.sort_array(entries)))
+        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("band_key")))
+    banded = wide.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
@@ -181,7 +205,9 @@ def simhash_fingerprints(
     fingerprint is 1 iff the sum of (+1/-1) votes of all token-hash bits j
     is positive. Pure expression pipeline: explode tokens -> per-bit votes
     -> one hash aggregate. Returns (id, simhash)."""
-    tok = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+    tok = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    )
     h = portable_hash64(F.col("t"))
     votes = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{j}")

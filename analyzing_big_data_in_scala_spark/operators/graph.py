@@ -100,7 +100,7 @@ def pagerank(
     alpha: float = 0.15,
     max_iterations: int = 10,
     reference_semantics: bool = False,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Iterative PageRank as a DataFrame fixpoint loop.
 

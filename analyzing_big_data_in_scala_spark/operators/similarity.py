@@ -43,8 +43,10 @@ def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str = "vec_id", v
 
     `query` is expected to be small (it is broadcast). Returns
     (id_col, query_id, cosine)."""
+    from ._util import ensure_parallelism
+
     q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    c = ensure_parallelism(corpus).select(F.col(id_col), F.col(vec_col).alias("cvec"))
     joined = c.join(F.broadcast(q))  # cartesian with tiny broadcast side
     return joined.select(
         id_col,

@@ -25,11 +25,19 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
+def token_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per (doc, token occurrence). The shared entry point for every
+    tokenize-then-aggregate operator (TF-IDF, word counts, token stats).
+    Tokenization is cheap regex work — no repartition; the downstream
+    groupBy shuffle already restores parallelism."""
+    return docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+
+
 def term_frequencies(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """TF per (doc, term): MovieSearchEngine.scala:111-135 re-expressed as
     explode + groupBy (A7 -> A1). Returns (id_col, term, tf)."""
     return (
-        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        token_table(docs, id_col, text_col)
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -97,6 +105,10 @@ def search_query(
     `reference_semantics`. Returns (id_col, score) top-k.
     """
     spark = docs.sparkSession
+    # tf feeds both idf and the matrix; tfidf feeds both dots and norms.
+    # No .cache() needed: the subplans are identical, so Catalyst's
+    # ReuseExchange serves every consumer from one shuffle write — caching
+    # here measured SLOWER (extra materialization + memory-format copy).
     tf = term_frequencies(docs, id_col, text_col)
     n_docs = docs.count()
     idf = inverse_doc_frequencies(doc_frequencies(tf, id_col), n_docs)

@@ -166,7 +166,7 @@ def search_multi_word_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entity_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return (
-        docs.select(F.explode(tokens("text")).alias("word"))
+        T.token_table(docs).select(F.col("term").alias("word"))
         .filter(~F.col("word").isin(*STOP_WORDS))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
@@ -194,7 +194,7 @@ def entity_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        T.token_table(docs)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -226,7 +226,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     stats = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        T.token_table(docs)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -263,7 +263,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     hits = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        T.token_table(docs)
         .groupBy("doc_id")
         .agg(F.avg(F.when(F.col("term").isin(*STOP_WORDS), 1.0).otherwise(0.0)).alias("en_ratio"))
     )
