@@ -15,7 +15,6 @@ and oracle-tested (the fake features are reproducible in SQL).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,33 +34,37 @@ def decode_audio(payload: bytes):
     raise NotImplementedError("audio decoding requires an audio library not present in this environment")
 
 
-def _fake_features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic stand-in for a decode+feature-extract batch: byte
-    length, content md5, and md5-derived pseudo-dimensions. Mirrors the
-    SQL oracle in plans/pipeline_queries.py exactly."""
-    hashes = [hashlib.md5(b).hexdigest() for b in pdf["payload"]]
-    return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "n_bytes": [len(b) for b in pdf["payload"]],
-            "content_hash": hashes,
-            "fake_width": [int(h[:4], 16) % 1024 for h in hashes],
-            "fake_height": [int(h[4:8], 16) % 1024 for h in hashes],
-        }
-    )
-
-
 def payload_features(binary_df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over a (doc_id, payload binary) frame.
 
     Arrow moves each partition to Python in columnar batches; per-batch
     (not per-row) Python cost — the pattern a real decoder would use.
+
+    The batch function is a self-contained closure (local imports only):
+    executor workers deserialize it by value without importing this
+    package, so the driver's sys.path / cwd don't matter. The deterministic
+    fake features (byte length, content md5, md5-derived pseudo-dims)
+    mirror the SQL oracle in plans/pipeline_queries.py exactly.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
         for pdf in batches:
-            if len(pdf):
-                yield _fake_features_batch(pdf)
+            if not len(pdf):
+                continue
+            hashes = [_hashlib.md5(b).hexdigest() for b in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in pdf["payload"]],
+                    "content_hash": hashes,
+                    "fake_width": [int(h[:4], 16) % 1024 for h in hashes],
+                    "fake_height": [int(h[4:8], 16) % 1024 for h in hashes],
+                }
+            )
 
     return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -252,6 +252,71 @@ def supplier_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_customers_per_segment",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+                   ROUND(SUM(o.o_totalprice), 2) AS spend
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, c.c_custkey
+        )
+        SELECT segment, custkey, spend, CAST(rnk AS INT) AS rnk FROM (
+            SELECT segment, custkey, spend,
+                   ROW_NUMBER() OVER (PARTITION BY segment
+                                      ORDER BY spend DESC, custkey ASC) AS rnk
+            FROM spend
+        ) WHERE rnk <= 3
+        ORDER BY segment, rnk
+    """,
+    description="Window top-N per group (row_number): top-3 spenders per market segment",
+)
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("c_custkey").alias("custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("spend"), F.asc("custkey"))
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("segment", "rnk")
+    )
+
+
+@query(
+    "customer_order_running_total",
+    oracle="""
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey
+                                             ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+        FROM orders
+        WHERE o_custkey <= 100
+    """,
+    description="Cumulative window aggregate: per-customer running spend in order-date order",
+)
+def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
     "global_agg_stats",
     oracle="""
         SELECT COUNT(*) AS n_rows,

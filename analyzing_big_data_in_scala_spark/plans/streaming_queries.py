@@ -35,6 +35,32 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_first_seen_per_user",
+    oracle="""
+        SELECT user_id, MIN(event_id) AS first_event_id
+        FROM events
+        GROUP BY user_id
+    """,
+    description="Custom stateful streaming dedup via applyInPandasWithState: first event per user",
+)
+def streaming_first_seen_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import first_seen_per_user
+
+    stream = ST.events_stream(spark, sf_dir)
+    result = first_seen_per_user(stream)
+    table = f"stream_firstseen_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(table)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)
+
+
+@query(
     "streaming_sentiment_counts",
     oracle="""
         SELECT CASE WHEN event_type IN ('error') THEN 'NEGATIVE'
