@@ -158,6 +158,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(_docs(spark, sf_dir), bits=32)
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH flat AS (
+            SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x, i
+            FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   SUM(a.x * b.x) AS dot,
+                   sqrt(SUM(a.x * a.x)) AS na, sqrt(SUM(b.x * b.x)) AS nb
+            FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY a.vec_id, b.vec_id
+        )
+        SELECT id_a, id_b, ROUND(dot / (na * nb), 6) AS cosine
+        FROM pairs
+        WHERE dot / (na * nb) >= 0.35
+    """,
+    description="Embedding-cosine near-duplicate pairs (exact; LSH-bucketed variant is the scale path)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_scores(
+        emb, emb.select(F.col("vec_id"), F.col("embedding"))
+    ).filter(F.col("vec_id") < F.col("query_id"))
+    return pairs.filter(F.col("cosine") >= 0.35).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -296,6 +328,33 @@ def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("bucket"),
         "event_type",
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+@query(
+    "events_sliding_20min",
+    oracle="""
+        WITH bucketed AS (
+            SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS b, event_type, value
+            FROM events
+        )
+        SELECT w, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM bucketed, UNNEST([b - 1, b]) t(w)
+        GROUP BY w, event_type
+    """,
+    description="Sliding window (20 min, 10 min slide) via native F.window — each event in 2 windows",
+)
+def events_sliding_20min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "20 minutes", "10 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.floor(F.unix_timestamp("win.start") / 600).cast("long").alias("w"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
 
 
 @query(

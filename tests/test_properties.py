@@ -1,0 +1,93 @@
+"""Property-based invariants (SURVEY.md §5.4) via hypothesis: random
+corpora through the real operators, asserting the algebraic laws that must
+hold for ANY input. Example counts are kept small — each example is a real
+Spark job."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from analyzing_big_data_in_scala_spark.operators import dedup as D
+from analyzing_big_data_in_scala_spark.operators import graph as G
+from analyzing_big_data_in_scala_spark.operators import tfidf as T
+
+TEXTS = st.lists(
+    st.text(alphabet="abcxyz !?.,0", min_size=0, max_size=40), min_size=1, max_size=8
+)
+PROP_SETTINGS = settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+@PROP_SETTINGS
+@given(texts=TEXTS)
+def test_tfidf_invariants(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    n = len(texts)
+    tf = T.term_frequencies(docs).collect()
+    # TF >= 1; terms are normalized (lowercase alnum, non-empty)
+    for r in tf:
+        assert r.tf >= 1
+        assert re.fullmatch(r"[a-z0-9]+", r.term), r.term
+    dfreq = T.doc_frequencies(T.term_frequencies(docs)).collect()
+    for r in dfreq:
+        assert 1 <= r.df <= n  # DF <= N
+    idf = T.inverse_doc_frequencies(T.doc_frequencies(T.term_frequencies(docs)), n).collect()
+    for r in idf:
+        assert r.idf >= -1e-12  # idf = ln(N/df) >= 0
+        assert r.idf <= math.log(n) + 1e-12
+
+
+@PROP_SETTINGS
+@given(texts=TEXTS)
+def test_jaccard_bounds_and_symmetric_inputs(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    pairs = D.ngram_jaccard_pairs(docs, k=2, threshold=0.0).collect()
+    for r in pairs:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.id_a < r.id_b
+
+
+@PROP_SETTINGS
+@given(texts=TEXTS)
+def test_simhash_is_32_bits_and_duplicate_stable(spark, texts):
+    # Duplicate every text: identical docs must get identical fingerprints.
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (i + 1000, t) for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.id: r.simhash for r in D.simhash_fingerprints(docs, bits=32).collect()}
+    for i, t in enumerate(texts):
+        if i in fps:
+            assert 0 <= fps[i] < (1 << 32)
+            assert fps[i] == fps[i + 1000]
+
+
+@PROP_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=15
+    )
+)
+def test_graph_invariants(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    e = df.filter(F.col("src") != F.col("dst"))
+    n_edges = e.count()
+    if n_edges == 0:
+        return
+    out_sum = sum(r.out_degree for r in G.out_degrees(e).collect())
+    in_sum = sum(r.in_degree for r in G.in_degrees(e).collect())
+    assert out_sum == in_sum == n_edges  # degree sums == |E|
+
+    comp = G.connected_components(e).collect()
+    labels = {r.id: r.component for r in comp}
+    # every component label is itself a member vertex and the minimum
+    for comp_id in set(labels.values()):
+        members = {v for v, c in labels.items() if c == comp_id}
+        assert comp_id in members and comp_id == min(members)
