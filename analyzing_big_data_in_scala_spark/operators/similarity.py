@@ -48,10 +48,14 @@ def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str = "vec_id", v
     q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = ensure_parallelism(corpus).select(F.col(id_col), F.col(vec_col).alias("cvec"))
     joined = c.join(F.broadcast(q))  # cartesian with tiny broadcast side
+    # try_divide: zero-norm vectors yield NULL cosine instead of an ANSI
+    # divide-by-zero error (DuckDB x/0.0 contract).
     return joined.select(
         id_col,
         "query_id",
-        (_dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec")))).alias("cosine"),
+        F.try_divide(
+            _dot(F.col("cvec"), F.col("qvec")), _norm(F.col("cvec")) * _norm(F.col("qvec"))
+        ).alias("cosine"),
     )
 
 
@@ -128,7 +132,9 @@ def lsh_topk(
         .select(
             "query_id",
             id_col,
-            (_dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec")))).alias("cosine"),
+            F.try_divide(
+                _dot(F.col("cvec"), F.col("qvec")), _norm(F.col("cvec")) * _norm(F.col("qvec"))
+            ).alias("cosine"),
         )
     )
     from pyspark.sql import Window

@@ -4,8 +4,10 @@ The reference computes TF-IDF with a Catalyst-opaque RDD pipeline
 (ScalaNotebooks/MovieSearchEngine.scala:111-187: rdd.flatMap ->
 reduceByKey x2 -> pair join) and re-runs the uncached plan per search term
 from a driver loop (:239-308). Here the whole thing is DataFrames:
-tokenize -> explode -> two hash aggregations -> broadcast joins, one
-Catalyst plan end-to-end, whole-stage-codegen'd, AQE-coalesced.
+tokenize -> explode -> two hash aggregations -> broadcast joins, ONE
+Catalyst plan end-to-end — even the corpus size N and the query norm are
+computed in-plan via single-row broadcast cross joins, so a search is a
+single Spark job with no driver round-trips.
 
 Scale posture: the only wide exchanges are groupBy(doc, term) and
 groupBy(term) — both map-side-combined. idf and the query vector are tiny
@@ -56,13 +58,24 @@ def inverse_doc_frequencies(df_per_term: DataFrame, n_docs: int) -> DataFrame:
     return df_per_term.select("term", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
 
 
+def _idf_in_plan(docs: DataFrame, tf: DataFrame, id_col: str) -> DataFrame:
+    """IDF with the corpus size N computed IN-PLAN: a 1-row count aggregate
+    broadcast-cross-joined into the per-term table. No docs.count() action
+    on the driver — the whole TF-IDF pipeline stays one lazy plan."""
+    n_row = docs.agg(F.count("*").cast("double").alias("_n"))
+    return (
+        doc_frequencies(tf, id_col)
+        .crossJoin(F.broadcast(n_row))
+        .select("term", F.log(F.col("_n") / F.col("df")).alias("idf"))
+    )
+
+
 def tfidf_matrix(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """TF-IDF = tf * idf via join (MovieSearchEngine.scala:168-187).
     Returns (id_col, term, tf, idf, tfidf). The idf side is
     vocabulary-sized -> broadcast."""
     tf = term_frequencies(docs, id_col, text_col)
-    n_docs = docs.count()
-    idf = inverse_doc_frequencies(doc_frequencies(tf, id_col), n_docs)
+    idf = _idf_in_plan(docs, tf, id_col)
     return tf.join(F.broadcast(idf), "term").select(
         id_col, "term", "tf", "idf", (F.col("tf") * F.col("idf")).alias("tfidf")
     )
@@ -97,21 +110,22 @@ def search_query(
     top_k: int = 10,
     reference_semantics: bool = False,
 ) -> DataFrame:
-    """Multi-word search (MovieSearchEngine.scala:263-308), one Catalyst plan.
+    """Multi-word search (MovieSearchEngine.scala:263-308), one Catalyst plan
+    and ONE Spark job.
 
     Builds the query's own tf-idf vector (:277-288), the query norm
-    (:291-294), the per-doc dot product (:297-300), and the similarity
-    ranking (:303-308). True-cosine by default; Q1 quirk under
-    `reference_semantics`. Returns (id_col, score) top-k.
+    (:291-294) as a 1-row aggregate broadcast back into the plan, the
+    per-doc dot product (:297-300), and the similarity ranking (:303-308).
+    True-cosine by default; Q1 quirk under `reference_semantics`.
+    Returns (id_col, score) top-k.
+
+    No .cache() on the shared tf/tfidf subplans: they are identical, so
+    Catalyst's ReuseExchange serves every consumer from one shuffle write —
+    caching here measured SLOWER (extra materialization + format copy).
     """
     spark = docs.sparkSession
-    # tf feeds both idf and the matrix; tfidf feeds both dots and norms.
-    # No .cache() needed: the subplans are identical, so Catalyst's
-    # ReuseExchange serves every consumer from one shuffle write — caching
-    # here measured SLOWER (extra materialization + memory-format copy).
     tf = term_frequencies(docs, id_col, text_col)
-    n_docs = docs.count()
-    idf = inverse_doc_frequencies(doc_frequencies(tf, id_col), n_docs)
+    idf = _idf_in_plan(docs, tf, id_col)
     tfidf = tf.join(F.broadcast(idf), "term").select(
         id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
     )
@@ -120,8 +134,11 @@ def search_query(
     qtf = qterms.groupBy("term").agg(F.count("*").alias("qtf"))
     qvec = qtf.join(idf, "term").select("term", (F.col("qtf") * F.col("idf")).alias("qw"))
 
-    q_ss = qvec.agg(F.sum(F.col("qw") * F.col("qw")).alias("ss")).first()["ss"] or 0.0
-    q_norm = q_ss if reference_semantics else q_ss**0.5
+    # Query norm as a 1-row plan fragment (replaces the .first() round-trip).
+    q_ss = F.sum(F.col("qw") * F.col("qw"))
+    q_norm_row = qvec.agg(
+        (q_ss if reference_semantics else F.sqrt(q_ss)).alias("_qnorm")
+    )
 
     dots = (
         tfidf.join(F.broadcast(qvec), "term")
@@ -131,7 +148,14 @@ def search_query(
     norms = doc_norms(tfidf, id_col, reference_semantics)
     return (
         dots.join(norms, id_col)
-        .select(id_col, F.round(F.col("dot") / (F.col("norm") * F.lit(q_norm)), 6).alias("score"))
+        .crossJoin(F.broadcast(q_norm_row))
+        # try_divide: zero norms (e.g. every idf = 0 when a term is in all
+        # docs of a tiny corpus) yield NULL instead of raising under ANSI
+        # mode — the same contract as DuckDB's x/0.0.
+        .select(
+            id_col,
+            F.round(F.try_divide("dot", F.col("norm") * F.col("_qnorm")), 6).alias("score"),
+        )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_k)
     )
