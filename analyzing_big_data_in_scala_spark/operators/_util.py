@@ -1,8 +1,9 @@
-"""Shared operator utilities."""
+"""Shared operator utilities: small-input parallelism, skew salting."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -25,3 +26,43 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     except Exception:
         pass
     return df.repartition(min_partitions)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt_col: Column,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for SKEWED group keys: phase 1 aggregates on
+    (keys + salt) so a hot key's rows spread over `buckets` reducers;
+    phase 2 re-aggregates the per-salt partials on the real keys — a
+    partition-count-sized input, trivially cheap.
+
+    `aggs` maps output alias -> (fn, input_col) with fn one of
+    'sum' | 'count' | 'min' | 'max' (the re-aggregable functions; avg =
+    sum/count composed by the caller; count ignores input_col). `salt_col`
+    must be a deterministic expression over the row (e.g.
+    pmod(xxhash64(id), buckets)) so results are reproducible.
+
+    At 100 TB a single hot key (one celebrity user, one dominant event
+    type) otherwise lands on one reducer; AQE's skew-join split only covers
+    joins, not aggregations — this covers the aggregation side.
+    Hash-aggregation's map-side partials already mitigate skew for small
+    key cardinality; salting matters when per-key state is large (e.g.
+    collect_list-like payloads) or partial aggregation is disabled.
+    """
+    salted = df.withColumn("_salt", F.pmod(salt_col, F.lit(buckets)))
+
+    phase1_exprs, phase2_exprs = [], []
+    for alias, (fn, col) in aggs.items():
+        if fn == "count":
+            phase1_exprs.append(F.count("*").alias(alias))
+            phase2_exprs.append(F.sum(alias).alias(alias))  # partials re-sum
+        else:
+            phase1_exprs.append(getattr(F, fn)(col).alias(alias))
+            phase2_exprs.append(getattr(F, fn)(alias).alias(alias))
+
+    phase1 = salted.groupBy(*keys, "_salt").agg(*phase1_exprs)
+    return phase1.groupBy(*keys).agg(*phase2_exprs)

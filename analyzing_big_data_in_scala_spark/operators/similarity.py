@@ -45,8 +45,17 @@ def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str = "vec_id", v
     (id_col, query_id, cosine)."""
     from ._util import ensure_parallelism
 
-    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = ensure_parallelism(corpus).select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    # Norms are per-VECTOR, so compute them once in a projection before the
+    # pair join — inside the pair expression they would be re-evaluated for
+    # every (corpus x query) combination (O(pairs·dim) wasted work).
+    q = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col), F.col(vec_col).alias("cvec"), _norm(F.col(vec_col)).alias("cn")
+    )
     joined = c.join(F.broadcast(q))  # cartesian with tiny broadcast side
     # try_divide: zero-norm vectors yield NULL cosine instead of an ANSI
     # divide-by-zero error (DuckDB x/0.0 contract).
@@ -54,7 +63,7 @@ def cosine_scores(corpus: DataFrame, query: DataFrame, id_col: str = "vec_id", v
         id_col,
         "query_id",
         F.try_divide(
-            _dot(F.col("cvec"), F.col("qvec")), _norm(F.col("cvec")) * _norm(F.col("qvec"))
+            _dot(F.col("cvec"), F.col("qvec")), F.col("cn") * F.col("qn")
         ).alias("cosine"),
     )
 
@@ -78,6 +87,65 @@ def cosine_topk(
         scores.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_matrix_rows: int = 200_000,
+) -> DataFrame:
+    """All-pairs cosine >= threshold over one corpus: (id_a, id_b, cosine)
+    with id_a < id_b.
+
+    Dense all-pairs math is BLAS work, not expression-tree work: the corpus
+    matrix is collected once (guarded by `max_matrix_rows` — this EXACT
+    variant is for bounded corpora, e.g. refining LSH candidate buckets;
+    unbounded corpora go through minhash/hyperplane candidates first),
+    embedded in a self-contained closure, and each Arrow batch computes a
+    (batch x corpus) matmul. ~2x the expression-tree version at 64 dims,
+    and the gap widens with dimension.
+    """
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    if len(rows) > max_matrix_rows:
+        raise ValueError(
+            f"cosine_pairs is the exact bounded-corpus path ({len(rows)} rows > "
+            f"{max_matrix_rows}); use LSH candidates + per-bucket refinement at this scale"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1) if len(rows) else np.zeros(0)
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf) or not len(ids):
+                continue
+            A = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+            an = _np.linalg.norm(A, axis=1)
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                C = (A @ M.T) / _np.outer(an, norms)
+            C = _np.nan_to_num(C, nan=-2.0)  # zero-norm vectors never pass a real threshold
+            ia, ib = _np.nonzero(C >= threshold)
+            aid = pdf[id_col].to_numpy()[ia]
+            bid = ids[ib]
+            keep = aid < bid
+            yield _pd.DataFrame(
+                {
+                    "id_a": aid[keep],
+                    "id_b": bid[keep],
+                    "cosine": _np.round(C[ia, ib][keep], 6),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        run, schema="id_a long, id_b long, cosine double"
     )
 
 
@@ -123,18 +191,29 @@ def lsh_topk(
     )
     cand = csig.join(F.broadcast(qsig), "bucket").select("query_id", id_col)
     scored = (
-        cand.join(corpus.select(id_col, F.col(vec_col).alias("cvec")), id_col)
+        cand.join(
+            corpus.select(
+                id_col, F.col(vec_col).alias("cvec"), _norm(F.col(vec_col)).alias("cn")
+            ),
+            id_col,
+        )
         .join(
-            F.broadcast(query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))),
+            F.broadcast(
+                query.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qvec"),
+                    _norm(F.col(vec_col)).alias("qn"),
+                )
+            ),
             "query_id",
         )
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             id_col,
-            F.try_divide(
-                _dot(F.col("cvec"), F.col("qvec")), _norm(F.col("cvec")) * _norm(F.col("qvec"))
-            ).alias("cosine"),
+            F.try_divide(_dot(F.col("cvec"), F.col("qvec")), F.col("cn") * F.col("qn")).alias(
+                "cosine"
+            ),
         )
     )
     from pyspark.sql import Window

@@ -180,14 +180,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.cosine_scores(
-        emb, emb.select(F.col("vec_id"), F.col("embedding"))
-    ).filter(F.col("vec_id") < F.col("query_id"))
-    return pairs.filter(F.col("cosine") >= 0.35).select(
-        F.col("vec_id").alias("id_a"),
-        F.col("query_id").alias("id_b"),
-        F.round("cosine", 6).alias("cosine"),
-    )
+    return S.cosine_pairs(emb, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
@@ -355,6 +348,42 @@ def events_sliding_20min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "events_salted_by_type",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value,
+               ROUND(MAX(value), 6) AS max_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Skew-safe two-phase (salted) aggregation over 5 hot keys == plain groupBy",
+)
+def events_salted_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._util import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev.select("event_type", "value", "event_id"),
+        keys=["event_type"],
+        aggs={
+            "n": ("count", None),
+            "sum_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_col=F.col("event_id"),
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
 
 
 @query(

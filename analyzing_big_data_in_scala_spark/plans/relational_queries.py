@@ -317,6 +317,41 @@ def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_segment_setops",
+    oracle="""
+        WITH building AS (
+            SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        big_spenders AS (
+            SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+        )
+        SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM building UNION SELECT k FROM big_spenders)
+        UNION ALL
+        SELECT 'intersect', COUNT(*) FROM (SELECT k FROM building INTERSECT SELECT k FROM big_spenders)
+        UNION ALL
+        SELECT 'except', COUNT(*) FROM (SELECT k FROM building EXCEPT SELECT k FROM big_spenders)
+        ORDER BY op
+    """,
+    description="Set operations (union/intersect/except) over customer cohorts — beyond-reference §2.6",
+)
+def customer_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    spenders = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("k")).distinct()
+    rows = [
+        ("union", building.union(spenders).distinct()),
+        ("intersect", building.intersect(spenders)),
+        ("except", building.exceptAll(spenders.distinct()).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        counted = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = counted if out is None else out.union(counted)
+    return out.orderBy("op")
+
+
+@query(
     "global_agg_stats",
     oracle="""
         SELECT COUNT(*) AS n_rows,

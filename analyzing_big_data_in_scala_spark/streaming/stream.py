@@ -95,6 +95,22 @@ def run_available_now(result: DataFrame, table_name: str) -> DataFrame:
     return result.sparkSession.table(table_name)
 
 
+def run_processing_time(
+    result: DataFrame, table_name: str, interval: str = "10 seconds"
+):
+    """T1: live micro-batch trigger matching the reference's 10s batch
+    interval (TwitterStreaming.scala:104). Returns the running
+    StreamingQuery — caller stops it. Tests use run_available_now instead
+    for determinism."""
+    return (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .trigger(processingTime=interval)
+        .start()
+    )
+
+
 def sentiment_stream(stream: DataFrame, text_col: str = "event_type") -> DataFrame:
     """T2/T3: project text, attach sentiment label (stateless transform)."""
     return stream.select(

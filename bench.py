@@ -39,12 +39,18 @@ HEADLINE = [
     # dedup / similarity / text pipeline
     "dedup_exact_groups",
     "dedup_minhash_candidates",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "doc_quality_scores",
     "similarity_cosine_topk",
+    "similarity_lsh_topk",
     # events / streaming
     "events_tumbling_10min",
+    "events_sliding_20min",
     "events_user_sessions",
+    "events_salted_by_type",
     "streaming_tumbling_counts",
+    "streaming_first_seen_per_user",
 ]
 
 

@@ -1,0 +1,55 @@
+"""Utility operator tests: salted aggregation equivalence, parallelism probe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analyzing_big_data_in_scala_spark.operators._util import ensure_parallelism, salted_aggregate
+
+
+def test_salted_aggregate_equals_plain_groupby(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1000)],
+        "id long, key string, v double",
+    )
+    salted = {
+        (r.key): (r.n, r.total, r.mx)
+        for r in salted_aggregate(
+            df,
+            keys=["key"],
+            aggs={"n": ("count", None), "total": ("sum", "v"), "mx": ("max", "v")},
+            salt_col=F.col("id"),
+            buckets=8,
+        ).collect()
+    }
+    plain = {
+        (r.key): (r.n, r.total, r.mx)
+        for r in df.groupBy("key")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_aggregate_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i % 7)) for i in range(300)], "id long, key int, v double"
+    )
+    runs = [
+        tuple(
+            sorted(
+                (r.key, r.n, r.s)
+                for r in salted_aggregate(
+                    df, ["key"], {"n": ("count", None), "s": ("sum", "v")}, F.col("id")
+                ).collect()
+            )
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+
+
+def test_ensure_parallelism_noop_on_memory_df_is_safe(spark):
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    out = ensure_parallelism(df, min_partitions=4)
+    assert sorted(r.x for r in out.collect()) == [1, 2]
