@@ -1,0 +1,84 @@
+"""Physical-layout scale tests: bucketed co-located joins plan with NO
+exchange, partitioned parquet scans prune partitions, and broadcast joins
+appear where intended. These pin the 100 TB posture claims in README.md to
+actual physical plans."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyzing_big_data_in_scala_spark.sources import bucketing as B
+from analyzing_big_data_in_scala_spark.sources.catalog import load_table, write_parquet
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    return str(tmp_path_factory.mktemp("wh"))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    lineitem = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    B.write_bucketed(orders, "t_orders_b", "o_orderkey", num_buckets=4)
+    B.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        "o_orderkey",
+        num_buckets=4,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = B.cocolated_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        plan = _physical_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    # co-located buckets: the join runs with NO shuffle exchange on either
+    # side ("Exchange hashpartitioning"; BroadcastExchange is disabled above)
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and the join result is still correct
+    expected = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+    )
+    assert joined.count() == expected
+
+
+def test_unbucketed_join_does_shuffle_for_contrast(spark):
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    lineitem = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _physical_plan(
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "Exchange hashpartitioning" in plan  # the shuffle bucketing removes
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pp") / "events_by_type")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    write_parquet(ev, out, partition_by=["event_type"])
+    # one directory per event_type
+    assert any(d.startswith("event_type=") for d in os.listdir(out))
+
+    read = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _physical_plan(read)
+    assert "PartitionFilters" in plan
+    assert read.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_broadcast_hint_respected_in_star_join(spark):
+    from analyzing_big_data_in_scala_spark.plans.registry import QUERIES
+    import analyzing_big_data_in_scala_spark.plans  # noqa: F401
+
+    df = QUERIES["revenue_by_nation"].fn(spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
