@@ -101,6 +101,7 @@ def pagerank(
     max_iterations: int = 10,
     reference_semantics: bool = False,
     checkpoint_every: int = 2,
+    tol: float | None = None,
 ) -> DataFrame:
     """Iterative PageRank as a DataFrame fixpoint loop.
 
@@ -119,6 +120,11 @@ def pagerank(
 
     Each iteration ends with `localCheckpoint()` so the logical plan stays
     O(1) deep instead of growing linearly (SURVEY.md §4.3.2).
+
+    `tol`: GraphFrames-style convergence (EpinionsGraphFrameAnalysis.scala:93
+    `.tol(0.01)`) — stop when max |Δrank| < tol, checked at checkpoint
+    boundaries (the rank frame is materialized there anyway, so the check
+    costs one cheap max-aggregate, not an extra pass).
 
     Returns (id, pagerank).
     """
@@ -164,7 +170,20 @@ def pagerank(
                 "id",
                 (F.lit(alpha / n) + F.lit(1 - alpha) * F.col("mass")).alias("pagerank"),
             )
-        ranks = updated.localCheckpoint() if (i + 1) % checkpoint_every == 0 else updated
+        at_checkpoint = (i + 1) % checkpoint_every == 0 or (i + 1) == max_iterations
+        if at_checkpoint and tol is not None:
+            updated = updated.localCheckpoint()
+            delta = (
+                updated.alias("u")
+                .join(ranks.select("id", F.col("pagerank").alias("prev")), "id", "left")
+                .agg(F.max(F.abs(F.col("pagerank") - F.coalesce("prev", F.lit(0.0)))).alias("d"))
+                .first()["d"]
+            )
+            ranks = updated
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = updated.localCheckpoint() if at_checkpoint else updated
 
     return ranks
 
@@ -211,6 +230,77 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
         if changed == 0:
             break
     return labels
+
+
+def connected_components_two_phase(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """G5 via alternating large-star / small-star (the 'Connected
+    Components in MapReduce and Beyond' algorithm): converges in O(log n)
+    rounds vs. O(graph diameter) for plain label propagation — the scale
+    path for high-diameter graphs (long chains, road networks).
+
+    large-star: every node links its LARGER neighbors to the minimum of
+    its neighborhood; small-star: every node links its smaller-or-equal
+    neighbors to that minimum. Alternating the two contracts every
+    component to a star rooted at its minimum vertex id.
+
+    Returns (id, component) — identical output contract to
+    :func:`connected_components` (tested equal).
+    """
+    e = canonical_undirected(edges).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).localCheckpoint()
+    vertices = _vertices_from_edges(edges)
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        grouped = sym.groupBy("u").agg(
+            F.min("v").alias("min_nbr"), F.collect_set("v").alias("nbrs")
+        )
+        out = grouped.select(
+            "u",
+            F.least("min_nbr", F.col("u")).alias("m"),
+            F.explode("nbrs").alias("v"),
+        ).filter(F.col("v") > F.col("u"))
+        return out.select(F.col("v").alias("u"), F.col("m").alias("v")).filter(
+            F.col("u") != F.col("v")
+        ).distinct()
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # point every edge at the smaller endpoint: (u, v) with v < u
+        pointed = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        grouped = pointed.groupBy("u").agg(
+            F.min("v").alias("m"), F.collect_set("v").alias("nbrs")
+        )
+        nbr_edges = grouped.select("u", "m", F.explode("nbrs").alias("v")).filter(
+            F.col("v") != F.col("m")
+        ).select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_edges = grouped.select("u", F.col("m").alias("v"))
+        return nbr_edges.union(self_edges).filter(F.col("u") != F.col("v")).distinct()
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = small_star(large_star(e)).localCheckpoint()
+        # Overflow-safe content signature (ANSI mode: bigint sums can
+        # throw): sum of 30-bit hash residues stays far below 2^63.
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 30))), F.lit(0)
+            ).alias("s"),
+        ).first()
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # e is now a star forest: (child, root). Roots appear only as targets.
+    child_root = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = vertices.join(child_root, "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return child_root.union(roots)
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

@@ -149,6 +149,78 @@ def cosine_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a seeded k-means coarse
+    quantizer assigns every corpus vector to one of `n_cells` cells once;
+    each query scores ONLY the `nprobe` cells nearest to it.
+
+    The scale shape: the corpus is scanned once at index time (cell id is
+    just a column — persist it and the index is free on later queries);
+    query cost is proportional to nprobe/n_cells of the corpus instead of
+    all of it. Exact cosine re-ranks inside the probed cells.
+
+    Returns (query_id, id_col, cosine, rank) like :func:`cosine_topk`.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    feats = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feats)
+    indexed = model.transform(feats).select(id_col, vec_col, "cell")
+
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    # nprobe nearest cells per query (centroid table is tiny: driver-side numpy)
+    q_rows = query.select(id_col, vec_col).collect()
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        d = np.linalg.norm(centroids - qv, axis=1)
+        for cell in np.argsort(d)[:nprobe]:
+            probe_pairs.append((int(r[0]), int(cell)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
+
+    cand = indexed.join(F.broadcast(probes), "cell").select(
+        "query_id", id_col, F.col(vec_col).alias("cvec"), _norm(F.col(vec_col)).alias("cn")
+    )
+    qside = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qside), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.try_divide(_dot(F.col("cvec"), F.col("qvec")), F.col("cn") * F.col("qn")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def hyperplane_signatures(
     df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:

@@ -102,6 +102,66 @@ def search_single_term(
     )
 
 
+def search_many(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 10,
+    reference_semantics: bool = False,
+) -> DataFrame:
+    """Batched multi-query search: ALL queries ranked in ONE Catalyst plan.
+
+    The reference loops over collected search terms on the driver, issuing
+    one Spark job per query (MovieSearchEngine.scala:239-308; SURVEY.md
+    §3.1 anti-pattern). Here `queries` is a DataFrame (query_id, query);
+    query vectors, query norms, dots, and per-query top-k (window
+    row_number) are all keyed by query_id inside one plan — N queries cost
+    one pass over the corpus, not N.
+
+    Returns (query_id, id_col, score, rank) with rank 1..top_k per query.
+    """
+    from pyspark.sql import Window
+
+    tf = term_frequencies(docs, id_col, text_col)
+    idf = _idf_in_plan(docs, tf, id_col)
+    tfidf = tf.join(F.broadcast(idf), "term").select(
+        id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+
+    qtok = queries.select("query_id", F.explode(tokens("query")).alias("term"))
+    qtf = qtok.groupBy("query_id", "term").agg(F.count("*").alias("qtf"))
+    qvec = qtf.join(idf, "term").select(
+        "query_id", "term", (F.col("qtf") * F.col("idf")).alias("qw")
+    )
+    q_ss = F.sum(F.col("qw") * F.col("qw"))
+    qnorms = qvec.groupBy("query_id").agg(
+        (q_ss if reference_semantics else F.sqrt(q_ss)).alias("qnorm")
+    )
+
+    dots = (
+        tfidf.join(F.broadcast(qvec), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("tfidf") * F.col("qw")).alias("dot"))
+    )
+    norms = doc_norms(tfidf, id_col, reference_semantics)
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(qnorms), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.try_divide("dot", F.col("norm") * F.col("qnorm")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 def search_query(
     docs: DataFrame,
     query_terms: list[str],

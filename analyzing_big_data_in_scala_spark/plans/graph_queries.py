@@ -120,6 +120,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_pagerank_tol",
+    oracle=None,
+    description="G4 PageRank run-to-convergence (tol=0.01, GraphFrames parity: EpinionsGraphFrameAnalysis.scala:93)",
+)
+def graph_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = G.pagerank(_edges(spark, sf_dir), alpha=0.15, max_iterations=40, tol=0.01)
+    return pr.select("id", F.round("pagerank", 8).alias("pagerank")).orderBy(
+        F.desc("pagerank"), F.asc("id")
+    ).limit(20)
+
+
+@query(
     "graph_pagerank_reference",
     oracle=None,
     description="G7 hand-rolled PageRank with quirks Q3-Q5 (StandaloneScala/PageRank.scala:24-77)",
@@ -140,6 +152,20 @@ def graph_pagerank_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = G.connected_components(_edges(spark, sf_dir))
+    return (
+        G.component_sizes(comps)
+        .orderBy(F.desc("size"), F.asc("component"))
+        .limit(20)
+    )
+
+
+@query(
+    "graph_components_two_phase",
+    oracle=None,  # tested equal to label propagation (tests/test_graph.py)
+    description="G5 scale path: large-star/small-star CC in O(log n) rounds -> top-20 sizes",
+)
+def graph_components_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = G.connected_components_two_phase(_edges(spark, sf_dir))
     return (
         G.component_sizes(comps)
         .orderBy(F.desc("size"), F.asc("component"))

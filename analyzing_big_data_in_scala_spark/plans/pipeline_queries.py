@@ -216,6 +216,16 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ivf_topk",
+    oracle=None,  # approximate; recall vs brute force pinned in tests
+    description="IVF approximate top-10: k-means coarse cells, nprobe=4 of 16 probed per query",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+
+
+@query(
     "similarity_lsh_topk",
     oracle=None,  # approximate path; recall checked against brute force in tests
     description="Random-hyperplane LSH bucketed approximate top-10 (the 100 TB scale path)",
@@ -445,6 +455,52 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.max(F.unix_timestamp("ts"))) - F.floor(F.min(F.unix_timestamp("ts"))))
         .cast("long")
         .alias("duration_sec"),
+    )
+
+
+@query(
+    "events_session_window_native",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER w)) >= 1800
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    description="Native F.session_window (30-min gap) == lag/running-sum sessionization",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # session_window closes a session when the NEXT event is >= gap after
+    # the previous one (window extends [event, event+gap)); the oracle's
+    # lag-based flag uses >= on whole-second deltas to match, and ts is
+    # truncated to whole seconds first so both sides measure the same gap.
+    sec = F.timestamp_seconds(F.unix_timestamp("ts"))
+    return (
+        ev.select(F.col("user_id"), sec.alias("ts"), F.col("value"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("sw.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 

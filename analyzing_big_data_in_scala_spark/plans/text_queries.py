@@ -151,6 +151,50 @@ def search_multi_word_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.search_query(_docs(spark, sf_dir), list(QUERY_TERMS), reference_semantics=True)
 
 
+BATCH_QUERIES = (
+    (1, "spark merge"),
+    (2, "window big table"),
+    (3, "customer"),
+)
+
+
+@query(
+    "search_batch_queries",
+    oracle=f"""
+        WITH {_SQL_TFIDF_CORE},
+        queries(query_id, query) AS (VALUES {", ".join(f"({i}, '{q}')" for i, q in BATCH_QUERIES)}),
+        qtok AS (
+            SELECT query_id, t AS term
+            FROM (SELECT query_id,
+                         unnest(regexp_split_to_array(trim(regexp_replace(lower(query), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS t
+                  FROM queries)
+            WHERE t <> ''
+        ),
+        qtf AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+        qvec AS (SELECT query_id, qtf.term, qtf.qtf * idf.idf AS qw FROM qtf JOIN idf USING (term)),
+        qnorms AS (SELECT query_id, sqrt(SUM(qw*qw)) AS qn FROM qvec GROUP BY query_id),
+        dots AS (SELECT query_id, doc_id, SUM(w * qw) AS dot
+                 FROM tfidf JOIN qvec USING (term) GROUP BY query_id, doc_id),
+        norms AS (SELECT doc_id, sqrt(SUM(w*w)) AS nrm FROM tfidf GROUP BY doc_id),
+        scored AS (
+            SELECT d.query_id AS query_id, d.doc_id AS doc_id,
+                   ROUND(d.dot / (n.nrm * q.qn), 6) AS score
+            FROM dots d JOIN norms n USING (doc_id) JOIN qnorms q USING (query_id)
+        )
+        SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+            SELECT query_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+    description="Batched multi-query search: N queries ranked in ONE plan (fixes §3.1 driver loop)",
+)
+def search_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    qdf = spark.createDataFrame(list(BATCH_QUERIES), "query_id int, query string")
+    return T.search_many(docs, qdf, top_k=10)
+
+
 @query(
     "entity_word_count",
     oracle=f"""

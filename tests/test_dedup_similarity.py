@@ -118,3 +118,21 @@ def test_lsh_recall_against_brute_force(spark):
     for r in approx:
         if (r.query_id, r.vec_id) in exact_scores:
             assert r.cosine == pytest.approx(exact_scores[(r.query_id, r.vec_id)], abs=1e-6)
+
+
+def test_ivf_recall_against_brute_force(spark):
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 2)
+    exact = S.cosine_topk(emb, probes, k=5).collect()
+    approx = S.ivf_topk(emb, probes, k=5, n_cells=8, nprobe=4).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    # probing half the cells should recover a solid share of the true top-5
+    assert len(approx_set & exact_set) / len(exact_set) >= 0.5
+    # scores of recovered neighbors are the exact cosines
+    exact_scores = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert r.cosine == pytest.approx(exact_scores[(r.query_id, r.vec_id)], abs=1e-6)

@@ -91,3 +91,41 @@ def test_edges_from_events_deterministic(spark):
     e2 = G.edges_from_events(ev).collect()
     assert sorted(map(tuple, e1)) == sorted(map(tuple, e2))
     assert len(e1) > 0
+
+
+def test_pagerank_tol_converges_early_and_matches_long_run(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    converged = {
+        r.id: r.pagerank
+        for r in G.pagerank(edges, max_iterations=100, tol=1e-9, checkpoint_every=2).collect()
+    }
+    long_run = {
+        r.id: r.pagerank for r in G.pagerank(edges, max_iterations=60).collect()
+    }
+    for v in long_run:
+        assert converged[v] == pytest.approx(long_run[v], abs=1e-6)
+
+
+def test_two_phase_cc_matches_label_propagation(spark):
+    cases = [
+        [(1, 2), (2, 3), (5, 6)],                     # two components
+        [(1, 2), (3, 4), (5, 6), (6, 1)],             # chain merge
+        [(10, 9), (9, 8), (8, 7), (7, 6), (6, 5)],    # long path (high diameter)
+        [(1, 1), (2, 3)],                             # self loop + isolated-ish
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        lp = {r.id: r.component for r in G.connected_components(df).collect()}
+        tp = {r.id: r.component for r in G.connected_components_two_phase(df).collect()}
+        assert tp == lp, (edges, tp, lp)
+
+
+def test_two_phase_cc_on_fixture_graph(spark):
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_events
+
+    edges = G.edges_from_events(load_events(spark, "/root/testdata/sf0.001"))
+    lp = {r.id: r.component for r in G.connected_components(edges).collect()}
+    tp = {r.id: r.component for r in G.connected_components_two_phase(edges).collect()}
+    assert tp == lp

@@ -76,3 +76,13 @@ def test_reference_semantics_differs_from_cosine(spark):
     common = set(true_cos) & set(ref)
     assert common
     assert any(abs(true_cos[d] - ref[d]) > 1e-9 for d in common)
+
+
+def test_search_many_matches_search_query(spark):
+    docs = spark.createDataFrame(
+        [(1, "p q p"), (2, "p r"), (3, "q r s"), (4, "t u")], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame([(7, "p q")], "query_id int, query string")
+    batch = {r.doc_id: r.score for r in T.search_many(docs, qdf).collect()}
+    single = {r.doc_id: r.score for r in T.search_query(docs, ["p", "q"]).collect()}
+    assert batch == single
