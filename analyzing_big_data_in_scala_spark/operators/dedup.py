@@ -198,6 +198,46 @@ def minhash_candidates(
     )
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 4,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a, id_b, hamming) with
+    hamming <= max_hamming.
+
+    Candidate generation is banded, not pairwise: fingerprints are split
+    into two halves and pairs must agree EXACTLY on at least one half (by
+    pigeonhole this finds every pair with hamming < 2 per-half-capacity;
+    for recall at larger distances use more/narrower bands). Candidates are
+    then filtered by exact hamming distance via bit_count(xor).
+    """
+    fp = simhash_fingerprints(docs, bits, id_col, text_col)
+    half = bits // 2
+    mask = (1 << half) - 1
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("simhash").bitwiseAND(F.lit(mask))).alias("key")),
+                F.struct(F.lit(1).alias("band"), (F.shiftright("simhash", half).bitwiseAND(F.lit(mask))).alias("key")),
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

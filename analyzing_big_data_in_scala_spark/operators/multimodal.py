@@ -69,6 +69,44 @@ def payload_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+
+
+def frame_samples(binary_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: one output row per
+    sampled 'frame' (payload byte-range), schema (doc_id, frame_idx,
+    frame_hash). Real frame extraction would decode containers (no
+    ffmpeg here) — the deterministic stand-in hashes n_frames equal byte
+    slices, preserving the real op's row-explosion shape and batch-level
+    Python cost."""
+
+    def run(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = max(len(payload), 1)
+                step = max(n // n_frames, 1)
+                for i in range(min(n_frames, n)):
+                    chunk = bytes(payload[i * step : (i + 1) * step])
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(_hashlib.md5(chunk).hexdigest())
+            yield _pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes})
+
+    return binary_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_stub(payload: bytes, width: int, height: int):
+    """Real resize needs an imaging library not present in this container."""
+    raise NotImplementedError("image resize requires an imaging library not present in this environment")
+
+
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text as an opaque utf-8 payload so the
     multimodal plumbing is exercised against the fixtures."""

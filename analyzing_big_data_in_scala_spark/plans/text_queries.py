@@ -248,6 +248,35 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@query(
+    "doc_bpe_token_stats",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS tok
+            FROM documents
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_unique
+        FROM toks GROUP BY doc_id
+    """,
+    description="BPE-ish regex token counting (letter runs / digit runs / symbol runs)",
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_PATTERN), 0)
+            ).alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.countDistinct("tok").alias("n_unique"))
+    )
+
+
 @query(
     "doc_quality_scores",
     oracle=f"""

@@ -136,3 +136,9 @@ def test_ivf_recall_against_brute_force(spark):
     for r in approx:
         if (r.query_id, r.vec_id) in exact_scores:
             assert r.cosine == pytest.approx(exact_scores[(r.query_id, r.vec_id)], abs=1e-6)
+
+
+def test_simhash_near_pairs_find_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0  # identical docs: distance 0
+    assert not any(4 in p for p in pairs)  # unrelated doc not a near-dup

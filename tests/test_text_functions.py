@@ -119,3 +119,17 @@ def test_sentiment_labels(spark):
     )
     rows = [r.s for r in df.select(sentiment_label(F.col("text")).alias("s")).collect()]
     assert rows == ["POSITIVE", "NEGATIVE", "NEUTRAL"]
+
+
+def test_frame_samples_shape_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "0123456789abcdef"), (2, "xy")], "doc_id long, text string"
+    )
+    frames = MM.frame_samples(MM.documents_as_binary(docs), n_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_hash))
+    assert len(by_doc[1]) == 4  # 16 bytes -> 4 frames
+    assert len(by_doc[2]) == 2  # 2 bytes -> capped at payload length
+    again = MM.frame_samples(MM.documents_as_binary(docs), n_frames=4).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
