@@ -317,6 +317,54 @@ def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customers_with_expensive_items",
+    oracle="""
+        SELECT c.c_custkey AS custkey, c.c_name AS c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_custkey = c.c_custkey AND l.l_extendedprice > 80000
+        )
+        ORDER BY custkey
+    """,
+    description="Left semi join (EXISTS shape): customers with at least one expensive line item",
+)
+def customers_with_expensive_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 80000).select("l_orderkey")
+    buyers = o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select("o_custkey").distinct()
+    return (
+        c.join(buyers, c.c_custkey == buyers.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("custkey"), "c_name")
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "customers_without_orders_filtered",
+    oracle="""
+        SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        ORDER BY custkey
+    """,
+    description="Left anti join (NOT EXISTS shape): customers with no urgent orders",
+)
+def customers_without_orders_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+        .orderBy("custkey")
+    )
+
+
+@query(
     "customer_segment_setops",
     oracle="""
         WITH building AS (
