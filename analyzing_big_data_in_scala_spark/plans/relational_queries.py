@@ -323,7 +323,7 @@ def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         WHERE EXISTS (
             SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-            WHERE o.o_custkey = c.c_custkey AND l.l_extendedprice > 80000
+            WHERE o.o_custkey = c.c_custkey AND l.l_extendedprice > 103000
         )
         ORDER BY custkey
     """,
@@ -332,8 +332,10 @@ def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customers_with_expensive_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 80000).select("l_orderkey")
-    buyers = o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select("o_custkey").distinct()
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 103000).select("l_orderkey")
+    # no .distinct(): the outer left_semi dedups via its hash build, so a
+    # distinct here would only add an extra shuffle + aggregate pair
+    buyers = o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select("o_custkey")
     return (
         c.join(buyers, c.c_custkey == buyers.o_custkey, "left_semi")
         .select(F.col("c_custkey").alias("custkey"), "c_name")
