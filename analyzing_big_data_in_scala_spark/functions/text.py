@@ -76,10 +76,12 @@ def tokens(col: Column | str, normalize: bool = True) -> Column:
 
 
 def remove_stopwords(token_col: Column, stop_words: tuple[str, ...] = STOP_WORDS) -> Column:
-    """N6: case-insensitive stop-word removal, expressed as `array_except`
-    instead of the reference's driver-collected Set (SURVEY.md §4.3.6) —
-    note array_except also dedups; use F.filter when duplicates matter."""
-    return F.filter(token_col, lambda t: ~t.isin(*stop_words))
+    """N6: case-insensitive stop-word removal (the reference's
+    StopWordsCleaner is configured caseSensitive=false,
+    ScalaNotebooks/MovieSearchEngine.scala:71-75). Duplicates and order of
+    the surviving tokens are preserved (`filter`, not `array_except`)."""
+    lowered = tuple(w.lower() for w in stop_words)
+    return F.filter(token_col, lambda t: ~F.lower(t).isin(*lowered))
 
 
 def portable_hash64(col: Column | str) -> Column:

@@ -18,20 +18,28 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
     # inputFiles() is a cheap FileIndex lookup; df.rdd.getNumPartitions()
-    # would force a full plan->RDD conversion (~1s per call). Many input
-    # files => the scan is already parallel => leave the plan untouched.
+    # forces a full plan->RDD conversion (~1s per call), so it is only the
+    # fallback for non-file-backed frames (joins, checkpoints, memory) —
+    # where blindly repartitioning could otherwise REDUCE parallelism.
     try:
-        if len(df.inputFiles()) >= min_partitions:
-            return df
+        files = df.inputFiles()
     except Exception:
-        pass
+        files = []
+    if files:
+        if len(files) >= min_partitions:
+            return df
+    elif df.rdd.getNumPartitions() >= min_partitions:
+        return df
     return df.repartition(min_partitions)
+
+
+_REAGGREGABLE = {"sum", "count", "min", "max"}
 
 
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, str],
+    aggs: dict[str, tuple[str, str | None]],
     salt_col: Column,
     buckets: int = 16,
 ) -> DataFrame:
@@ -57,6 +65,13 @@ def salted_aggregate(
 
     phase1_exprs, phase2_exprs = [], []
     for alias, (fn, col) in aggs.items():
+        if fn not in _REAGGREGABLE:
+            # e.g. 'avg' of per-salt averages is WRONG for unequal buckets —
+            # refuse loudly instead of silently mis-aggregating.
+            raise ValueError(
+                f"salted_aggregate supports {sorted(_REAGGREGABLE)}; got {fn!r} for "
+                f"{alias!r} (compose avg as sum/count yourself)"
+            )
         if fn == "count":
             phase1_exprs.append(F.count("*").alias(alias))
             phase2_exprs.append(F.sum(alias).alias(alias))  # partials re-sum

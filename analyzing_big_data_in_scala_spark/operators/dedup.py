@@ -101,17 +101,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    jaccard = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        # threshold on the RAW value (rounding only for display/oracle
+        # hashing) — matches the oracle's WHERE raw >= threshold exactly.
+        .filter(jaccard >= threshold)
+        .select("id_a", "id_b", F.round(jaccard, 6).alias("jaccard"))
     )
 
 
@@ -174,6 +171,11 @@ def minhash_candidates(
     The join key is (band, hash-of-band-rows) — collisions localize to
     buckets, never a global pairwise comparison.
     """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}) — "
+            "leftover permutations would be silently un-banded"
+        )
     rows_per_band = num_perm // bands
     wide = minhash_signatures_wide(docs, num_perm, k, id_col, text_col)
     # Band keys straight off the wide signature — zero extra shuffles. The
@@ -198,6 +200,22 @@ def minhash_candidates(
     )
 
 
+def simhash_band_specs(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
+    """(band, shift, mask) band layout guaranteeing FULL recall at
+    hamming <= max_hamming: max_hamming+1 bands — a pair differing in at
+    most max_hamming bits must agree exactly on at least one band
+    (pigeonhole). Shared by the Spark operator and the DuckDB oracle."""
+    n_bands = max_hamming + 1
+    base = bits // n_bands
+    extra = bits % n_bands
+    specs, shift = [], 0
+    for band in range(n_bands):
+        width = base + (1 if band < extra else 0)
+        specs.append((band, shift, (1 << width) - 1))
+        shift += width
+    return specs
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 4,
@@ -206,24 +224,27 @@ def simhash_near_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: (id_a, id_b, hamming) with
-    hamming <= max_hamming.
+    hamming <= max_hamming — EXACT under the threshold.
 
-    Candidate generation is banded, not pairwise: fingerprints are split
-    into two halves and pairs must agree EXACTLY on at least one half (by
-    pigeonhole this finds every pair with hamming < 2 per-half-capacity;
-    for recall at larger distances use more/narrower bands). Candidates are
-    then filtered by exact hamming distance via bit_count(xor).
+    Candidate generation is banded, not pairwise: fingerprints split into
+    max_hamming+1 bands; by pigeonhole every qualifying pair agrees exactly
+    on >= 1 band, so banding loses nothing. Candidates are then filtered by
+    true hamming distance via bit_count(xor).
     """
     fp = simhash_fingerprints(docs, bits, id_col, text_col)
-    half = bits // 2
-    mask = (1 << half) - 1
+    specs = simhash_band_specs(bits, max_hamming)
     banded = fp.select(
         "id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band"), (F.col("simhash").bitwiseAND(F.lit(mask))).alias("key")),
-                F.struct(F.lit(1).alias("band"), (F.shiftright("simhash", half).bitwiseAND(F.lit(mask))).alias("key")),
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.shiftright("simhash", shift).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for band, shift, mask in specs
+                ]
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -110,12 +110,15 @@ def cosine_pairs(
     """
     import numpy as np
 
-    rows = corpus.select(id_col, vec_col).collect()
-    if len(rows) > max_matrix_rows:
+    # Guard BEFORE collecting: the whole point is to refuse a driver-side
+    # materialization that would not fit.
+    n_rows = corpus.count()
+    if n_rows > max_matrix_rows:
         raise ValueError(
-            f"cosine_pairs is the exact bounded-corpus path ({len(rows)} rows > "
+            f"cosine_pairs is the exact bounded-corpus path ({n_rows} rows > "
             f"{max_matrix_rows}); use LSH candidates + per-bucket refinement at this scale"
         )
+    rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(M, axis=1) if len(rows) else np.zeros(0)

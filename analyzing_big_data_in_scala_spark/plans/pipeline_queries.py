@@ -130,34 +130,6 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidates(_docs(spark, sf_dir), num_perm=16, bands=4, k=3)
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, t AS term
-            FROM (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS t
-                FROM documents
-            ) WHERE t <> ''
-        ),
-        th AS (SELECT doc_id, {_HASH64.format(x='term')} AS h FROM toks),
-        votes AS (
-            SELECT doc_id, j,
-                   SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-            FROM th, UNNEST(generate_series(0, 31)) t(j)
-            GROUP BY doc_id, j
-        )
-        SELECT doc_id AS id,
-               CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
-        FROM votes GROUP BY doc_id
-    """,
-    description="SimHash 32-bit fingerprints from token-hash bit votes",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_fingerprints(_docs(spark, sf_dir), bits=32)
-
-
 _SQL_SIMHASH = f"""
 toks AS (
     SELECT doc_id, t AS term
@@ -183,21 +155,37 @@ fp AS (
 
 
 @query(
-    "dedup_simhash_pairs",
-    oracle=f"""
+    "dedup_simhash",
+    oracle=f"WITH {_SQL_SIMHASH} SELECT id, simhash FROM fp",
+    description="SimHash 32-bit fingerprints from token-hash bit votes",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_fingerprints(_docs(spark, sf_dir), bits=32)
+
+
+
+
+def _simhash_pairs_sql(max_hamming: int, bits: int = 32) -> str:
+    specs = ", ".join(f"({band}, {shift}, {mask})" for band, shift, mask in D.simhash_band_specs(bits, max_hamming))
+    return f"""
         WITH {_SQL_SIMHASH},
+        bands(band, shft, mask) AS (VALUES {specs}),
         banded AS (
-            SELECT id, simhash, b.band, CASE b.band WHEN 0 THEN simhash & 65535
-                                                    ELSE (simhash >> 16) & 65535 END AS key
-            FROM fp, (VALUES (0), (1)) b(band)
+            SELECT id, simhash, band, (simhash >> shft) & mask AS key
+            FROM fp, bands
         )
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
         WHERE a.id < b.id
-          AND bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 6
-    """,
-    description="SimHash near-dup pairs: half-fingerprint banding + exact hamming filter",
+          AND bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= {max_hamming}
+    """
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_sql(max_hamming=6),
+    description="SimHash near-dup pairs: pigeonhole banding (max_hamming+1 bands) + exact hamming filter",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)

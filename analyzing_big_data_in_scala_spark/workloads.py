@@ -81,7 +81,13 @@ def movie_search_engine(
             ranked = T.search_query(
                 cleaned, terms, top_k=top_k, reference_semantics=reference_semantics
             )
-        results[q] = ranked.join(name_dim, "doc_id").select("doc_id", "name", "score")
+        # the join would otherwise discard the top-k ordering — re-sort so
+        # callers iterate results rank-first like the reference's output
+        results[q] = (
+            ranked.join(name_dim, "doc_id")
+            .select("doc_id", "name", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
     return results
 
 

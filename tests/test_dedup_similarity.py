@@ -142,3 +142,46 @@ def test_simhash_near_pairs_find_dups(spark, docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(docs, max_hamming=6).collect()}
     assert pairs.get((1, 2)) == 0  # identical docs: distance 0
     assert not any(4 in p for p in pairs)  # unrelated doc not a near-dup
+
+
+def test_simhash_band_specs_cover_all_bits():
+    for bits, d in [(32, 6), (32, 1), (32, 4), (64, 3)]:
+        specs = D.simhash_band_specs(bits, d)
+        assert len(specs) == d + 1
+        total = sum(mask.bit_length() for _, _, mask in specs)
+        assert total == bits
+        # contiguous non-overlapping coverage
+        covered = 0
+        for _, shift, mask in specs:
+            covered |= mask << shift
+        assert covered == (1 << bits) - 1
+
+
+def test_simhash_near_pairs_banding_recall(spark):
+    """A pair at hamming=2 with one differing bit in EACH half was missed by
+    2-half banding; pigeonhole banding (max_hamming+1 bands) must find it."""
+    import itertools
+
+    # Construct docs whose fingerprints differ in exactly 2 spread-out bits:
+    # easiest robust check — run against a corpus and compare to the
+    # exhaustive pairwise computation.
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i, i + 12))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    fps = {r.id: r.simhash for r in D.simhash_fingerprints(docs, bits=32).collect()}
+    expect = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 8
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_pairs(docs, max_hamming=8).collect()
+    }
+    assert got == expect  # banding loses nothing under the threshold
+
+
+def test_cosine_pairs_guard_before_collect(spark, vectors):
+    with pytest.raises(ValueError, match="bounded-corpus"):
+        S.cosine_pairs(vectors, 0.5, max_matrix_rows=2)

@@ -133,3 +133,11 @@ def test_frame_samples_shape_and_determinism(spark):
     assert len(by_doc[2]) == 2  # 2 bytes -> capped at payload length
     again = MM.frame_samples(MM.documents_as_binary(docs), n_frames=4).collect()
     assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_remove_stopwords_case_insensitive(spark):
+    from analyzing_big_data_in_scala_spark.functions.text import remove_stopwords
+
+    df = spark.createDataFrame([(["The", "fox", "AND", "dog", "the"],)], "t array<string>")
+    out = df.select(remove_stopwords(F.col("t")).alias("r")).first().r
+    assert out == ["fox", "dog"]

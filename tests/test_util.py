@@ -53,3 +53,12 @@ def test_ensure_parallelism_noop_on_memory_df_is_safe(spark):
     df = spark.createDataFrame([(1,), (2,)], "x long")
     out = ensure_parallelism(df, min_partitions=4)
     assert sorted(r.x for r in out.collect()) == [1, 2]
+
+
+def test_salted_aggregate_rejects_non_reaggregable(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, k string, v double")
+    with pytest.raises(ValueError, match="avg"):
+        salted_aggregate(df, ["k"], {"m": ("avg", "v")}, F.col("id"))
