@@ -69,7 +69,7 @@ def top_customers_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(AVG(l_discount), 6) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
-        WHERE FLOOR(epoch(l_shipdate)) <= 1725235200
+        WHERE epoch(l_shipdate) <= 1725235200
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
@@ -78,11 +78,15 @@ def top_customers_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # Cutoff as epoch seconds (2024-09-02T00:00:00Z = 1725235200): a string
-    # -> timestamp cast would shift with the driver session's timezone and
-    # break oracle parity; unix_timestamp of the stored instant does not.
+    # Cutoff built with an explicit UTC zone: a bare string->timestamp cast
+    # shifts with the driver session's timezone (breaking oracle parity on
+    # non-UTC sessions), while wrapping the COLUMN in unix_timestamp would
+    # defeat parquet filter pushdown. make_timestamp(...,'UTC') constant-
+    # folds to a literal, so the predicate still reaches the scan as
+    # PushedFilters AND is timezone-independent.
+    cutoff = F.expr("make_timestamp(2024, 9, 2, 0, 0, 0, 'UTC')")
     return (
-        l.filter(F.unix_timestamp("l_shipdate") <= F.lit(1725235200))
+        l.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
