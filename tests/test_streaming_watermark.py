@@ -1,0 +1,86 @@
+"""Watermark semantics under real multi-batch streaming: a record arriving
+AFTER the watermark has passed its window is dropped — behavior that
+`availableNow`-drained single-batch tests can't exercise (SURVEY.md §7.5
+extension surface).
+
+Empirical Spark subtlety this test respects: the watermark computed from
+batch N's data becomes EFFECTIVE for filtering in batch N+2 (it is
+committed at the end of batch N and first applied to input in the batch
+after next), so the late row ships in a third file, two batches after the
+events that advanced the watermark.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+BASE = 1_700_000_400  # 600-aligned epoch so window starts land on offsets
+
+
+def _rows(spark, *offsets_minutes):
+    return spark.createDataFrame(
+        [(i, o) for i, o in enumerate(offsets_minutes)], "id long, off long"
+    ).select("id", F.timestamp_seconds(F.lit(BASE) + F.col("off") * 60).alias("ts"))
+
+
+def _write_one_parquet(df, tmpdir: str, name: str, mtime: float) -> None:
+    staging = os.path.join(tmpdir, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    dest = os.path.join(tmpdir, "stream", name)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    shutil.move(part, dest)
+    os.utime(dest, (mtime, mtime))
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    tmpdir = str(tmp_path)
+    now = time.time()
+    # batch 1: window [0,10) gets minutes 2 and 5; minute 59 will push the
+    # watermark to 29 once committed.
+    _write_one_parquet(_rows(spark, 2, 5, 59), tmpdir, "b1.parquet", now - 300)
+    # batch 2: fresh minute-90 event; advances the watermark further (to 60
+    # after commit) and makes batch 1's watermark effective downstream.
+    _write_one_parquet(_rows(spark, 90), tmpdir, "b2.parquet", now - 200)
+    # batch 3: the LATE event — minute 5 again, far behind the effective
+    # watermark (>= 29) -> must be dropped; minute 120 keeps things moving.
+    _write_one_parquet(_rows(spark, 5, 120), tmpdir, "b3.parquet", now - 100)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(tmpdir, "stream"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(((F.unix_timestamp("w.start") - BASE) / 60).cast("int").alias("start_min"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_watermark_drop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r.start_min: r.n for r in spark.table("t_watermark_drop").collect()}
+    # window [0,10): exactly the 2 batch-1 events; the batch-3 late
+    # duplicate at minute 5 was behind the watermark and NOT counted.
+    assert out[0] == 2, out
+    # the minute-59 window finalized as the watermark passed it.
+    assert out.get(50) == 1, out
+    # the minute-90/120 windows are NOT here: the watermark only passed
+    # them at the end of the final batch, and append-mode emission needs a
+    # subsequent batch — also correct semantics.
+    assert 90 not in out and 120 not in out, out
