@@ -409,6 +409,38 @@ def customer_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_rollup",
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue,
+               COUNT(*) AS order_cnt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+        ORDER BY region NULLS FIRST, nation NULLS FIRST
+    """,
+    description="ROLLUP hierarchy totals (region -> nation -> grand total) — beyond-reference OLAP (§2.4 note)",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("order_cnt"))
+        .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("nation"))
+    )
+
+
+@query(
     "global_agg_stats",
     oracle="""
         SELECT COUNT(*) AS n_rows,
