@@ -47,3 +47,29 @@ def test_entry_smoke(spark):
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_sql_surface_matches_dataframe_api(spark):
+    """The SQL surface (spark.sql over registered views) and the DataFrame
+    API compile to the same engine — same results."""
+    from analyzing_big_data_in_scala_spark.sources.views import sql
+
+    got = sql(
+        spark,
+        SF_SMALL,
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_cnt,
+               COUNT(DISTINCT o_custkey) AS distinct_customers
+        FROM orders WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ).collect()
+    want = QUERIES["order_priority_counts"].fn(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_sql_surface_reads_events_with_nanos_fix(spark):
+    from analyzing_big_data_in_scala_spark.sources.views import sql
+
+    row = sql(spark, SF_SMALL, "SELECT COUNT(*) AS n, MIN(ts) AS mn FROM events").first()
+    assert row.n == 1000 and row.mn is not None
