@@ -62,8 +62,15 @@ def main() -> None:
     spark = get_spark("abds-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup outside the timed region.
-    QUERIES["top_customers_by_orders"].fn(spark, sf_dir).count()
+    # JVM + whole-stage-codegen warmup outside the timed region: run every
+    # headline query once at the smallest fixture so janino compilation and
+    # first-touch file listing don't pollute the measured steady state.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            QUERIES[name].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:
