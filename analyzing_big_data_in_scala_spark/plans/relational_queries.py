@@ -441,6 +441,38 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "brand_returnflag_pivot",
+    oracle="""
+        SELECT p.p_brand AS p_brand,
+               ROUND(SUM(CASE WHEN l.l_returnflag = 'A' THEN l.l_extendedprice ELSE 0 END), 2) AS A,
+               ROUND(SUM(CASE WHEN l.l_returnflag = 'N' THEN l.l_extendedprice ELSE 0 END), 2) AS N,
+               ROUND(SUM(CASE WHEN l.l_returnflag = 'R' THEN l.l_extendedprice ELSE 0 END), 2) AS R
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+        ORDER BY p_brand
+    """,
+    description="Pivot (wide conditional aggregation): gross per brand x return flag",
+)
+def brand_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag", "l_extendedprice")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    # explicit pivot values: skips the extra distinct-scan job AND pins the
+    # output schema (order) deterministically
+    pivoted = (
+        joined.groupBy("p_brand")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_extendedprice"))
+    )
+    return pivoted.select(
+        "p_brand",
+        F.round(F.coalesce("A", F.lit(0.0)), 2).alias("A"),
+        F.round(F.coalesce("N", F.lit(0.0)), 2).alias("N"),
+        F.round(F.coalesce("R", F.lit(0.0)), 2).alias("R"),
+    ).orderBy("p_brand")
+
+
+@query(
     "global_agg_stats",
     oracle="""
         SELECT COUNT(*) AS n_rows,
