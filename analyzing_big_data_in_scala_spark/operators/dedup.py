@@ -280,3 +280,72 @@ def simhash_fingerprints(
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select("id", fp.cast("long").alias("simhash"))
+
+
+def rolling_fingerprint(
+    docs: DataFrame,
+    base: int = 1_000_003,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-document Rabin-Karp rolling hash over the token stream:
+    fp = fold(tokens, 0, (acc, t) -> (acc * base + h40(t) mod M) mod M)
+    with M = 2^31 - 1. Order-sensitive (unlike the bag-of-tokens simhash),
+    so token reordering changes the fingerprint. Entirely inside one
+    narrow projection — no shuffle, no UDF: `F.transform` hashes the token
+    array and `F.aggregate` folds it, all whole-stage-codegen expressions.
+
+    Token hashes are pre-reduced mod M so acc*base + h stays < 2^52 —
+    safe under Spark 4 ANSI bigint semantics — and so the fold is
+    identical to DuckDB's init-less `list_reduce` (first acc = h_1).
+    Returns (doc_id, fingerprint); empty token streams fingerprint to 0.
+    """
+    hashed = F.transform(
+        tokens(text_col), lambda t: portable_hash40(t) % MERSENNE31
+    )
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * base + h) % MERSENNE31,
+    )
+    return ensure_parallelism(docs).select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): hash every positional k-token shingle, slide a
+    `window`-wide window over the hash sequence, keep the minimum of each
+    window, output the distinct minima per doc. Guarantees a match for any
+    shared run of >= window + k - 1 tokens while storing ~2/(window+1) of
+    the shingle hashes — the standard sub-linear fingerprint index for
+    plagiarism/near-dup detection at corpus scale.
+
+    Plan shape: narrow tokenize/shingle projection -> posexplode -> one
+    window-min partitioned by doc (single shuffle on doc_id) -> distinct.
+    Returns (doc_id, fp).
+    """
+    toked = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    )
+    idx = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)))
+    pos = toked.select("doc_id", F.posexplode(shingles).alias("pos", "shingle")).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), portable_hash40(F.col("shingle")).alias("h")
+    )
+    from pyspark.sql import Window as W
+
+    wmin = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    return (
+        pos.select("doc_id", "pos", F.min("h").over(wmin).alias("fp"))
+        .filter(F.col("pos") >= window)
+        .select("doc_id", "fp")
+        .distinct()
+    )

@@ -192,6 +192,63 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_fingerprint_rolling",
+    oracle=f"""
+        WITH doc_toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\\s+'), t -> t <> '') AS toks
+            FROM documents
+        ),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(toks, t -> {_HASH40.format(x='t')} % {MERSENNE31}) AS hl
+            FROM doc_toks
+        )
+        SELECT doc_id,
+               CASE WHEN len(hl) = 0 THEN 0
+                    ELSE list_reduce(hl, (acc, h) -> (acc * 1000003 + h) % {MERSENNE31})
+               END AS fingerprint
+        FROM hs
+    """,
+    description="Rabin-Karp rolling-hash document fingerprint (order-sensitive, fold over token hashes)",
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.rolling_fingerprint(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+        WITH doc_toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\\s+'), t -> t <> '') AS toks
+            FROM documents
+        ),
+        pos_shingles AS (
+            SELECT doc_id, i AS pos,
+                   {_HASH40.format(x="array_to_string(list_slice(toks, i, i + 2), ' ')")} AS h
+            FROM doc_toks, UNNEST(generate_series(1, len(toks) - 2)) t(i)
+            WHERE len(toks) >= 3
+        ),
+        wmin AS (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+            FROM pos_shingles
+        )
+        SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 4
+    """,
+    description="Winnowing (MOSS) fingerprints: window-min over positional 3-shingle hashes, w=4",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.winnow_fingerprints(_docs(spark, sf_dir), k=3, window=4)
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
         WITH flat AS (

@@ -185,3 +185,55 @@ def test_simhash_near_pairs_banding_recall(spark):
 def test_cosine_pairs_guard_before_collect(spark, vectors):
     with pytest.raises(ValueError, match="bounded-corpus"):
         S.cosine_pairs(vectors, 0.5, max_matrix_rows=2)
+
+
+def test_rolling_fingerprint_matches_manual_fold(spark):
+    import hashlib
+
+    M = D.MERSENNE31
+
+    def h40(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:10], 16) % M
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha, beta GAMMA"), (2, ""), (3, "alpha beta gamma"), (4, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.fingerprint for r in D.rolling_fingerprint(docs).collect()}
+    expect = 0
+    for t in ["alpha", "beta", "gamma"]:
+        expect = (expect * 1_000_003 + h40(t)) % M
+    assert got[1] == expect
+    assert got[3] == expect  # normalization-insensitive
+    assert got[2] == 0  # empty stream
+    assert got[4] != expect  # order-SENSITIVE, unlike bag-of-words hashes
+
+
+def test_winnow_fingerprints_window_min_and_guarantee(spark):
+    import hashlib
+
+    def h40(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:10], 16)
+
+    text = "a b c d e f g h i j"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = text.split()
+    k, w = 3, 4
+    hs = [h40(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+    expect = {min(hs[i - w + 1 : i + 1]) for i in range(w - 1, len(hs))}
+    got = {r.fp for r in D.winnow_fingerprints(docs, k=k, window=w).collect()}
+    assert got == expect
+    # winnowing guarantee: docs sharing a run of >= w + k - 1 tokens share a fp
+    docs2 = spark.createDataFrame(
+        [(1, "x y " + text), (2, text + " z w")], "doc_id long, text string"
+    )
+    by_doc = {}
+    for r in D.winnow_fingerprints(docs2, k=k, window=w).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]
+
+
+def test_winnow_short_doc_no_full_window_is_empty(spark):
+    # 5 tokens -> 3 shingles < window=4 full positions -> no fingerprint
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    assert D.winnow_fingerprints(docs, k=3, window=4).count() == 0
