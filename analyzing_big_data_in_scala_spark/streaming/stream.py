@@ -128,3 +128,66 @@ def foreach_batch_collector(result: DataFrame, sink: list) -> None:
 
     q = result.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination(120)
+
+
+def to_kafka_frame(
+    df: DataFrame, topic: str, key_col: str | None = None, value_cols: list[str] | None = None
+) -> DataFrame:
+    """Shape any DataFrame to the Kafka sink contract (S10,
+    TwitterStreaming.scala:93-101): columns `topic: string`,
+    `key: binary|string`, `value: string` where value is the row as JSON
+    (`to_json(struct(...))` — JVM-side, codegen-friendly). This is the
+    half of the Kafka producer path that needs no broker, so it is fully
+    testable here; `kafka_sink` bolts it onto `format("kafka")`."""
+    cols = value_cols or df.columns
+    out = df.select(
+        F.lit(topic).alias("topic"),
+        (F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+    )
+    return out
+
+
+def kafka_sink(
+    result: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+    key_col: str | None = None,
+):
+    """S10 the scale-correct way: executor-side `writeStream.format("kafka")`
+    — every partition produces in parallel, no driver collect (fixes the
+    anti-pattern at TwitterStreaming.scala:116-120 / SURVEY.md §4.3.5).
+
+    Requires the spark-sql-kafka connector on the classpath; this
+    container ships without it, so callers get a clear error and tests use
+    `kafka_sink_via_foreach_batch`, which exercises the identical frame
+    contract through an executor-side foreachBatch producer stub."""
+    frame = to_kafka_frame(result, topic, key_col=key_col)
+    try:
+        return (
+            frame.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+    except Exception as e:  # pragma: no cover - connector absent in container
+        raise NotImplementedError(
+            "spark-sql-kafka connector not on the classpath; use "
+            "kafka_sink_via_foreach_batch for a broker-free run"
+        ) from e
+
+
+def kafka_sink_via_foreach_batch(result: DataFrame, topic: str, records: list, key_col: str | None = None) -> None:
+    """Broker-free S10 twin: same (topic, key, value-JSON) frame as
+    `kafka_sink`, drained through foreachBatch into `records`. The
+    per-batch callback only ships (topic, key, value) string triples —
+    the JSON serialization already ran executor-side in `to_kafka_frame`."""
+    frame = to_kafka_frame(result, topic, key_col=key_col)
+
+    def produce(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():
+            records.append((row.topic, row.key, row.value))
+
+    q = frame.writeStream.outputMode("append").foreachBatch(produce).trigger(availableNow=True).start()
+    q.awaitTermination(120)

@@ -183,3 +183,37 @@ def test_streaming_sentiment_feed_foreach_batch(spark):
     W.streaming_sentiment_feed(spark, "/root/testdata/sf0.001", sink)
     assert len(sink) >= 1
     assert sum(n for _, n in sink) == 1000  # all events processed exactly once
+
+
+def test_kafka_frame_contract_and_foreach_batch_producer(spark):
+    import json
+
+    from analyzing_big_data_in_scala_spark.streaming import stream as ST
+
+    # Batch half: any frame shapes to the Kafka producer contract.
+    df = spark.createDataFrame([(1, "big win"), (2, "slow error")], "id long, text string")
+    frame = ST.to_kafka_frame(df, "sentiments", key_col="id")
+    assert [f.name for f in frame.schema.fields] == ["topic", "key", "value"]
+    assert {f.dataType.simpleString() for f in frame.schema.fields} == {"string"}
+    rows = {r.key: r for r in frame.collect()}
+    assert rows["1"].topic == "sentiments"
+    assert json.loads(rows["2"].value) == {"id": 2, "text": "slow error"}
+
+    # Streaming half: identical contract drained through foreachBatch.
+    records: list = []
+    src = ST.sentiment_stream(ST.events_stream(spark, "/root/testdata/sf0.001"))
+    ST.kafka_sink_via_foreach_batch(src, "sentiments", records)
+    assert len(records) == 1000  # one produced record per event
+    topics = {t for t, _, _ in records}
+    assert topics == {"sentiments"}
+    labels = {json.loads(v)["sentiment"] for _, _, v in records}
+    assert labels <= {"POSITIVE", "NEGATIVE", "NEUTRAL"}
+
+
+def test_kafka_sink_raises_clear_error_without_connector(spark, tmp_path):
+    from analyzing_big_data_in_scala_spark.streaming import stream as ST
+
+    src = ST.sentiment_stream(ST.events_stream(spark, "/root/testdata/sf0.001"))
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        q = ST.kafka_sink(src, "t", "localhost:9092", str(tmp_path / "ckpt"))
+        q.awaitTermination(30)  # pragma: no cover - reached only if connector exists
