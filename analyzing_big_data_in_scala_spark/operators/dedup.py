@@ -71,6 +71,36 @@ def shingle_table(
     return toked.select("id", F.explode(shingles).alias("shingle")).distinct()
 
 
+def hashed_shingle_table(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """Distinct k-token shingle HASHES per doc: (id, h). Same inverted-index
+    role as :func:`shingle_table`, but the shingle string is hashed inside
+    the array transform, so only 8-byte longs ever reach the distinct and
+    any downstream self-join — at corpus scale that roughly halves the
+    bytes shuffled vs. exchanging ~20-char shingle strings. Dedup-by-hash
+    equals dedup-by-string up to md5 collisions, and every consumer's
+    DuckDB oracle applies the identical hash, so parity is by construction.
+    """
+    hash_fn = portable_hash40 if bits == 40 else portable_hash64
+    toked = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    )
+    idx = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)))
+    # Dedup within the array BEFORE hashing: md5 runs once per distinct
+    # shingle per doc (array_distinct is an in-memory pass, no shuffle);
+    # the cross-partition distinct then exchanges only (id, long).
+    hashes = F.transform(F.array_distinct(shingles), hash_fn)
+    return toked.select("id", F.explode(hashes).alias("h")).distinct()
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -88,13 +118,13 @@ def ngram_jaccard_pairs(
     (drop shingles with document-frequency above a bound, as in Spark's own
     MinHashLSH practice) or go through :func:`minhash_candidates` first.
     """
-    sh = shingle_table(docs, k, id_col, text_col).cache()
+    sh = hashed_shingle_table(docs, k, id_col, text_col).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
 
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), "h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
@@ -147,9 +177,10 @@ def minhash_signatures_wide(
     """Signature as ONE row per doc with columns mh1..mhN: a single
     hash-aggregate with num_perm conditional min columns — one shuffle total
     (vs. exploding num_perm rows per shingle and shuffling all of them).
-    The base md5 is computed once per (doc, shingle)."""
-    sh = shingle_table(docs, k, id_col, text_col)
-    base = sh.select("id", portable_hash40(F.col("shingle")).alias("h"))
+    The base md5 is computed once per (doc, shingle); only the 8-byte hash
+    is shuffled by the distinct (min over hashes is insensitive to
+    dedup-by-hash vs dedup-by-string, so the oracle is unchanged)."""
+    base = hashed_shingle_table(docs, k, id_col, text_col, bits=40)
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{i + 1}")
         for i, (a, b) in enumerate(_perm_params(num_perm))

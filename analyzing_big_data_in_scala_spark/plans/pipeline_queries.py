@@ -64,12 +64,18 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    # Joins on the 64-bit shingle hash, mirroring the engine: only 8-byte
+    # keys are exchanged; dedup/intersection-by-hash == by-string up to md5
+    # collisions applied identically on both sides.
     oracle=f"""
         WITH {_SQL_SHINGLES},
-        sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+        hshingles AS (
+            SELECT DISTINCT id, {_HASH64.format(x='shingle')} AS h FROM shingles
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM hshingles GROUP BY id),
         inter AS (
             SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
-            FROM shingles a JOIN shingles b USING (shingle)
+            FROM hshingles a JOIN hshingles b USING (h)
             WHERE a.id < b.id
             GROUP BY a.id, b.id
         )
