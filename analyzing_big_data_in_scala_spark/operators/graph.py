@@ -69,19 +69,49 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """G6 (EpinionsGraphFrameAnalysis.scala:121): triangles per vertex.
 
-    Canonical a<b<c enumeration: wedge join e1(a,b) |><| e2(b,c) then close
-    with e3(a,c). Each triangle found exactly once; per-vertex counts via
-    explode of the three corners. Returns (id, triangles) for vertices in
-    at least one triangle.
+    Degree-ordered enumeration (the MapReduce triangle-counting standard,
+    Suri & Vassilvitskii WWW'11): orient every undirected edge from the
+    (degree, id)-SMALLER endpoint to the larger, build wedges by
+    self-joining on the center's OUT-edges, close them against the
+    oriented edge set. Each triangle is found exactly once, and wedge
+    fan-out per vertex is bounded by its oriented out-degree — O(sqrt(m))
+    even for celebrity vertices — so the intermediate wedge relation stays
+    near-linear on skewed graphs where id-ordered enumeration explodes
+    quadratically. Output is identical to any other exactly-once
+    enumeration: (id, triangles) for vertices in >= 1 triangle.
     """
-    e = canonical_undirected(edges).cache()
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y").select("x", "y", "z")
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = wedges.join(e3, ["x", "z"])
+    e = canonical_undirected(edges)
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .cache()
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    # Wedges centered at u over its out-neighbors; x<y dedups the pair.
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    # Close the wedge: the third edge is oriented (x,y) or (y,x).
+    c1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    c2 = oriented.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    closing = c1.union(c2)
+    tri = wedges.join(closing, ["x", "y"])
     return (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        tri.select(F.explode(F.array("u", "x", "y")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
     )
