@@ -124,17 +124,25 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    # lineitem |><| orders is the only big-big join (shuffle on orderkey);
-    # everything downstream is broadcast of bounded dimensions.
+    # Aggregation pushed BELOW the only big-big join: partial-agg lineitem
+    # per orderkey first (map-side combine, ~4 lines/order -> ~4x fewer
+    # shuffle bytes) and let the orderkey join reuse that same hash
+    # partitioning; everything downstream is broadcast of bounded dims and
+    # a final re-agg of per-order partials (sum/count are associative, so
+    # results are identical to aggregating raw lines after the join).
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.count("*").alias("cnt"),
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count("*").alias("line_cnt"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.sum("cnt").alias("line_cnt"),
         )
         .orderBy(F.desc("revenue"), F.asc("nation"))
     )
