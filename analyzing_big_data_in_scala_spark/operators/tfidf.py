@@ -219,3 +219,88 @@ def search_query(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted search index (bucketed storage; the repeat-search scale path)
+# ---------------------------------------------------------------------------
+
+def build_search_index(
+    docs: DataFrame,
+    prefix: str = "tfidf_index",
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the search-engine state once as three tables so repeated
+    searches (the reference's driver loop re-derives ALL of it per term —
+    MovieSearchEngine.scala:239-308) skip tokenization, TF, DF, and IDF
+    entirely:
+
+      {prefix}_matrix  (id, term, tfidf)  bucketed by id
+      {prefix}_norms   (id, norm)         bucketed by id
+      {prefix}_idf     (term, idf)        vocabulary-sized
+
+    Bucketing the matrix and norms by DOC id makes every per-doc stage of
+    a search exchange-free: the dot-product groupBy(id), the norm
+    groupBy(id) (precomputed here anyway), and the dots-join-norms all
+    reuse the bucket partitioning, so a query touches the corpus with zero
+    data movement — only the final top-k leaves the executors.
+    """
+    from ..sources.bucketing import write_bucketed
+
+    mat = tfidf_matrix(docs, id_col, text_col).select(
+        F.col(id_col).alias("id"), "term", "tfidf"
+    )
+    write_bucketed(mat, f"{prefix}_matrix", bucket_col="id", num_buckets=num_buckets)
+    spark = docs.sparkSession
+    persisted = spark.table(f"{prefix}_matrix")
+    write_bucketed(
+        doc_norms(persisted, "id"), f"{prefix}_norms", bucket_col="id", num_buckets=num_buckets
+    )
+    idf = tfidf_matrix(docs, id_col, text_col).select("term", "idf").distinct()
+    idf.write.mode("overwrite").saveAsTable(f"{prefix}_idf")
+
+
+def search_query_indexed(
+    spark,
+    query_terms: list[str],
+    prefix: str = "tfidf_index",
+    top_k: int = 10,
+) -> DataFrame:
+    """Multi-word cosine search against :func:`build_search_index` tables.
+    Same contract as :func:`search_query` (returns (id, score) top-k; true
+    cosine), but the plan contains NO hash exchange (asserted in tests):
+    the query vector is assembled driver-side (the term list is driver
+    input already) and broadcast; everything per-doc rides the bucketed
+    partitioning.
+    """
+    from collections import Counter
+
+    tfidf = spark.table(f"{prefix}_matrix")
+    idf = spark.table(f"{prefix}_idf")
+    norms = spark.table(f"{prefix}_norms")
+
+    qtf = spark.createDataFrame(
+        [(t, c) for t, c in Counter(query_terms).items()], "term string, qtf long"
+    )
+    qvec = F.broadcast(qtf).join(idf, "term").select(
+        "term", (F.col("qtf") * F.col("idf")).alias("qw")
+    )
+    q_norm_row = qvec.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("_qnorm"))
+
+    dots = (
+        tfidf.join(F.broadcast(qvec), "term")
+        .groupBy("id")
+        .agg(F.sum(F.col("tfidf") * F.col("qw")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "id")
+        .crossJoin(F.broadcast(q_norm_row))
+        .select(
+            "id",
+            F.round(F.try_divide("dot", F.col("norm") * F.col("_qnorm")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+    )

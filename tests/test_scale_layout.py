@@ -82,3 +82,21 @@ def test_broadcast_hint_respected_in_star_join(spark):
     df = QUERIES["revenue_by_nation"].fn(spark, "/root/testdata/sf0.001")
     plan = _physical_plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_persisted_search_index_matches_live_search_with_no_hash_exchange(spark):
+    from analyzing_big_data_in_scala_spark.operators import tfidf as T
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    T.build_search_index(docs, prefix="t_sidx", num_buckets=4)
+    try:
+        terms = ["spark", "window", "big"]
+        live = {(r.doc_id, r.score) for r in T.search_query(docs, terms, top_k=10).collect()}
+        indexed = {(r.id, r.score) for r in T.search_query_indexed(spark, terms, prefix="t_sidx", top_k=10).collect()}
+        assert indexed == live
+        plan = _physical_plan(T.search_query_indexed(spark, terms, prefix="t_sidx", top_k=10))
+        # per-doc stages ride the bucket partitioning: zero hash exchanges
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        for t in ("t_sidx_matrix", "t_sidx_norms", "t_sidx_idf"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
