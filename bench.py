@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "doc_fingerprint_rolling",
+    "doc_winnow_fingerprints",
     "doc_quality_scores",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
@@ -72,12 +74,18 @@ def main() -> None:
         except Exception:
             pass
 
+    spark.catalog.clearCache()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # Intra-query caches (jaccard/triangle/etc.) are scoped to their own
+        # query; dropping them between measurements keeps later queries from
+        # paying earlier queries' memory pressure.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(
