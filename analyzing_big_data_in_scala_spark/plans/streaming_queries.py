@@ -78,3 +78,29 @@ def streaming_sentiment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = labeled.groupBy("sentiment").agg(F.count("*").alias("n"))
     table = f"stream_sentiment_{uuid.uuid4().hex[:8]}"
     return ST.run_available_now(result, table).orderBy("sentiment")
+
+
+@query(
+    "streaming_kafka_feed",
+    # The producer contract is deterministic (to_json of a 2-field struct,
+    # constant topic, NULL key), so the Kafka path is VALUE-checked, not
+    # rows-only: the oracle rebuilds the exact JSON payload per event.
+    oracle="""
+        SELECT 'sentiments' AS topic,
+               CAST(NULL AS VARCHAR) AS key,
+               '{"text":"' || event_type || '","sentiment":"' ||
+                   CASE WHEN event_type IN ('fast', 'small', 'big') THEN 'POSITIVE'
+                        WHEN event_type IN ('slow', 'error') THEN 'NEGATIVE'
+                        ELSE 'NEUTRAL' END || '"}' AS value
+        FROM events
+    """,
+    description="T5/S10: sentiment stream -> Kafka producer records (topic, key, value-JSON) via executor-side foreachBatch",
+)
+def streaming_kafka_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.events_stream(spark, sf_dir)
+    labeled = ST.sentiment_stream(stream, text_col="event_type")
+    records: list = []
+    ST.kafka_sink_via_foreach_batch(labeled, "sentiments", records)
+    # records were serialized executor-side; this materialization exists
+    # only to hand the driver a comparable DataFrame.
+    return spark.createDataFrame(records, "topic string, key string, value string")
