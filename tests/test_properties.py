@@ -91,3 +91,42 @@ def test_graph_invariants(spark, edges):
     for comp_id in set(labels.values()):
         members = {v for v, c in labels.items() if c == comp_id}
         assert comp_id in members and comp_id == min(members)
+
+
+@PROP_SETTINGS
+@given(texts=TEXTS)
+def test_rolling_fingerprint_invariants(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    fps = {r.doc_id: r.fingerprint for r in D.rolling_fingerprint(docs).collect()}
+    # total: one fingerprint per doc, in [0, M)
+    assert set(fps) == set(range(len(texts)))
+    for v in fps.values():
+        assert 0 <= v < D.MERSENNE31
+    # pure function of the normalized token stream: equal streams => equal fp
+    norm = [" ".join(re.findall(r"[a-z0-9]+", t.lower())) for t in texts]
+    for i, a in enumerate(norm):
+        for j, b in enumerate(norm):
+            if a == b:
+                assert fps[i] == fps[j]
+
+
+@PROP_SETTINGS
+@given(texts=TEXTS, pad=st.text(alphabet="pqrst ", min_size=0, max_size=10))
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, texts, pad):
+    k, w = 3, 4
+    # Build two docs sharing each text as an infix, padded differently:
+    # any shared normalized run of >= w + k - 1 tokens MUST share a
+    # fingerprint (the winnowing coverage guarantee).
+    rows, expect_overlap = [], []
+    for i, t in enumerate(texts):
+        n_toks = len(re.findall(r"[a-z0-9]+", t.lower()))
+        rows.append((2 * i, f"{pad} {t}"))
+        rows.append((2 * i + 1, f"{t} {pad}"))
+        if n_toks >= w + k - 1:
+            expect_overlap.append((2 * i, 2 * i + 1))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    by_doc: dict[int, set] = {}
+    for r in D.winnow_fingerprints(docs, k=k, window=w).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for a, b in expect_overlap:
+        assert by_doc.get(a, set()) & by_doc.get(b, set()), (a, b)
