@@ -107,6 +107,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard similarity.
 
@@ -114,11 +115,25 @@ def ngram_jaccard_pairs(
     least one shingle, then |A∩B| is an aggregate over shared shingles and
     |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    Scale note: hot shingles fan out quadratically — at 100 TB you cap them
-    (drop shingles with document-frequency above a bound, as in Spark's own
-    MinHashLSH practice) or go through :func:`minhash_candidates` first.
+    `max_shingle_df` is the 100 TB defense against quadratic fan-out on
+    hot shingles (a shingle shared by f docs emits f²/2 pair rows): drop
+    shingles whose document frequency exceeds the cap BEFORE the
+    self-join, as in Spark's own MinHashLSH practice. Sizes are computed
+    over the capped universe too, so the result is exact Jaccard on the
+    filtered shingle space (boilerplate-resistant, and every consumer's
+    oracle applies the identical cap). Without a cap, semantics are plain
+    exact Jaccard; :func:`minhash_candidates` is the other scale path.
     """
-    sh = hashed_shingle_table(docs, k, id_col, text_col).cache()
+    sh = hashed_shingle_table(docs, k, id_col, text_col)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("h")
+        )
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col("id").alias("id_a"), "h")

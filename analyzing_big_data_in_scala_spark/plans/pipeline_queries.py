@@ -92,6 +92,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2)
 
 
+@query(
+    "dedup_jaccard_df_capped",
+    # Same hash-join shape as dedup_ngram_jaccard plus the hot-shingle cap
+    # (df <= 5) applied identically on both sides: exact Jaccard over the
+    # capped shingle universe.
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        hshingles AS (
+            SELECT DISTINCT id, {_HASH64.format(x='shingle')} AS h FROM shingles
+        ),
+        dfreq AS (SELECT h, COUNT(*) AS df FROM hshingles GROUP BY h),
+        kept AS (
+            SELECT id, hshingles.h FROM hshingles JOIN dfreq ON hshingles.h = dfreq.h
+            WHERE dfreq.df <= 5
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM kept GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM kept a JOIN kept b USING (h)
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+    description="Jaccard near-dups with hot-shingle df cap (<=5): the quadratic-fanout defense at corpus scale",
+)
+def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2, max_shingle_df=5)
+
+
 def _minhash_sql(num_perm: int = 16) -> str:
     params = ", ".join(f"({i + 1}, {a}, {b})" for i, (a, b) in enumerate(_perm_params(num_perm)))
     return f"""

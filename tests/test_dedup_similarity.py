@@ -237,3 +237,22 @@ def test_winnow_short_doc_no_full_window_is_empty(spark):
     # 5 tokens -> 3 shingles < window=4 full positions -> no fingerprint
     docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     assert D.winnow_fingerprints(docs, k=3, window=4).count() == 0
+
+
+def test_jaccard_df_cap_drops_hot_shingle_pairs(spark):
+    # 6 docs all share the boilerplate shingle "copyright acme corp";
+    # docs 0/1 additionally share real content.
+    boiler = "copyright acme corp"
+    rows = [(0, boiler + " alpha beta gamma delta"), (1, boiler + " alpha beta gamma epsilon")]
+    rows += [(i, boiler + f" unique{i} filler{i} other{i}") for i in range(2, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.05).collect()}
+    # every pair shares the boilerplate shingle -> full quadratic pair set
+    assert len(uncapped) == 15
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.05, max_shingle_df=5).collect()
+    }
+    # cap df<=5 kills the boilerplate shingle (df=6); only real overlap remains
+    assert capped == {(0, 1)}
