@@ -649,3 +649,49 @@ def ml_sentiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = labeled.randomSplit([0.8, 0.2], seed=42)
     model = M.cross_validated_model(train, small_grid=True)
     return M.classification_metrics(model.transform(test))
+
+
+@query(
+    "events_asof_latest_order",
+    # Oracle uses DuckDB's NATIVE ASOF JOIN — an independent implementation
+    # of the same point-in-time semantics, not a re-statement of ours.
+    # Orders are deduped per (custkey, orderdate) with a deterministic
+    # survivor (max orderkey) on both sides so ties are well-defined.
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate,
+                   MAX(o_orderkey) AS o_orderkey,
+                   arg_max(o_totalprice, o_orderkey) AS o_totalprice
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+               ROUND(o.o_totalprice, 2) AS last_totalprice
+        FROM events e ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    description="As-of join: each event matched to the user's latest order at-or-before its timestamp (union+window, no range-join blowup)",
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join_backward(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_vals=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    )

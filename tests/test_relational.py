@@ -73,3 +73,35 @@ def test_sql_surface_reads_events_with_nanos_fix(spark):
 
     row = sql(spark, SF_SMALL, "SELECT COUNT(*) AS n, MIN(ts) AS mn FROM events").first()
     assert row.n == 1000 and row.mn is not None
+
+
+def test_asof_join_backward_semantics(spark):
+    from analyzing_big_data_in_scala_spark.operators.asof import asof_join_backward
+
+    quotes = spark.createDataFrame(
+        [
+            ("A", 10, 1.0),
+            ("A", 20, 2.0),
+            ("A", 30, 3.0),
+            ("B", 15, 9.0),
+        ],
+        "sym string, qt long, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, "A", 5),    # before any quote -> NULL
+            (2, "A", 20),   # tie -> matches the quote AT 20 (at-or-before)
+            (3, "A", 25),   # between -> quote at 20
+            (4, "A", 99),   # after all -> quote at 30
+            (5, "B", 14),   # before B's only quote -> NULL
+            (6, "C", 50),   # key with no quotes -> NULL
+        ],
+        "trade_id long, sym string, tt long",
+    )
+    out = {
+        r.trade_id: r.px
+        for r in asof_join_backward(
+            trades, quotes, "sym", "sym", "tt", "qt", ["px"]
+        ).collect()
+    }
+    assert out == {1: None, 2: 2.0, 3: 2.0, 4: 3.0, 5: None, 6: None}
