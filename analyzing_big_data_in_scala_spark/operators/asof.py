@@ -66,3 +66,70 @@ def asof_join_backward(
     return carried.filter(F.col("_side") == 1).select(
         *left_cols, *[F.col(f"_asof_{c}").alias(c) for c in right_vals]
     )
+
+
+def range_join_points_in_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_key: str,
+    interval_key: str,
+    point_val: str,
+    interval_start: str,
+    interval_end: str,
+    bucket_size: int,
+) -> DataFrame:
+    """Range join: every (point, interval) pair of the same key with
+    interval_start <= point_val < interval_end (end-exclusive). The val
+    columns must be numeric — callers with timestamps convert to epoch
+    seconds first (`F.unix_timestamp`), which also sidesteps every
+    session-timezone trap.
+
+    Catalyst plans the raw formulation (`p.key = i.key AND s <= v AND
+    v < e`) as an equi join on the key with a post-filter — per-key
+    quadratic fan-out when one key has many points AND many intervals
+    (the common shape: per-user activity windows × per-user events).
+    Here each interval explodes into the coarse value buckets it covers
+    (bounded: span / bucket_size + 1 rows) and each point lands in
+    exactly ONE bucket, so the match becomes an EQUI join on
+    (key, bucket) with the exact predicate applied after — fan-out drops
+    from |P_k|·|I_k| to candidates sharing a bucket. This is the
+    discretization trick behind Databricks' range-join optimization;
+    pick bucket_size ≈ typical interval span. No dedup needed: a point's
+    single bucket meets each interval at most once.
+
+    Empty/inverted intervals (end <= start) are dropped up front — they
+    can never match, and Spark's `sequence(start, stop)` would silently
+    generate a DESCENDING bucket list for them.
+
+    Returns all point columns + all interval columns (key column from
+    the points side wins on name collision). Skewed keys: bucketing
+    already splits a hot key's hash group by value; residual skew is
+    AQE's skew-join territory.
+    """
+    p = points.withColumn(
+        "_b", F.floor(F.col(point_val) / F.lit(bucket_size)).cast("long")
+    ).alias("_p")
+    iv = (
+        intervals.filter(F.col(interval_end) > F.col(interval_start))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(interval_start) / F.lit(bucket_size)).cast("long"),
+                    F.floor(F.col(interval_end) / F.lit(bucket_size)).cast("long"),
+                )
+            ),
+        )
+        .alias("_i")
+    )
+    joined = p.join(
+        iv,
+        (F.col(f"_p.{point_key}") == F.col(f"_i.{interval_key}"))
+        & (F.col("_p._b") == F.col("_i._b"))
+        & (F.col(f"_p.{point_val}") >= F.col(f"_i.{interval_start}"))
+        & (F.col(f"_p.{point_val}") < F.col(f"_i.{interval_end}")),
+    )
+    return joined.select(
+        *[F.col(f"_p.{c}") for c in points.columns],
+        *[F.col(f"_i.{c}") for c in intervals.columns if c not in points.columns],
+    )

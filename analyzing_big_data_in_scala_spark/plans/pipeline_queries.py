@@ -695,3 +695,55 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.round("o_totalprice", 2).alias("last_totalprice"),
     )
+
+
+@query(
+    "events_range_join_daily_windows",
+    # Intervals = each user's first 4h of activity per day; points = all
+    # that user's events. Same key on both sides with many points AND many
+    # intervals per key — the shape where a naive key-equi join fans out
+    # quadratically and the bucketed range join prunes to co-bucketed
+    # candidates. All comparisons on FLOOR'd epoch seconds (tz-free; DuckDB
+    # epoch() keeps fractions, Spark unix_timestamp truncates).
+    oracle="""
+        WITH pts AS (
+            SELECT user_id, value,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+            FROM events
+        ),
+        iv AS (
+            SELECT user_id,
+                   CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS s,
+                   CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) + 14400 AS e
+            FROM events
+            GROUP BY user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+        )
+        SELECT p.user_id, COUNT(*) AS n_pairs,
+               ROUND(SUM(p.value), 4) AS sum_value
+        FROM pts p
+        JOIN iv ON p.user_id = iv.user_id AND p.t >= iv.s AND p.t < iv.e
+        GROUP BY p.user_id
+    """,
+    description="Bucketed range join: events x per-user daily 4h activity windows (equi join on (key, value-bucket), no per-key quadratic fan-out)",
+)
+def events_range_join_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import range_join_points_in_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_timestamp("ts").cast("long").alias("t")
+    )
+    iv = (
+        ev.groupBy("user_id", F.floor(F.col("t") / 86400).alias("_day"))
+        .agg(F.min("t").alias("s"))
+        .withColumn("e", F.col("s") + 14400)
+        .drop("_day")
+    )
+    pairs = range_join_points_in_intervals(
+        ev, iv,
+        point_key="user_id", interval_key="user_id",
+        point_val="t", interval_start="s", interval_end="e",
+        bucket_size=3600,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"), F.round(F.sum("value"), 4).alias("sum_value")
+    )

@@ -51,6 +51,8 @@ HEADLINE = [
     "events_sliding_20min",
     "events_user_sessions",
     "events_salted_by_type",
+    "events_asof_latest_order",
+    "events_range_join_daily_windows",
     "streaming_tumbling_counts",
     "streaming_first_seen_per_user",
 ]

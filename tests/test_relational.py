@@ -105,3 +105,48 @@ def test_asof_join_backward_semantics(spark):
         ).collect()
     }
     assert out == {1: None, 2: 2.0, 3: 2.0, 4: 3.0, 5: None, 6: None}
+
+
+def test_range_join_matches_naive_and_handles_column_collisions(spark):
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.asof import (
+        range_join_points_in_intervals,
+    )
+
+    # `user_id` exists on BOTH sides (pins the ambiguous-column fix);
+    # intervals span multiple buckets, sit inside one bucket, touch the
+    # end-exclusive boundary, and include an inverted (e <= s) row that
+    # must be dropped, not explode into a descending bucket sequence.
+    points = spark.createDataFrame(
+        [(1, "u1", 5), (2, "u1", 10), (3, "u1", 27), (4, "u2", 10), (5, "u3", 10)],
+        "pid long, user_id string, t long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u1", 0, 10, "w1"),    # [0,10): pid 1 only (10 excluded)
+            ("u1", 8, 30, "w2"),    # [8,30) spans buckets 0..2: pids 2,3
+            ("u2", 9, 11, "w3"),    # within one bucket: pid 4
+            ("u3", 20, 20, "w4"),   # empty interval -> no matches
+            ("u3", 15, 5, "w5"),    # inverted -> dropped
+        ],
+        "user_id string, s long, e long, win string",
+    )
+    got = sorted(
+        (r.pid, r.win)
+        for r in range_join_points_in_intervals(
+            points, intervals, "user_id", "user_id", "t", "s", "e", bucket_size=10
+        ).collect()
+    )
+    naive = sorted(
+        (r.pid, r.win)
+        for r in points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p.t") >= F.col("i.s"))
+            & (F.col("p.t") < F.col("i.e")),
+        )
+        .collect()
+    )
+    assert got == naive == [(1, "w1"), (2, "w2"), (3, "w2"), (4, "w3")]
