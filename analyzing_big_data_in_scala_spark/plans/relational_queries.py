@@ -501,3 +501,33 @@ def global_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
+
+
+@query(
+    "lineitem_approx_profile",
+    # Rows-only by design: HLL and quantile sketches are implementation-
+    # specific, so Spark's values can't hash-match DuckDB's. Accuracy is
+    # pinned instead by tests/test_relational.py::
+    # test_approx_profile_within_tolerance_of_exact (HLL rel-err < 5%,
+    # approx percentiles within 1% rank of exact).
+    oracle=None,
+    description="Approximate profiling: HLL distinct counts + sketch percentiles — the constant-memory scale path where exact COUNT(DISTINCT)/percentile would shuffle every value",
+)
+def lineitem_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based table profiling. At 100 TB an exact COUNT(DISTINCT key)
+    shuffles every distinct value and exact percentiles need a global sort;
+    HLL++ (`approx_count_distinct`, ~few-KB sketch, default rsd 5%) and
+    Greenwald-Khanna (`percentile_approx`, bounded rank error 1/accuracy)
+    merge tiny map-side sketches instead — one narrow all-partial-agg pass,
+    no wide shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_p50_p90_p99"
+        ),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_p50"),
+    )

@@ -111,3 +111,39 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source (beyond-reference; the lingua franca of scraped /
+    exported training corpora). ALWAYS pass an explicit schema at scale:
+    schema inference runs a full extra pass over the data, and with
+    multiLine=false (the default here) Spark splits files by line so reads
+    parallelize like text. Unparseable rows land in _corrupt_record
+    (PERMISSIVE mode) rather than failing the job."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """JSON-lines sink — one object per line, splittable on re-read."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (beyond-reference): the other columnar format with
+    predicate pushdown + column pruning, for interop with Hive-era lakes."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """ORC sink (zlib by default; same partitioned-layout contract as
+    write_parquet)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -150,3 +150,60 @@ def test_range_join_matches_naive_and_handles_column_collisions(spark):
         .collect()
     )
     assert got == naive == [(1, "w1"), (2, "w2"), (3, "w2"), (4, "w3")]
+
+
+def test_approx_profile_within_tolerance_of_exact(spark):
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.plans.relational_queries import (
+        lineitem_approx_profile,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    approx = lineitem_approx_profile(spark, SF_SMALL).first()
+    l = load_table(spark, SF_SMALL, "lineitem")
+    exact = l.agg(
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("suppliers"),
+    ).first()
+    n = l.count()
+    # HLL++ default rsd is 5%; 10% absolute bound keeps the test unflaky.
+    for a, e in [
+        (approx.approx_orders, exact.orders),
+        (approx.approx_parts, exact.parts),
+        (approx.approx_suppliers, exact.suppliers),
+    ]:
+        assert abs(a - e) <= 0.10 * e, (a, e)
+    # GK sketch guarantees rank error <= n/accuracy; verify each approximate
+    # percentile's true rank is within that bound of its target rank.
+    prices = sorted(r[0] for r in l.select("l_extendedprice").collect())
+    for target, got_val in zip([0.5, 0.9, 0.99], approx.price_p50_p90_p99):
+        import bisect
+
+        lo = bisect.bisect_left(prices, got_val)
+        hi = bisect.bisect_right(prices, got_val)
+        target_rank = target * n
+        assert lo - n / 10000 - 1 <= target_rank <= hi + n / 10000 + 1
+
+
+def test_json_and_orc_round_trip(spark, tmp_path):
+    from analyzing_big_data_in_scala_spark.sources import catalog as C
+
+    df = C.load_table(spark, SF_SMALL, "nation")
+    want = sorted(tuple(r) for r in df.collect())
+
+    jp = str(tmp_path / "nation_json")
+    C.write_json(df, jp, partition_by=["n_regionkey"])
+    back_j = C.read_json(
+        spark, jp, schema="n_nationkey bigint, n_name string, n_comment string"
+    )
+    # partitionBy moves n_regionkey into the directory layout; it comes
+    # back as a partition column on read.
+    got_j = sorted(tuple(r) for r in back_j.select(*df.columns).collect())
+    assert got_j == want
+
+    op = str(tmp_path / "nation_orc")
+    C.write_orc(df, op)
+    got_o = sorted(tuple(r) for r in C.read_orc(spark, op).select(*df.columns).collect())
+    assert got_o == want
