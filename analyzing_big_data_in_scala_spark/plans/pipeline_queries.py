@@ -747,3 +747,28 @@ def events_range_join_daily_windows(spark: SparkSession, sf_dir: str) -> DataFra
     return pairs.groupBy("user_id").agg(
         F.count("*").alias("n_pairs"), F.round(F.sum("value"), 4).alias("sum_value")
     )
+
+
+@query(
+    "documents_hash_sample_split",
+    # Value-checked end to end: hash sampling is a pure function of the key,
+    # so DuckDB reproduces the EXACT sample membership and split assignment
+    # (same md5 arithmetic). Sample and split use different salts — one hash
+    # for both would correlate the decisions perfectly.
+    oracle=f"""
+        SELECT doc_id, length(text) AS text_len,
+               CASE WHEN {_HASH64.format(x="CAST(doc_id AS VARCHAR) || 'split'")} % 10000 < 1000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+        WHERE {_HASH64.format(x="CAST(doc_id AS VARCHAR) || ''")} % 10000 < 2500
+    """,
+    description="Deterministic hash sampling + contamination-proof train/test split (pure function of doc_id: reproducible across runs, engines, partitionings)",
+)
+def documents_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_sample, split_by_hash
+
+    docs = _docs(spark, sf_dir)
+    sampled = hash_sample(docs, "doc_id", fraction=0.25)
+    return split_by_hash(sampled, "doc_id", test_fraction=0.1).select(
+        "doc_id", F.length("text").alias("text_len"), "split"
+    )

@@ -187,6 +187,41 @@ def test_approx_profile_within_tolerance_of_exact(spark):
         assert lo - n / 10000 - 1 <= target_rank <= hi + n / 10000 + 1
 
 
+def test_hash_sampling_is_stable_and_contamination_proof(spark):
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.sampling import (
+        hash_sample,
+        split_by_hash,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+    # Assignment is a pure function of the key: re-running and re-splitting
+    # a SUBSET (an older corpus version) must agree row-for-row.
+    full = {r.doc_id: r.split for r in split_by_hash(df, "doc_id").collect()}
+    subset = {
+        r.doc_id: r.split
+        for r in split_by_hash(df.filter("doc_id < 500"), "doc_id").collect()
+    }
+    assert subset == {k: v for k, v in full.items() if k < 500}
+    assert 0.05 < sum(v == "test" for v in full.values()) / 2000 < 0.15
+
+    sampled = {r.doc_id for r in hash_sample(df, "doc_id", 0.25).collect()}
+    assert 0.20 < len(sampled) / 2000 < 0.30
+    assert sampled == {r.doc_id for r in hash_sample(df, "doc_id", 0.25).collect()}
+    # Different salts decorrelate decisions: the test split inside the
+    # sample must not be systematically the sample's own low buckets.
+    test_in_sample = {k for k, v in full.items() if v == "test"} & sampled
+    assert 0 < len(test_in_sample) < len(sampled)
+
+    strat = df.withColumn("bin", (F.col("doc_id") % 2).cast("string"))
+    s1 = sorted(r.doc_id for r in stratified_sample(strat, "bin", {"0": 0.5, "1": 0.1}).collect())
+    s2 = sorted(r.doc_id for r in stratified_sample(strat, "bin", {"0": 0.5, "1": 0.1}).collect())
+    assert s1 == s2 and 0 < len(s1) < 2000
+
+
 def test_json_and_orc_round_trip(spark, tmp_path):
     from analyzing_big_data_in_scala_spark.sources import catalog as C
 
