@@ -84,6 +84,41 @@ def remove_stopwords(token_col: Column, stop_words: tuple[str, ...] = STOP_WORDS
     return F.filter(token_col, lambda t: ~F.lower(t).isin(*lowered))
 
 
+# N5 stemmer (ScalaNotebooks/MovieSearchEngine.scala:66-68 — the reference
+# wires a Stemmer stage but leaves it commented out, so this operator is
+# optional-by-definition; we ship it as a deterministic "Porter-light"
+# suffix chain). Rules run IN ORDER, each at most once (patterns are
+# $-anchored so only one match is possible); `<1>` marks a backreference,
+# rendered `$1` for Spark's Java regex and `\1` for DuckDB's RE2 — both
+# engines apply the identical chain, keeping stemmed queries
+# oracle-checkable. Length guards (`.{3}`) stand in for Porter's measure
+# condition: never strip a suffix that would leave a stem under 3 chars.
+STEM_RULES: tuple[tuple[str, str], ...] = (
+    (r"sses$", "ss"),
+    (r"ies$", "i"),
+    (r"([^s])s$", "<1>"),
+    (r"(.{3})ing$", "<1>"),
+    (r"(.{3})ed$", "<1>"),
+    (r"(.{3})ly$", "<1>"),
+)
+
+
+def stem_light(col: Column | str) -> Column:
+    """Apply the STEM_RULES suffix chain to a single token column."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in STEM_RULES:
+        c = F.regexp_replace(c, pat, repl.replace("<1>", "$1"))
+    return c
+
+
+def sql_stem_light(expr: str) -> str:
+    """DuckDB-side twin of :func:`stem_light` (RE2 backrefs use \\1)."""
+    out = expr
+    for pat, repl in STEM_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl.replace('<1>', chr(92) + '1')}')"
+    return out
+
+
 def portable_hash64(col: Column | str) -> Column:
     """Deterministic 60-bit hash computable identically in Spark and DuckDB:
     first 15 hex digits of md5, parsed base-16.

@@ -36,8 +36,27 @@ def asof_join_backward(
 ) -> DataFrame:
     """For every left row, attach `right_vals` from the latest right row of
     the same key with right_ts <= left_ts (NULLs when no such row — left
-    join semantics). Returns all left columns + right_vals."""
+    join semantics). Returns all left columns + right_vals.
+
+    Raises ValueError on column collisions the union-with-shared-names
+    construction can't survive: a left column named like the internal
+    scratch columns, or a right value column already present on the left
+    (either would silently corrupt the carried values)."""
     left_cols = left.columns
+    reserved = {"_k", "_t", "_side"} | {f"_asof_{c}" for c in right_vals}
+    clashes = reserved.intersection(left_cols)
+    if clashes:
+        raise ValueError(
+            f"asof_join_backward: left columns collide with internal names: {sorted(clashes)}"
+        )
+    overlap = set(right_vals).intersection(left_cols)
+    if overlap:
+        raise ValueError(
+            f"asof_join_backward: right_vals already exist on the left side: {sorted(overlap)}"
+        )
+    missing = [c for c in right_vals if c not in right.columns]
+    if missing:
+        raise ValueError(f"asof_join_backward: right_vals not in right frame: {missing}")
     lt = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_t"),

@@ -108,6 +108,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard similarity.
 
@@ -133,7 +134,13 @@ def ngram_jaccard_pairs(
             .select("h")
         )
         sh = sh.join(F.broadcast(hot), "h", "left_anti")
-    sh = sh.cache()
+    # ``cache_shingles`` persists the hashed shingle table (used three
+    # times: sizes + both join sides). The cache outlives the query — a
+    # long-lived session running many one-shot analytics should pass False
+    # (the a/b join sides' identical exchanges still collapse via
+    # ReuseExchange) or call spark.catalog.clearCache() between workloads.
+    if cache_shingles:
+        sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col("id").alias("id_a"), "h")

@@ -66,7 +66,7 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, cache_oriented: bool = True) -> DataFrame:
     """G6 (EpinionsGraphFrameAnalysis.scala:121): triangles per vertex.
 
     Degree-ordered enumeration (the MapReduce triangle-counting standard,
@@ -79,6 +79,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     near-linear on skewed graphs where id-ordered enumeration explodes
     quadratically. Output is identical to any other exactly-once
     enumeration: (id, triangles) for vertices in >= 1 triangle.
+
+    ``cache_oriented`` persists the oriented edge list, used four times in
+    the plan. The cache lives until the session drops it — long-lived
+    sessions that run many one-shot analytics should pass False (the
+    wedge self-join's two identical exchanges still collapse via
+    ReuseExchange; only the closing-edge union re-scans) or call
+    ``spark.catalog.clearCache()`` between workloads.
     """
     e = canonical_undirected(edges)
     deg = (
@@ -99,8 +106,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-        .cache()
     )
+    if cache_oriented:
+        oriented = oriented.cache()
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     # Wedges centered at u over its out-neighbors; x<y dedups the pair.

@@ -47,8 +47,12 @@ def hash_sample(
     df: DataFrame, key: str, fraction: float, buckets: int = 10_000, salt: str = ""
 ) -> DataFrame:
     """Keep rows whose hash bucket falls below fraction*buckets — a
-    deterministic, rerun-stable ~fraction sample keyed on `key`."""
-    threshold = int(fraction * buckets)
+    deterministic, rerun-stable ~fraction sample keyed on `key`.
+
+    `round`, not `int`: truncation turns binary-float artifacts into an
+    off-by-one bucket count (0.29 * 10000 -> 2899.9999... -> 2899). Any
+    oracle SQL must use the same rounded literal."""
+    threshold = round(fraction * buckets)
     return df.filter(hash_bucket(key, buckets, salt) < F.lit(threshold))
 
 
@@ -62,7 +66,7 @@ def split_by_hash(
     """Add a `split` column ('test' for the low hash buckets, else 'train').
     Because membership is a pure function of `key`, a row can never migrate
     between splits across runs or dataset versions."""
-    threshold = int(test_fraction * buckets)
+    threshold = round(test_fraction * buckets)
     return df.withColumn(
         "split",
         F.when(

@@ -152,6 +152,92 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All-pairs cosine >= threshold, EXACT and fully distributed:
+    (id_a, id_b, cosine) with id_a < id_b — the scale path that replaces
+    :func:`cosine_pairs`' driver-side matrix for unbounded corpora.
+
+    Block-pair decomposition (the dense-row-similarity analogue of the
+    blocked matmul): every vector is hashed into one of `n_blocks` blocks,
+    each of the n_blocks*(n_blocks+1)/2 unordered block pairs becomes one
+    `applyInPandas` group holding the rows of both blocks, and the group
+    computes its (|A| x |B|) cosine submatrix with one BLAS matmul. Exact
+    all-pairs similarity is inherently quadratic in FLOPs; what this shape
+    buys at 100 TB is that the quadratic work is spread over the cluster in
+    O(P^2) independent tasks while executor memory stays bounded by two
+    blocks (~2N/P rows) and each row is shuffled only n_blocks+1 times —
+    no driver collect, no cross join, no per-row Python. Raise `n_blocks`
+    until a block fits comfortably in an executor's Arrow batch memory
+    (N rows * dim * 8 bytes / n_blocks).
+
+    Semantics match :func:`cosine_pairs` exactly: threshold on the raw
+    cosine, result rounded to 6 places, zero-norm vectors never match.
+    """
+    spark = corpus.sparkSession
+    pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pairs_df = spark.createDataFrame(pairs, "bi int, bj int")
+
+    tagged = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+        .cast("int")
+        .alias("_blk"),
+    )
+    # A row in block b plays the LEFT role for pairs with bi == b and the
+    # RIGHT role for bj == b; on the diagonal (bi == bj) it appears once.
+    left = tagged.join(F.broadcast(pairs_df), tagged["_blk"] == pairs_df["bi"]).select(
+        "bi", "bj", F.lit(0).alias("_side"), id_col, vec_col
+    )
+    right = (
+        tagged.join(F.broadcast(pairs_df), tagged["_blk"] == pairs_df["bj"])
+        .filter(F.col("bi") != F.col("bj"))
+        .select("bi", "bj", F.lit(1).alias("_side"), id_col, vec_col)
+    )
+    both = left.unionByName(right)
+
+    def compute(pdf):
+        # Self-contained closure: executors import locally, never from the
+        # driver's repo checkout.
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if not len(pdf):
+            return empty
+        diag = bool(pdf["bi"].iat[0] == pdf["bj"].iat[0])
+        a_rows = pdf[pdf["_side"] == 0]
+        b_rows = a_rows if diag else pdf[pdf["_side"] == 1]
+        if not len(a_rows) or not len(b_rows):
+            return empty
+        MA = _np.array(list(a_rows[vec_col]), dtype=_np.float64)
+        MB = MA if diag else _np.array(list(b_rows[vec_col]), dtype=_np.float64)
+        na = _np.linalg.norm(MA, axis=1)
+        nb = na if diag else _np.linalg.norm(MB, axis=1)
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            C = (MA @ MB.T) / _np.outer(na, nb)
+        C = _np.nan_to_num(C, nan=-2.0)  # zero-norm never passes a real threshold
+        ia, ib = _np.nonzero(C >= threshold)
+        aid = a_rows[id_col].to_numpy()[ia]
+        bid = b_rows[id_col].to_numpy()[ib]
+        keep = aid < bid if diag else aid != bid  # ids are globally unique
+        lo = _np.minimum(aid[keep], bid[keep])
+        hi = _np.maximum(aid[keep], bid[keep])
+        return _pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": _np.round(C[ia, ib][keep], 6)}
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        compute, schema="id_a long, id_b long, cosine double"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -173,28 +259,43 @@ def ivf_topk(
 
     Returns (query_id, id_col, cosine, rank) like :func:`cosine_topk`.
     """
-    import numpy as np
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.sql import Window
+    from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
     )
     model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feats)
     indexed = model.transform(feats).select(id_col, vec_col, "cell")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return _probe_and_score(indexed, centroids, query, k, nprobe, id_col, vec_col)
 
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
 
-    # nprobe nearest cells per query (centroid table is tiny: driver-side numpy)
+def _probe_and_score(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF query stage: pick each query's `nprobe` nearest cells
+    (centroid table is tiny — driver-side numpy is the right tool), then
+    score ONLY the corpus vectors in the probed cells via a broadcast
+    equi-join on the cell id."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    cent = np.array(centroids, dtype=np.float64)
     q_rows = query.select(id_col, vec_col).collect()
     probe_pairs = []
     for r in q_rows:
         qv = np.array(r[1], dtype=np.float64)
-        d = np.linalg.norm(centroids - qv, axis=1)
+        d = np.linalg.norm(cent - qv, axis=1)
         for cell in np.argsort(d)[:nprobe]:
             probe_pairs.append((int(r[0]), int(cell)))
-    spark = corpus.sparkSession
+    spark = indexed.sparkSession
     probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
 
     cand = indexed.join(F.broadcast(probes), "cell").select(
@@ -222,6 +323,68 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    prefix: str = "ivf_index",
+    n_cells: int = 16,
+    num_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Fit the coarse quantizer ONCE and persist the index, so repeated
+    queries never refit k-means or rescan unassigned vectors (mirrors
+    `tfidf.build_search_index`):
+
+      {prefix}_cells      (id_col, vec_col, cell)  bucketed by cell
+      {prefix}_centroids  (cell, centroid)         n_cells rows
+
+    Bucketing the corpus by cell makes the probe join exchange-free on the
+    corpus side: a query's nprobe cells map to whole buckets, so the scan
+    touches only matching buckets' files and the big side never shuffles.
+    At 100 TB this is the difference between an index lookup and a
+    re-clustering job per query batch.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..sources.bucketing import drop_table_and_location, write_bucketed
+
+    feats = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feats)
+    indexed = model.transform(feats).select(id_col, vec_col, "cell")
+    write_bucketed(indexed, f"{prefix}_cells", bucket_col="cell", num_buckets=num_buckets)
+
+    spark = corpus.sparkSession
+    cent_rows = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    drop_table_and_location(spark, f"{prefix}_centroids")
+    cent_df.write.mode("overwrite").saveAsTable(f"{prefix}_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    query: DataFrame,
+    prefix: str = "ivf_index",
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a :func:`build_ivf_index` index: no k-means fit,
+    no full-corpus scan — the stored cell assignment and centroid table
+    are the whole index. Same contract as :func:`ivf_topk`."""
+    centroids_by_cell = {
+        r.cell: list(r.centroid)
+        for r in spark.table(f"{prefix}_centroids").collect()
+    }
+    centroids = [centroids_by_cell[i] for i in range(len(centroids_by_cell))]
+    indexed = spark.table(f"{prefix}_cells")
+    return _probe_and_score(indexed, centroids, query, k, nprobe, id_col, vec_col)
 
 
 def hyperplane_signatures(

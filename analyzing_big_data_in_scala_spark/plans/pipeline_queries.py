@@ -307,11 +307,11 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs
         WHERE dot / (na * nb) >= 0.35
     """,
-    description="Embedding-cosine near-duplicate pairs (exact; LSH-bucketed variant is the scale path)",
+    description="Embedding-cosine near-duplicate pairs: exact all-pairs via distributed block-pair matmuls (no driver collect; bounded executor memory)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_pairs(emb, threshold=0.35)
+    return S.cosine_pairs_blocked(emb, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
@@ -648,6 +648,18 @@ def ml_sentiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = M.with_synthetic_label(_docs(spark, sf_dir))
     train, test = labeled.randomSplit([0.8, 0.2], seed=42)
     model = M.cross_validated_model(train, small_grid=True)
+    return M.classification_metrics(model.transform(test))
+
+
+@query(
+    "ml_sentiment_metrics_full_grid",
+    oracle=None,
+    description="M7/M8 at full reference parity: the complete 3x3x2x2 = 36-combo CV grid x 2 folds (AirlineSentimentAnalysis.scala:72-85); small-grid variant covers the CI path",
+)
+def ml_sentiment_metrics_full_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = M.with_synthetic_label(_docs(spark, sf_dir))
+    train, test = labeled.randomSplit([0.8, 0.2], seed=42)
+    model = M.cross_validated_model(train, small_grid=False)
     return M.classification_metrics(model.transform(test))
 
 

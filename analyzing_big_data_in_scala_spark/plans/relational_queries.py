@@ -521,13 +521,28 @@ def lineitem_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge tiny map-side sketches instead — one narrow all-partial-agg pass,
     no wide shuffle."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.agg(
+    # One GK sketch for the three price quantiles (array result), flattened
+    # to scalar columns in a follow-up projection: array-typed result
+    # columns break order-insensitive canonicalization downstream (pandas
+    # sort_values can't order list cells), and scalars are what a profiling
+    # consumer wants anyway.
+    sketched = l.agg(
         F.count("*").alias("n_rows"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "price_p50_p90_p99"
+            "_price_q"
         ),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_p50"),
+    )
+    return sketched.select(
+        "n_rows",
+        "approx_orders",
+        "approx_parts",
+        "approx_suppliers",
+        F.element_at("_price_q", 1).alias("price_p50"),
+        F.element_at("_price_q", 2).alias("price_p90"),
+        F.element_at("_price_q", 3).alias("price_p99"),
+        "qty_p50",
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import STOP_WORDS, sql_stopword_list, tokens
+from ..functions.text import STOP_WORDS, sql_stem_light, sql_stopword_list, stem_light, tokens
 from ..operators import tfidf as T
 from ..sources.catalog import load_table
 from .registry import query
@@ -216,6 +216,27 @@ def entity_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("word"))
     )
+
+
+@query(
+    "tfidf_doc_frequencies_stemmed",
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        stems AS (SELECT DISTINCT doc_id, {sql_stem_light("term")} AS term FROM toks)
+        SELECT term, COUNT(*) AS df FROM stems GROUP BY term
+    """,
+    description="N5 stemmer (MovieSearchEngine.scala:66-68, disabled there): Porter-light suffix chain before document frequency — conflates inflected variants into one indexed term",
+)
+def tfidf_doc_frequencies_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    stems = (
+        T.token_table(docs)
+        .select("doc_id", stem_light(F.col("term")).alias("term"))
+        # distinct AFTER stemming: two surface forms of one stem in the
+        # same doc must count once toward df.
+        .distinct()
+    )
+    return stems.groupBy("term").agg(F.count("*").alias("df"))
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,17 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drop_table_and_location(spark: SparkSession, table_name: str) -> None:
+    """Drop a managed table AND its warehouse directory. A previous session
+    may have left the location behind without a catalog entry (saveAsTable
+    then refuses with LOCATION_ALREADY_EXISTS)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -30,13 +41,7 @@ def write_bucketed(
     Sorting within buckets additionally enables merge joins without a sort
     step."""
     spark = df.sparkSession
-    # A previous session may have left the managed location behind without
-    # a catalog entry (saveAsTable then refuses with LOCATION_ALREADY_EXISTS).
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
-    if os.path.isdir(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    drop_table_and_location(spark, table_name)
 
     writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
     if sorted_within:

@@ -47,9 +47,11 @@ HEADLINE = [
     "similarity_cosine_topk",
     "similarity_lsh_topk",
     # events / streaming
+    "events_json_by_type",
     "events_tumbling_10min",
     "events_sliding_20min",
     "events_user_sessions",
+    "events_session_window_native",
     "events_salted_by_type",
     "events_asof_latest_order",
     "events_range_join_daily_windows",

@@ -138,6 +138,32 @@ def test_ivf_recall_against_brute_force(spark):
             assert r.cosine == pytest.approx(exact_scores[(r.query_id, r.vec_id)], abs=1e-6)
 
 
+def test_ivf_index_persists_and_never_refits(spark, monkeypatch):
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 2)
+    S.build_ivf_index(emb, prefix="t_ivf", n_cells=8, num_buckets=4)
+
+    # The query path must touch ONLY the stored tables: poison KMeans.fit
+    # so any refit attempt fails loudly.
+    import pyspark.ml.clustering as _km
+
+    def _boom(self, *a, **kw):  # pragma: no cover - must not run
+        raise AssertionError("ivf_topk_indexed refit the quantizer")
+
+    monkeypatch.setattr(_km.KMeans, "fit", _boom)
+    first = sorted(map(tuple, S.ivf_topk_indexed(spark, probes, prefix="t_ivf", k=5, nprobe=4).collect()))
+    second = sorted(map(tuple, S.ivf_topk_indexed(spark, probes, prefix="t_ivf", k=5, nprobe=4).collect()))
+    assert first == second and len(first) == 10  # 2 probes x top-5, repeatable
+    monkeypatch.undo()
+
+    # Same quantizer seed + same corpus -> the indexed path returns the
+    # same neighbors as the refit-per-call path.
+    refit = sorted(map(tuple, S.ivf_topk(emb, probes, k=5, n_cells=8, nprobe=4).collect()))
+    assert first == refit
+
+
 def test_simhash_near_pairs_find_dups(spark, docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(docs, max_hamming=6).collect()}
     assert pairs.get((1, 2)) == 0  # identical docs: distance 0
@@ -185,6 +211,31 @@ def test_simhash_near_pairs_banding_recall(spark):
 def test_cosine_pairs_guard_before_collect(spark, vectors):
     with pytest.raises(ValueError, match="bounded-corpus"):
         S.cosine_pairs(vectors, 0.5, max_matrix_rows=2)
+
+
+def test_cosine_pairs_blocked_matches_driver_kernel(spark):
+    """The distributed block-pair decomposition must agree pair-for-pair
+    with the bounded driver-side kernel, including zero-norm vectors and
+    every (diagonal / off-diagonal) block-pair shape."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows.append((60, [0.0] * 8))  # zero-norm: must never match
+    rows.append((61, rows[0][1]))  # exact duplicate of vec 0: cosine 1.0
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    want = {
+        (r.id_a, r.id_b): r.cosine for r in S.cosine_pairs(corpus, 0.5).collect()
+    }
+    # n_blocks=4 on 62 rows forces multi-row diagonal AND cross blocks.
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.cosine_pairs_blocked(corpus, 0.5, n_blocks=4).collect()
+    }
+    assert got == want
+    assert (0, 61) in got and got[(0, 61)] == pytest.approx(1.0, abs=1e-6)
+    assert not any(60 in p for p in got)
 
 
 def test_rolling_fingerprint_matches_manual_fold(spark):

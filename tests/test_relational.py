@@ -178,13 +178,55 @@ def test_approx_profile_within_tolerance_of_exact(spark):
     # GK sketch guarantees rank error <= n/accuracy; verify each approximate
     # percentile's true rank is within that bound of its target rank.
     prices = sorted(r[0] for r in l.select("l_extendedprice").collect())
-    for target, got_val in zip([0.5, 0.9, 0.99], approx.price_p50_p90_p99):
+    quantiles = [approx.price_p50, approx.price_p90, approx.price_p99]
+    # Scalar columns, not an array: array-typed result columns break
+    # order-insensitive canonicalization (pandas can't sort list cells).
+    for target, got_val in zip([0.5, 0.9, 0.99], quantiles):
         import bisect
 
         lo = bisect.bisect_left(prices, got_val)
         hi = bisect.bisect_right(prices, got_val)
         target_rank = target * n
         assert lo - n / 10000 - 1 <= target_rank <= hi + n / 10000 + 1
+
+
+def test_asof_join_rejects_column_collisions(spark):
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.asof import asof_join_backward
+
+    right = spark.createDataFrame([("A", 1, 1.0)], "sym string, qt long, px double")
+    # Left column shadowing an internal scratch name would silently corrupt
+    # the union-with-shared-names construction.
+    bad_left = spark.createDataFrame([(1, "A", 5)], "_side long, sym string, tt long")
+    with pytest.raises(ValueError, match="internal names"):
+        asof_join_backward(bad_left, right, "sym", "sym", "tt", "qt", ["px"])
+    # right_vals already present on the left -> ambiguous output.
+    px_left = spark.createDataFrame([(1.0, "A", 5)], "px double, sym string, tt long")
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join_backward(px_left, right, "sym", "sym", "tt", "qt", ["px"])
+    with pytest.raises(ValueError, match="not in right"):
+        asof_join_backward(
+            spark.createDataFrame([(1, "A", 5)], "trade_id long, sym string, tt long"),
+            right, "sym", "sym", "tt", "qt", ["nope"],
+        )
+
+
+def test_hash_sample_threshold_rounds_not_truncates(spark):
+    from analyzing_big_data_in_scala_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 1)
+    # 0.29 * 100 = 28.999999999999996 under binary floats; int() would give
+    # threshold 28, round() the intended 29.
+    assert round(0.29 * 100) == 29 and int(0.29 * 100) == 28
+    # The predicate must embed the rounded literal.
+    explained = (
+        hash_sample(df, "id", 0.29, buckets=100)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "< cast(29 as bigint)" in explained
 
 
 def test_hash_sampling_is_stable_and_contamination_proof(spark):

@@ -141,3 +141,35 @@ def test_remove_stopwords_case_insensitive(spark):
     df = spark.createDataFrame([(["The", "fox", "AND", "dog", "the"],)], "t array<string>")
     out = df.select(remove_stopwords(F.col("t")).alias("r")).first().r
     assert out == ["fox", "dog"]
+
+
+def test_stem_light_spark_duckdb_parity(spark):
+    import duckdb
+
+    from analyzing_big_data_in_scala_spark.functions.text import (
+        sql_stem_light,
+        stem_light,
+    )
+
+    words = [
+        "studies", "running", "sing", "stresses", "ties", "was", "is", "ss",
+        "s", "quickly", "fly", "tried", "red", "agreed", "classes", "miss",
+        "dogs", "passes", "analysis", "windows", "merged", "merges", "merging",
+    ]
+    got = [
+        r.s
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select(stem_light("w").alias("s"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [con.execute(f"SELECT {sql_stem_light('?')}", [w]).fetchone()[0] for w in words]
+    assert got == want
+    # Spot-pin a few so a same-bug-both-sides regression can't hide.
+    pinned = dict(zip(words, got))
+    assert pinned["studies"] == "studi"
+    assert pinned["running"] == "runn"
+    assert pinned["sing"] == "sing"      # length guard: 3-char stem too short
+    assert pinned["stresses"] == "stress"
+    assert pinned["dogs"] == "dog"
+    assert pinned["miss"] == "miss"      # trailing ss is preserved

@@ -111,6 +111,19 @@ def main() -> None:
             "ann_topk_3probe": lambda: noop(
                 S.cosine_topk(emb, emb0.filter(F.col("vec_id") < 3), k=10)
             ),
+            # O(log n) round claim for alternating large/small-star CC: the
+            # inflated replicas are disjoint subgraphs, so component COUNT
+            # grows with copies while diameter stays fixed — the measured
+            # curve isolates per-round shuffle growth.
+            "connected_components": lambda: noop(
+                G.connected_components_two_phase(G.edges_from_events(ev))
+            ),
+            # Exact all-pairs cosine via block-pair matmuls: quadratic FLOPs
+            # by nature (expect ~copies^2 growth), but distributed — the
+            # probe verifies it degrades by compute, not by driver memory.
+            "cosine_pairs_blocked": lambda: noop(
+                S.cosine_pairs_blocked(emb, threshold=0.5)
+            ),
         }
         for name, fn in cases.items():
             fn()  # warm (codegen/first-touch) — measure the steady state
