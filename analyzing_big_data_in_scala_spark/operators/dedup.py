@@ -210,6 +210,40 @@ def minhash_signatures_wide(
     return base.groupBy("id").agg(*mins)
 
 
+def minhash_band_table(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH band buckets per doc: (id, band, band_key). Docs agreeing on a
+    whole band share (band, band_key) — the equi-join key for candidate
+    generation (:func:`minhash_candidates`) and the persisted half of the
+    incremental-dedup index (:func:`build_dedup_index`).
+
+    Band keys come straight off the wide signature — zero extra shuffles.
+    The key formula (hash of lexicographically-sorted "perm:minhash"
+    strings) matches the DuckDB oracle's string_agg(... ORDER BY ...)."""
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}) — "
+            "leftover permutations would be silently un-banded"
+        )
+    rows_per_band = num_perm // bands
+    wide = minhash_signatures_wide(docs, num_perm, k, id_col, text_col)
+    band_structs = []
+    for band in range(bands):
+        perms = range(band * rows_per_band + 1, (band + 1) * rows_per_band + 1)
+        entries = F.array(*[F.concat_ws(":", F.lit(p), F.col(f"mh{p}")) for p in perms])
+        key = portable_hash64(F.concat_ws(",", F.sort_array(entries)))
+        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("band_key")))
+    return wide.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     num_perm: int = 16,
@@ -224,25 +258,7 @@ def minhash_candidates(
     The join key is (band, hash-of-band-rows) — collisions localize to
     buckets, never a global pairwise comparison.
     """
-    if num_perm % bands != 0:
-        raise ValueError(
-            f"num_perm ({num_perm}) must be divisible by bands ({bands}) — "
-            "leftover permutations would be silently un-banded"
-        )
-    rows_per_band = num_perm // bands
-    wide = minhash_signatures_wide(docs, num_perm, k, id_col, text_col)
-    # Band keys straight off the wide signature — zero extra shuffles. The
-    # key formula (hash of lexicographically-sorted "perm:minhash" strings)
-    # matches the DuckDB oracle's string_agg(... ORDER BY ...) exactly.
-    band_structs = []
-    for band in range(bands):
-        perms = range(band * rows_per_band + 1, (band + 1) * rows_per_band + 1)
-        entries = F.array(*[F.concat_ws(":", F.lit(p), F.col(f"mh{p}")) for p in perms])
-        key = portable_hash64(F.concat_ws(",", F.sort_array(entries)))
-        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("band_key")))
-    banded = wide.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    banded = minhash_band_table(docs, num_perm, bands, k, id_col, text_col)
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     return (
@@ -401,4 +417,163 @@ def winnow_fingerprints(
         .filter(F.col("pos") >= window)
         .select("doc_id", "fp")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs a (persisted) corpus index
+# ---------------------------------------------------------------------------
+
+def dedup_index_frames(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The two corpus-side frames of the incremental-dedup index:
+    (exact = (id, dup_hash), bands = (id, band, band_key)). Persist them
+    with :func:`build_dedup_index` for continuous ingest, or use in-plan
+    for a one-shot batch-vs-corpus check."""
+    exact = docs.select(
+        F.col(id_col).alias("id"),
+        portable_hash64(normalize_text(text_col)).alias("dup_hash"),
+    )
+    bands_df = minhash_band_table(docs, num_perm, bands, k, id_col, text_col)
+    return exact, bands_df
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    prefix: str = "dedup_index",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus's dedup state so each NEW ingest batch is checked
+    against the corpus without rescanning or re-fingerprinting it:
+
+      {prefix}_exact  (id, dup_hash)        bucketed by dup_hash
+      {prefix}_bands  (id, band, band_key)  bucketed by band_key
+
+    At 100 TB the corpus side of incremental dedup must never shuffle:
+    bucketing both tables by their join key means a new batch (small side,
+    broadcast or shuffled alone) probes co-located buckets — the per-batch
+    cost is proportional to the BATCH, not the corpus. This is the
+    continuous-ingest counterpart of the one-shot operators above.
+    """
+    from ..sources.bucketing import write_bucketed
+
+    exact, bands_df = dedup_index_frames(docs, num_perm, bands, k, id_col, text_col)
+    write_bucketed(exact, f"{prefix}_exact", bucket_col="dup_hash", num_buckets=num_buckets)
+    write_bucketed(bands_df, f"{prefix}_bands", bucket_col="band_key", num_buckets=num_buckets)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_exact: DataFrame,
+    index_bands: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify every doc of an ingest batch against the indexed corpus AND
+    the batch itself: (id, status) with deterministic precedence
+
+      exact_corpus  content hash already in the corpus index
+      exact_batch   duplicate content within the batch (a smaller-id batch
+                    doc is the canonical survivor; ties impossible)
+      near_corpus   shares >= 1 MinHash LSH band with a corpus doc
+      near_batch    shares >= 1 band with a SMALLER-id batch doc that
+                    itself survived the exact stages (regardless of that
+                    doc's own near-status — keeps the rule one-pass and
+                    order-independent)
+      kept          none of the above; admit to the corpus
+
+    Every stage is an equi-join against the batch side only — the corpus
+    is touched through the two index tables (`index_exact`, `index_bands`),
+    which :func:`build_dedup_index` stores bucketed by the join key so the
+    probes never shuffle the corpus. `minhash_band_table` parameters must
+    match the ones the index was built with.
+    """
+    batch_exact = new_docs.select(
+        F.col(id_col).alias("id"),
+        portable_hash64(normalize_text(text_col)).alias("dup_hash"),
+    )
+    corpus_hashes = index_exact.select("dup_hash").distinct()
+    in_corpus = batch_exact.join(
+        corpus_hashes.withColumn("_in_corpus", F.lit(True)), "dup_hash", "left"
+    ).select("id", "dup_hash", F.coalesce("_in_corpus", F.lit(False)).alias("in_corpus"))
+    first_in_batch = batch_exact.groupBy("dup_hash").agg(F.min("id").alias("_first_id"))
+    exact_flags = in_corpus.join(first_in_batch, "dup_hash").select(
+        "id",
+        "in_corpus",
+        (~F.col("in_corpus") & (F.col("id") != F.col("_first_id"))).alias("in_batch_dup"),
+    )
+
+    exact_survivor_ids = exact_flags.filter(
+        ~F.col("in_corpus") & ~F.col("in_batch_dup")
+    ).select("id")
+    survivors = new_docs.join(
+        exact_survivor_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    batch_bands = minhash_band_table(survivors, num_perm, bands, k, id_col, text_col)
+    near_corpus_ids = batch_bands.join(
+        index_bands.select("band", "band_key"), ["band", "band_key"], "left_semi"
+    ).select("id").distinct()
+    near_batch_ids = (
+        batch_bands.alias("x")
+        .join(
+            batch_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") > F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id"))
+        .distinct()
+    )
+
+    status = (
+        exact_flags.join(near_corpus_ids.withColumn("_nc", F.lit(True)), "id", "left")
+        .join(near_batch_ids.withColumn("_nb", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("in_corpus"), "exact_corpus")
+            .when(F.col("in_batch_dup"), "exact_batch")
+            .when(F.col("_nc").isNotNull(), "near_corpus")
+            .when(F.col("_nb").isNotNull(), "near_batch")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    return status
+
+
+def incremental_dedup_indexed(
+    new_docs: DataFrame,
+    prefix: str = "dedup_index",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`incremental_dedup` against the tables persisted by
+    :func:`build_dedup_index`."""
+    spark = new_docs.sparkSession
+    return incremental_dedup(
+        new_docs,
+        spark.table(f"{prefix}_exact"),
+        spark.table(f"{prefix}_bands"),
+        num_perm,
+        bands,
+        k,
+        id_col,
+        text_col,
     )

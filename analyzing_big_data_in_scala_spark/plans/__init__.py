@@ -48,10 +48,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tfidf_idf",
     "tfidf_matrix",
     "tfidf_doc_frequencies_stemmed",
-    "search_single_word",
     "search_multi_word_cosine",
     "entity_word_count",
-    "doc_token_stats",
     "doc_bpe_token_stats",
     "doc_quality_scores",
     "doc_language_id",
@@ -66,6 +64,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "doc_winnow_fingerprints",
     "dedup_embedding_cosine",
+    "dedup_incremental_batch",
     "similarity_cosine_topk",
     # Pipeline tail (unchecked in round 1 — all oracle-backed except ml)
     "multimodal_payload_features",
@@ -85,6 +84,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_first_seen_per_user",
     "streaming_sentiment_counts",
     "streaming_kafka_feed",
+    "streaming_click_purchase_join",
 )
 
 

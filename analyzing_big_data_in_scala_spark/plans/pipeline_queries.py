@@ -314,6 +314,112 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_blocked(emb, threshold=0.35)
 
 
+def _band_sql_for(source: str, num_perm: int = 16, bands: int = 4) -> str:
+    """CTE chain computing the MinHash LSH band table (id, band, band_key)
+    for a prior CTE `source(doc_id, text)` — the parameterized twin of
+    `dedup.minhash_band_table`, CTE names prefixed to avoid collisions."""
+    params = ", ".join(
+        f"({i + 1}, {a}, {b})" for i, (a, b) in enumerate(_perm_params(num_perm))
+    )
+    rows_per_band = num_perm // bands
+    agg = _HASH64.format(
+        x="string_agg(concat(perm, ':', minhash), ',' ORDER BY concat(perm, ':', minhash))"
+    )
+    return rf"""
+        {source}_toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+            FROM {source}
+        ),
+        {source}_shingles AS (
+            SELECT DISTINCT doc_id AS id,
+                   array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+            FROM {source}_toks, UNNEST(generate_series(1, len(toks) - 2)) t(i)
+            WHERE len(toks) >= 3
+        ),
+        {source}_base AS (
+            SELECT DISTINCT id, {_HASH40.format(x="shingle")} AS h FROM {source}_shingles
+        ),
+        {source}_sig AS (
+            SELECT base.id, params.perm,
+                   MIN((params.a * base.h + params.b) % {MERSENNE31}) AS minhash
+            FROM {source}_base base, (VALUES {params}) params(perm, a, b)
+            GROUP BY base.id, params.perm
+        ),
+        {source}_bands AS (
+            SELECT id, (perm - 1) // {rows_per_band} AS band, {agg} AS band_key
+            FROM {source}_sig
+            GROUP BY id, (perm - 1) // {rows_per_band}
+        )
+    """
+
+
+_NORM_HASH = _HASH64.format(x="trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))")
+# Same salt-less doc_id hash as documents_hash_sample_split's 25% sample.
+_BATCH_PRED = _HASH64.format(x="CAST(doc_id AS VARCHAR) || ''") + " % 10000 < 2500"
+
+
+@query(
+    "dedup_incremental_batch",
+    # Full-pipeline oracle: DuckDB re-derives the batch/corpus split, exact
+    # content hashes, MinHash band tables for BOTH sides, and the same
+    # status precedence — value-checked end to end.
+    oracle=f"""
+        WITH batch AS (SELECT doc_id, text FROM documents WHERE {_BATCH_PRED}),
+        corpus AS (SELECT doc_id, text FROM documents WHERE NOT ({_BATCH_PRED})),
+        batch_hash AS (SELECT doc_id AS id, {_NORM_HASH} AS dup_hash FROM batch),
+        corpus_hash AS (SELECT DISTINCT {_NORM_HASH} AS dup_hash FROM corpus),
+        first_in_batch AS (SELECT dup_hash, MIN(id) AS first_id FROM batch_hash GROUP BY dup_hash),
+        exact_flags AS (
+            SELECT bh.id,
+                   (ch.dup_hash IS NOT NULL) AS in_corpus,
+                   (ch.dup_hash IS NULL AND bh.id <> fib.first_id) AS in_batch_dup
+            FROM batch_hash bh
+            LEFT JOIN corpus_hash ch USING (dup_hash)
+            JOIN first_in_batch fib USING (dup_hash)
+        ),
+        survivors AS (
+            SELECT b.doc_id, b.text
+            FROM batch b JOIN exact_flags ef ON ef.id = b.doc_id
+            WHERE NOT ef.in_corpus AND NOT ef.in_batch_dup
+        ),
+        {_band_sql_for("survivors")},
+        {_band_sql_for("corpus")},
+        near_corpus AS (
+            SELECT DISTINCT sb.id
+            FROM survivors_bands sb
+            JOIN corpus_bands cb ON sb.band = cb.band AND sb.band_key = cb.band_key
+        ),
+        near_batch AS (
+            SELECT DISTINCT x.id
+            FROM survivors_bands x
+            JOIN survivors_bands y
+              ON x.band = y.band AND x.band_key = y.band_key AND x.id > y.id
+        )
+        SELECT ef.id AS doc_id,
+               CASE WHEN ef.in_corpus THEN 'exact_corpus'
+                    WHEN ef.in_batch_dup THEN 'exact_batch'
+                    WHEN nc.id IS NOT NULL THEN 'near_corpus'
+                    WHEN nb.id IS NOT NULL THEN 'near_batch'
+                    ELSE 'kept' END AS status
+        FROM exact_flags ef
+        LEFT JOIN near_corpus nc ON nc.id = ef.id
+        LEFT JOIN near_batch nb ON nb.id = ef.id
+    """,
+    description="Incremental dedup: a 25% hash-sampled ingest batch classified against the remaining 75% corpus index (exact hash + MinHash LSH bands) with deterministic status precedence",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    is_batch = hash_bucket("doc_id", 10_000, "") < F.lit(2500)
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+    index_exact, index_bands = D.dedup_index_frames(corpus)
+    status = D.incremental_dedup(batch, index_exact, index_bands)
+    return status.select(F.col("id").alias("doc_id"), "status")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

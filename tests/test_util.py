@@ -81,8 +81,10 @@ def test_driver_window_covers_oracle_backed_queries():
         "top_parts_by_revenue",       # top_customers_by_orders: same top-k join-agg
         "global_agg_stats",           # pricing_summary covers the agg functions
         "tfidf_term_frequencies",     # tf table is inside tfidf_matrix
+        "search_single_word",         # special case of search_multi_word_cosine
         "search_multi_word_reference",  # same chain as search_multi_word_cosine
         "search_batch_queries",       # batched variant of multi-word search
+        "doc_token_stats",            # doc_bpe_token_stats covers token counting
         "dedup_jaccard_df_capped",    # dedup_ngram_jaccard + df cap
         "dedup_minhash_signatures",   # signatures feed dedup_minhash_candidates
         "dedup_simhash",              # simhash feeds dedup_simhash_pairs

@@ -126,6 +126,11 @@ def main() -> None:
             ),
         }
         for name, fn in cases.items():
+            # Exact all-pairs cosine is quadratic by definition (16x data =
+            # 256x FLOPs ≈ minutes of pure BLAS) — probe it to 4x, which
+            # already shows the expected ~16x growth.
+            if name == "cosine_pairs_blocked" and copies == 16:
+                continue
             fn()  # warm (codegen/first-touch) — measure the steady state
             results.setdefault(name, {})[copies] = timed(fn)
 
@@ -140,8 +145,14 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     for name, t in results.items():
-        ratio = round(t[16] / t[1], 1) if t[1] > 0 else float("inf")
-        lines.append(f"| {name} | {t[1]} | {t[4]} | {t[16]} | {ratio} |")
+        if 16 in t:
+            ratio = round(t[16] / t[1], 1) if t[1] > 0 else float("inf")
+            lines.append(f"| {name} | {t[1]} | {t[4]} | {t[16]} | {ratio} |")
+        else:
+            r4 = round(t[4] / t[1], 1) if t[1] > 0 else float("inf")
+            lines.append(
+                f"| {name} | {t[1]} | {t[4]} | — (quadratic by design; probed to 4x) | x4/x1 = {r4} |"
+            )
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
