@@ -424,6 +424,17 @@ def winnow_fingerprints(
 # Incremental dedup: new batch vs a (persisted) corpus index
 # ---------------------------------------------------------------------------
 
+def exact_hash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dup_hash) — the normalized-content hash per doc, the exact half
+    of the dedup index."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        portable_hash64(normalize_text(text_col)).alias("dup_hash"),
+    )
+
+
 def dedup_index_frames(
     docs: DataFrame,
     num_perm: int = 16,
@@ -436,10 +447,7 @@ def dedup_index_frames(
     (exact = (id, dup_hash), bands = (id, band, band_key)). Persist them
     with :func:`build_dedup_index` for continuous ingest, or use in-plan
     for a one-shot batch-vs-corpus check."""
-    exact = docs.select(
-        F.col(id_col).alias("id"),
-        portable_hash64(normalize_text(text_col)).alias("dup_hash"),
-    )
+    exact = exact_hash_table(docs, id_col, text_col)
     bands_df = minhash_band_table(docs, num_perm, bands, k, id_col, text_col)
     return exact, bands_df
 
@@ -482,6 +490,7 @@ def incremental_dedup(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Classify every doc of an ingest batch against the indexed corpus AND
     the batch itself: (id, status) with deterministic precedence
@@ -501,6 +510,12 @@ def incremental_dedup(
     which :func:`build_dedup_index` stores bucketed by the join key so the
     probes never shuffle the corpus. `minhash_band_table` parameters must
     match the ones the index was built with.
+
+    `batch_bands` optionally supplies a precomputed band table covering (at
+    least) the batch docs — e.g. one :func:`minhash_band_table` pass over a
+    combined frame that was then split into corpus/batch. It is narrowed to
+    the exact-stage survivors internally, skipping a second
+    tokenize->shingle->minhash pass over the batch.
     """
     batch_exact = new_docs.select(
         F.col(id_col).alias("id"),
@@ -520,10 +535,13 @@ def incremental_dedup(
     exact_survivor_ids = exact_flags.filter(
         ~F.col("in_corpus") & ~F.col("in_batch_dup")
     ).select("id")
-    survivors = new_docs.join(
-        exact_survivor_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
-    )
-    batch_bands = minhash_band_table(survivors, num_perm, bands, k, id_col, text_col)
+    if batch_bands is not None:
+        batch_bands = batch_bands.join(exact_survivor_ids, "id", "left_semi")
+    else:
+        survivors = new_docs.join(
+            exact_survivor_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+        )
+        batch_bands = minhash_band_table(survivors, num_perm, bands, k, id_col, text_col)
     near_corpus_ids = batch_bands.join(
         index_bands.select("band", "band_key"), ["band", "band_key"], "left_semi"
     ).select("id").distinct()

@@ -36,7 +36,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "customer_order_full_outer",
     "supplier_part_type_share",
     "top_customers_per_segment",
-    "customer_order_running_total",
     "customers_with_expensive_items",
     "customers_without_orders_filtered",
     "customer_segment_setops",
@@ -44,7 +43,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "brand_returnflag_pivot",
     "lineitem_approx_profile",
     # Text / TF-IDF / search
-    "tfidf_doc_frequencies",
     "tfidf_idf",
     "tfidf_matrix",
     "tfidf_doc_frequencies_stemmed",
@@ -65,6 +63,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_winnow_fingerprints",
     "dedup_embedding_cosine",
     "dedup_incremental_batch",
+    "corpus_curation_pipeline",
     "similarity_cosine_topk",
     # Pipeline tail (unchecked in round 1 — all oracle-backed except ml)
     "multimodal_payload_features",
@@ -79,6 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_asof_latest_order",
     "events_range_join_daily_windows",
     "documents_hash_sample_split",
+    "documents_token_shards",
     # Streaming (availableNow drains — batch-equivalence oracles)
     "streaming_tumbling_counts",
     "streaming_first_seen_per_user",

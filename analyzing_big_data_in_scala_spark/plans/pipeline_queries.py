@@ -415,9 +415,141 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = hash_bucket("doc_id", 10_000, "") < F.lit(2500)
     batch = docs.filter(is_batch)
     corpus = docs.filter(~is_batch)
-    index_exact, index_bands = D.dedup_index_frames(corpus)
-    status = D.incremental_dedup(batch, index_exact, index_bands)
+    # Both sides come from ONE scan of `documents`, so tokenize/shingle/
+    # minhash once over all docs and split the band table by the same hash
+    # predicate (applied to the band table's id) — halves the heavy pass vs
+    # banding corpus and batch independently.
+    all_bands = D.minhash_band_table(docs)
+    is_batch_id = hash_bucket("id", 10_000, "") < F.lit(2500)
+    status = D.incremental_dedup(
+        batch,
+        index_exact=D.exact_hash_table(corpus),
+        index_bands=all_bands.filter(~is_batch_id),
+        batch_bands=all_bands.filter(is_batch_id),
+    )
     return status.select(F.col("id").alias("doc_id"), "status")
+
+
+@query(
+    "documents_token_shards",
+    # DuckDB's single-partition global window IS the independent oracle for
+    # the distributed two-phase prefix sum.
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, COUNT(*) AS n_tokens FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS t
+                FROM documents)
+            WHERE t <> ''
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2000.0) AS BIGINT) AS shard
+        FROM toks
+    """,
+    description="Token-budget shard packing for training export: global running token count in doc order via two-phase distributed prefix sum (never a single-partition global window), shard = floor(start_offset / budget)",
+)
+def documents_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_token_shards
+    from .text_queries import doc_token_stats
+
+    ntok = doc_token_stats(spark, sf_dir).select("doc_id", "n_tokens")
+    return pack_token_shards(ntok, "n_tokens", shard_tokens=2000).select(
+        "doc_id", "n_tokens", "running_tokens", "shard"
+    )
+
+
+@query(
+    "corpus_curation_pipeline",
+    # The flagship training-data flow as ONE declarative plan, value-checked
+    # end to end: language gate -> quality gate -> exact dedup (canonical
+    # survivor) -> MinHash near-dedup -> curated docs with their stats.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS t
+                FROM documents)
+            WHERE t <> ''
+        ),
+        stats AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*) AS uniq_ratio,
+                   AVG(CASE WHEN term IN {sql_stopword_list()} THEN 1.0 ELSE 0.0 END) AS stop_ratio
+            FROM toks GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT doc_id, n_tokens,
+                   ROUND(0.5 * LEAST(n_tokens / 100.0, 1.0)
+                       + 0.25 * uniq_ratio
+                       + 0.25 * LEAST(stop_ratio * 4, 1.0), 6) AS quality,
+                   stop_ratio AS en_ratio
+            FROM stats
+        ),
+        eligible AS (
+            SELECT d.doc_id, d.text, s.n_tokens, s.quality
+            FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+            WHERE s.en_ratio >= 0.05 AND s.quality >= 0.45
+        ),
+        ehash AS (SELECT doc_id, {_NORM_HASH} AS dup_hash FROM eligible),
+        keep_exact AS (SELECT MIN(doc_id) AS doc_id FROM ehash GROUP BY dup_hash),
+        survivors AS (
+            SELECT e.doc_id, e.text, e.n_tokens, e.quality
+            FROM eligible e JOIN keep_exact k ON e.doc_id = k.doc_id
+        ),
+        {_band_sql_for("survivors")},
+        near_drop AS (
+            SELECT DISTINCT x.id
+            FROM survivors_bands x
+            JOIN survivors_bands y
+              ON x.band = y.band AND x.band_key = y.band_key AND x.id > y.id
+        )
+        SELECT s.doc_id, s.n_tokens, s.quality
+        FROM survivors s LEFT JOIN near_drop nd ON nd.id = s.doc_id
+        WHERE nd.id IS NULL
+    """,
+    description="Corpus curation in one plan: language-ID gate, quality gate, exact dedup (min-id survivor), MinHash LSH near-dedup — the end-to-end training-data filter chain",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_queries import doc_language_id, doc_quality_scores, doc_token_stats
+
+    docs = _docs(spark, sf_dir)
+    quality = doc_quality_scores(spark, sf_dir)
+    lang = doc_language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    ntok = doc_token_stats(spark, sf_dir).select("doc_id", "n_tokens")
+    eligible = (
+        docs.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(ntok, "doc_id")
+        # threshold on the ROUNDED score: it is the published per-doc value
+        # (doc_quality_scores), so the gate is reproducible from that table.
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.45))
+    )
+    keep_exact = (
+        D.exact_hash_table(eligible)
+        .groupBy("dup_hash")
+        .agg(F.min("id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = eligible.join(keep_exact, "doc_id", "left_semi")
+    bands = D.minhash_band_table(survivors)
+    near_drop = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") > F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("doc_id"))
+        .distinct()
+    )
+    return survivors.join(near_drop, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "quality"
+    )
 
 
 # ---------------------------------------------------------------------------

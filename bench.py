@@ -59,6 +59,7 @@ HEADLINE = [
     "streaming_first_seen_per_user",
     "streaming_click_purchase_join",
     "dedup_incremental_batch",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -315,3 +315,50 @@ def test_compact_parquet_reduces_files_and_preserves_data(spark, tmp_path):
     # Already compact -> no-op, no rewrite.
     again = compact_parquet(spark, path, target_file_bytes=target)
     assert again["skipped"] is True and again["files_after"] == result["files_after"]
+
+
+def test_distributed_running_sum_matches_global_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.packing import (
+        distributed_running_sum,
+        pack_token_shards,
+    )
+
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("doc_id"), (F.pmod(F.col("id") * 37, 100) + 1).alias("v")
+    )
+    got = {
+        r.doc_id: r.running_sum
+        for r in distributed_running_sum(
+            df, "doc_id", "v", F.floor(F.col("doc_id") / 128)
+        ).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.doc_id: r.rs
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+    # The big-side window partitions by the bucket key — the dataset-wide
+    # frame never passes through a single window partition.
+    plan = (
+        distributed_running_sum(df, "doc_id", "v", F.floor(F.col("doc_id") / 128))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_bkt" in plan
+
+    shards = pack_token_shards(df.withColumnRenamed("v", "n_tokens"), "n_tokens", 5_000)
+    rows = sorted((r.doc_id, r.n_tokens, r.running_tokens, r.shard) for r in shards.collect())
+    # Shard ids start at 0 and step monotonically by at most 1 in doc order;
+    # each doc's shard is exactly floor(start_offset / budget).
+    assert rows[0][3] == 0
+    prev_shard = 0
+    for _doc_id, n_tokens, run, shard in rows:
+        assert shard in (prev_shard, prev_shard + 1)
+        prev_shard = shard
+        assert shard == (run - n_tokens) // 5_000

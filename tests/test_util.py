@@ -79,8 +79,10 @@ def test_driver_window_covers_oracle_backed_queries():
     deliberate_demotions = {
         "order_priority_counts",      # pricing_summary: same filter+agg family
         "top_parts_by_revenue",       # top_customers_by_orders: same top-k join-agg
+        "customer_order_running_total",  # top_customers_per_segment keeps window fns
         "global_agg_stats",           # pricing_summary covers the agg functions
         "tfidf_term_frequencies",     # tf table is inside tfidf_matrix
+        "tfidf_doc_frequencies",      # df table is inside tfidf_idf (idf=ln(N/df))
         "search_single_word",         # special case of search_multi_word_cosine
         "search_multi_word_reference",  # same chain as search_multi_word_cosine
         "search_batch_queries",       # batched variant of multi-word search
