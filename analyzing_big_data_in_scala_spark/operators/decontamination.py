@@ -1,0 +1,74 @@
+"""Benchmark decontamination: flag training docs that overlap an eval set.
+
+Standard LLM-corpus hygiene (GPT-3 appendix C, The Pile, PaLM): a training
+document is *contaminated* if it shares enough word n-grams with any
+benchmark/eval document; contaminated docs are dropped (or the spans
+surgically cut) before training so benchmark scores measure generalization,
+not memorization.
+
+Scale shape — the only one that survives 100 TB:
+
+- Each side is reduced to DISTINCT hashed n-grams (``dedup.
+  hashed_shingle_table``): 8-byte longs, never strings, ever reach a join.
+- The benchmark side is small by definition (eval suites are MBs, the
+  corpus is TBs) → its distinct hash set is **broadcast**; the probe is a
+  map-side semi join over the corpus grams: zero shuffle of corpus text,
+  one hash-aggregate by doc for the hit counts.
+- Per-doc gram totals ride the same aggregate; nothing quadratic, no
+  driver collect. If the eval set ever outgrew broadcast, the identical
+  plan degrades gracefully to a shuffled equi-join on the hash key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hashed_shingle_table
+
+
+def contamination_scan(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per corpus doc: (id_col, n_ngrams, n_hits, hit_frac, contaminated).
+
+    ``n_hits`` counts the doc's DISTINCT n-grams that appear anywhere in
+    the benchmark; ``hit_frac`` = hits / doc's distinct n-grams;
+    ``contaminated`` = n_hits >= min_hits. Docs shorter than n tokens have
+    zero n-grams: they can never be flagged and report hit_frac NULL."""
+    corpus_grams = hashed_shingle_table(corpus, k=n, id_col=id_col, text_col=text_col)
+    bench_grams = (
+        hashed_shingle_table(benchmark, k=n, id_col=id_col, text_col=text_col)
+        .select("h")
+        .distinct()
+    )
+    sizes = corpus_grams.groupBy("id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    scanned = (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(sizes, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+    return scanned.select(
+        id_col,
+        "n_ngrams",
+        "n_hits",
+        F.round(F.try_divide(F.col("n_hits").cast("double"), F.col("n_ngrams")), 6).alias(
+            "hit_frac"
+        ),
+        (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
+    )

@@ -82,3 +82,73 @@ def stratified_sample(
     `strata_col` is kept at its own rate (missing strata default to 0).
     One pass, no shuffle; rates are expectations, not exact counts."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def mixture_keep_rates(
+    counts: dict[str, int], target_shares: dict[str, float]
+) -> dict[str, float]:
+    """Per-source keep rates that turn observed `counts` into the
+    `target_shares` mixture by DOWNSAMPLING only (no rate exceeds 1).
+
+    The binding source — the one whose observed share falls shortest of its
+    target — is kept whole, and every other source is thinned relative to
+    it. Driver-side arithmetic over a per-source count dict (one tiny
+    aggregate at any corpus scale; the data itself never leaves executors).
+    Sources absent from `target_shares` get rate 0."""
+    missing = [s for s in target_shares if s not in counts]
+    if missing:
+        raise ValueError(f"target_shares name unknown sources: {missing}")
+    total_share = sum(target_shares.values())
+    if not 0.999999 <= total_share <= 1.000001:
+        raise ValueError(f"target_shares must sum to 1, got {total_share}")
+    # Scale chosen so the most-underrepresented source keeps rate 1.0:
+    # kept_s = rate_s * count_s ∝ share_s  =>  rate_s = scale * share_s / count_s.
+    scale = min(
+        counts[s] / share for s, share in target_shares.items() if share > 0
+    )
+    return {
+        s: (scale * share / counts[s] if share > 0 else 0.0)
+        for s, share in target_shares.items()
+    }
+
+
+def source_mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key: str,
+    source_col: str = "source",
+    buckets: int = 10_000,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic per-source downsampling to a target mixture: each row
+    is kept iff its hash bucket (stable in `key`) falls under its source's
+    rate threshold. Sources not in `rates` are dropped.
+
+    The mixture version of :func:`hash_sample`: membership is a pure
+    function of (key, source) — reruns, repartitions, and corpus growth
+    never reshuffle which documents are in the blend, so training mixes
+    are exactly reproducible. The per-source threshold is a broadcast-free
+    CASE expression: one codegen'd projection + filter, no shuffle, no
+    join, pushes down to the scan."""
+    thresholds = {s: round(r * buckets) for s, r in rates.items()}
+    expr = F.lit(0)
+    for s, t in thresholds.items():
+        expr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(expr)
+    return df.filter(hash_bucket(key, buckets, salt) < expr)
+
+
+def sql_source_mixture_filter(
+    rates: dict[str, float],
+    key_expr: str,
+    source_expr: str = "source",
+    buckets: int = 10_000,
+    salt: str = "mixture",
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`source_mixture_sample`."""
+    from ..functions.text import sql_portable_hash64
+
+    h = sql_portable_hash64(f"CAST({key_expr} AS VARCHAR) || '{salt}'")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {round(r * buckets)}" for s, r in rates.items()
+    )
+    return f"({h} % {buckets}) < (CASE {source_expr} {cases} ELSE 0 END)"

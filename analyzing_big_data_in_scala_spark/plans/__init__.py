@@ -34,13 +34,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pricing_summary",
     "revenue_by_nation",
     "customer_order_full_outer",
-    "supplier_part_type_share",
     "top_customers_per_segment",
     "customers_with_expensive_items",
-    "customers_without_orders_filtered",
     "customer_segment_setops",
     "revenue_rollup",
-    "brand_returnflag_pivot",
     "lineitem_approx_profile",
     # Text / TF-IDF / search
     "tfidf_idf",
@@ -51,9 +48,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_bpe_token_stats",
     "doc_quality_scores",
     "doc_language_id",
+    "doc_repetition_filters",
+    "doc_pii_scan",
+    "doc_decontamination",
     # Graph (exact, oracle-backed)
     "graph_out_degrees",
-    "graph_in_degrees",
     "graph_triangle_counts",
     # Dedup / similarity
     "dedup_exact_groups",
@@ -78,6 +77,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_asof_latest_order",
     "events_range_join_daily_windows",
     "documents_hash_sample_split",
+    "documents_source_mixture",
     "documents_token_shards",
     # Streaming (availableNow drains — batch-equivalence oracles)
     "streaming_tumbling_counts",

@@ -552,6 +552,52 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_decontamination",
+    # DuckDB twin: the same 5-gram universe, the same 64-bit hash, the same
+    # broadcast-side distinct — expressed as a plain semi join. The
+    # benchmark split (doc_id % 25 = 0) is re-derived identically on both
+    # engines, so contamination hits are exact, not sampled.
+    oracle=f"""
+        WITH doc_toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id AS id,
+                   {_HASH64.format(x="array_to_string(list_slice(toks, i, i + 4), ' ')")} AS h
+            FROM doc_toks, UNNEST(generate_series(1, len(toks) - 4)) t(i)
+            WHERE len(toks) >= 5
+        ),
+        bench AS (SELECT DISTINCT h FROM grams WHERE id % 25 = 0),
+        corpus AS (SELECT * FROM grams WHERE id % 25 <> 0),
+        sizes AS (SELECT id, COUNT(*) AS n_ngrams FROM corpus GROUP BY id),
+        hits AS (
+            SELECT id, COUNT(*) AS n_hits FROM corpus
+            WHERE h IN (SELECT h FROM bench) GROUP BY id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_ngrams, 0) AS n_ngrams,
+               COALESCE(ht.n_hits, 0) AS n_hits,
+               ROUND(CAST(COALESCE(ht.n_hits, 0) AS DOUBLE)
+                     / NULLIF(COALESCE(s.n_ngrams, 0), 0), 6) AS hit_frac,
+               COALESCE(ht.n_hits, 0) >= 3 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+        LEFT JOIN sizes s ON s.id = d.doc_id
+        LEFT JOIN hits ht ON ht.id = d.doc_id
+    """,
+    description="Benchmark decontamination: flag training docs sharing >=3 distinct hashed 5-grams with a held-out eval split — broadcast semi join over hashed grams, zero corpus-text shuffle",
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontamination import contamination_scan
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return contamination_scan(corpus, bench, n=5, min_hits=3)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1021,4 +1067,33 @@ def documents_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = hash_sample(docs, "doc_id", fraction=0.25)
     return split_by_hash(sampled, "doc_id", test_fraction=0.1).select(
         "doc_id", F.length("text").alias("text_len"), "split"
+    )
+
+
+# Fixed per-source keep rates for the registered mixture query (rates
+# computed FROM observed counts would make the oracle data-dependent;
+# `mixture_keep_rates` is unit-tested separately). src4+ are dropped.
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.6, "src2": 0.3, "src3": 0.1}
+
+
+def _mixture_oracle() -> str:
+    from ..operators.sampling import sql_source_mixture_filter
+
+    pred = sql_source_mixture_filter(_MIXTURE_RATES, key_expr="doc_id")
+    return f"SELECT doc_id, source FROM documents WHERE {pred}"
+
+
+@query(
+    "documents_source_mixture",
+    # Exact-membership check: DuckDB applies the identical md5 bucket
+    # arithmetic and CASE thresholds, so both engines keep the same rows.
+    oracle=_mixture_oracle(),
+    description="Deterministic per-source mixture downsampling (training-blend control): stable hash bucket vs per-source CASE threshold — one codegen'd filter, no shuffle, membership reproducible across runs/engines/partitionings",
+)
+def documents_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import source_mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    return source_mixture_sample(docs, _MIXTURE_RATES, key="doc_id").select(
+        "doc_id", "source"
     )

@@ -339,6 +339,113 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_repetition_filters",
+    # DuckDB re-derives every n-gram occurrence (list_slice over
+    # generate_series) and the same conditional-aggregate metrics. The
+    # gate compares ROUNDED fractions on both sides so the boolean is
+    # bit-stable. NULLIF guards divide-by-zero the same way try_divide
+    # does (fixture docs are all long enough, but the guard keeps the
+    # pair semantically identical).
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, n, gram FROM (
+                SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM tk
+                UNION ALL
+                SELECT doc_id, 2 AS n, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+                FROM tk, UNNEST(generate_series(1, len(toks) - 1)) t(i) WHERE len(toks) >= 2
+                UNION ALL
+                SELECT doc_id, 3 AS n, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+                FROM tk, UNNEST(generate_series(1, len(toks) - 2)) t(i) WHERE len(toks) >= 3
+            ) WHERE gram <> ''
+        ),
+        counts AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, n, gram),
+        stats AS (SELECT doc_id, n, SUM(c) AS total, MAX(c) AS top, COUNT(*) AS uniq
+                  FROM counts GROUP BY doc_id, n),
+        metrics AS (
+            SELECT doc_id,
+                   ROUND(MAX(CASE WHEN n = 1 THEN CAST(top AS DOUBLE) / NULLIF(total, 0) END), 6) AS top_unigram_frac,
+                   ROUND(MAX(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / NULLIF(total, 0) END), 6) AS top_bigram_frac,
+                   ROUND(MAX(CASE WHEN n = 3 THEN 1.0 - CAST(uniq AS DOUBLE) / NULLIF(total, 0) END), 6) AS dup_trigram_frac
+            FROM stats GROUP BY doc_id
+        )
+        SELECT doc_id, top_unigram_frac, top_bigram_frac, dup_trigram_frac,
+               COALESCE(top_unigram_frac > 0.30 OR top_bigram_frac > 0.18
+                        OR dup_trigram_frac > 0.30, FALSE) AS repetitive
+        FROM metrics
+    """,
+    description="Gopher-style repetition filters: top-unigram / top-bigram / duplicate-trigram fractions per doc + boilerplate gate flag — one explode, two hash aggregates, nothing quadratic",
+)
+def doc_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.repetition import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _pii_oracle() -> str:
+    from ..operators.pii import sql_pii_scan
+
+    exprs = sql_pii_scan("aug")
+    return f"""
+        WITH aug_docs AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     WHEN 1 THEN text || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1 call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                     ELSE text
+                   END AS aug
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({exprs["n_email"]} AS INT) AS n_email,
+               CAST({exprs["n_ipv4"]} AS INT) AS n_ipv4,
+               CAST({exprs["n_phone"]} AS INT) AS n_phone,
+               ({exprs["n_email"]} + {exprs["n_ipv4"]} + {exprs["n_phone"]}) > 0 AS has_pii,
+               md5({exprs["redacted"]}) AS redacted_hash
+        FROM aug_docs
+    """
+
+
+@query(
+    "doc_pii_scan",
+    oracle=_pii_oracle(),
+    description="PII scan + redaction (emails / IPv4 / phone runs) with typed placeholders; the fixture corpus holds no natural PII, so a deterministic injection (same expression both engines) lights up every code path — counts, the has_pii gate, and the md5 of the fully redacted text",
+)
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pii import pii_scan
+
+    docs = _docs(spark, sf_dir)
+    mod3 = (F.col("doc_id") % 3).cast("int")
+    aug = (
+        F.when(
+            mod3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            mod3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.1 call +1 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return pii_scan(docs.select("doc_id", aug.alias("text")))
+
+
+@query(
     "doc_language_id",
     oracle=f"""
         WITH {_SQL_TOKS},

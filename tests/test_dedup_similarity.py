@@ -341,3 +341,33 @@ def test_incremental_dedup_statuses(spark):
         5: "near_batch",
         6: "kept",
     }, got
+
+
+def test_contamination_scan_flags_overlap(spark):
+    from analyzing_big_data_in_scala_spark.operators.decontamination import (
+        contamination_scan,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # Verbatim copy of the benchmark doc: every 5-gram hits.
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            # Shares exactly one 5-gram window ("quick brown fox jumps over").
+            (2, "she said quick brown fox jumps over and nothing else that matters here today"),
+            # Disjoint vocabulary: zero hits.
+            (3, "completely unrelated prose about glaciers carving granite valleys over millennia"),
+            # Shorter than n tokens: no 5-grams at all -> NULL hit_frac.
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in contamination_scan(corpus, bench, n=5, min_hits=2).collect()}
+    assert rows[1].n_hits == rows[1].n_ngrams > 0
+    assert rows[1].hit_frac == 1.0 and rows[1].contaminated
+    assert rows[2].n_hits == 1 and not rows[2].contaminated  # below min_hits=2
+    assert rows[3].n_hits == 0 and rows[3].hit_frac == 0.0 and not rows[3].contaminated
+    assert rows[4].n_ngrams == 0 and rows[4].hit_frac is None and not rows[4].contaminated

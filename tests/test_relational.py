@@ -362,3 +362,53 @@ def test_distributed_running_sum_matches_global_window(spark):
         assert shard in (prev_shard, prev_shard + 1)
         prev_shard = shard
         assert shard == (run - n_tokens) // 5_000
+
+
+def test_mixture_keep_rates_downsample_only():
+    from analyzing_big_data_in_scala_spark.operators.sampling import mixture_keep_rates
+
+    # Binding source is c: its observed share (100/1600) falls shortest of
+    # its 0.2 target, so it keeps rate 1.0 and the others thin around it.
+    rates = mixture_keep_rates(
+        {"a": 1000, "b": 500, "c": 100}, {"a": 0.5, "b": 0.3, "c": 0.2}
+    )
+    assert rates == pytest.approx({"a": 0.25, "b": 0.3, "c": 1.0})
+    # Resulting kept counts 250/150/100 hit the 0.5/0.3/0.2 mixture exactly.
+    kept = {s: rates[s] * n for s, n in {"a": 1000, "b": 500, "c": 100}.items()}
+    total = sum(kept.values())
+    assert {s: k / total for s, k in kept.items()} == pytest.approx(
+        {"a": 0.5, "b": 0.3, "c": 0.2}
+    )
+
+    with pytest.raises(ValueError, match="unknown sources"):
+        mixture_keep_rates({"a": 10}, {"a": 0.5, "b": 0.5})
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_keep_rates({"a": 10}, {"a": 0.7})
+
+
+def test_source_mixture_sample_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.sampling import (
+        source_mixture_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = source_mixture_sample(df, rates, key="doc_id")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["src0"] == 500              # rate 1.0 keeps every row
+    assert "src2" not in counts               # explicit rate 0 drops all
+    assert "src3" not in counts               # unlisted source drops all
+    assert 150 <= counts["src1"] <= 350       # ~250 expected, hash-decided
+    # Exact membership is a pure function of (doc_id, source): reruns agree.
+    again = source_mixture_sample(df, rates, key="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )

@@ -173,3 +173,60 @@ def test_stem_light_spark_duckdb_parity(spark):
     assert pinned["stresses"] == "stress"
     assert pinned["dogs"] == "dog"
     assert pinned["miss"] == "miss"      # trailing ss is preserved
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    from analyzing_big_data_in_scala_spark.operators.repetition import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 10x the same token: top_unigram_frac 1.0, every trigram equal.
+            (1, "spam " * 10),
+            # All-distinct tokens: no repetition on any metric.
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+            # Too short for trigrams: dup_trigram_frac must be NULL, not 0/err.
+            (3, "one two"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[1].top_unigram_frac == 1.0
+    assert rows[1].dup_trigram_frac == pytest.approx(1 - 1 / 8)
+    assert rows[1].repetitive is True
+    assert rows[2].top_unigram_frac == pytest.approx(0.1)
+    assert rows[2].dup_trigram_frac == 0.0
+    assert rows[2].repetitive is False
+    assert rows[3].dup_trigram_frac is None
+    assert rows[3].top_bigram_frac == 1.0  # single bigram dominates trivially
+    assert rows[3].repetitive is True  # 1.0 > 0.18 on the bigram gate
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    from analyzing_big_data_in_scala_spark.operators.pii import pii_scan, redact_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+spam@corp.example.co.uk or alice@ex.io today"),
+            (2, "server 192.168.001.1 and 10.0.0.7 up"),
+            (3, "call +1 555-0100 2398 now"),
+            (4, "nothing sensitive here"),
+            # An email whose local part is digits must not leak a phone hit.
+            (5, "x 12345678901@digits.example.com y"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (2, 0, 0)
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 2, 0)
+    assert rows[3].n_phone == 1 and rows[3].has_pii
+    assert rows[4].has_pii is False
+    assert (rows[5].n_email, rows[5].n_phone) == (1, 0)
+
+    red = {
+        r.doc_id: r.red
+        for r in docs.select("doc_id", redact_text("text").alias("red")).collect()
+    }
+    assert red[1] == "mail <EMAIL> or <EMAIL> today"
+    assert red[2] == "server <IP> and <IP> up"
+    assert red[3] == "call <PHONE> now"
+    assert red[5] == "x <EMAIL> y"

@@ -91,6 +91,14 @@ def test_driver_window_covers_oracle_backed_queries():
         "dedup_minhash_signatures",   # signatures feed dedup_minhash_candidates
         "dedup_simhash",              # simhash feeds dedup_simhash_pairs
         "doc_fingerprint_rolling",    # rolling hash feeds doc_winnow_fingerprints
+        # Round-1-green rotations (CORRECTNESS_r01 already records their
+        # pass; slots ceded to doc_repetition_filters / doc_pii_scan /
+        # doc_decontamination in round 2):
+        "supplier_part_type_share",   # window-agg family held by top_customers_per_segment
+        "customers_without_orders_filtered",  # anti join, complement of the
+                                              # semi join in customers_with_expensive_items
+        "graph_in_degrees",           # mirror aggregate of graph_out_degrees
+        "brand_returnflag_pivot",     # grouping-extension family held by revenue_rollup
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
