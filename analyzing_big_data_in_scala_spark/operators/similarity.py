@@ -387,13 +387,10 @@ def ivf_topk_indexed(
     return _probe_and_score(indexed, centroids, query, k, nprobe, id_col, vec_col)
 
 
-def hyperplane_signatures(
-    df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64
-) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector: bit p = sign(v . h_p)
-    with h_p a deterministic +-1 hyperplane derived from (p, index) parity.
-    Returns (id_col, bucket)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id expression: bit p = sign(v . h_p)
+    with h_p a deterministic +-1 hyperplane derived from (p, index) parity."""
+    v = F.transform(vec, lambda x: x.cast("double"))
     bucket = None
     for p in range(n_planes):
         # Deterministic ±1 pattern per plane: sign flips where (i*(p+1)+p) % 3 == 0.
@@ -408,7 +405,17 @@ def hyperplane_signatures(
         )
         bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+    return bucket.cast("int")
+
+
+def hyperplane_signatures(
+    df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (:func:`hyperplane_bucket`).
+    Returns (id_col, bucket)."""
+    return df.select(
+        F.col(id_col), hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket")
+    )
 
 
 def lsh_topk(
@@ -461,4 +468,124 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|v| / 127,
+    q_i = floor(v_i / scale + 0.5) stored as `array<tinyint>`. Returns
+    (id_col, qvec, scale).
+
+    4x smaller than float32 in shuffle/cache/storage — at 100 TB of
+    embeddings that is the difference between an index that fits in
+    cluster memory and one that doesn't. Rounding is floor(x + 0.5), not
+    ROUND(): half-up-toward-+inf has one cross-engine definition, so the
+    quantized vectors are bit-identical in DuckDB and the operator is
+    oracle-checkable. All-zero vectors quantize to all zeros (try_divide
+    guards the 0/0)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.transform(
+        v,
+        lambda x: F.coalesce(
+            F.floor(F.try_divide(x, amax / F.lit(127.0)) + F.lit(0.5)), F.lit(0)
+        ).cast("tinyint"),
+    )
+    return df.select(F.col(id_col), q.alias("qvec"), scale)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-over-quantized top-k: cosine on the int8 vectors. The
+    per-vector scale is a positive scalar, so it cancels in cosine — the
+    only error vs :func:`cosine_topk` is the rounding noise (~1/254 per
+    component), which leaves top-k order nearly intact (recall pinned in
+    tests). Integer-valued products also make the double sums exact, so
+    the scores are bit-reproducible across engines and partitionings —
+    something float32 dot products cannot promise."""
+    qc = quantize_int8(corpus, id_col, vec_col).select(
+        id_col, F.col("qvec").alias(vec_col)
+    )
+    qq = quantize_int8(query, id_col, vec_col).select(
+        id_col, F.col("qvec").alias(vec_col)
+    )
+    return cosine_topk(qc, qq, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023):
+    cluster the embedding space, then inside each cluster drop every vector
+    that has a higher-similarity twin — keeping one representative
+    (min id) per semantic neighborhood. Returns (id_col, bucket, kept).
+
+    This implementation is deterministic end to end so it can be
+    value-checked cross-engine, where the paper's k-means can't:
+
+    - the "cluster" is the :func:`hyperplane_bucket` LSH cell (2^n_planes
+      cells) — a pure expression, no fitted model, no seed drift;
+    - vectors are :func:`quantize_int8` first, so every projection and
+      every within-cell cosine sums INTEGER-valued doubles — exact, no
+      float associativity noise in either the bucket sign or the
+      threshold decision.
+
+    Scale shape: one quantize+bucket projection over the corpus, then a
+    self-equi-join ON THE CELL KEY only — candidate generation is
+    proportional to the cell pair count, never all-pairs. Raise n_planes
+    to shrink cells as the corpus grows (cells halve per extra plane);
+    cross-cell near-dups are missed by design (LSH recall), identically
+    on any engine."""
+    q = quantize_int8(emb, id_col, vec_col)
+    tagged = q.select(
+        F.col(id_col),
+        F.col("qvec"),
+        hyperplane_bucket(F.col("qvec"), n_planes, dim).alias("bucket"),
+    )
+
+    # Within-cell scoring is dense all-pairs math → one BLAS matmul per
+    # cell (Arrow applyInPandas), not per-pair expression trees: ~5x the
+    # throughput at 64 dims. The quantized components are integer-valued,
+    # so numpy's reassociated sums are still EXACT — oracle parity holds.
+    # Executor memory is bounded by the largest cell (the n_planes knob).
+    def find_drops(pdf):
+        # Self-contained closure: executors import locally.
+        import numpy as _np
+        import pandas as _pd
+
+        if len(pdf) < 2:
+            return _pd.DataFrame({"drop_id": _np.array([], dtype=_np.int64)})
+        pdf = pdf.sort_values("__id")
+        Q = _np.array(list(pdf["qvec"]), dtype=_np.float64)
+        n = _np.linalg.norm(Q, axis=1)
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            C = (Q @ Q.T) / _np.outer(n, n)
+        C = _np.nan_to_num(C, nan=-2.0)  # zero-norm never clears a real threshold
+        # A vector is dropped iff SOME smaller-id vector in its cell clears
+        # the threshold (min-id survivor, same convention as exact dedup):
+        # rows sorted by id → strict lower triangle = smaller-id neighbors.
+        hit = _np.tril(C >= threshold, k=-1).any(axis=1)
+        return _pd.DataFrame({"drop_id": pdf["__id"].to_numpy()[hit]})
+
+    dup = (
+        tagged.select(F.col(id_col).alias("__id"), "bucket", "qvec")
+        .groupBy("bucket")
+        .applyInPandas(find_drops, schema="drop_id long")
+    )
+    return (
+        tagged.join(dup, tagged[id_col] == dup["drop_id"], "left")
+        .select(id_col, "bucket", F.col("drop_id").isNull().alias("kept"))
     )

@@ -30,27 +30,24 @@ from . import streaming_queries  # noqa: F401,E402
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # Relational core
-    "top_customers_by_orders",
     "pricing_summary",
     "revenue_by_nation",
     "customer_order_full_outer",
     "top_customers_per_segment",
     "customers_with_expensive_items",
-    "customer_segment_setops",
     "revenue_rollup",
     "lineitem_approx_profile",
     # Text / TF-IDF / search
     "tfidf_idf",
-    "tfidf_matrix",
     "tfidf_doc_frequencies_stemmed",
     "search_multi_word_cosine",
-    "entity_word_count",
     "doc_bpe_token_stats",
     "doc_quality_scores",
     "doc_language_id",
     "doc_repetition_filters",
     "doc_pii_scan",
     "doc_decontamination",
+    "doc_url_domains",
     # Graph (exact, oracle-backed)
     "graph_out_degrees",
     "graph_triangle_counts",
@@ -61,9 +58,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "doc_winnow_fingerprints",
     "dedup_embedding_cosine",
+    "dedup_semantic",
     "dedup_incremental_batch",
     "corpus_curation_pipeline",
     "similarity_cosine_topk",
+    "similarity_quantized_topk",
     # Pipeline tail (unchecked in round 1 — all oracle-backed except ml)
     "multimodal_payload_features",
     "ner_gazetteer_counts",
@@ -85,6 +84,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_sentiment_counts",
     "streaming_kafka_feed",
     "streaming_click_purchase_join",
+    "streaming_dedup_distinct_users",
 )
 
 

@@ -631,6 +631,101 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic",
+    # Integer-exact end to end: quantized components make every projection
+    # sum and every within-cell cosine a sum of integer-valued doubles, so
+    # the bucket sign and the threshold decision bit-match across engines
+    # (no float-associativity flakiness). Spark's plane index i is 0-based,
+    # DuckDB's generate_series is 1-based — hence (i-1) in the sign pattern.
+    oracle="""
+        WITH sc AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+            FROM sc
+        ),
+        proj AS (
+            SELECT vec_id, p.p AS p,
+                   SUM(q[i] * (CASE WHEN (((i - 1) * (p.p + 1) + p.p) % 3) = 0 THEN -1 ELSE 1 END)) AS proj
+            FROM qz, UNNEST(generate_series(1, len(q))) t(i), (VALUES (0), (1), (2), (3)) p(p)
+            GROUP BY vec_id, p.p
+        ),
+        qb AS (
+            SELECT qz.vec_id, qz.q,
+                   CAST(SUM(CASE WHEN proj.proj > 0 THEN (1 << proj.p) ELSE 0 END) AS INT) AS bucket
+            FROM qz JOIN proj ON qz.vec_id = proj.vec_id
+            GROUP BY qz.vec_id, qz.q
+        ),
+        dup AS (
+            SELECT DISTINCT id_a FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id > b.vec_id,
+                     UNNEST(generate_series(1, len(a.q))) t(i)
+                GROUP BY a.vec_id, b.vec_id
+                HAVING SUM(a.q[i] * a.q[i]) > 0 AND SUM(b.q[i] * b.q[i]) > 0
+                   AND SUM(a.q[i] * b.q[i])
+                       / (sqrt(SUM(a.q[i] * a.q[i])) * sqrt(SUM(b.q[i] * b.q[i]))) >= 0.35
+            )
+        )
+        SELECT qb.vec_id, qb.bucket, dup.id_a IS NULL AS kept
+        FROM qb LEFT JOIN dup ON qb.vec_id = dup.id_a
+    """,
+    description="SemDeDup-style semantic near-dedup: deterministic hyperplane cells over int8-quantized embeddings, min-id survivor per cell above cosine 0.35 — candidate join on the cell key only, never all-pairs",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.35, n_planes=4)
+
+
+@query(
+    "similarity_quantized_topk",
+    # Fully value-checked: floor(x/scale + 0.5) has one cross-engine
+    # definition (unlike ROUND), and cosine over integer-valued doubles
+    # sums exactly (< 2^53), so scores bit-match between engines.
+    oracle="""
+        WITH sc AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+            FROM sc
+        ),
+        probes AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 3),
+        scored AS (
+            SELECT p.query_id AS query_id, e.vec_id AS vec_id,
+                   ROUND(SUM(e.q[i] * p.qq[i])
+                       / (sqrt(SUM(e.q[i] * e.q[i])) * sqrt(SUM(p.qq[i] * p.qq[i]))), 6) AS cosine
+            FROM qz e
+            JOIN probes p ON e.vec_id <> p.query_id
+            , UNNEST(generate_series(1, len(e.q))) t(i)
+            GROUP BY p.query_id, e.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    description="Top-10 cosine over per-vector symmetric int8 quantized embeddings (4x smaller index; scales cancel in cosine, integer sums bit-reproducible)",
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantized_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+
+
+@query(
     "similarity_ivf_topk",
     oracle=None,  # approximate; recall vs brute force pinned in tests
     description="IVF approximate top-10: k-means coarse cells, nprobe=4 of 16 probed per query",

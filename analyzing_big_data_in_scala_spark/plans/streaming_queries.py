@@ -139,3 +139,28 @@ def streaming_kafka_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # records were serialized executor-side; this materialization exists
     # only to hand the driver a comparable DataFrame.
     return spark.createDataFrame(records, "topic string, key string, value string")
+
+
+@query(
+    "streaming_dedup_distinct_users",
+    # COUNT(*) over the drained sink vs batch COUNT(DISTINCT): the counts
+    # only agree if the streaming dedup actually dropped every duplicate
+    # pair — the dedup is load-bearing, not decorative. (In an availableNow
+    # drain the watermark stays at its initial value during the batch, so
+    # in-batch dedup is exact regardless of the event-time span; at
+    # steady state the 1h delay bounds state just like any watermark.)
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Streaming dedup via dropDuplicatesWithinWatermark on (user_id, event_type): bounded state (watermark-evicted keys), batch-equivalent distinct counts",
+)
+def streaming_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.events_stream(spark, sf_dir)
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    mat = ST.run_available_now(dedup, table, output_mode="append", state_partitions=8)
+    return mat.groupBy("event_type").agg(F.count("*").alias("n_users"))

@@ -445,6 +445,72 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan(docs.select("doc_id", aug.alias("text")))
 
 
+_URL_BLOCKLIST = [f"spam{i}.bad.example" for i in range(5)]
+
+
+def _url_oracle() -> str:
+    from ..operators.urls import sql_url_stats
+
+    exprs = sql_url_stats(_URL_BLOCKLIST, "aug")
+    return f"""
+        WITH aug_docs AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+                                 || '.example.com/p' || CAST(doc_id AS VARCHAR)
+                                 || ' plus http://www.ref' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/x'
+                     WHEN 1 THEN text || ' visit https://spam' || CAST(doc_id % 5 AS VARCHAR) || '.bad.example/offer now'
+                     ELSE text
+                   END AS aug
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({exprs["n_urls"]} AS INT) AS n_urls,
+               CAST({exprs["n_domains"]} AS INT) AS n_domains,
+               {exprs["primary_domain"]} AS primary_domain,
+               {exprs["blocked"]} AS blocked
+        FROM aug_docs
+    """
+
+
+@query(
+    "doc_url_domains",
+    oracle=_url_oracle(),
+    description="URL extraction + domain normalization (lowercase, www-stripped) + blocklist gate; the fixture corpus holds no natural URLs, so a deterministic injection (same expression both engines) exercises extraction, dedup, the lexicographic primary domain, and the blocked flag",
+)
+def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.urls import url_stats
+
+    docs = _docs(spark, sf_dir)
+    mod4 = (F.col("doc_id") % 4).cast("int")
+    aug = (
+        F.when(
+            mod4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com/p"),
+                F.col("doc_id").cast("string"),
+                F.lit(" plus http://www.ref"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.org/x"),
+            ),
+        )
+        .when(
+            mod4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" visit https://spam"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".bad.example/offer now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return url_stats(docs.select("doc_id", aug.alias("text")), _URL_BLOCKLIST)
+
+
 @query(
     "doc_language_id",
     oracle=f"""

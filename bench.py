@@ -60,6 +60,11 @@ HEADLINE = [
     "streaming_click_purchase_join",
     "dedup_incremental_batch",
     "corpus_curation_pipeline",
+    # curation operators (round 2)
+    "doc_repetition_filters",
+    "doc_decontamination",
+    "dedup_semantic",
+    "similarity_quantized_topk",
 ]
 
 

@@ -371,3 +371,74 @@ def test_contamination_scan_flags_overlap(spark):
     assert rows[2].n_hits == 1 and not rows[2].contaminated  # below min_hits=2
     assert rows[3].n_hits == 0 and rows[3].hit_frac == 0.0 and not rows[3].contaminated
     assert rows[4].n_ngrams == 0 and rows[4].hit_frac is None and not rows[4].contaminated
+
+
+def test_quantize_int8_invariants(spark):
+    from analyzing_big_data_in_scala_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 2.0]),     # amax 2.0 -> scale 2/127
+            (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector must not divide by 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert dict(out[1].asDict())["qvec"] == [64, -127, 32, 127]  # floor(x/s+0.5)
+    assert out[1].scale == pytest.approx(2.0 / 127.0)
+    assert out[2].qvec == [0, 0, 0, 0] and out[2].scale == 0.0
+    # Storage really is int8: element type byte, magnitudes within [-127, 127].
+    qvec_type = dict(quantize_int8(df).dtypes)["qvec"]
+    assert qvec_type == "array<tinyint>"
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    from analyzing_big_data_in_scala_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, probes, k=10).collect()
+    quant = quantized_topk(emb, probes, k=10).collect()
+    exact_sets = {}
+    quant_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in quant:
+        quant_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & quant_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # ~1/254-per-component rounding noise barely disturbs top-10 order.
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_semantic_dedup_min_id_survivor(spark):
+    from analyzing_big_data_in_scala_spark.operators.similarity import semantic_dedup
+
+    base = [float(i % 7 - 3) for i in range(16)]
+    near = list(base)
+    near[0] += 0.05                      # same direction, tiny perturbation
+    ortho = [0.0] * 16
+    ortho[1] = 5.0                       # unrelated direction
+    anti = [-x for x in base]            # opposite direction: cosine -1
+    emb = spark.createDataFrame(
+        [(10, base), (20, near), (30, ortho), (40, anti)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.9, n_planes=2, dim=16).collect()}
+    assert len(rows) == 4
+    # near-dup pair: the smaller id survives, the larger is dropped —
+    # they land in the same hyperplane cell because their projections agree.
+    assert rows[10].bucket == rows[20].bucket
+    assert rows[10].kept is True
+    assert rows[20].kept is False
+    # Orthogonal and anti-parallel vectors are never dropped (cosine far
+    # below threshold even when a cell collision happens).
+    assert rows[30].kept is True and rows[40].kept is True

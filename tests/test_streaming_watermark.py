@@ -84,3 +84,39 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # them at the end of the final batch, and append-mode emission needs a
     # subsequent batch — also correct semantics.
     assert 90 not in out and 120 not in out, out
+
+
+def test_drop_duplicates_within_watermark_across_batches(spark, tmp_path):
+    """Cross-batch dedup state: a key seen in batch 1 suppresses its batch-2
+    duplicate (within the watermark delay), while a fresh key passes."""
+    import uuid
+
+    from analyzing_big_data_in_scala_spark.streaming.stream import run_available_now
+
+    tmpdir = str(tmp_path)
+    now = time.time()
+
+    def _kv(*pairs):
+        return spark.createDataFrame(
+            [(k, o) for k, o in pairs], "k string, off long"
+        ).select(
+            "k", F.timestamp_seconds(F.lit(BASE) + F.col("off") * 60).alias("ts")
+        )
+
+    # batch 1: key a (twice in-batch), key b.
+    _write_one_parquet(_kv(("a", 0), ("a", 1), ("b", 2)), tmpdir, "b1.parquet", now - 300)
+    # batch 2: key a AGAIN (cross-batch dup, 3 min later — inside the 1h
+    # delay) and fresh key c.
+    _write_one_parquet(_kv(("a", 4), ("c", 5)), tmpdir, "b2.parquet", now - 200)
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(tmpdir, "stream"))
+    )
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    table = f"t_dedup_wm_{uuid.uuid4().hex[:8]}"
+    mat = run_available_now(dedup, table, output_mode="append", state_partitions=4)
+    kept = sorted(r.k for r in mat.select("k").collect())
+    assert kept == ["a", "b", "c"]  # one survivor per key, across batches

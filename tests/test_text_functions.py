@@ -230,3 +230,31 @@ def test_pii_scan_counts_and_redacts(spark):
     assert red[2] == "server <IP> and <IP> up"
     assert red[3] == "call <PHONE> now"
     assert red[5] == "x <EMAIL> y"
+
+
+def test_url_stats_extraction_and_blocklist(spark):
+    from analyzing_big_data_in_scala_spark.operators.urls import url_stats
+
+    docs = spark.createDataFrame(
+        [
+            # Mixed case + www + repeated domain + path noise.
+            (1, "read HTTPS://Example.COM/a and https://www.example.com/b?q=1 ok"),
+            (2, "bad link https://spam.bad.example/x inline"),
+            (3, "no links at all"),
+            # Scheme required: bare domains must not match.
+            (4, "see example.org or ftp://old.example.net/file"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in url_stats(docs, blocklist=["spam.bad.example"]).collect()
+    }
+    # regexp matches are case-sensitive on the scheme: HTTPS:// is not
+    # matched (Java and RE2 agree), so doc 1 yields one URL.
+    assert (rows[1].n_urls, rows[1].n_domains) == (1, 1)
+    assert rows[1].primary_domain == "example.com"  # lowercased + www-stripped
+    assert rows[1].blocked is False
+    assert rows[2].blocked is True and rows[2].n_urls == 1
+    assert rows[3].n_urls == 0 and rows[3].primary_domain is None
+    assert rows[4].n_urls == 0  # no scheme, no match

@@ -99,6 +99,12 @@ def test_driver_window_covers_oracle_backed_queries():
                                               # semi join in customers_with_expensive_items
         "graph_in_degrees",           # mirror aggregate of graph_out_degrees
         "brand_returnflag_pivot",     # grouping-extension family held by revenue_rollup
+        # Slots ceded to dedup_semantic / similarity_quantized_topk /
+        # doc_url_domains later in round 2:
+        "tfidf_matrix",               # the matrix feeds the green search_multi_word_cosine chain
+        "top_customers_by_orders",    # top-k join-agg family held by top_parts/search top-ks
+        "customer_segment_setops",    # set-ops, r1-green (CORRECTNESS_r01)
+        "entity_word_count",          # r1-green; NER slot held by ner_gazetteer_counts
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)

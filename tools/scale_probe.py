@@ -22,8 +22,12 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import asof as A  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import dedup as D  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import graph as G  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import repetition as R  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import similarity as S  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import tfidf as T  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators.decontamination import (  # noqa: E402
+    contamination_scan,
+)
 from analyzing_big_data_in_scala_spark.session import get_spark  # noqa: E402
 from analyzing_big_data_in_scala_spark.sources.catalog import load_events, load_table  # noqa: E402
 
@@ -123,6 +127,24 @@ def main() -> None:
             # probe verifies it degrades by compute, not by driver memory.
             "cosine_pairs_blocked": lambda: noop(
                 S.cosine_pairs_blocked(emb, threshold=0.5)
+            ),
+            # One explode + two hash aggregates — expect ~linear.
+            "repetition_stats": lambda: noop(R.repetition_stats(docs)),
+            # Corpus-side cost only: the benchmark side stays FIXED (the
+            # base split) while the corpus inflates — the broadcast semi
+            # join should scale with the corpus alone.
+            "contamination_scan": lambda: noop(
+                contamination_scan(
+                    docs, docs0.filter(F.col("doc_id") % 25 == 0), n=5
+                )
+            ),
+            # The n_planes knob IS the scale path: +1 plane per 2x data
+            # keeps cell occupancy constant, so the within-cell self-join
+            # stays ~linear instead of quadratic (4/6/8 planes at 1/4/16x).
+            "semantic_dedup": lambda: noop(
+                S.semantic_dedup(
+                    emb, threshold=0.35, n_planes=4 + (copies.bit_length() - 1)
+                )
             ),
         }
         for name, fn in cases.items():
