@@ -1,0 +1,107 @@
+"""Fixed-length token chunking + chunk-level (sub-document) dedup.
+
+Two standard training-pipeline steps the document-level operators don't
+cover:
+
+- **Chunking**: a context-window pipeline splits each document's token
+  stream into fixed-size chunks before packing/tokenization
+  (`operators/packing.py` then packs chunks into shards). Implemented as
+  one tokenize + one in-array slice transform + one explode — no UDF, no
+  shuffle until a consumer aggregates.
+- **Chunk-level dedup**: duplicated PASSAGES across documents (boilerplate
+  headers, license blocks, syndicated fragments) survive document-level
+  dedup because the surrounding text differs. Hashing fixed chunks and
+  counting cross-corpus repeats is the chunk-granularity approximation of
+  suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+  Data Makes Language Models Better") that actually scales: two hash
+  aggregates over 8-byte keys, nothing quadratic, no suffix array.
+
+Chunk hashes use the md5-derived portable hash so DuckDB reproduces them
+bit-for-bit (same contract as `dedup.hashed_shingle_table`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash64, tokens
+
+
+def token_chunks(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, n_tokens, chunk_hash) — non-overlapping
+    `chunk_size`-token windows per document, in order; the final chunk may
+    be short. Zero-token docs yield no rows."""
+    toked = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(chunk_size)).cast("int")
+    idx = F.when(F.size("toks") > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(F.col("toks"), i * chunk_size + 1, chunk_size).alias("c"),
+        ),
+    )
+    return toked.select("id", F.explode(chunks).alias("ch")).select(
+        F.col("id"),
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.size("ch.c").alias("n_tokens"),
+        portable_hash64(F.concat_ws(" ", F.col("ch.c"))).alias("chunk_hash"),
+    )
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-passage profile:
+    (id_col, n_chunks, n_dup_chunks, dup_chunk_frac).
+
+    A chunk occurrence is *duplicated* when its hash also appears in at
+    least one OTHER document (within-doc repeats alone don't count — a
+    doc's own refrain is repetition, not cross-corpus boilerplate;
+    `operators/repetition.py` measures that). dup_chunk_frac is NULL for
+    zero-chunk docs.
+
+    Scale shape: chunk table → one hash aggregate for the global per-hash
+    document frequency → equi-join back ON THE 8-BYTE HASH (both sides
+    already partitioned by it, so the join reuses the aggregate's
+    exchange) → one aggregate per doc. Nothing quadratic, keys never
+    wider than a long; distinct hashes grow with the corpus, so this is
+    a shuffled join by design, not a broadcast."""
+    ch = token_chunks(docs, chunk_size, id_col, text_col)
+    df_counts = ch.groupBy("chunk_hash").agg(
+        F.count_distinct("id").alias("chunk_df")
+    )
+    flagged = ch.join(df_counts, "chunk_hash").select(
+        "id", (F.col("chunk_df") > 1).alias("is_dup")
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("int")).alias("n_dup_chunks"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.round(
+                F.try_divide(
+                    F.coalesce("n_dup_chunks", F.lit(0)).cast("double"),
+                    F.coalesce("n_chunks", F.lit(0)),
+                ),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )

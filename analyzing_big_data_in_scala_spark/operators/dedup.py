@@ -595,3 +595,53 @@ def incremental_dedup_indexed(
         id_col,
         text_col,
     )
+
+
+def near_dedup_clusters(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate DEDUP (not just pair generation): verified
+    Jaccard pairs become edges, connected components group transitive
+    near-dups into clusters, and the min-id doc per cluster survives —
+    the MinHashLSH + union-find pipeline (e.g. the C4/RefinedWeb recipe)
+    expressed entirely in DataFrame ops.
+
+    Returns one row per document: (id_col, cluster, cluster_size, kept)
+    with cluster = min doc id reachable through pairs >= threshold,
+    kept = (doc == cluster representative). Transitivity is deliberate:
+    A~B and B~C place A,C in one cluster even when jaccard(A,C) <
+    threshold — that is the standard dedup semantics (drop all but one
+    per chain), distinct from the pairwise views (`ngram_jaccard_pairs`).
+
+    Scale shape: pair generation is the inverted-index join (linear in
+    shared-shingle fan-out, `max_shingle_df` caps hot shingles); the CC
+    fixpoint runs ONLY on the near-dup subgraph — its vertex set is the
+    docs that have at least one near-dup, typically a small fraction of
+    the corpus — in O(log n) alternating-star rounds; the final cluster
+    assignment is one left join + one window over the cluster key.
+    """
+    from .graph import connected_components_two_phase
+    from pyspark.sql import Window
+
+    pairs = ngram_jaccard_pairs(
+        docs, k, threshold, id_col, text_col, max_shingle_df, cache_shingles=False
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comps = connected_components_two_phase(edges)
+    assigned = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster"))
+    )
+    w = Window.partitionBy("cluster")
+    return assigned.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("id") == F.col("cluster")).alias("kept"),
+    )

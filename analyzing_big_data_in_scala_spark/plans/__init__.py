@@ -38,41 +38,42 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "revenue_rollup",
     "lineitem_approx_profile",
     # Text / TF-IDF / search
-    "tfidf_idf",
     "tfidf_doc_frequencies_stemmed",
     "search_multi_word_cosine",
     "doc_bpe_token_stats",
-    "doc_quality_scores",
-    "doc_language_id",
     "doc_repetition_filters",
     "doc_pii_scan",
     "doc_decontamination",
     "doc_url_domains",
-    # Graph (exact, oracle-backed)
+    # Graph — degrees/triangles exact; PageRank via unrolled-CTE oracle,
+    # CC via recursive-CTE closure oracle (iterative != unverifiable)
     "graph_out_degrees",
     "graph_triangle_counts",
+    "graph_pagerank_reference",
+    "graph_components_two_phase",
     # Dedup / similarity
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
+    "dedup_near_clusters",
     "dedup_minhash_candidates",
-    "dedup_simhash_pairs",
     "doc_winnow_fingerprints",
+    "doc_chunk_dedup",
     "dedup_embedding_cosine",
     "dedup_semantic",
     "dedup_incremental_batch",
     "corpus_curation_pipeline",
-    "similarity_cosine_topk",
+    "corpus_curation_funnel",
     "similarity_quantized_topk",
     # Pipeline tail (unchecked in round 1 — all oracle-backed except ml)
     "multimodal_payload_features",
     "ner_gazetteer_counts",
     "events_json_by_type",
-    "events_tumbling_10min",
     "events_sliding_20min",
     "events_salted_by_type",
     "events_user_sessions",
     "events_session_window_native",
     "ml_sentiment_metrics",
+    "events_conversion_funnel",
     "events_asof_latest_order",
     "events_range_join_daily_windows",
     "documents_hash_sample_split",

@@ -3,9 +3,12 @@ deterministically from the `events` fixture: consecutive events within each
 (event_type, day) partition contribute user->user edges (FIXTURES.md §2).
 
 Degrees and triangle counts are SQL-expressible -> full DuckDB oracles.
-Iterative PageRank / connected components are driver-controlled fixpoint
-loops -> rows-only checks (the unit tests pin their numerics on
-hand-computed micro-graphs instead).
+The iterative queries are value-checked too: fixed-iteration PageRank by
+UNROLLING the fixpoint into generated CTE stages (`_pagerank_sql`),
+connected components by a recursive-CTE transitive closure
+(`_CC_SIZES_SQL`). Only run-to-convergence PageRank (`tol=`) stays
+rows-only — its iteration count is decided by driver-side deltas. Unit
+tests additionally pin numerics on hand-computed micro-graphs.
 """
 
 from __future__ import annotations
@@ -40,6 +43,86 @@ canon AS (
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.edges_from_events(load_table(spark, sf_dir, "events"))
+
+
+def _pagerank_sql(iterations: int = 10, reference: bool = False) -> str:
+    """DuckDB oracle for the iterative PageRank queries, built by UNROLLING
+    the fixpoint: one generated CTE stage per iteration (r1..rN), each the
+    SQL twin of one loop body in `operators.graph.pagerank`. Recursive CTEs
+    can't aggregate in the recursive term, but an unrolled chain has no such
+    limit — this turns the 'iterative, therefore rows-only' queries into
+    fully value-checked ones.
+
+    Float-safety: alpha/n and (1-alpha) are emitted via Python float repr so
+    both engines multiply by bit-identical doubles; both sides round to 6
+    decimals and SORT BY THE ROUNDED value, leaving ~1e-13 cross-engine
+    reassociation noise 7 orders of magnitude below the comparator's
+    resolution."""
+    alpha, beta = 0.15, 1 - 0.15
+    if reference:
+        # Q5: flow over deduped edges; Q3: init 10.0; Q4: inner join -> a
+        # vertex keeps a rank only while it has in-links.
+        flow = "SELECT DISTINCT src, dst FROM edges"
+        init = "CAST(10.0 AS DOUBLE)"
+    else:
+        flow = "SELECT src, dst FROM edges"
+        init = "CAST(1.0 AS DOUBLE) / (SELECT t FROM nv)"
+    stages = [f"r0 AS (SELECT id, {init} AS pr FROM vertices)"]
+    for i in range(1, iterations + 1):
+        mass = f"""
+            SELECT f.dst AS id, SUM(r.pr / o.od) AS mass
+            FROM flow f
+            JOIN r{i - 1} r ON r.id = f.src
+            JOIN outd o ON o.src = f.src
+            GROUP BY f.dst"""
+        if reference:
+            stages.append(
+                f"r{i} AS (SELECT id, CAST({alpha!r} AS DOUBLE) / (SELECT t FROM nv)"
+                f" + CAST({beta!r} AS DOUBLE) * mass AS pr FROM ({mass}))"
+            )
+        else:
+            stages.append(
+                f"""r{i} AS (
+                SELECT v.id, CAST({alpha!r} AS DOUBLE) / (SELECT t FROM nv)
+                       + CAST({beta!r} AS DOUBLE) * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS pr
+                FROM vertices v LEFT JOIN ({mass}) m ON m.id = v.id)"""
+            )
+    chain = ",\n".join(stages)
+    return f"""
+        WITH {_SQL_EDGES},
+        vertices AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        nv AS (SELECT COUNT(*) AS t FROM vertices),
+        outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        flow AS ({flow}),
+        {chain}
+        SELECT id, ROUND(pr, 6) AS pagerank FROM r{iterations}
+        ORDER BY pagerank DESC, id ASC LIMIT 20
+    """
+
+
+# Connected components as a recursive CTE: transitive closure over the
+# symmetrized edge set, component label = MIN reachable vertex id (the same
+# convention as `operators.graph.connected_components`). Closure size is
+# sum(component_size^2) — bounded and checked at oracle scale (sf<=0.01),
+# where the events graph is ~150 vertices.
+_CC_SIZES_SQL = f"""
+    WITH RECURSIVE {_SQL_EDGES},
+    sym AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT dst AS a, src AS b FROM edges
+    ),
+    walk(id, label) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.id
+    ),
+    comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id)
+    SELECT component, COUNT(*) AS size FROM comp
+    GROUP BY component
+    ORDER BY size DESC, component ASC
+    LIMIT 20
+"""
 
 
 @query(
@@ -109,12 +192,12 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_pagerank",
-    oracle=None,  # iterative fixpoint; unit tests pin numerics on micro-graphs
-    description="G4 PageRank (damping 0.15, 10 iters) top-20 (EpinionsGraphFrameAnalysis.scala:91-103)",
+    oracle=_pagerank_sql(iterations=10, reference=False),
+    description="G4 PageRank (damping 0.15, 10 iters) top-20 (EpinionsGraphFrameAnalysis.scala:91-103); oracle = the fixpoint UNROLLED into 10 generated CTE stages, value-checked",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = G.pagerank(_edges(spark, sf_dir), alpha=0.15, max_iterations=10)
-    return pr.select("id", F.round("pagerank", 8).alias("pagerank")).orderBy(
+    return pr.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy(
         F.desc("pagerank"), F.asc("id")
     ).limit(20)
 
@@ -133,22 +216,22 @@ def graph_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_pagerank_reference",
-    oracle=None,
-    description="G7 hand-rolled PageRank with quirks Q3-Q5 (StandaloneScala/PageRank.scala:24-77)",
+    oracle=_pagerank_sql(iterations=10, reference=True),
+    description="G7 hand-rolled PageRank with quirks Q3-Q5 (StandaloneScala/PageRank.scala:24-77); oracle unrolls the same quirky fixpoint (init 10.0, deduped flow edges, inner-join dropout) into CTE stages",
 )
 def graph_pagerank_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = G.pagerank(
         _edges(spark, sf_dir), alpha=0.15, max_iterations=10, reference_semantics=True
     )
-    return pr.select("id", F.round("pagerank", 8).alias("pagerank")).orderBy(
+    return pr.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy(
         F.desc("pagerank"), F.asc("id")
     ).limit(20)
 
 
 @query(
     "graph_component_sizes",
-    oracle=None,  # fixpoint loop; micro-graph unit tests pin semantics
-    description="G5 connected components -> top-20 component sizes (EpinionsGraphFrameAnalysis.scala:105-117)",
+    oracle=_CC_SIZES_SQL,
+    description="G5 connected components -> top-20 component sizes (EpinionsGraphFrameAnalysis.scala:105-117); oracle = recursive-CTE transitive closure with min-reachable-id labels",
 )
 def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = G.connected_components(_edges(spark, sf_dir))
@@ -161,8 +244,8 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_components_two_phase",
-    oracle=None,  # tested equal to label propagation (tests/test_graph.py)
-    description="G5 scale path: large-star/small-star CC in O(log n) rounds -> top-20 sizes",
+    oracle=_CC_SIZES_SQL,
+    description="G5 scale path: large-star/small-star CC in O(log n) rounds -> top-20 sizes; same recursive-CTE closure oracle as the label-propagation variant",
 )
 def graph_components_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = G.connected_components_two_phase(_edges(spark, sf_dir))

@@ -127,6 +127,58 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2, max_shingle_df=5)
 
 
+@query(
+    "dedup_near_clusters",
+    # End-to-end near-dedup: the verified-pair fragment (same SQL as
+    # dedup_ngram_jaccard) becomes an edge list, and a recursive-CTE
+    # transitive closure reproduces the engine's connected-components
+    # clustering (min-reachable-id labels) — so the CLUSTERING step is
+    # value-checked, not just the pairs.
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SHINGLES},
+        hshingles AS (
+            SELECT DISTINCT id, {_HASH64.format(x='shingle')} AS h FROM shingles
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM hshingles GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM hshingles a JOIN hshingles b USING (h)
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        ),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        walk(id, label) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.id
+        ),
+        comp AS (SELECT id, MIN(label) AS cluster FROM walk GROUP BY id),
+        assigned AS (
+            SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        )
+        SELECT doc_id, cluster,
+               COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+               doc_id = cluster AS kept
+        FROM assigned
+    """,
+    description="End-to-end near-dedup: Jaccard>=0.2 pairs -> connected-component clusters -> min-id survivor per cluster (the MinHashLSH+union-find recipe, all DataFrame ops; CC runs only on the near-dup subgraph)",
+)
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.near_dedup_clusters(_docs(spark, sf_dir), k=3, threshold=0.2)
+
+
 def _minhash_sql(num_perm: int = 16) -> str:
     params = ", ".join(f"({i + 1}, {a}, {b})" for i, (a, b) in enumerate(_perm_params(num_perm)))
     return f"""
@@ -598,6 +650,245 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_scan(corpus, bench, n=5, min_hits=3)
 
 
+def _funnel_oracle() -> str:
+    from .text_queries import _SQL_TOKS
+    from ..functions.text import sql_stopword_list
+
+    stops = sql_stopword_list()
+    gram5 = _HASH64.format(x="array_to_string(list_slice(toks, i, i + 4), ' ')")
+    chunk_h = _HASH64.format(
+        x="array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 32), ' ')"
+    )
+    exact_h = _HASH64.format(x="trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))")
+    return f"""
+        WITH {_SQL_TOKS},
+        lang AS (
+            SELECT doc_id,
+                   AVG(CASE WHEN term IN {stops} THEN 1.0 ELSE 0.0 END) >= 0.05 AS g1
+            FROM toks GROUP BY doc_id
+        ),
+        qstats AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*) AS uniq_ratio,
+                   AVG(CASE WHEN term IN {stops} THEN 1.0 ELSE 0.0 END) AS stop_ratio
+            FROM toks GROUP BY doc_id
+        ),
+        qual AS (
+            SELECT doc_id,
+                   ROUND(0.5 * LEAST(n_tokens / 100.0, 1.0) + 0.25 * uniq_ratio
+                         + 0.25 * LEAST(stop_ratio * 4, 1.0), 6) >= 0.45 AS g2
+            FROM qstats
+        ),
+        tk AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+            FROM documents
+        ),
+        rgrams AS (
+            SELECT doc_id, n, gram FROM (
+                SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM tk
+                UNION ALL
+                SELECT doc_id, 2 AS n, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+                FROM tk, UNNEST(generate_series(1, len(toks) - 1)) t(i) WHERE len(toks) >= 2
+                UNION ALL
+                SELECT doc_id, 3 AS n, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+                FROM tk, UNNEST(generate_series(1, len(toks) - 2)) t(i) WHERE len(toks) >= 3
+            ) WHERE gram <> ''
+        ),
+        rcounts AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM rgrams GROUP BY doc_id, n, gram),
+        rstats AS (SELECT doc_id, n, SUM(c) AS total, MAX(c) AS top, COUNT(*) AS uniq
+                   FROM rcounts GROUP BY doc_id, n),
+        rep AS (
+            SELECT doc_id,
+                   NOT COALESCE(
+                       ROUND(MAX(CASE WHEN n = 1 THEN CAST(top AS DOUBLE) / NULLIF(total, 0) END), 6) > 0.30
+                       OR ROUND(MAX(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / NULLIF(total, 0) END), 6) > 0.18
+                       OR ROUND(MAX(CASE WHEN n = 3 THEN 1.0 - CAST(uniq AS DOUBLE) / NULLIF(total, 0) END), 6) > 0.30,
+                       FALSE) AS g3
+            FROM rstats GROUP BY doc_id
+        ),
+        grams5 AS (
+            SELECT DISTINCT doc_id AS id, {gram5} AS h
+            FROM tk, UNNEST(generate_series(1, len(toks) - 4)) t(i)
+            WHERE len(toks) >= 5
+        ),
+        bench5 AS (SELECT DISTINCT h FROM grams5 WHERE id % 25 = 0),
+        hits5 AS (
+            SELECT id, COUNT(*) AS n_hits FROM grams5
+            WHERE id % 25 <> 0 AND h IN (SELECT h FROM bench5) GROUP BY id
+        ),
+        chunks AS (
+            SELECT doc_id, {chunk_h} AS h
+            FROM tk, UNNEST(generate_series(0, CAST(ceil(len(toks) / 32.0) AS INT) - 1)) t(i)
+            WHERE len(toks) > 0 AND doc_id % 25 <> 0
+        ),
+        cdf AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY h),
+        cstats AS (
+            SELECT chunks.doc_id, COUNT(*) AS n_chunks,
+                   SUM(CASE WHEN cdf.df > 1 THEN 1 ELSE 0 END) AS n_dup
+            FROM chunks JOIN cdf ON chunks.h = cdf.h GROUP BY chunks.doc_id
+        ),
+        flags AS (
+            SELECT d.doc_id,
+                   lang.g1 AS c1,
+                   lang.g1 AND qual.g2 AS c2,
+                   lang.g1 AND qual.g2 AND rep.g3 AS c3,
+                   lang.g1 AND qual.g2 AND rep.g3
+                       AND COALESCE(hits5.n_hits, 0) < 3 AS c4,
+                   lang.g1 AND qual.g2 AND rep.g3
+                       AND COALESCE(hits5.n_hits, 0) < 3
+                       AND COALESCE(CAST(cstats.n_dup AS DOUBLE) / NULLIF(cstats.n_chunks, 0), 0) < 0.5 AS c5
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+            JOIN lang ON lang.doc_id = d.doc_id
+            JOIN qual ON qual.doc_id = d.doc_id
+            JOIN rep ON rep.doc_id = d.doc_id
+            LEFT JOIN hits5 ON hits5.id = d.doc_id
+            LEFT JOIN cstats ON cstats.doc_id = d.doc_id
+        ),
+        keep AS (
+            SELECT MIN(d.doc_id) AS doc_id
+            FROM documents d JOIN flags ON flags.doc_id = d.doc_id AND flags.c5
+            GROUP BY {exact_h}
+        )
+        SELECT stage, n_docs FROM (
+            SELECT '00_corpus' AS stage, COUNT(*) AS n_docs, 0 AS ord FROM flags
+            UNION ALL SELECT '01_english', CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT), 1 FROM flags
+            UNION ALL SELECT '02_quality', CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT), 2 FROM flags
+            UNION ALL SELECT '03_not_repetitive', CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT), 3 FROM flags
+            UNION ALL SELECT '04_decontaminated', CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT), 4 FROM flags
+            UNION ALL SELECT '05_passage_clean', CAST(SUM(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT), 5 FROM flags
+            UNION ALL SELECT '06_exact_unique', COUNT(*), 6 FROM keep
+        ) ORDER BY ord
+    """
+
+
+@query(
+    "corpus_curation_funnel",
+    # Every gate's math is the SAME fragment as its standalone oracle
+    # (language/quality/repetition/decontamination/chunk dedup/exact
+    # dedup), composed as cumulative booleans — so this query value-checks
+    # the composition, not just the pieces.
+    oracle=_funnel_oracle(),
+    description="End-to-end curation funnel over the training split: language -> quality -> repetition -> decontamination -> passage dedup -> exact dedup, per-stage survivor counts from ONE composed plan (token aggregates shared across gates via ReuseExchange)",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_dedup_stats
+    from ..operators.decontamination import contamination_scan
+    from .text_queries import (
+        doc_language_id,
+        doc_quality_scores,
+        doc_repetition_filters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    lang = doc_language_id(spark, sf_dir).select(
+        "doc_id", (F.col("pred_lang") == "en").alias("g1")
+    )
+    qual = doc_quality_scores(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= 0.45).alias("g2")
+    )
+    rep = doc_repetition_filters(spark, sf_dir).select(
+        "doc_id", (~F.col("repetitive")).alias("g3")
+    )
+    cont = contamination_scan(train, bench, n=5, min_hits=3).select(
+        "doc_id", (~F.col("contaminated")).alias("g4")
+    )
+    chunk = chunk_dedup_stats(train, chunk_size=32).select(
+        "doc_id",
+        (F.coalesce(F.col("dup_chunk_frac"), F.lit(0.0)) < 0.5).alias("g5"),
+    )
+    flags = (
+        train.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(cont, "doc_id")
+        .join(chunk, "doc_id")
+        .select(
+            "doc_id",
+            F.col("g1").alias("c1"),
+            (F.col("g1") & F.col("g2")).alias("c2"),
+            (F.col("g1") & F.col("g2") & F.col("g3")).alias("c3"),
+            (F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")).alias("c4"),
+            (F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4") & F.col("g5")).alias(
+                "c5"
+            ),
+        )
+    )
+    # Exact dedup applies to stage-5 survivors: the canonical doc (min id)
+    # per normalized-content hash survives.
+    surv5 = train.join(flags.filter(F.col("c5")).select("doc_id"), "doc_id")
+    keep = (
+        D.exact_hash_table(surv5)
+        .groupBy("dup_hash")
+        .agg(F.min("id").alias("doc_id"))
+    )
+    stages = [
+        flags.agg(F.lit("00_corpus").alias("stage"), F.count("*").alias("n_docs")),
+        *[
+            flags.agg(
+                F.lit(label).alias("stage"),
+                F.sum(F.col(c).cast("long")).alias("n_docs"),
+            )
+            for label, c in [
+                ("01_english", "c1"),
+                ("02_quality", "c2"),
+                ("03_not_repetitive", "c3"),
+                ("04_decontaminated", "c4"),
+                ("05_passage_clean", "c5"),
+            ]
+        ],
+        keep.agg(F.lit("06_exact_unique").alias("stage"), F.count("*").alias("n_docs")),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@query(
+    "doc_chunk_dedup",
+    # DuckDB re-derives the chunks (list_slice over a chunk-index series),
+    # hashes them with the same md5-derived long, and counts per-hash
+    # document frequency — duplicated = seen in >= 2 distinct docs.
+    oracle=f"""
+        WITH doc_toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   {_HASH64.format(x="array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 32), ' ')")} AS h
+            FROM doc_toks,
+                 UNNEST(generate_series(0, CAST(ceil(len(toks) / 32.0) AS INT) - 1)) t(i)
+            WHERE len(toks) > 0
+        ),
+        dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS chunk_df FROM chunks GROUP BY h),
+        per_doc AS (
+            SELECT chunks.doc_id,
+                   COUNT(*) AS n_chunks,
+                   SUM(CASE WHEN dfreq.chunk_df > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+            FROM chunks JOIN dfreq ON chunks.h = dfreq.h
+            GROUP BY chunks.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_chunks, 0) AS n_chunks,
+               COALESCE(p.n_dup_chunks, 0) AS n_dup_chunks,
+               ROUND(CAST(COALESCE(p.n_dup_chunks, 0) AS DOUBLE)
+                     / NULLIF(COALESCE(p.n_chunks, 0), 0), 6) AS dup_chunk_frac
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    description="Sub-document dedup: 32-token chunk hashes, cross-document duplicated-passage fraction per doc (chunk-granularity stand-in for suffix-array substring dedup that scales: two hash aggregates over 8-byte keys)",
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_dedup_stats
+
+    return chunk_dedup_stats(_docs(spark, sf_dir), chunk_size=32)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1040,6 +1331,75 @@ def ml_sentiment_metrics_full_grid(spark: SparkSession, sf_dir: str) -> DataFram
     train, test = labeled.randomSplit([0.8, 0.2], seed=42)
     model = M.cross_validated_model(train, small_grid=False)
     return M.classification_metrics(model.transform(test))
+
+
+@query(
+    "events_conversion_funnel",
+    # Strictly-ordered funnel: each stage's entry time is the user's first
+    # qualifying event AFTER the previous stage's entry — conditional
+    # aggregate per stage, an equi-join on user_id between stages, never a
+    # window over the whole event stream.
+    oracle="""
+        WITH t1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND e.ts > t1.t1
+            GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            GROUP BY e.user_id
+        )
+        SELECT stage, n_users FROM (
+            SELECT '1_view' AS stage, COUNT(*) AS n_users, 1 AS ord FROM t1
+            UNION ALL
+            SELECT '2_click_after_view', COUNT(*), 2 FROM t2
+            UNION ALL
+            SELECT '3_purchase_after_click', COUNT(*), 3 FROM t3
+        ) ORDER BY ord
+    """,
+    description="Sequential-pattern conversion funnel (view -> click -> purchase, strictly time-ordered per user): per-stage conditional MIN aggregates chained by user-key equi-joins — no per-user event sort, no window over the stream",
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = [
+        t1.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users")),
+        t2.agg(
+            F.lit("2_click_after_view").alias("stage"), F.count("*").alias("n_users")
+        ),
+        t3.agg(
+            F.lit("3_purchase_after_click").alias("stage"),
+            F.count("*").alias("n_users"),
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 @query(

@@ -65,6 +65,9 @@ HEADLINE = [
     "doc_decontamination",
     "dedup_semantic",
     "similarity_quantized_topk",
+    "doc_chunk_dedup",
+    "corpus_curation_funnel",
+    "events_conversion_funnel",
 ]
 
 

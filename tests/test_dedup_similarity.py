@@ -442,3 +442,60 @@ def test_semantic_dedup_min_id_survivor(spark):
     # Orthogonal and anti-parallel vectors are never dropped (cosine far
     # below threshold even when a cell collision happens).
     assert rows[30].kept is True and rows[40].kept is True
+
+
+def test_chunk_dedup_cross_document_only(spark):
+    from analyzing_big_data_in_scala_spark.operators.chunking import (
+        chunk_dedup_stats,
+        token_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # chunks [a b c] [d e f]
+            (2, "a b c x y z"),       # shares [a b c] with doc 1
+            (3, "p q r"),             # unique single chunk
+            (4, ""),                  # zero tokens -> zero chunks
+            (5, "m n o m n o"),       # repeats ITSELF only: not cross-doc dup
+        ],
+        "doc_id long, text string",
+    )
+    ch = token_chunks(docs, chunk_size=3).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.id, []).append(r)
+    assert [c.chunk_idx for c in sorted(by_doc[1], key=lambda c: c.chunk_idx)] == [0, 1]
+    assert all(c.n_tokens == 3 for c in by_doc[1])
+    assert 4 not in by_doc
+    h = {(r.id, r.chunk_idx): r.chunk_hash for r in ch}
+    assert h[(1, 0)] == h[(2, 0)]          # identical chunk, identical hash
+    assert h[(5, 0)] == h[(5, 1)]          # within-doc repeat, same hash
+
+    stats = {r.doc_id: r for r in chunk_dedup_stats(docs, chunk_size=3).collect()}
+    assert (stats[1].n_chunks, stats[1].n_dup_chunks) == (2, 1)
+    assert stats[1].dup_chunk_frac == 0.5
+    assert (stats[2].n_chunks, stats[2].n_dup_chunks) == (2, 1)
+    assert (stats[3].n_chunks, stats[3].n_dup_chunks) == (1, 0)
+    assert stats[4].n_chunks == 0 and stats[4].dup_chunk_frac is None
+    # a doc's own refrain is repetition, not cross-corpus boilerplate
+    assert (stats[5].n_chunks, stats[5].n_dup_chunks) == (2, 0)
+
+
+def test_near_dedup_clusters_transitive(spark):
+    from analyzing_big_data_in_scala_spark.operators.dedup import near_dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            # 1~2 (jaccard 0.5) and 2~3 (jaccard 0.2) but 1 and 3 share NO
+            # shingle: transitivity must still chain them into one cluster.
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "gamma delta zeta eta theta"),
+            (4, "unique words only here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in near_dedup_clusters(docs, k=3, threshold=0.2).collect()}
+    assert [out[i].cluster for i in (1, 2, 3, 4)] == [1, 1, 1, 4]
+    assert [out[i].cluster_size for i in (1, 2, 3, 4)] == [3, 3, 3, 1]
+    assert [out[i].kept for i in (1, 2, 3, 4)] == [True, False, False, True]

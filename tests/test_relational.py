@@ -412,3 +412,36 @@ def test_source_mixture_sample_deterministic(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_conversion_funnel_strict_ordering(spark):
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: the canonical path, strictly ordered.
+            (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            # user 2: purchase happens BEFORE the first click-after-view —
+            # reaches stage 2 but must NOT count as converted.
+            (2, "view", 10), (2, "purchase", 20), (2, "click", 30),
+            # user 3: views only.
+            (3, "view", 10), (3, "click", 5),  # click precedes the view
+        ],
+        "user_id long, event_type string, off long",
+    ).select(
+        "user_id", "event_type",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("off")).alias("ts"),
+    )
+
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    t2 = (
+        ev.filter(F.col("event_type") == "click").join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1")).groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase").join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2")).groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    assert sorted(r.user_id for r in t1.collect()) == [1, 2, 3]
+    assert sorted(r.user_id for r in t2.collect()) == [1, 2]  # user 3's click was pre-view
+    assert sorted(r.user_id for r in t3.collect()) == [1]     # user 2's purchase pre-click

@@ -105,6 +105,18 @@ def test_driver_window_covers_oracle_backed_queries():
         "top_customers_by_orders",    # top-k join-agg family held by top_parts/search top-ks
         "customer_segment_setops",    # set-ops, r1-green (CORRECTNESS_r01)
         "entity_word_count",          # r1-green; NER slot held by ner_gazetteer_counts
+        "dedup_simhash_pairs",        # r1-green x2 (simhash + pairs); slot ceded to doc_chunk_dedup
+        "doc_quality_scores",         # r1-green; chain re-verified inside both curation composites
+        "doc_language_id",            # r1-green; chain re-verified inside both curation composites
+        # Slots ceded to the newly oracle-backed iterative-graph queries
+        # (graph_pagerank_reference / graph_components_two_phase):
+        "tfidf_idf",                  # r1-green; idf chain lives inside search_multi_word_cosine
+        "similarity_cosine_topk",     # r1-green; brute-force ANN slot held by similarity_quantized_topk
+        "graph_pagerank",             # PR-family slot held by the quirk-compat reference variant
+        "graph_component_sizes",      # CC slot held by the two-phase scale path (same closure oracle)
+        # Slot ceded to dedup_near_clusters (end-to-end near-dedup):
+        "events_tumbling_10min",      # tumbling-window agg still value-checked through
+                                      # streaming_tumbling_counts' batch-equivalence oracle
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
