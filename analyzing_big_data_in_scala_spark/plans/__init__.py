@@ -34,13 +34,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "revenue_by_nation",
     "customer_order_full_outer",
     "top_customers_per_segment",
-    "customers_with_expensive_items",
     "revenue_rollup",
     "lineitem_approx_profile",
     # Text / TF-IDF / search
     "tfidf_doc_frequencies_stemmed",
     "search_multi_word_cosine",
     "doc_bpe_token_stats",
+    "doc_perplexity_proxy",
     "doc_repetition_filters",
     "doc_pii_scan",
     "doc_decontamination",

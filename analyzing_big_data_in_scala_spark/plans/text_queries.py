@@ -539,3 +539,75 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("en_ratio") >= 0.05, "en").otherwise("unknown").alias("pred_lang"),
         F.round("en_ratio", 6).alias("en_ratio"),
     )
+
+
+@query(
+    "doc_perplexity_proxy",
+    # The corpus's own unigram distribution is the LM; both engines derive
+    # counts, totals, per-occurrence ln(c/T), and the per-doc average from
+    # the same token stream. exp/ln are evaluated on identical doubles;
+    # rounding to 6 leaves ~1e-13 reassociation noise far below resolution.
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        tot AS (SELECT SUM(c) AS t FROM counts),
+        occ AS (
+            SELECT toks.doc_id,
+                   ln(CAST(counts.c AS DOUBLE) / (SELECT t FROM tot)) AS lp
+            FROM toks JOIN counts USING (term)
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS alp
+            FROM occ GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               ROUND(p.alp, 6) AS avg_logprob,
+               ROUND(exp(-p.alp), 6) AS ppl_proxy
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    description="Unigram-LM perplexity proxy per document (CCNet/Gopher-style quality signal): avg ln p(token) under the corpus's own unigram model, ppl = exp(-avg)",
+)
+def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import doc_logprob_profile
+
+    return doc_logprob_profile(_docs(spark, sf_dir))
+
+
+@query(
+    "corpus_pmi_collocations",
+    # min_count >= 5 kills the hapax-pair pathology; the top-k cut orders
+    # by the ROUNDED pmi then (w1, w2) so both engines slice identically.
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        tk AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+            FROM documents
+        ),
+        pairs AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM tk, UNNEST(generate_series(1, len(toks) - 1)) t(i)
+            WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i + 1] <> ''
+        ),
+        c2 AS (SELECT w1, w2, COUNT(*) AS n_pairs FROM pairs GROUP BY w1, w2),
+        c1 AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        n1 AS (SELECT SUM(c) AS v FROM c1),
+        n2 AS (SELECT SUM(n_pairs) AS v FROM c2)
+        SELECT w1, w2, n_pairs,
+               ROUND(ln((CAST(n_pairs AS DOUBLE) / (SELECT v FROM n2))
+                     / ((CAST(a.c AS DOUBLE) / (SELECT v FROM n1))
+                        * (CAST(b.c AS DOUBLE) / (SELECT v FROM n1)))), 6) AS pmi
+        FROM c2
+        JOIN c1 a ON a.term = c2.w1
+        JOIN c1 b ON b.term = c2.w2
+        WHERE n_pairs >= 5
+        ORDER BY pmi DESC, w1 ASC, w2 ASC
+        LIMIT 50
+    """,
+    description="Phrase mining: top-50 adjacent-pair collocations by PMI (ln(p(pair)/(p(w1)p(w2))), min pair count 5) — tokenizer-vocab / phrase-table signal over the corpus",
+)
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5, topk=50)

@@ -68,6 +68,9 @@ HEADLINE = [
     "doc_chunk_dedup",
     "corpus_curation_funnel",
     "events_conversion_funnel",
+    "dedup_near_clusters",
+    "doc_perplexity_proxy",
+    "corpus_pmi_collocations",
 ]
 
 

@@ -258,3 +258,40 @@ def test_url_stats_extraction_and_blocklist(spark):
     assert rows[2].blocked is True and rows[2].n_urls == 1
     assert rows[3].n_urls == 0 and rows[3].primary_domain is None
     assert rows[4].n_urls == 0  # no scheme, no match
+
+
+def test_doc_logprob_profile_hand_computed(spark):
+    import math
+    from analyzing_big_data_in_scala_spark.operators.lm import doc_logprob_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    # counts: a=2, b=2, c=1, T=5
+    out = {r.doc_id: r for r in doc_logprob_profile(docs).collect()}
+    assert out[1].n_tokens == 3
+    assert out[1].avg_logprob == round(math.log(2 / 5), 6)
+    assert out[1].ppl_proxy == 2.5  # exp(-ln 0.4) = 2.5
+    assert out[2].n_tokens == 2
+    assert out[2].avg_logprob == round((math.log(2 / 5) + math.log(1 / 5)) / 2, 6)
+    assert out[2].ppl_proxy == round(1 / math.sqrt(0.08), 6)
+    assert out[3].n_tokens == 0 and out[3].avg_logprob is None and out[3].ppl_proxy is None
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+    from analyzing_big_data_in_scala_spark.operators.lm import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york new york")],
+        "doc_id long, text string",
+    )
+    # bigrams: (new,york)x3, (york,new)x2 -> N2=5; unigrams new=3 york=3 N1=6
+    rows = pmi_collocations(docs, min_count=2, topk=10).collect()
+    assert [(r.w1, r.w2, r.n_pairs) for r in rows] == [
+        ("new", "york", 3),
+        ("york", "new", 2),
+    ]
+    assert rows[0].pmi == round(math.log((3 / 5) / (0.5 * 0.5)), 6)
+    assert rows[1].pmi == round(math.log((2 / 5) / (0.5 * 0.5)), 6)

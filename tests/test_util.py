@@ -117,6 +117,12 @@ def test_driver_window_covers_oracle_backed_queries():
         # Slot ceded to dedup_near_clusters (end-to-end near-dedup):
         "events_tumbling_10min",      # tumbling-window agg still value-checked through
                                       # streaming_tumbling_counts' batch-equivalence oracle
+        # Slot ceded to doc_perplexity_proxy (unigram-LM quality signal):
+        "customers_with_expensive_items",  # r1-green; semi-join family (its anti-join
+                                           # complement was already a documented demotion)
+        # New this round, local oracle replica green; rotates into the
+        # window next round:
+        "corpus_pmi_collocations",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
