@@ -61,7 +61,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return normalize_nanos_ts(stream)
+    stream = normalize_nanos_ts(stream)
+    # Watermarks/stateful ops require TIMESTAMP (with local tz); a fixture
+    # written as plain TIMESTAMP arrives as TIMESTAMP_NTZ. The NTZ->LTZ cast
+    # interprets the wall clock in the session timezone, so pin UTC first —
+    # that makes the instant equal to the naive value read as UTC, matching
+    # DuckDB's epoch() on the same column regardless of host timezone.
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_counts(stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
