@@ -1,0 +1,335 @@
+"""Single-pass corpus-curation funnel.
+
+The composed funnel (language -> quality -> repetition -> decontamination
+-> passage dedup -> exact dedup) is the flagship end-to-end training-data
+query. Composing it from the standalone gate queries is semantically
+right but re-reads and re-tokenizes the corpus once PER GATE — at 100 TB
+that is five extra full-corpus scans and five extra token-wide shuffles.
+
+This module computes the identical funnel from ONE pass:
+
+1. one parquet scan + one tokenize (`normalize_text` once per doc, the
+   token array derived from it in the same projection);
+2. one explode emitting narrow ``(id, kind, h, stop)`` rows for every
+   gate family at once —
+
+   ========  ========================================================
+   kind       key
+   ========  ========================================================
+   0          exact-dedup hash of the normalized full text
+   1, 2, 3    xxhash64 of the n-gram (repetition + language + quality
+              gates only need counts, so the engine-internal intrinsic
+              hash suffices — no cross-engine parity required)
+   5          portable md5-derived hash of the 5-gram (must match the
+              DuckDB oracle bit-for-bit: bench-set membership)
+   32         portable hash of the 32-token chunk (cross-doc document
+              frequency must match the oracle)
+   ========  ========================================================
+
+3. ONE hash-aggregate on ``(id, kind, h)`` — the only corpus-sized
+   shuffle in the whole funnel; every gate is then derived from that
+   aggregate's (much smaller) output:
+
+   - kinds 1-3 roll up to per-doc totals/top/uniq/stop-occurrence
+     counts -> language, quality, and Gopher repetition gates;
+   - kind 5 rows split into the (tiny, broadcast) benchmark gram set
+     and the training-side probe -> decontamination;
+   - kind 32 rows aggregate to per-hash document frequency (the rows
+     are already one-per-doc-per-hash) -> duplicated-passage fraction;
+   - kind 0 carries the exact-dedup key to the survivor stage.
+
+Bit-parity with the composed gates: every fraction is the same
+integer-valued-double division the standalone queries use (sums of
+exact integers divided by exact integers), and every gate compares the
+same ROUNDed value the published per-doc tables expose, so the funnel's
+stage counts are bit-identical to chaining the standalone queries.
+
+Emission is per-row array construction (`transform`/`flatten` over the
+token array, JVM codegen, no UDF); total exploded volume is about
+4.2x the token count in 17-byte rows, against ~6 full text-column
+passes for the composed version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import STOP_WORDS, normalize_text, portable_hash64, tokens
+
+# Gate thresholds (shared with the standalone gate queries).
+EN_MIN_STOP_RATIO = 0.05
+QUALITY_MIN = 0.45
+TOP_UNIGRAM_MAX = 0.30
+TOP_BIGRAM_MAX = 0.18
+DUP_TRIGRAM_MAX = 0.30
+CONTAM_MIN_HITS = 3
+MAX_DUP_CHUNK_FRAC = 0.5
+
+
+def _portable_hash64_str(c: Column) -> Column:
+    # portable_hash64 casts to string; grams are already strings.
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def unigram_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, n_tokens, quality, pred_lang) from ONE tokenize + ONE
+    aggregate — the fused form of the three standalone gate tables
+    (`doc_token_stats`, `doc_quality_scores`, `doc_language_id`) for
+    pipelines that consume all of them. Values are bit-identical to the
+    standalone queries: same integer-valued-double divisions, same
+    ROUND(quality, 6), same unrounded `stop_ratio >= 0.05` language gate.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    stats = toks.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (F.countDistinct("term").cast("double") / F.count("*")).alias("uniq_ratio"),
+        F.avg(F.when(F.col("term").isin(*STOP_WORDS), 1.0).otherwise(0.0)).alias(
+            "stop_ratio"
+        ),
+    )
+    quality = (
+        0.5 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.25 * F.col("uniq_ratio")
+        + 0.25 * F.least(F.col("stop_ratio") * 4, F.lit(1.0))
+    )
+    return stats.select(
+        id_col,
+        "n_tokens",
+        F.round(quality, 6).alias("quality"),
+        F.when(F.col("stop_ratio") >= EN_MIN_STOP_RATIO, "en")
+        .otherwise("unknown")
+        .alias("pred_lang"),
+    )
+
+
+def funnel_key_table(
+    docs: DataFrame,
+    is_bench: Column,
+    contam_n: int = 5,
+    chunk_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bench, kind, h, stop, c): per-(doc, kind, key) occurrence
+    counts from one scan + one explode + one aggregate.
+
+    Benchmark docs emit ONLY kind-`contam_n` rows (their grams define the
+    contamination set); training docs emit every kind. ``stop`` marks
+    stop-word unigrams (kind 1) so the language/quality gates can reuse
+    the same aggregate.
+    """
+    stops = tuple(w.lower() for w in STOP_WORDS)
+    norm = normalize_text(text_col)
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        is_bench.alias("bench"),
+        F.filter(F.split(norm, r"\s+"), lambda t: F.length(t) > 0).alias("toks"),
+        portable_hash64(norm).alias("exact_h"),
+    )
+
+    def gram_structs(n: int, kind: int, hash_fn) -> Column:
+        idx = F.when(
+            F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+
+        def mk(i: Column) -> Column:
+            gram = F.concat_ws(" ", F.slice(F.col("toks"), i, n))
+            stop = (
+                F.element_at(F.col("toks"), i).isin(*stops)
+                if kind == 1
+                else F.lit(False)
+            )
+            return F.struct(
+                F.lit(kind).alias("kind"), hash_fn(gram).alias("h"), stop.alias("stop")
+            )
+
+        return F.transform(idx, mk)
+
+    def chunk_structs() -> Column:
+        n_chunks = F.ceil(F.size("toks") / F.lit(chunk_size)).cast("int")
+        idx = F.when(F.size("toks") > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(chunk_size).alias("kind"),
+                _portable_hash64_str(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i * chunk_size + 1, chunk_size))
+                ).alias("h"),
+                F.lit(False).alias("stop"),
+            ),
+        )
+
+    exact_struct = F.array(
+        F.struct(F.lit(0).alias("kind"), F.col("exact_h").alias("h"), F.lit(False).alias("stop"))
+    )
+    contam = gram_structs(contam_n, contam_n, _portable_hash64_str)
+    train_only = F.flatten(
+        F.array(
+            gram_structs(1, 1, F.xxhash64),
+            gram_structs(2, 2, F.xxhash64),
+            gram_structs(3, 3, F.xxhash64),
+            chunk_structs(),
+            exact_struct,
+        )
+    )
+    combined = F.when(F.col("bench"), contam).otherwise(
+        F.concat(train_only, contam)
+    )
+    occ = toked.select("id", "bench", F.explode(combined).alias("g")).select(
+        "id", "bench", F.col("g.kind").alias("kind"), F.col("g.h").alias("h"), F.col("g.stop").alias("stop")
+    )
+    return occ.groupBy("id", "bench", "kind", "h", "stop").agg(F.count("*").alias("c"))
+
+
+def curation_funnel_stages(
+    docs: DataFrame,
+    is_bench: Column,
+    contam_n: int = 5,
+    chunk_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(stage, n_docs) — cumulative survivor counts through the six-gate
+    funnel, from the single-pass key table. Output contract and values are
+    identical to composing the standalone gate queries (the DuckDB oracle
+    of `corpus_curation_funnel` is unchanged and still value-matches).
+    """
+    counts = funnel_key_table(docs, is_bench, contam_n, chunk_size, id_col, text_col)
+
+    # --- kinds 1..3 -> language / quality / repetition gates -------------
+    ng = counts.filter(F.col("kind").isin(1, 2, 3) & ~F.col("bench"))
+    kind_stats = ng.groupBy("id", "kind").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        F.count("*").alias("uniq"),
+        F.sum(F.when(F.col("stop"), F.col("c")).otherwise(F.lit(0))).alias("stop_occ"),
+    )
+
+    def per_kind(kind: int, col: str) -> Column:
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
+    per_doc = kind_stats.groupBy("id").agg(
+        per_kind(1, "total").alias("t1"),
+        per_kind(1, "top").alias("top1"),
+        per_kind(1, "uniq").alias("u1"),
+        per_kind(1, "stop_occ").alias("s1"),
+        per_kind(2, "total").alias("t2"),
+        per_kind(2, "top").alias("top2"),
+        per_kind(3, "total").alias("t3"),
+        per_kind(3, "uniq").alias("u3"),
+    )
+    # Same integer-valued-double divisions as the standalone gates.
+    stop_ratio = F.col("s1").cast("double") / F.col("t1")
+    uniq_ratio = F.col("u1").cast("double") / F.col("t1")
+    quality = F.round(
+        0.5 * F.least(F.col("t1") / 100.0, F.lit(1.0))
+        + 0.25 * uniq_ratio
+        + 0.25 * F.least(stop_ratio * 4, F.lit(1.0)),
+        6,
+    )
+    rep_gate = F.coalesce(
+        (F.round(F.try_divide(F.col("top1").cast("double"), F.col("t1")), 6) > TOP_UNIGRAM_MAX)
+        | (F.round(F.try_divide(F.col("top2").cast("double"), F.col("t2")), 6) > TOP_BIGRAM_MAX)
+        | (
+            F.round(
+                F.lit(1.0) - F.try_divide(F.col("u3").cast("double"), F.col("t3")), 6
+            )
+            > DUP_TRIGRAM_MAX
+        ),
+        F.lit(False),
+    )
+    gates = per_doc.select(
+        "id",
+        (stop_ratio >= EN_MIN_STOP_RATIO).alias("g1"),
+        (quality >= QUALITY_MIN).alias("g2"),
+        (~rep_gate).alias("g3"),
+    )
+
+    # --- kind contam_n -> decontamination -------------------------------
+    five = counts.filter(F.col("kind") == contam_n)
+    bench_set = five.filter(F.col("bench")).select("h").distinct()
+    hits = (
+        five.filter(~F.col("bench"))
+        .join(F.broadcast(bench_set), "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+    # --- kind chunk_size -> duplicated-passage fraction ------------------
+    ch = counts.filter(F.col("kind") == chunk_size)
+    chunk_df = ch.groupBy("h").agg(F.count("*").alias("chunk_df"))
+    chunk_stats = (
+        ch.join(chunk_df, "h")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_chunks"),
+            F.sum(F.when(F.col("chunk_df") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup"
+            ),
+        )
+    )
+
+    flags = (
+        gates.join(hits, "id", "left")
+        .join(chunk_stats, "id", "left")
+        .select(
+            "id",
+            F.col("g1").alias("c1"),
+            (F.col("g1") & F.col("g2")).alias("c2"),
+            (F.col("g1") & F.col("g2") & F.col("g3")).alias("c3"),
+            (
+                F.col("g1")
+                & F.col("g2")
+                & F.col("g3")
+                & (F.coalesce(F.col("n_hits"), F.lit(0)) < CONTAM_MIN_HITS)
+            ).alias("c4"),
+            (
+                F.col("g1")
+                & F.col("g2")
+                & F.col("g3")
+                & (F.coalesce(F.col("n_hits"), F.lit(0)) < CONTAM_MIN_HITS)
+                & (
+                    F.coalesce(
+                        F.col("n_dup").cast("double") / F.nullif(F.col("n_chunks"), F.lit(0)),
+                        F.lit(0.0),
+                    )
+                    < MAX_DUP_CHUNK_FRAC
+                )
+            ).alias("c5"),
+        )
+    )
+
+    # --- kind 0 -> exact dedup over stage-5 survivors --------------------
+    exact = counts.filter(F.col("kind") == 0).select("id", F.col("h").alias("dup_hash"))
+    keep = (
+        exact.join(flags.filter(F.col("c5")).select("id"), "id")
+        .groupBy("dup_hash")
+        .agg(F.min("id").alias("id"))
+    )
+
+    stages = [
+        flags.agg(F.lit("00_corpus").alias("stage"), F.count("*").alias("n_docs")),
+        *[
+            flags.agg(
+                F.lit(label).alias("stage"),
+                F.sum(F.col(c).cast("long")).alias("n_docs"),
+            )
+            for label, c in [
+                ("01_english", "c1"),
+                ("02_quality", "c2"),
+                ("03_not_repetitive", "c3"),
+                ("04_decontaminated", "c4"),
+                ("05_passage_clean", "c5"),
+            ]
+        ],
+        keep.agg(F.lit("06_exact_unique").alias("stage"), F.count("*").alias("n_docs")),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out

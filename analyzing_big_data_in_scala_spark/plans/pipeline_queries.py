@@ -566,19 +566,17 @@ def documents_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Corpus curation in one plan: language-ID gate, quality gate, exact dedup (min-id survivor), MinHash LSH near-dedup — the end-to-end training-data filter chain",
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text_queries import doc_language_id, doc_quality_scores, doc_token_stats
+    from ..operators.curation import unigram_profile
 
     docs = _docs(spark, sf_dir)
-    quality = doc_quality_scores(spark, sf_dir)
-    lang = doc_language_id(spark, sf_dir).select("doc_id", "pred_lang")
-    ntok = doc_token_stats(spark, sf_dir).select("doc_id", "n_tokens")
-    eligible = (
-        docs.join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .join(ntok, "doc_id")
-        # threshold on the ROUNDED score: it is the published per-doc value
-        # (doc_quality_scores), so the gate is reproducible from that table.
-        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.45))
+    # One tokenize + one aggregate covers all three gate tables (token
+    # stats, quality, language) — `unigram_profile` is bit-identical to
+    # joining the standalone queries, at a third of the corpus scans.
+    # The threshold is on the ROUNDED score: it is the published per-doc
+    # value (doc_quality_scores), so the gate is reproducible from that
+    # table.
+    eligible = docs.join(unigram_profile(docs), "doc_id").filter(
+        (F.col("pred_lang") == "en") & (F.col("quality") >= 0.45)
     )
     keep_exact = (
         D.exact_hash_table(eligible)
@@ -769,83 +767,15 @@ def _funnel_oracle() -> str:
     # dedup), composed as cumulative booleans — so this query value-checks
     # the composition, not just the pieces.
     oracle=_funnel_oracle(),
-    description="End-to-end curation funnel over the training split: language -> quality -> repetition -> decontamination -> passage dedup -> exact dedup, per-stage survivor counts from ONE composed plan (token aggregates shared across gates via ReuseExchange)",
+    description="End-to-end curation funnel over the training split: language -> quality -> repetition -> decontamination -> passage dedup -> exact dedup, per-stage survivor counts from ONE corpus scan + ONE explode + ONE corpus-sized shuffle (operators/curation.py)",
 )
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.chunking import chunk_dedup_stats
-    from ..operators.decontamination import contamination_scan
-    from .text_queries import (
-        doc_language_id,
-        doc_quality_scores,
-        doc_repetition_filters,
-    )
+    from ..operators.curation import curation_funnel_stages
 
     docs = _docs(spark, sf_dir)
-    train = docs.filter(F.col("doc_id") % 25 != 0)
-    bench = docs.filter(F.col("doc_id") % 25 == 0)
-    lang = doc_language_id(spark, sf_dir).select(
-        "doc_id", (F.col("pred_lang") == "en").alias("g1")
+    return curation_funnel_stages(
+        docs, is_bench=F.col("doc_id") % 25 == 0, contam_n=5, chunk_size=32
     )
-    qual = doc_quality_scores(spark, sf_dir).select(
-        "doc_id", (F.col("quality") >= 0.45).alias("g2")
-    )
-    rep = doc_repetition_filters(spark, sf_dir).select(
-        "doc_id", (~F.col("repetitive")).alias("g3")
-    )
-    cont = contamination_scan(train, bench, n=5, min_hits=3).select(
-        "doc_id", (~F.col("contaminated")).alias("g4")
-    )
-    chunk = chunk_dedup_stats(train, chunk_size=32).select(
-        "doc_id",
-        (F.coalesce(F.col("dup_chunk_frac"), F.lit(0.0)) < 0.5).alias("g5"),
-    )
-    flags = (
-        train.select("doc_id")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(rep, "doc_id")
-        .join(cont, "doc_id")
-        .join(chunk, "doc_id")
-        .select(
-            "doc_id",
-            F.col("g1").alias("c1"),
-            (F.col("g1") & F.col("g2")).alias("c2"),
-            (F.col("g1") & F.col("g2") & F.col("g3")).alias("c3"),
-            (F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")).alias("c4"),
-            (F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4") & F.col("g5")).alias(
-                "c5"
-            ),
-        )
-    )
-    # Exact dedup applies to stage-5 survivors: the canonical doc (min id)
-    # per normalized-content hash survives.
-    surv5 = train.join(flags.filter(F.col("c5")).select("doc_id"), "doc_id")
-    keep = (
-        D.exact_hash_table(surv5)
-        .groupBy("dup_hash")
-        .agg(F.min("id").alias("doc_id"))
-    )
-    stages = [
-        flags.agg(F.lit("00_corpus").alias("stage"), F.count("*").alias("n_docs")),
-        *[
-            flags.agg(
-                F.lit(label).alias("stage"),
-                F.sum(F.col(c).cast("long")).alias("n_docs"),
-            )
-            for label, c in [
-                ("01_english", "c1"),
-                ("02_quality", "c2"),
-                ("03_not_repetitive", "c3"),
-                ("04_decontaminated", "c4"),
-                ("05_passage_clean", "c5"),
-            ]
-        ],
-        keep.agg(F.lit("06_exact_unique").alias("stage"), F.count("*").alias("n_docs")),
-    ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
-    return out
 
 
 @query(
