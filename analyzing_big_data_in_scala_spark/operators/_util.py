@@ -81,3 +81,44 @@ def salted_aggregate(
 
     phase1 = salted.groupBy(*keys, "_salt").agg(*phase1_exprs)
     return phase1.groupBy(*keys).agg(*phase2_exprs)
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that survives a SKEWED key distribution on the big (left)
+    side: the left side gets a deterministic per-row salt, the right side
+    is replicated `buckets` times (explode over a literal sequence), and
+    the join runs on (keys + salt) — a hot key's rows spread over
+    `buckets` reducers instead of one straggler task.
+
+    Result == `left.join(right, on, how)` for 'inner'/'left' (each left
+    row matches exactly the replica carrying its salt, so no duplicates
+    and no misses). Other join types need the unsalted plan — refused.
+
+    The salt is a hash of the WHOLE left row (`xxhash64` over all
+    columns), so identical logical rows always land in the same bucket
+    and the operator stays deterministic with zero caller setup. This is
+    the manual fallback for when AQE's skew-join split can't kick in
+    (e.g. the join is bucket-map or the skew is known up front); the
+    replication factor costs `buckets` copies of the SMALL side only.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    clashes = {"_salt"}.intersection(left.columns).union(
+        {"_salt"}.intersection(right.columns)
+    )
+    if clashes:
+        raise ValueError(f"salted_equi_join: reserved column collision: {sorted(clashes)}")
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets)).cast("int")
+    )
+    replicated_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return salted_left.join(replicated_right, [*keys, "_salt"], how).drop("_salt")

@@ -344,3 +344,48 @@ def connected_components_two_phase(edges: DataFrame, max_iterations: int = 25) -
 def component_sizes(components: DataFrame) -> DataFrame:
     """Community sizes (EpinionsGraphFrameAnalysis.scala:108)."""
     return components.groupBy("component").agg(F.count("*").alias("size"))
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame | None = None, max_iterations: int = 30
+) -> DataFrame:
+    """Unweighted single/multi-source shortest hop counts over the
+    UNDIRECTED graph: (id, hops) for every vertex reachable from the seed
+    set within `max_iterations` hops (unreachable vertices are absent).
+
+    `seeds` is a 1-column (id) frame; default = the global min vertex id
+    (deterministic, so the query layer can oracle it with a recursive
+    CTE). Distributed frontier expansion, the Pregel BFS shape:
+
+    - per round, ONLY the frontier joins the (checkpointed, symmetric)
+      edge list — work per round is O(edges incident to the frontier),
+      not O(E);
+    - newly-discovered vertices = candidates anti-joined against the
+      settled set; rounds end when the frontier empties (≤ graph
+      diameter, the `while` has a hard cap);
+    - `localCheckpoint` per round cuts the growing lineage exactly like
+      the other iterative operators here.
+    """
+    sym = (
+        canonical_undirected(edges)
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
+    if seeds is None:
+        seeds = _vertices_from_edges(edges).agg(F.min("id").alias("id"))
+
+    settled = seeds.select("id", F.lit(0).cast("int").alias("hops")).localCheckpoint()
+    frontier = settled
+    for _ in range(max_iterations):
+        candidates = (
+            sym.join(frontier.select(F.col("id").alias("u"), "hops"), "u")
+            .select(F.col("v").alias("id"), (F.col("hops") + 1).alias("hops"))
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+        )
+        new = candidates.join(settled.select("id"), "id", "left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        settled = settled.union(new).localCheckpoint()
+        frontier = new
+    return settled

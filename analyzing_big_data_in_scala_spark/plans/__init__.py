@@ -32,9 +32,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Relational core
     "pricing_summary",
     "revenue_by_nation",
-    "customer_order_full_outer",
-    "top_customers_per_segment",
-    "revenue_rollup",
+    "orders_salted_segment_revenue",
+    "lineitem_zorder_keys",
     "lineitem_approx_profile",
     # Text / TF-IDF / search
     "tfidf_doc_frequencies_stemmed",
@@ -51,6 +50,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_triangle_counts",
     "graph_pagerank_reference",
     "graph_components_two_phase",
+    "graph_bfs_hops",
     # Dedup / similarity
     "dedup_exact_groups",
     "dedup_ngram_jaccard",

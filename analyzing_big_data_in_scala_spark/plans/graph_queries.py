@@ -254,3 +254,30 @@ def graph_components_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), F.asc("component"))
         .limit(20)
     )
+
+
+@query(
+    "graph_bfs_hops",
+    # Iterative != unverifiable: BFS layers are exactly the recursive-CTE
+    # closure with MIN(depth) labels, depth-capped to the operator's
+    # iteration cap so both sides terminate identically.
+    oracle=f"""
+        WITH RECURSIVE {_SQL_CANON},
+        sym AS (
+            SELECT a AS u, b AS v FROM canon
+            UNION ALL
+            SELECT b AS u, a AS v FROM canon
+        ),
+        seed AS (SELECT MIN(u) AS id FROM sym),
+        walk(id, d) AS (
+            SELECT id, 0 FROM seed
+            UNION
+            SELECT s.v, w.d + 1 FROM walk w JOIN sym s ON s.u = w.id WHERE w.d < 30
+        )
+        SELECT id, CAST(MIN(d) AS INT) AS hops FROM walk GROUP BY id
+    """,
+    description="Unweighted shortest hops (BFS frontier expansion, Pregel shape) from the min-id vertex; oracle = depth-capped recursive-CTE closure with MIN(depth) labels",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hops = G.bfs_hops(_edges(spark, sf_dir), max_iterations=30)
+    return hops.select("id", F.col("hops").cast("int").alias("hops"))

@@ -546,3 +546,83 @@ def lineitem_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("_price_q", 3).alias("price_p99"),
         "qty_p50",
     )
+
+
+@query(
+    "orders_salted_segment_revenue",
+    # Salting is invisible in the result: the oracle is the PLAIN join +
+    # aggregate, so the value check proves the salted plan's equivalence.
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    description="Skew-safe salted equi-join (operators/_util.salted_equi_join): fact side salted by whole-row hash, dim side replicated x8, joined on (key, salt) — per-segment order revenue; oracle is the unsalted join",
+)
+def orders_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._util import salted_equi_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_equi_join(orders, dim, on="o_custkey", buckets=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from ..sources.layout import sql_minmax_scaled, sql_z_value
+
+    sp = sql_minmax_scaled("l_partkey", "st.min_p", "st.max_p", bits=16)
+    ss = sql_minmax_scaled("l_suppkey", "st.min_s", "st.max_s", bits=16)
+    z = sql_z_value([sp, ss], bits=16)
+    return f"""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               {z} AS z
+        FROM lineitem
+        CROSS JOIN (
+            SELECT MIN(l_partkey) AS min_p, MAX(l_partkey) AS max_p,
+                   MIN(l_suppkey) AS min_s, MAX(l_suppkey) AS max_s
+            FROM lineitem
+        ) st
+        ORDER BY z DESC, l_orderkey DESC, l_linenumber DESC
+        LIMIT 50
+    """
+
+
+@query(
+    "lineitem_zorder_keys",
+    oracle=_zorder_oracle(),
+    description="Z-order (Morton) clustering key over (l_partkey, l_suppkey): min/max-scale each key to 16 bits (integer-exact `div`), interleave — the transform behind write_zordered's two-dimensional file skipping (sources/layout.py); top-50 sample, stats via in-plan 1-row cross join",
+)
+def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.layout import minmax_scaled, z_value
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    stats = li.agg(
+        F.min("l_partkey").alias("min_p"),
+        F.max("l_partkey").alias("max_p"),
+        F.min("l_suppkey").alias("min_s"),
+        F.max("l_suppkey").alias("max_s"),
+    )
+    with_stats = li.crossJoin(F.broadcast(stats))
+    z = z_value(
+        [
+            minmax_scaled("l_partkey", F.col("min_p"), F.col("max_p"), bits=16),
+            minmax_scaled("l_suppkey", F.col("min_s"), F.col("max_s"), bits=16),
+        ],
+        bits=16,
+    )
+    return (
+        with_stats.withColumn("z", z)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "z")
+        .orderBy(F.desc("z"), F.desc("l_orderkey"), F.desc("l_linenumber"))
+        .limit(50)
+    )

@@ -129,3 +129,22 @@ def test_two_phase_cc_on_fixture_graph(spark):
     lp = {r.id: r.component for r in G.connected_components(edges).collect()}
     tp = {r.id: r.component for r in G.connected_components_two_phase(edges).collect()}
     assert tp == lp
+
+
+def test_bfs_hops_micro_graph(spark):
+    # Path 1-2-3-4 plus chord 1-3: hops from min id (1) are 0,1,1,2.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.id: r.hops for r in G.bfs_hops(edges).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_hops_unreachable_absent_and_custom_seed(spark):
+    # Two components: {1,2} and {10,11}. Seeding at 10 must not reach 1/2.
+    edges = spark.createDataFrame(
+        [(1, 2), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(10,)], "id long")
+    got = {r.id: r.hops for r in G.bfs_hops(edges, seeds=seeds).collect()}
+    assert got == {10: 0, 11: 1}

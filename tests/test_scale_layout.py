@@ -100,3 +100,74 @@ def test_persisted_search_index_matches_live_search_with_no_hash_exchange(spark)
     finally:
         for t in ("t_sidx_matrix", "t_sidx_norms", "t_sidx_idf"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (sources/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def test_z_value_interleaves_bits(spark):
+    from analyzing_big_data_in_scala_spark.sources.layout import z_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 0), (0, 3), (0xFFFF, 0xFFFF)], "x long, y long"
+    )
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", z_value(["x", "y"]).alias("z")).collect()
+    }
+    # column 0 takes even output bits, column 1 odd ones
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 0b01
+    assert out[(0, 1)] == 0b10
+    assert out[(3, 0)] == 0b0101
+    assert out[(0, 3)] == 0b1010
+    assert out[(0xFFFF, 0xFFFF)] == (1 << 32) - 1
+
+
+def test_z_value_overflow_guard():
+    import pytest as _pytest
+
+    from analyzing_big_data_in_scala_spark.sources.layout import z_value
+
+    with _pytest.raises(ValueError, match="overflows"):
+        z_value(["a", "b", "c", "d"], bits=16)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path_factory):
+    """After write_zordered, each FILE covers a narrow slice of BOTH key
+    columns — the property parquet min/max skipping needs. A 1-D sort
+    would leave the second column's per-file range at ~full width."""
+    import glob
+
+    from analyzing_big_data_in_scala_spark.sources.layout import write_zordered
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    stats = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("pr"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("sr"),
+    ).first()
+    path = str(tmp_path_factory.mktemp("zorder")) + "/li"
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=16)
+
+    files = glob.glob(path + "/part-*.parquet")
+    assert len(files) >= 8
+    ratios_p, ratios_s = [], []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("pr"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("sr"),
+            )
+            .first()
+        )
+        ratios_p.append(r["pr"] / stats["pr"])
+        ratios_s.append(r["sr"] / stats["sr"])
+    # Z-clustering: the AVERAGE per-file key range is a fraction of the
+    # global range on BOTH dimensions (16 files -> ideal ~1/4 per dim).
+    assert sum(ratios_p) / len(ratios_p) < 0.6, ratios_p
+    assert sum(ratios_s) / len(ratios_s) < 0.6, ratios_s

@@ -123,7 +123,53 @@ def test_driver_window_covers_oracle_backed_queries():
         # New this round, local oracle replica green; rotates into the
         # window next round:
         "corpus_pmi_collocations",
+        # Slots ceded to the new layout/skew/BFS operators
+        # (lineitem_zorder_keys, orders_salted_segment_revenue,
+        # graph_bfs_hops) — all three below are r1-green:
+        "customer_order_full_outer",   # J2 full-outer parity pinned by r1 row + unit
+        "top_customers_per_segment",   # window-rank family still covered by
+                                       # customer_order_running_total
+        "revenue_rollup",              # grouping-sets family r1-green
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
     assert outside == deliberate_demotions
+
+
+def test_salted_equi_join_matches_plain_join(spark):
+    from analyzing_big_data_in_scala_spark.operators._util import salted_equi_join
+
+    left = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(100)] + [(900, 99, 1.0)],
+        "id long, k long, v double",
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, label string"
+    )
+    got = sorted(
+        (r.id, r.k, r.label) for r in salted_equi_join(left, right, "k", buckets=4).collect()
+    )
+    want = sorted((r.id, r.k, r.label) for r in left.join(right, "k").collect())
+    assert got == want
+
+    # left join keeps unmatched (k=99) rows exactly once
+    got_l = sorted(
+        (r.id, r.k, r.label)
+        for r in salted_equi_join(left, right, "k", buckets=4, how="left").collect()
+    )
+    want_l = sorted((r.id, r.k, r.label) for r in left.join(right, "k", "left").collect())
+    assert got_l == want_l
+
+
+def test_salted_equi_join_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators._util import salted_equi_join
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_equi_join(df, df, "k", how="full")
+    clash = df.withColumn("_salt", F.lit(1))
+    with pytest.raises(ValueError, match="_salt"):
+        salted_equi_join(clash, df, "k")
