@@ -625,3 +625,57 @@ def semantic_dedup(
     return tagged.groupBy("bucket").applyInPandas(
         classify, schema=f"{id_col} long, bucket int, kept boolean"
     )
+
+
+def spherical_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Spherical k-means ASSIGNMENT over int8-quantized vectors: every
+    corpus vector goes to the centroid with max cosine (ties -> min
+    centroid id). Returns (id_col, centroid_id, cosine[rounded 6]).
+
+    This is the E-step of spherical k-means / the cell-assignment step of
+    an IVF index, made fully oracle-checkable by the same two tricks as
+    :func:`quantized_topk`: quantization makes every dot/norm a sum of
+    integer-valued doubles (exact, order-independent), and the argmax
+    compares the ROUNDED cosine so both engines break ties identically.
+
+    Scale shape: centroid set is tiny by construction (k rows) ->
+    broadcast cross join; one projection computes all k cosines per
+    vector; `max_by(struct)` aggregates the argmax WITH map-side partials
+    — no window, no shuffle of the k-expanded rows beyond the per-id
+    aggregate. Fitted/persisted centroids (see :func:`build_ivf_index`)
+    slot straight in as the `centroids` frame.
+    """
+    qc = quantize_int8(corpus, id_col, vec_col)
+    cc = quantize_int8(centroids, centroid_id, vec_col).select(
+        centroid_id, F.col("qvec").alias("cvec")
+    )
+    scored = (
+        qc.select(id_col, "qvec", _norm(F.col("qvec")).alias("vn"))
+        .crossJoin(F.broadcast(cc.select(centroid_id, "cvec", _norm(F.col("cvec")).alias("cn"))))
+        .select(
+            id_col,
+            F.col(centroid_id),
+            F.round(
+                F.try_divide(_dot(F.col("qvec"), F.col("cvec")), F.col("vn") * F.col("cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    # argmax by (cosine, -centroid_id): max struct = best cosine, then
+    # smallest centroid id — deterministic under ties.
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("cosine"), (-F.col(centroid_id)).alias("_neg"), F.col(centroid_id).alias("cid"))
+        ).alias("b")
+    )
+    return best.select(
+        id_col,
+        F.col("b.cid").alias(centroid_id),
+        F.col("b.cosine").alias("cosine"),
+    )

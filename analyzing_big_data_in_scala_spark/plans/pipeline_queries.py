@@ -1482,3 +1482,46 @@ def documents_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_sample(docs, _MIXTURE_RATES, key="doc_id").select(
         "doc_id", "source"
     )
+
+
+@query(
+    "similarity_cluster_assign",
+    # Same exactness recipe as similarity_quantized_topk: quantized
+    # integer sums + ROUNDED-cosine argmax with min-id tie-break.
+    oracle="""
+        WITH sc AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+            FROM sc
+        ),
+        cents AS (SELECT vec_id AS centroid_id, q AS cq FROM qz WHERE vec_id < 8),
+        scored AS (
+            SELECT e.vec_id AS vec_id, c.centroid_id AS centroid_id,
+                   ROUND(SUM(e.q[i] * c.cq[i])
+                       / (sqrt(SUM(e.q[i] * e.q[i])) * sqrt(SUM(c.cq[i] * c.cq[i]))), 6) AS cosine
+            FROM qz e JOIN cents c ON TRUE
+            , UNNEST(generate_series(1, len(e.q))) t(i)
+            GROUP BY e.vec_id, c.centroid_id
+        ),
+        ranked AS (
+            SELECT vec_id, centroid_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+            FROM scored
+        )
+        SELECT vec_id, centroid_id, cosine FROM ranked WHERE rn = 1
+    """,
+    description="Spherical k-means assignment (the E-step / IVF cell routing): every embedding to its max-cosine centroid (8 fixed seed centroids, broadcast cross join, argmax via max_by struct — no window shuffle); quantized math keeps it bit-reproducible",
+)
+def similarity_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return S.spherical_assign(emb, cents)

@@ -71,6 +71,11 @@ HEADLINE = [
     "dedup_near_clusters",
     "doc_perplexity_proxy",
     "corpus_pmi_collocations",
+    # layout / skew / graph / clustering operators (round 2, second half)
+    "lineitem_zorder_keys",
+    "orders_salted_segment_revenue",
+    "graph_bfs_hops",
+    "similarity_cluster_assign",
 ]
 
 

@@ -123,6 +123,9 @@ def test_driver_window_covers_oracle_backed_queries():
         # New this round, local oracle replica green; rotates into the
         # window next round:
         "corpus_pmi_collocations",
+        "similarity_cluster_assign",   # spherical k-means E-step (new);
+                                       # quantized-cosine family slot held by
+                                       # similarity_quantized_topk
         # Slots ceded to the new layout/skew/BFS operators
         # (lineitem_zorder_keys, orders_salted_segment_revenue,
         # graph_bfs_hops) — all three below are r1-green:

@@ -35,6 +35,10 @@ PICKS = {
     "dedup_semantic": "Quantize + hyperplane-bucket in ONE projection over the scan; candidate generation is a self equi-join on the cell key (shuffle on bucket only); the min-id drop set is a broadcast anti-ish left join back.",
     "doc_repetition_filters": "All n-gram sizes from one tokenize + one explode (flattened struct array); two hash aggregates with map-side partials; pivot is a final single-shuffle aggregate.",
     "similarity_quantized_topk": "int8 quantization fused into the scan projection; scoring identical to brute-force cosine but over 4x-smaller vectors; TakeOrderedAndProject top-k.",
+    "corpus_curation_funnel": "Six gates from ONE corpus scan: a single explode emits narrow (id, kind, hash) rows for every gate family, one corpus-sized hash aggregate feeds language/quality/repetition stats, the broadcast bench-gram semi join, the chunk-df join, and the exact-dedup key — gate fan-out happens on aggregate OUTPUT, never by re-scanning text.",
+    "orders_salted_segment_revenue": "Salted equi-join: fact side salted by whole-row xxhash64 in the scan projection, dimension exploded x8 replicas, join key (custkey, salt) — a hot key spreads over 8 reducers; the post-join aggregate is an ordinary two-phase hash agg.",
+    "lineitem_zorder_keys": "Z-value = min/max-scale (exact BIGINT div) + bit-interleave, all in one codegen projection over the scan; stats come from a 1-row broadcast cross join (no driver collect); top-k as TakeOrderedAndProject.",
+    "similarity_cluster_assign": "Centroids quantized + broadcast (k rows); all k cosines per vector in one projection after the cross join; argmax via max(struct) hash aggregate with map-side partials — no window, no extra shuffle.",
 }
 
 

@@ -25,6 +25,9 @@ from analyzing_big_data_in_scala_spark.operators import graph as G  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import repetition as R  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import similarity as S  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import tfidf as T  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators.curation import (  # noqa: E402
+    curation_funnel_stages,
+)
 from analyzing_big_data_in_scala_spark.operators.decontamination import (  # noqa: E402
     contamination_scan,
 )
@@ -69,6 +72,12 @@ def main() -> None:
 
     def noop(df: DataFrame) -> None:
         df.write.mode("overwrite").format("noop").save()
+
+    # Min vertex id of the BASE events graph: the per-replica BFS seed is
+    # this id shifted by the replica offset (id % shift == base seed).
+    bfs_base_seed = (
+        G._vertices_from_edges(G.edges_from_events(ev0)).agg(F.min("id")).first()[0]
+    )
 
     results: dict[str, dict[int, float]] = {}
     for copies in (1, 4, 16):
@@ -136,6 +145,23 @@ def main() -> None:
             "contamination_scan": lambda: noop(
                 contamination_scan(
                     docs, docs0.filter(F.col("doc_id") % 25 == 0), n=5
+                )
+            ),
+            # Single-pass funnel: one explode + one corpus-sized aggregate
+            # feeding all six gates — expect ~linear like repetition_stats.
+            "curation_funnel": lambda: noop(
+                curation_funnel_stages(docs, is_bench=F.col("doc_id") % 25 == 0)
+            ),
+            # Frontier BFS seeded once PER REPLICA (replicas are disjoint:
+            # a single seed would only ever explore the base subgraph), so
+            # frontier size and per-round join work grow with copies while
+            # round count stays at the fixed base diameter — expect ~linear.
+            "bfs_hops": lambda: noop(
+                G.bfs_hops(
+                    G.edges_from_events(ev),
+                    seeds=G._vertices_from_edges(G.edges_from_events(ev)).filter(
+                        F.col("id") % 10_000_000 == bfs_base_seed
+                    ),
                 )
             ),
             # The n_planes knob IS the scale path: +1 plane per 2x data
