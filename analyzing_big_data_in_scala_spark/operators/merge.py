@@ -1,0 +1,80 @@
+"""MERGE INTO / CDC upsert compaction as a batch operator.
+
+The lakehouse maintenance primitive (Delta/Iceberg `MERGE INTO`, Hudi
+upsert): apply a change batch of inserts / updates / deletes to a base
+snapshot, producing the next snapshot. Spark has no built-in MERGE on
+plain parquet, but the semantics are exactly one outer join:
+
+- latest change per key wins (when a sequence column is given, a window
+  top-1 per key — partitioned by the key, never a global sort);
+- ``D`` deletes the key, ``I``/``U`` both mean "the change payload is the
+  new row state" (upsert semantics: U on an absent key inserts, I on a
+  present key overwrites — no error channel, matching MERGE's
+  WHEN MATCHED / WHEN NOT MATCHED arms);
+- base rows with no change pass through untouched.
+
+Scale shape: ONE shuffled equi-join on the key (both sides hash-partition;
+AQE handles the typically much-smaller change side via broadcast), plus
+the optional per-key window on the CHANGE side only — the base snapshot
+is never windowed or sorted. This is the compaction step a streaming CDC
+pipeline runs per micro-batch via foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VALID_OPS = ("I", "U", "D")
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Next snapshot of `base` after applying `changes`.
+
+    `changes` must carry `key`, `op_col` ('I' | 'U' | 'D') and the same
+    payload columns as `base`; the result has exactly `base`'s schema.
+    With `seq_col`, only the highest-sequence change per key applies
+    (CDC log compaction); ties are broken by preferring 'D' then 'U'
+    then 'I' so replays are deterministic.
+    """
+    payload = [c for c in base.columns if c != key]
+    missing = [c for c in (key, op_col, *payload) if c not in changes.columns]
+    if missing:
+        raise ValueError(f"merge_upsert: changes missing columns {missing}")
+
+    ch = changes
+    if seq_col is not None:
+        from pyspark.sql import Window
+
+        op_rank = F.when(F.col(op_col) == "D", 0).when(F.col(op_col) == "U", 1).otherwise(2)
+        w = Window.partitionBy(key).orderBy(F.desc(seq_col), op_rank)
+        ch = (
+            ch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    ch = ch.select(
+        F.col(key).alias("_ck"),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_c_{c}") for c in payload],
+    )
+
+    joined = base.join(ch, base[key] == ch["_ck"], "full_outer")
+    surviving = joined.filter(
+        (F.col("_op").isNull()) | (F.col("_op") != "D")
+    )
+    return surviving.select(
+        F.coalesce(base[key], F.col("_ck")).alias(key),
+        *[
+            F.when(F.col("_op").isNotNull(), F.col(f"_c_{c}"))
+            .otherwise(base[c])
+            .alias(c)
+            for c in payload
+        ],
+    )

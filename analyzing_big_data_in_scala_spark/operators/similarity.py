@@ -679,3 +679,47 @@ def spherical_assign(
         F.col("b.cid").alias(centroid_id),
         F.col("b.cosine").alias("cosine"),
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    threshold: float = -0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier scan: cosine of every vector to the GLOBAL
+    centroid of the (quantized) corpus; rows far in the anti-centroid
+    direction are flagged. Returns (id_col, cosine_to_centroid[rounded 6],
+    is_outlier). The curation use: corrupt / truncated / wrong-modality
+    embeddings land far from the corpus mass and should be dropped before
+    ANN indexing or semantic dedup.
+
+    Exactness: quantized components make the per-dimension mean a ratio
+    of exact integers (identical division in any engine); the final
+    cosine is rounded to 6 and the flag compares the ROUNDED value.
+
+    Scale shape: one posexplode + one 64-group aggregate for the
+    centroid (map-side partials — the shuffle carries 64 rows per task),
+    re-assembled into a single broadcast row; scoring is a projection.
+    No driver collect, no pairwise anything: O(n·dim) end to end.
+    """
+    qz = quantize_int8(emb, id_col, vec_col)
+    flat = qz.select(id_col, F.posexplode("qvec").alias("i", "x"))
+    cent = flat.groupBy("i").agg(F.avg("x").alias("m"))
+    cvec = cent.agg(
+        F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s")
+    ).select(F.transform("s", lambda e: e["m"]).alias("cvec"))
+    scored = qz.crossJoin(F.broadcast(cvec)).select(
+        id_col,
+        F.round(
+            F.try_divide(
+                _dot(F.col("qvec"), F.col("cvec")),
+                _norm(F.col("qvec")) * _norm(F.col("cvec")),
+            ),
+            6,
+        ).alias("cosine_to_centroid"),
+    )
+    return scored.withColumn(
+        "is_outlier",
+        F.coalesce(F.col("cosine_to_centroid") < F.lit(threshold), F.lit(True)),
+    )

@@ -1525,3 +1525,43 @@ def similarity_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return S.spherical_assign(emb, cents)
+
+
+@query(
+    "embeddings_centroid_outliers",
+    # Quantized per-dim means are exact integer ratios; cosine rounded to
+    # 6 on both sides, flag compares the rounded value (threshold -0.15
+    # sits in the ~5% anti-centroid tail of the fixture distribution).
+    oracle="""
+        WITH sc AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+            FROM sc
+        ),
+        flat AS (
+            SELECT vec_id, i, q[i] AS x
+            FROM qz, UNNEST(generate_series(1, len(q))) t(i)
+        ),
+        cent AS (SELECT i, AVG(x) AS m FROM flat GROUP BY i),
+        cos AS (
+            SELECT f.vec_id,
+                   ROUND(SUM(f.x * c.m)
+                       / (sqrt(SUM(f.x * f.x)) * sqrt(SUM(c.m * c.m))), 6) AS cosine_to_centroid
+            FROM flat f JOIN cent c USING (i) GROUP BY f.vec_id
+        )
+        SELECT vec_id, cosine_to_centroid,
+               COALESCE(cosine_to_centroid < -0.15, TRUE) AS is_outlier
+        FROM cos
+    """,
+    description="Embedding outlier scan (corpus hygiene before ANN/semantic dedup): cosine to the global quantized centroid, anti-centroid tail flagged; one explode + 64-group aggregate + broadcast centroid row — O(n*dim), no pairs",
+)
+def embeddings_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.centroid_outliers(emb, threshold=-0.15)

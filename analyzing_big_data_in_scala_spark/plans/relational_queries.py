@@ -626,3 +626,68 @@ def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("z"), F.desc("l_orderkey"), F.desc("l_linenumber"))
         .limit(50)
     )
+
+
+@query(
+    "orders_merge_upsert",
+    # Deterministic CDC batch derived from orders itself: keys %7 update
+    # (price +1.0 — exact float add, no rounding semantics in play),
+    # %11 delete, %13 insert under shifted keys. Oracle = the textbook
+    # MERGE expansion (full outer join + CASE), so the operator's one-join
+    # rewrite is value-checked end to end.
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+            FROM orders
+        ),
+        changes AS (
+            SELECT o_orderkey, 'U' AS op, o_custkey, o_orderstatus,
+                   o_totalprice + 1.0 AS o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, 'D', o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'I', o_custkey, 'N', o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 13 = 0
+        )
+        SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+               CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+               CASE WHEN c.op IS NOT NULL THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+        FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+        WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    description="MERGE INTO / CDC upsert compaction (operators/merge.py): one outer join applies an insert/update/delete batch to the base snapshot — the lakehouse maintenance primitive on plain parquet",
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    deletes = base.filter(
+        (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 11 == 0)
+    ).select(
+        "o_orderkey", F.lit("D").alias("op"), "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority",
+    )
+    inserts = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return merge_upsert(base, changes, key="o_orderkey")

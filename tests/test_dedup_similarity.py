@@ -499,3 +499,19 @@ def test_near_dedup_clusters_transitive(spark):
     assert [out[i].cluster for i in (1, 2, 3, 4)] == [1, 1, 1, 4]
     assert [out[i].cluster_size for i in (1, 2, 3, 4)] == [3, 3, 3, 1]
     assert [out[i].kept for i in (1, 2, 3, 4)] == [True, False, False, True]
+
+
+def test_centroid_outliers_flags_anti_centroid_vector(spark):
+    from analyzing_big_data_in_scala_spark.operators.similarity import centroid_outliers
+
+    # Three vectors near +x, one pointing at -x: the -x vector is the outlier.
+    rows = [
+        (1, [1.0, 0.1, 0.0]),
+        (2, [0.9, 0.0, 0.1]),
+        (3, [1.0, -0.1, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.cosine_to_centroid, r.is_outlier) for r in centroid_outliers(emb).collect()}
+    assert not got[1][1] and not got[2][1] and not got[3][1]
+    assert got[4][1] and got[4][0] < -0.5

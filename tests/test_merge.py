@@ -1,0 +1,53 @@
+"""MERGE/CDC upsert operator tests (operators/merge.py): arm semantics,
+log compaction by sequence, deterministic tie-breaks, schema guards."""
+
+from __future__ import annotations
+
+import pytest
+
+from analyzing_big_data_in_scala_spark.operators.merge import merge_upsert
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+
+
+def test_merge_arms(spark, base):
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "b2", 21.0),   # update existing
+            (3, "D", None, None),   # delete existing
+            (4, "I", "d", 40.0),    # insert new
+            (5, "U", "e", 50.0),    # U on absent key -> insert (upsert)
+        ],
+        "k long, op string, s string, v double",
+    )
+    got = sorted((r.k, r.s, r.v) for r in merge_upsert(base, changes, "k").collect())
+    assert got == [(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0), (5, "e", 50.0)]
+
+
+def test_merge_seq_compaction_latest_wins(spark, base):
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "x", 1.0, 1),
+            (2, "U", "y", 2.0, 3),   # latest seq wins
+            (2, "D", None, None, 2),
+            (3, "D", None, None, 5),
+            (3, "U", "z", 9.0, 5),   # same seq: D preferred over U
+        ],
+        "k long, op string, s string, v double, seq int",
+    )
+    got = sorted(
+        (r.k, r.s, r.v)
+        for r in merge_upsert(base, changes, "k", seq_col="seq").collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "y", 2.0)]
+
+
+def test_merge_missing_columns_rejected(spark, base):
+    bad = spark.createDataFrame([(1, "U")], "k long, op string")
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_upsert(base, bad, "k")

@@ -126,6 +126,8 @@ def test_driver_window_covers_oracle_backed_queries():
         "similarity_cluster_assign",   # spherical k-means E-step (new);
                                        # quantized-cosine family slot held by
                                        # similarity_quantized_topk
+        "orders_merge_upsert",         # MERGE/CDC upsert (new this round)
+        "embeddings_centroid_outliers",  # embedding hygiene scan (new this round)
         # Slots ceded to the new layout/skew/BFS operators
         # (lineitem_zorder_keys, orders_salted_segment_revenue,
         # graph_bfs_hops) — all three below are r1-green:
