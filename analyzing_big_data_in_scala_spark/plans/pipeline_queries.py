@@ -1565,3 +1565,54 @@ def similarity_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embeddings_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.centroid_outliers(emb, threshold=-0.15)
+
+
+@query(
+    "dedup_cross_source_matrix",
+    # Same signature/band fragments as dedup_minhash_candidates, extended
+    # with the documents.source dimension — the corpus-governance report:
+    # which SOURCE PAIRS share near-duplicate content (syndication,
+    # mirror crawls, cross-feed boilerplate).
+    oracle=f"""
+        WITH sig AS ({_minhash_sql()}),
+        banded AS (
+            SELECT doc_id AS id, (perm - 1) // 4 AS band,
+                   {_HASH64.format(x="string_agg(concat(perm, ':', minhash), ',' ORDER BY concat(perm, ':', minhash))")} AS band_key
+            FROM sig
+            GROUP BY doc_id, (perm - 1) // 4
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               COUNT(*) AS n_pairs,
+               COUNT(DISTINCT CASE WHEN da.source <= db.source THEN id_a ELSE id_b END) AS n_docs_a
+        FROM pairs
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+        GROUP BY 1, 2
+    """,
+    description="Cross-source near-dup matrix: MinHash-LSH candidate pairs joined to the source dimension, grouped by unordered source pair — which feeds duplicate each other (one extra broadcast-sized join over the candidate table)",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cands = D.minhash_candidates(docs, num_perm=16, bands=4, k=3)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    joined = cands.join(sa, "id_a").join(sb, "id_b")
+    return joined.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("src_a") <= F.col("src_b"), F.col("id_a")).otherwise(
+                F.col("id_b")
+            )
+        ).alias("n_docs_a"),
+    )
