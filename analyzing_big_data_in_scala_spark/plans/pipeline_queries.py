@@ -1616,3 +1616,34 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_docs_a"),
     )
+
+
+def _training_shards_oracle() -> str:
+    from .registry import QUERIES
+
+    curated = QUERIES["corpus_curation_pipeline"].oracle
+    return f"""
+        WITH curated AS ({curated})
+        SELECT doc_id, n_tokens, quality,
+               CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2000.0) AS BIGINT) AS shard
+        FROM curated
+    """
+
+
+@query(
+    "corpus_training_shards",
+    # The full export flow in ONE declarative plan: curation (language ->
+    # quality -> exact dedup -> near dedup) THEN token-budget shard
+    # assignment over the survivors — each stage's oracle fragment reused
+    # verbatim, composed in DuckDB.
+    oracle=_training_shards_oracle(),
+    description="End-to-end training export: curation-pipeline survivors packed into 2000-token shards (distributed two-phase prefix sum over the curated set) — curate + dedup + pack as one plan",
+)
+def corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_token_shards
+
+    curated = corpus_curation_pipeline(spark, sf_dir)
+    return pack_token_shards(curated, "n_tokens", shard_tokens=2000).select(
+        "doc_id", "n_tokens", "quality", "shard"
+    )
