@@ -33,12 +33,24 @@ def token_chunks(
     chunk_size: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stride: int | None = None,
 ) -> DataFrame:
-    """(id, chunk_idx, n_tokens, chunk_hash) — non-overlapping
-    `chunk_size`-token windows per document, in order; the final chunk may
-    be short. Zero-token docs yield no rows."""
+    """(id, chunk_idx, n_tokens, chunk_hash) — `chunk_size`-token windows
+    per document starting every `stride` tokens (default = chunk_size,
+    i.e. non-overlapping), in order; the final window may be short.
+    Zero-token docs yield no rows.
+
+    stride < chunk_size gives OVERLAPPING windows: a duplicated passage
+    that is shifted relative to the chunk grid (a few tokens of differing
+    preamble) still produces at least one aligned window pair, at
+    chunk_size/stride times the row volume — the standard recall/cost
+    dial for passage-level dedup."""
+    if stride is None:
+        stride = chunk_size
+    if stride <= 0 or stride > chunk_size:
+        raise ValueError(f"token_chunks: need 0 < stride <= chunk_size, got {stride}")
     toked = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
-    n_chunks = F.ceil(F.size("toks") / F.lit(chunk_size)).cast("int")
+    n_chunks = F.ceil(F.size("toks") / F.lit(stride)).cast("int")
     idx = F.when(F.size("toks") > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
         F.array().cast("array<int>")
     )
@@ -46,7 +58,7 @@ def token_chunks(
         idx,
         lambda i: F.struct(
             i.alias("chunk_idx"),
-            F.slice(F.col("toks"), i * chunk_size + 1, chunk_size).alias("c"),
+            F.slice(F.col("toks"), i * stride + 1, chunk_size).alias("c"),
         ),
     )
     return toked.select("id", F.explode(chunks).alias("ch")).select(
@@ -62,6 +74,7 @@ def chunk_dedup_stats(
     chunk_size: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stride: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-passage profile:
     (id_col, n_chunks, n_dup_chunks, dup_chunk_frac).
@@ -78,7 +91,7 @@ def chunk_dedup_stats(
     exchange) → one aggregate per doc. Nothing quadratic, keys never
     wider than a long; distinct hashes grow with the corpus, so this is
     a shuffled join by design, not a broadcast."""
-    ch = token_chunks(docs, chunk_size, id_col, text_col)
+    ch = token_chunks(docs, chunk_size, id_col, text_col, stride=stride)
     df_counts = ch.groupBy("chunk_hash").agg(
         F.count_distinct("id").alias("chunk_df")
     )

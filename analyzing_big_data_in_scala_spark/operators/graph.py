@@ -389,3 +389,69 @@ def bfs_hops(
         settled = settled.union(new).localCheckpoint()
         frontier = new
     return settled
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    weight: Column | None = None,
+    seeds: DataFrame | None = None,
+    max_hops: int = 15,
+) -> DataFrame:
+    """Single/multi-source shortest WEIGHTED distances over the undirected
+    graph: frontier-pruned Bellman-Ford. Returns (id, dist) — the minimum
+    total weight over paths of at most `max_hops` edges (at convergence,
+    the true shortest distance; the explicit cap makes the semantics
+    engine-independent and oracle-expressible as a depth-capped recursive
+    CTE).
+
+    `weight` is an expression over the canonical undirected edge columns
+    (a, b); default = 1 + portable_hash64("a:b") % 9, a deterministic
+    per-edge weight both engines can re-derive. Round k relaxes exactly
+    the paths with k edges (improvements cascade through the frontier),
+    so running `min(max_hops, until-frontier-empty)` rounds equals full
+    Bellman-Ford truncated at `max_hops` — and each round joins ONLY the
+    improved vertices against the (checkpointed) edge list, the same
+    work-bound-by-frontier shape as :func:`bfs_hops`.
+    """
+    from ..functions.text import portable_hash64
+
+    und = canonical_undirected(edges)
+    if weight is None:
+        weight = (
+            F.pmod(portable_hash64(F.concat_ws(":", F.col("a"), F.col("b"))), F.lit(9))
+            + 1
+        )
+    w_edges = und.select("a", "b", weight.cast("long").alias("w"))
+    sym = w_edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).union(
+        w_edges.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    ).localCheckpoint()
+
+    if seeds is None:
+        seeds = _vertices_from_edges(edges).agg(F.min("id").alias("id"))
+    settled = seeds.select("id", F.lit(0).cast("long").alias("dist")).localCheckpoint()
+    frontier = settled
+    for _ in range(max_hops):
+        cand = (
+            sym.join(frontier.select(F.col("id").alias("u"), "dist"), "u")
+            .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(settled, "id", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        settled = (
+            settled.union(improved)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = improved
+    return settled

@@ -281,3 +281,39 @@ def graph_components_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hops = G.bfs_hops(_edges(spark, sf_dir), max_iterations=30)
     return hops.select("id", F.col("hops").cast("int").alias("hops"))
+
+
+_HASH64 = "CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "graph_sssp_weighted",
+    # Weighted companion of graph_bfs_hops: deterministic per-edge weights
+    # (1 + portable-hash % 9) re-derived identically in DuckDB; both sides
+    # compute "min distance over paths of <= 15 edges" (the Spark operator
+    # by capped Bellman-Ford rounds, the CTE by capped recursion depth).
+    oracle=f"""
+        WITH RECURSIVE {_SQL_CANON},
+        wedges AS (
+            SELECT a, b, ({_HASH64.format(x="concat(a, ':', b)")}) % 9 + 1 AS w
+            FROM canon
+        ),
+        sym AS (
+            SELECT a AS u, b AS v, w FROM wedges
+            UNION ALL
+            SELECT b AS u, a AS v, w FROM wedges
+        ),
+        seed AS (SELECT MIN(u) AS id FROM sym),
+        walk(id, d, steps) AS (
+            SELECT id, CAST(0 AS BIGINT), 0 FROM seed
+            UNION
+            SELECT s.v, w.d + s.w, w.steps + 1
+            FROM walk w JOIN sym s ON s.u = w.id WHERE w.steps < 15
+        )
+        SELECT id, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY id
+    """,
+    description="Weighted SSSP (frontier-pruned Bellman-Ford, <=15-edge paths) from the min-id vertex; deterministic hash-derived weights; oracle = depth-capped recursive CTE with MIN(total weight)",
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = G.sssp_weighted(_edges(spark, sf_dir), max_hops=15)
+    return dist.select("id", F.col("dist").cast("long").alias("dist"))

@@ -76,6 +76,11 @@ HEADLINE = [
     "orders_salted_segment_revenue",
     "graph_bfs_hops",
     "similarity_cluster_assign",
+    "orders_merge_upsert",
+    "embeddings_centroid_outliers",
+    "dedup_cross_source_matrix",
+    "corpus_training_shards",
+    "graph_sssp_weighted",
 ]
 
 

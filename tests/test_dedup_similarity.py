@@ -515,3 +515,30 @@ def test_centroid_outliers_flags_anti_centroid_vector(spark):
     got = {r.vec_id: (r.cosine_to_centroid, r.is_outlier) for r in centroid_outliers(emb).collect()}
     assert not got[1][1] and not got[2][1] and not got[3][1]
     assert got[4][1] and got[4][0] < -0.5
+
+
+def test_token_chunks_stride_catches_shifted_passage(spark):
+    from analyzing_big_data_in_scala_spark.operators.chunking import (
+        chunk_dedup_stats,
+        token_chunks,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + passage),            # passage shifted by 1 token
+            (2, "beta gamma delta " + passage), # shifted by 3
+        ],
+        "doc_id long, text string",
+    )
+    # Non-overlapping 8-token grid: the shifted copies never align.
+    aligned = chunk_dedup_stats(docs, chunk_size=8).collect()
+    assert all(r.n_dup_chunks == 0 for r in aligned)
+    # stride=1 windows: some 8-token window pair matches exactly.
+    over = chunk_dedup_stats(docs, chunk_size=8, stride=1).collect()
+    assert all(r.n_dup_chunks >= 1 for r in over)
+    # stride guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        token_chunks(docs, chunk_size=8, stride=9)

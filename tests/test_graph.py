@@ -148,3 +148,28 @@ def test_bfs_hops_unreachable_absent_and_custom_seed(spark):
     seeds = spark.createDataFrame([(10,)], "id long")
     got = {r.id: r.hops for r in G.bfs_hops(edges, seeds=seeds).collect()}
     assert got == {10: 0, 11: 1}
+
+
+def test_sssp_weighted_micro_graph(spark):
+    from pyspark.sql import functions as F
+
+    # Square 1-2-4-3-1 with a heavy direct edge 1-4: unit weights on the
+    # rim, weight 10 on the chord -> shortest 1->4 goes around (dist 2).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    w = F.when((F.col("a") == 1) & (F.col("b") == 4), F.lit(10)).otherwise(F.lit(1))
+    got = {r.id: r.dist for r in G.sssp_weighted(edges, weight=w).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_sssp_hop_cap_truncates(spark):
+    from pyspark.sql import functions as F
+
+    # Chain 1-2-3-4 with unit weights: a 2-hop cap cannot reach vertex 4.
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    got = {
+        r.id: r.dist
+        for r in G.sssp_weighted(edges, weight=F.lit(1), max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
