@@ -78,3 +78,37 @@ def merge_upsert(
             for c in payload
         ],
     )
+
+
+def apply_agg_delta(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Incremental materialized-view maintenance for SUM/COUNT aggregates:
+    next_agg = base_agg ⊕ delta, where `delta` carries per-key signed
+    adjustments (+new for inserts, -old for deletes, new-old for updates)
+    over the same `measures` columns. One outer join on the GROUP keys —
+    the base facts are never rescanned, which is the whole point: at
+    100 TB the view refresh cost tracks the CHANGE batch, not the corpus.
+
+    Only works for re-aggregable measures (sum/count algebra); avg/min/max
+    need their own state (min/max are not incrementally maintainable under
+    deletes at all — recompute those). `count_col` names the measure whose
+    post-merge zero means "group disappeared" (dropped to match a full
+    recompute); omit it only when groups can never empty.
+    """
+    d = delta.select(*keys, *[F.col(m).alias(f"_d_{m}") for m in measures])
+    joined = base_agg.join(d, keys, "full_outer")
+    out = joined.select(
+        *keys,
+        *[
+            (F.coalesce(F.col(m), F.lit(0)) + F.coalesce(F.col(f"_d_{m}"), F.lit(0))).alias(m)
+            for m in measures
+        ],
+    )
+    if count_col is not None:
+        out = out.filter(F.col(count_col) > 0)
+    return out

@@ -691,3 +691,85 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
     return merge_upsert(base, changes, key="o_orderkey")
+
+
+@query(
+    "orders_incremental_agg_refresh",
+    # Incremental view maintenance, value-checked against the FULL
+    # recompute: the oracle merges the same deterministic CDC batch
+    # (%7 update / %11 delete / %13 insert — as orders_merge_upsert) into
+    # the snapshot and re-aggregates from scratch; the Spark side never
+    # rescans the base facts — it folds signed per-key deltas into the
+    # existing aggregate.
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        ),
+        changes AS (
+            SELECT o_orderkey, 'U' AS op, o_orderpriority, o_totalprice + 1.0 AS o_totalprice
+            FROM base WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, 'D', o_orderpriority, o_totalprice
+            FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'I', o_orderpriority, o_totalprice
+            FROM base WHERE o_orderkey % 13 = 0
+        ),
+        merged AS (
+            SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+                   CASE WHEN c.op IS NOT NULL THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority,
+                   CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+            FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+            WHERE c.op IS NULL OR c.op <> 'D'
+        )
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM merged GROUP BY o_orderpriority
+    """,
+    description="Incremental materialized-view refresh (operators/merge.apply_agg_delta): signed I/U/D deltas folded into the existing per-priority aggregate — refresh cost tracks the change batch, never the base facts; oracle is the full recompute over the merged snapshot",
+)
+def orders_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import apply_agg_delta
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base_agg = base.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+    k = F.col("o_orderkey")
+    upd = base.filter(k % 7 == 0).select(
+        "o_orderpriority",
+        F.lit(0).cast("long").alias("n_orders"),
+        # new - old = +1.0 per updated row
+        F.lit(1.0).alias("total_price"),
+    )
+    dele = base.filter((k % 7 != 0) & (k % 11 == 0)).select(
+        "o_orderpriority",
+        F.lit(-1).cast("long").alias("n_orders"),
+        (-F.col("o_totalprice")).alias("total_price"),
+    )
+    ins = base.filter(k % 13 == 0).select(
+        "o_orderpriority",
+        F.lit(1).cast("long").alias("n_orders"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    delta = (
+        upd.unionByName(dele)
+        .unionByName(ins)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_price").alias("total_price"),
+        )
+    )
+    refreshed = apply_agg_delta(
+        base_agg, delta, ["o_orderpriority"], ["n_orders", "total_price"],
+        count_col="n_orders",
+    )
+    return refreshed.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("total_price", 2).alias("total_price"),
+    )

@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "corpus_training_shards",
     "graph_sssp_weighted",
+    "orders_incremental_agg_refresh",
 ]
 
 

@@ -51,3 +51,22 @@ def test_merge_missing_columns_rejected(spark, base):
     bad = spark.createDataFrame([(1, "U")], "k long, op string")
     with pytest.raises(ValueError, match="missing columns"):
         merge_upsert(base, bad, "k")
+
+
+def test_apply_agg_delta_group_lifecycle(spark):
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.merge import apply_agg_delta
+
+    base_agg = spark.createDataFrame(
+        [("a", 2, 20.0), ("b", 1, 5.0)], "g string, n long, s double"
+    )
+    # empty group b entirely; create brand-new group c; bump a
+    delta = spark.createDataFrame(
+        [("a", 1, 7.0), ("b", -1, -5.0), ("c", 2, 9.0)], "g string, n long, s double"
+    )
+    got = sorted(
+        (r.g, r.n, r.s)
+        for r in apply_agg_delta(base_agg, delta, ["g"], ["n", "s"], count_col="n").collect()
+    )
+    assert got == [("a", 3, 27.0), ("c", 2, 9.0)]

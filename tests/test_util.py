@@ -131,6 +131,7 @@ def test_driver_window_covers_oracle_backed_queries():
         "dedup_cross_source_matrix",   # source-pair governance report (new this round)
         "corpus_training_shards",      # curate+dedup+pack composite (new this round)
         "graph_sssp_weighted",         # weighted BFS companion (new this round)
+        "orders_incremental_agg_refresh",  # view-maintenance algebra (new this round)
         # Slots ceded to the new layout/skew/BFS operators
         # (lineitem_zorder_keys, orders_salted_segment_revenue,
         # graph_bfs_hops) — all three below are r1-green:
