@@ -18,7 +18,7 @@ from ..operators import ml as M
 from ..operators import multimodal as MM
 from ..operators import similarity as S
 from ..operators.dedup import MERSENNE31, _perm_params
-from ..sources.catalog import load_table
+from ..sources.catalog import load_events, load_table
 from .registry import query
 
 _HASH64 = "CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
@@ -1646,4 +1646,56 @@ def corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated = corpus_curation_pipeline(spark, sf_dir)
     return pack_token_shards(curated, "n_tokens", shard_tokens=2000).select(
         "doc_id", "n_tokens", "quality", "shard"
+    )
+
+
+@query(
+    "events_late_arrival_profile",
+    # Batch twin of the watermark-drop decision: an event is DROPPED at
+    # watermark W when the max event-time already seen (arrival order =
+    # event_id) exceeds its own timestamp by more than W. Value-checks the
+    # lateness semantics the streaming operators rely on, and doubles as
+    # the tool for CHOOSING a watermark (how much data each W discards).
+    oracle="""
+        WITH arr AS (
+            SELECT event_type,
+                   FLOOR(epoch(ts)) AS t,
+                   MAX(FLOOR(epoch(ts))) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN hwm - t > 600  THEN 1 ELSE 0 END) AS BIGINT) AS late_10m,
+               CAST(SUM(CASE WHEN hwm - t > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
+               CAST(SUM(CASE WHEN hwm - t > 43200 THEN 1 ELSE 0 END) AS BIGINT) AS late_12h,
+               CAST(MAX(GREATEST(hwm - t, 0)) AS BIGINT) AS max_lateness_sec
+        FROM arr
+        GROUP BY event_type
+    """,
+    description="Watermark lateness profile (batch twin of the streaming drop rule): per event, high-water-mark event time over arrival order minus own event time; per-type counts of events a 10m/1h/12h watermark would drop — the measurement behind every withWatermark choice here",
+)
+def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    t = F.unix_timestamp("ts").cast("long")
+    # Arrival order = event_id (the fixture's ingestion sequence). The
+    # window is GLOBAL by design — the stream's high-water mark is global —
+    # but it shuffles only (event_id, ts, type): at real scale this is the
+    # one operator here that would move to a two-phase prefix-max (like
+    # packing.pack_token_shards) instead of a single-partition window.
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    arr = ev.select(
+        "event_type",
+        t.alias("t"),
+        F.max(t).over(w).alias("hwm"),
+    )
+    late = F.col("hwm") - F.col("t")
+    return arr.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((late > 600).cast("long")).alias("late_10m"),
+        F.sum((late > 3600).cast("long")).alias("late_1h"),
+        F.sum((late > 43200).cast("long")).alias("late_12h"),
+        F.max(F.greatest(late, F.lit(0))).alias("max_lateness_sec"),
     )
