@@ -39,6 +39,9 @@ PICKS = {
     "orders_salted_segment_revenue": "Salted equi-join: fact side salted by whole-row xxhash64 in the scan projection, dimension exploded x8 replicas, join key (custkey, salt) — a hot key spreads over 8 reducers; the post-join aggregate is an ordinary two-phase hash agg.",
     "lineitem_zorder_keys": "Z-value = min/max-scale (exact BIGINT div) + bit-interleave, all in one codegen projection over the scan; stats come from a 1-row broadcast cross join (no driver collect); top-k as TakeOrderedAndProject.",
     "similarity_cluster_assign": "Centroids quantized + broadcast (k rows); all k cosines per vector in one projection after the cross join; argmax via max(struct) hash aggregate with map-side partials — no window, no extra shuffle.",
+    "orders_merge_upsert": "MERGE as ONE full-outer sort-merge join on the key (AQE broadcasts a small change batch at scale); delete filter + per-column CASE projection — no second pass over the base snapshot.",
+    "orders_incremental_agg_refresh": "View refresh joins the standing aggregate with the delta aggregate on GROUP keys (5 rows each side here) — the base fact scan feeds only the delta derivation; at steady state the refresh cost is the change batch, never the corpus.",
+    "corpus_training_shards": "Curation plan (shared scan, fused gates) feeding the two-phase distributed prefix sum: per-partition subtotals broadcast back as running offsets — a global running total with NO single-partition window over the data.",
 }
 
 
