@@ -1,0 +1,103 @@
+"""Data-quality operators: column profiling and declarative constraint
+checks (the Deequ/Great-Expectations capability class, DataFrame-native).
+
+Both are single-pass: `column_profile` computes every column's stats in
+ONE aggregate (each stat an ordinary aggregate expression — map-side
+partials apply; the exact distinct counts expand the aggregate by the
+column count, the documented cost of exact profiling), then melts the
+1-row result to a row-per-column report in a projection. `quality_checks`
+evaluates every violation-count expression in one aggregate over one scan
+— checks that need a second table (referential integrity) contribute one
+anti-join each, still no per-check scans.
+
+Numeric min/max stay typed DOUBLE columns and string min/max stay VARCHAR
+(NULL on the other side) — a single stringly-typed min/max column would
+tie the report to engine-specific float formatting and break
+cross-engine value checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct,
+    min_num, max_num, min_str, max_str). Numeric columns fill min/max_num
+    (as double), string columns fill min/max_str; other types profile
+    counts only."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if cols is None:
+        cols = list(fields)
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        raise ValueError(f"column_profile: unknown columns {missing}")
+
+    aggs: list[Column] = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+        if isinstance(fields[c], _NUMERIC):
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+        elif isinstance(fields[c], T.StringType):
+            aggs.append(F.min(c).alias(f"_smin_{c}"))
+            aggs.append(F.max(c).alias(f"_smax_{c}"))
+    one = df.agg(*aggs)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                (
+                    F.col(f"_min_{c}")
+                    if isinstance(fields[c], _NUMERIC)
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"_max_{c}")
+                    if isinstance(fields[c], _NUMERIC)
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.col(f"_smin_{c}")
+                    if isinstance(fields[c], T.StringType)
+                    else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"_smax_{c}")
+                    if isinstance(fields[c], T.StringType)
+                    else F.lit(None).cast("string")
+                ).alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def quality_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Declarative constraint validation: `checks` maps check name -> a
+    VIOLATION-COUNT aggregate expression over `df` (0 = check passes).
+    Returns (check, n_violations, passed), one row per check, computed in
+    ONE aggregate pass. Compose referential checks by aggregating an
+    anti-join's count into the expression's frame beforehand."""
+    one = df.agg(*[expr.cast("long").alias(name) for name, expr in checks.items()])
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(name).alias("n_violations"),
+                (F.col(name) == 0).alias("passed"),
+            )
+            for name in checks
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

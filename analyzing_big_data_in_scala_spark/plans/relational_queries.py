@@ -773,3 +773,123 @@ def orders_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
         "n_orders",
         F.round("total_price", 2).alias("total_price"),
     )
+
+
+@query(
+    "orders_data_profile",
+    # One aggregate pass profiles every column (exact distincts — the
+    # documented cost); the oracle derives each stat independently per
+    # column. Numeric vs string min/max stay typed so no engine-specific
+    # float formatting enters the comparison.
+    oracle="""
+        SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_num, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_totalprice),
+               MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderpriority),
+               NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+    """,
+    description="Column profiling (Deequ-class data validation, operators/quality.py): per-column rows/nulls/exact-distinct/min/max from ONE aggregate pass, melted to a row-per-column report in a projection",
+)
+def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import column_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return column_profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    )
+
+
+@query(
+    "orders_quality_checks",
+    oracle="""
+        WITH enriched AS (
+            SELECT o.*, c.c_custkey AS matched
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        agg AS (
+            SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_unique,
+                   SUM(CASE WHEN matched IS NULL THEN 1 ELSE 0 END) AS fk_customer,
+                   SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS price_non_negative,
+                   SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS status_enum,
+                   SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS priority_format
+            FROM enriched
+        )
+        SELECT 'pk_unique' AS "check", CAST(pk_unique AS BIGINT) AS n_violations, pk_unique = 0 AS passed FROM agg
+        UNION ALL SELECT 'fk_customer', CAST(fk_customer AS BIGINT), fk_customer = 0 FROM agg
+        UNION ALL SELECT 'price_non_negative', CAST(price_non_negative AS BIGINT), price_non_negative = 0 FROM agg
+        UNION ALL SELECT 'status_enum', CAST(status_enum AS BIGINT), status_enum = 0 FROM agg
+        UNION ALL SELECT 'priority_format', CAST(priority_format AS BIGINT), priority_format = 0 FROM agg
+    """,
+    description="Declarative constraint validation (operators/quality.py): key uniqueness, referential integrity (broadcast left join), non-negativity, enum membership, format regex — all violation counts in ONE aggregate pass",
+)
+def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import quality_checks
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    enriched = o.join(
+        F.broadcast(cust), o.o_custkey == cust.c_custkey, "left"
+    )
+    return quality_checks(
+        enriched,
+        {
+            "pk_unique": F.count("*") - F.countDistinct("o_orderkey"),
+            "fk_customer": F.sum(F.col("c_custkey").isNull().cast("long")),
+            "price_non_negative": F.sum((F.col("o_totalprice") < 0).cast("long")),
+            "status_enum": F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")),
+            "priority_format": F.sum(
+                (~F.col("o_orderpriority").rlike("^[1-5]-")).cast("long")
+            ),
+        },
+    )
+
+
+@query(
+    "customer_fuzzy_name_matches",
+    # Levenshtein has one standard definition — both engines agree
+    # exactly; the 16-char-prefix block bounds the candidate join.
+    oracle="""
+        WITH b AS (
+            SELECT c_custkey AS id, c_name AS name, substr(c_name, 1, 16) AS blk
+            FROM customer
+        )
+        SELECT a.id AS id_a, b2.id AS id_b,
+               CAST(levenshtein(a.name, b2.name) AS INT) AS distance
+        FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+        WHERE levenshtein(a.name, b2.name) <= 1
+    """,
+    description="Record linkage (operators/linkage.py): blocked fuzzy matching — prefix-block equi self-join, Levenshtein <= 1 inside blocks only; the entity-table counterpart of document LSH dedup, never all-pairs",
+)
+def customer_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import blocked_fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return blocked_fuzzy_pairs(
+        cust, "c_custkey", "c_name", block=F.substring("c_name", 1, 16), max_distance=1
+    )

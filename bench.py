@@ -82,6 +82,9 @@ HEADLINE = [
     "corpus_training_shards",
     "graph_sssp_weighted",
     "orders_incremental_agg_refresh",
+    "orders_data_profile",
+    "orders_quality_checks",
+    "customer_fuzzy_name_matches",
 ]
 
 

@@ -1,0 +1,73 @@
+"""Data-quality operator tests: column profiling, constraint checks,
+blocked fuzzy record linkage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyzing_big_data_in_scala_spark.operators.linkage import blocked_fuzzy_pairs
+from analyzing_big_data_in_scala_spark.operators.quality import (
+    column_profile,
+    quality_checks,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [(1, "alpha", 10.0), (2, "beta", -3.0), (3, None, 10.0), (3, "beta", None)],
+        "id long, s string, v double",
+    )
+
+
+def test_column_profile_stats(spark, frame):
+    got = {r.column: r for r in column_profile(frame).collect()}
+    assert got["id"].n_rows == 4 and got["id"].n_nulls == 0 and got["id"].n_distinct == 3
+    assert got["id"].min_num == 1.0 and got["id"].max_num == 3.0 and got["id"].min_str is None
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    assert got["s"].min_str == "alpha" and got["s"].max_str == "beta" and got["s"].min_num is None
+    assert got["v"].n_nulls == 1 and got["v"].min_num == -3.0 and got["v"].max_num == 10.0
+
+
+def test_column_profile_unknown_column_rejected(spark, frame):
+    with pytest.raises(ValueError, match="unknown columns"):
+        column_profile(frame, ["nope"])
+
+
+def test_quality_checks_counts(spark, frame):
+    got = {
+        r.check: (r.n_violations, r.passed)
+        for r in quality_checks(
+            frame,
+            {
+                "pk_unique": F.count("*") - F.countDistinct("id"),
+                "s_not_null": F.sum(F.col("s").isNull().cast("long")),
+                "v_non_negative": F.sum((F.col("v") < 0).cast("long")),
+            },
+        ).collect()
+    }
+    assert got["pk_unique"] == (1, False)
+    assert got["s_not_null"] == (1, False)
+    assert got["v_non_negative"] == (1, False)
+
+
+def test_blocked_fuzzy_pairs_blocks_and_distance(spark):
+    people = spark.createDataFrame(
+        [
+            (1, "smith john"),
+            (2, "smith jon"),    # distance 1 from id 1, same block
+            (3, "smith joan"),   # distance 1 from 1 ("h"->"a"... actually sub+ins), <=2 from both
+            (4, "zmith john"),   # leading typo: DIFFERENT block, never compared
+        ],
+        "id long, name string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.distance
+        for r in blocked_fuzzy_pairs(
+            people, "id", "name", block=F.substring("name", 1, 3), max_distance=2
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # blocking recall bound
+    assert all(d <= 2 for d in pairs.values())

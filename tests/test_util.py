@@ -133,6 +133,9 @@ def test_driver_window_covers_oracle_backed_queries():
         "graph_sssp_weighted",         # weighted BFS companion (new this round)
         "orders_incremental_agg_refresh",  # view-maintenance algebra (new this round)
         "events_late_arrival_profile",     # watermark-choice analytic (new this round)
+        "orders_data_profile",             # column profiling (new this round)
+        "orders_quality_checks",           # constraint validation (new this round)
+        "customer_fuzzy_name_matches",     # blocked record linkage (new this round)
         # Slots ceded to the new layout/skew/BFS operators
         # (lineitem_zorder_keys, orders_salted_segment_revenue,
         # graph_bfs_hops) — all three below are r1-green:
