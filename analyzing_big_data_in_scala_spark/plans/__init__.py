@@ -29,34 +29,39 @@ from . import streaming_queries  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Relational core
-    "pricing_summary",
-    "revenue_by_nation",
+    # Relational / lakehouse-maintenance / data-quality core. The classic
+    # relational queries that were GREEN in CORRECTNESS_r01 with unchanged
+    # implementations (pricing_summary, revenue_by_nation, degree/triangle
+    # graph queries, the r1 dedup chain) ceded their slots to operators
+    # that have never had a driver row — r1 evidence stands for them.
+    "orders_merge_upsert",
+    "orders_incremental_agg_refresh",
     "orders_salted_segment_revenue",
     "lineitem_zorder_keys",
     "lineitem_approx_profile",
+    "orders_data_profile",
+    "orders_quality_checks",
+    "customer_fuzzy_name_matches",
     # Text / TF-IDF / search
     "tfidf_doc_frequencies_stemmed",
-    "search_multi_word_cosine",
-    "doc_bpe_token_stats",
+    "corpus_pmi_collocations",
     "doc_perplexity_proxy",
     "doc_repetition_filters",
     "doc_pii_scan",
     "doc_decontamination",
     "doc_url_domains",
-    # Graph — degrees/triangles exact; PageRank via unrolled-CTE oracle,
-    # CC via recursive-CTE closure oracle (iterative != unverifiable)
-    "graph_out_degrees",
-    "graph_triangle_counts",
+    # Graph — PageRank via unrolled-CTE oracle, CC via recursive-CTE
+    # closure oracle, BFS/SSSP via depth-capped recursion (iterative !=
+    # unverifiable)
     "graph_pagerank_reference",
     "graph_components_two_phase",
     "graph_bfs_hops",
-    # Dedup / similarity
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
+    "graph_sssp_weighted",
+    # Dedup / similarity / embedding hygiene
     "dedup_near_clusters",
-    "dedup_minhash_candidates",
-    "doc_winnow_fingerprints",
+    "dedup_cross_source_matrix",
+    "similarity_cluster_assign",
+    "embeddings_centroid_outliers",
     "doc_chunk_dedup",
     "dedup_embedding_cosine",
     "dedup_semantic",

@@ -77,72 +77,32 @@ def test_driver_window_covers_oracle_backed_queries():
     assert len(DRIVER_WINDOW) == 50
 
     deliberate_demotions = {
-        "order_priority_counts",      # pricing_summary: same filter+agg family
-        "top_parts_by_revenue",       # top_customers_by_orders: same top-k join-agg
-        "customer_order_running_total",  # top_customers_per_segment keeps window fns
-        "global_agg_stats",           # pricing_summary covers the agg functions
-        "tfidf_term_frequencies",     # tf table is inside tfidf_matrix
-        "tfidf_doc_frequencies",      # df table is inside tfidf_idf (idf=ln(N/df))
-        "search_single_word",         # special case of search_multi_word_cosine
-        "search_multi_word_reference",  # same chain as search_multi_word_cosine
-        "search_batch_queries",       # batched variant of multi-word search
-        "doc_token_stats",            # doc_bpe_token_stats covers token counting
-        "dedup_jaccard_df_capped",    # dedup_ngram_jaccard + df cap
-        "dedup_minhash_signatures",   # signatures feed dedup_minhash_candidates
-        "dedup_simhash",              # simhash feeds dedup_simhash_pairs
-        "doc_fingerprint_rolling",    # rolling hash feeds doc_winnow_fingerprints
-        # Round-1-green rotations (CORRECTNESS_r01 already records their
-        # pass; slots ceded to doc_repetition_filters / doc_pii_scan /
-        # doc_decontamination in round 2):
-        "supplier_part_type_share",   # window-agg family held by top_customers_per_segment
-        "customers_without_orders_filtered",  # anti join, complement of the
-                                              # semi join in customers_with_expensive_items
-        "graph_in_degrees",           # mirror aggregate of graph_out_degrees
-        "brand_returnflag_pivot",     # grouping-extension family held by revenue_rollup
-        # Slots ceded to dedup_semantic / similarity_quantized_topk /
-        # doc_url_domains later in round 2:
-        "tfidf_matrix",               # the matrix feeds the green search_multi_word_cosine chain
-        "top_customers_by_orders",    # top-k join-agg family held by top_parts/search top-ks
-        "customer_segment_setops",    # set-ops, r1-green (CORRECTNESS_r01)
-        "entity_word_count",          # r1-green; NER slot held by ner_gazetteer_counts
-        "dedup_simhash_pairs",        # r1-green x2 (simhash + pairs); slot ceded to doc_chunk_dedup
-        "doc_quality_scores",         # r1-green; chain re-verified inside both curation composites
-        "doc_language_id",            # r1-green; chain re-verified inside both curation composites
-        # Slots ceded to the newly oracle-backed iterative-graph queries
-        # (graph_pagerank_reference / graph_components_two_phase):
-        "tfidf_idf",                  # r1-green; idf chain lives inside search_multi_word_cosine
-        "similarity_cosine_topk",     # r1-green; brute-force ANN slot held by similarity_quantized_topk
-        "graph_pagerank",             # PR-family slot held by the quirk-compat reference variant
-        "graph_component_sizes",      # CC slot held by the two-phase scale path (same closure oracle)
-        # Slot ceded to dedup_near_clusters (end-to-end near-dedup):
-        "events_tumbling_10min",      # tumbling-window agg still value-checked through
-                                      # streaming_tumbling_counts' batch-equivalence oracle
-        # Slot ceded to doc_perplexity_proxy (unigram-LM quality signal):
-        "customers_with_expensive_items",  # r1-green; semi-join family (its anti-join
-                                           # complement was already a documented demotion)
-        # New this round, local oracle replica green; rotates into the
-        # window next round:
-        "corpus_pmi_collocations",
-        "similarity_cluster_assign",   # spherical k-means E-step (new);
-                                       # quantized-cosine family slot held by
-                                       # similarity_quantized_topk
-        "orders_merge_upsert",         # MERGE/CDC upsert (new this round)
-        "embeddings_centroid_outliers",  # embedding hygiene scan (new this round)
-        "dedup_cross_source_matrix",   # source-pair governance report (new this round)
-        "corpus_training_shards",      # curate+dedup+pack composite (new this round)
-        "graph_sssp_weighted",         # weighted BFS companion (new this round)
-        "orders_incremental_agg_refresh",  # view-maintenance algebra (new this round)
-        "events_late_arrival_profile",     # watermark-choice analytic (new this round)
-        "orders_data_profile",             # column profiling (new this round)
-        "orders_quality_checks",           # constraint validation (new this round)
-        "customer_fuzzy_name_matches",     # blocked record linkage (new this round)
-        # Slots ceded to the new layout/skew/BFS operators
-        # (lineitem_zorder_keys, orders_salted_segment_revenue,
-        # graph_bfs_hops) — all three below are r1-green:
-        "customer_order_full_outer",   # J2 full-outer parity pinned by r1 row + unit
-        "top_customers_per_segment",   # window-rank family still covered by
-                                       # customer_order_running_total
-        "revenue_rollup",              # grouping-sets family r1-green
+        # --- r1-GREEN, implementation unchanged since CORRECTNESS_r01
+        # recorded their pass (the evidence stands; slots ceded to
+        # operators that have never had a driver row):
+        "pricing_summary", "revenue_by_nation", "top_customers_by_orders",
+        "order_priority_counts", "top_parts_by_revenue",
+        "supplier_part_type_share", "customer_order_full_outer",
+        "top_customers_per_segment", "customer_order_running_total",
+        "customers_with_expensive_items", "customers_without_orders_filtered",
+        "customer_segment_setops", "revenue_rollup", "brand_returnflag_pivot",
+        "global_agg_stats",
+        "tfidf_term_frequencies", "tfidf_doc_frequencies", "tfidf_idf",
+        "tfidf_matrix", "search_single_word", "search_multi_word_cosine",
+        "search_multi_word_reference", "search_batch_queries",
+        "entity_word_count", "doc_token_stats", "doc_bpe_token_stats",
+        "doc_quality_scores", "doc_language_id",
+        "graph_out_degrees", "graph_in_degrees", "graph_triangle_counts",
+        "graph_pagerank", "graph_component_sizes",
+        "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_jaccard_df_capped",
+        "dedup_minhash_signatures", "dedup_minhash_candidates",
+        "dedup_simhash", "dedup_simhash_pairs", "doc_fingerprint_rolling",
+        "doc_winnow_fingerprints", "similarity_cosine_topk",
+        # --- building-block / twin queries whose SUPERSET holds a slot:
+        "events_tumbling_10min",       # batch twin of streaming_tumbling_counts
+        "corpus_training_shards",      # = curation_pipeline (slot 28) + token_shards (slot 44)
+        "events_late_arrival_profile", # window family held by events_user_sessions;
+                                       # local replica green, rotates next round
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
