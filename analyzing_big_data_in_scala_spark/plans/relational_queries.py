@@ -893,3 +893,73 @@ def customer_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_fuzzy_pairs(
         cust, "c_custkey", "c_name", block=F.substring("c_name", 1, 16), max_distance=1
     )
+
+
+@query(
+    "events_value_quartiles_by_type",
+    # EXACT percentiles (linear interpolation) — one cross-engine
+    # definition (SQL percentile_cont), unlike the sketch in
+    # lineitem_approx_profile; rounded to 6 on both sides.
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(quantile_cont(value, 0.25), 6) AS p25,
+               ROUND(quantile_cont(value, 0.50), 6) AS p50,
+               ROUND(quantile_cont(value, 0.75), 6) AS p75
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Exact interpolated quartiles per group (A-family exact percentile, the deterministic complement of the GK sketch): single hash aggregate; at scale the per-group sort is bounded by group size, and heavy groups belong on the sketch path instead",
+)
+def events_value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@query(
+    "orders_rank_functions",
+    # The full ranking-function family in one query: rank / dense_rank /
+    # percent_rank / ntile over a deterministic ordering (price DESC,
+    # key ASC — unique tiebreak makes every function reproducible).
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+                   NTILE(4) OVER w AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        )
+        SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, prnk,
+               CAST(quartile AS INT) AS quartile
+        FROM ranked WHERE o_custkey % 50 = 0
+    """,
+    description="Ranking-function breadth (O-family): rank, dense_rank, percent_rank, ntile(4) per customer over a unique-tiebreak ordering; per-customer window partitions stay bounded at scale",
+)
+def orders_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("o_custkey") % 50 == 0)
+    )

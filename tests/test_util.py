@@ -103,6 +103,10 @@ def test_driver_window_covers_oracle_backed_queries():
         "corpus_training_shards",      # = curation_pipeline (slot 28) + token_shards (slot 44)
         "events_late_arrival_profile", # window family held by events_user_sessions;
                                        # local replica green, rotates next round
+        "events_value_quartiles_by_type",  # exact-percentile agg (new); approx
+                                           # family holds the window slot
+        "orders_rank_functions",       # ranking-fn breadth (new); window family
+                                       # slot held by events_user_sessions
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
