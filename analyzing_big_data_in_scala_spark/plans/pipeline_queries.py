@@ -1699,3 +1699,56 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((late > 43200).cast("long")).alias("late_12h"),
         F.max(F.greatest(late, F.lit(0))).alias("max_lateness_sec"),
     )
+
+
+@query(
+    "events_resample_10min_gapfill",
+    # Time-series resampling with DENSE output: the bucket spine is
+    # generated per event_type from its own [min, max] epoch range
+    # (sequence + explode — no driver-side range computation), so empty
+    # buckets appear as zero rows, which downstream charting/forecasting
+    # consumers require. Value math stays integral (counts) or rounded.
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   CAST(FLOOR(MIN(epoch(ts)) / 600) AS BIGINT) AS b0,
+                   CAST(FLOOR(MAX(epoch(ts)) / 600) AS BIGINT) AS b1
+            FROM events GROUP BY event_type
+        ),
+        spine AS (
+            SELECT event_type, CAST(t.b AS BIGINT) AS bucket
+            FROM bounds, UNNEST(generate_series(b0, b1)) t(b)
+        ),
+        agg AS (
+            SELECT event_type, CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT s.event_type, s.bucket,
+               COALESCE(a.n, 0) AS n,
+               COALESCE(a.sum_value, 0.0) AS sum_value,
+               a.n IS NULL AS gap_filled
+        FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.bucket = s.bucket
+    """,
+    description="Time-series resampling with gap fill: per-type 10-min bucket spine from its own min/max range (sequence+explode, in-plan), left-joined aggregates, zero-filled gaps flagged — dense output for charting/forecasting; spine generation is O(range/step) per key, never a driver loop",
+)
+def events_resample_10min_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    epoch = F.unix_timestamp("ts").cast("long")
+    bucket = F.floor(epoch / 600).cast("long")
+    bounds = ev.groupBy("event_type").agg(
+        F.min(bucket).alias("b0"), F.max(bucket).alias("b1")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    agg = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    return spine.join(agg, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.col("n").isNull().alias("gap_filled"),
+    )

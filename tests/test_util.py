@@ -107,6 +107,7 @@ def test_driver_window_covers_oracle_backed_queries():
                                            # family holds the window slot
         "orders_rank_functions",       # ranking-fn breadth (new); window family
                                        # slot held by events_user_sessions
+        "events_resample_10min_gapfill",  # time-series gap fill (new this round)
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
