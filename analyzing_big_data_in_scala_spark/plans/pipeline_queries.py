@@ -1752,3 +1752,40 @@ def events_resample_10min_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         F.col("n").isNull().alias("gap_filled"),
     )
+
+
+@query(
+    "embeddings_dimension_profile",
+    # Per-DIMENSION QA for the embedding corpus (dead/degenerate/clipped
+    # dimensions break ANN recall and semantic dedup): mean/std/min/max
+    # per position. Rounding to 4 absorbs the engines' different stddev
+    # algorithms (Welford vs naive) and double reassociation noise.
+    oracle="""
+        WITH flat AS (
+            SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               COUNT(*) AS n,
+               ROUND(AVG(x), 4) AS mean,
+               ROUND(stddev_samp(x), 4) AS std,
+               ROUND(MIN(x), 4) AS min_x,
+               ROUND(MAX(x), 4) AS max_x,
+               CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        FROM flat GROUP BY dim
+    """,
+    description="Embedding per-dimension QA profile (dead/clipped-dimension detection, the vector-column analog of orders_data_profile): one posexplode + one 64-group aggregate with map-side partials",
+)
+def embeddings_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("dim0", "x0")).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"), F.col("x0").cast("double").alias("x")
+    )
+    return flat.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("x"), 4).alias("mean"),
+        F.round(F.stddev_samp("x"), 4).alias("std"),
+        F.round(F.min("x"), 4).alias("min_x"),
+        F.round(F.max("x"), 4).alias("max_x"),
+        F.sum((F.col("x") == 0).cast("long")).alias("n_zero"),
+    )
