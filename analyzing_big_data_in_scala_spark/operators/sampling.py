@@ -152,3 +152,25 @@ def sql_source_mixture_filter(
         f"WHEN '{s}' THEN {round(r * buckets)}" for s, r in rates.items()
     )
     return f"({h} % {buckets}) < (CASE {source_expr} {cases} ELSE 0 END)"
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    buckets: int = 10_000,
+    salt: str = "weighted",
+) -> DataFrame:
+    """Per-ROW weighted deterministic sampling: keep a row with
+    probability equal to its `weight_col` value (in [0, 1]) — the
+    quality-weighted upsampling/downsampling step of a training-mix
+    recipe, with the same reproducibility contract as :func:`hash_sample`
+    (membership is a pure function of key + weight: no RNG, no drift
+    across runs/engines/partitionings).
+
+    keep iff hash_bucket(key) < round(weight * buckets): identical float
+    multiply + half-up rounding on any engine, so the sample is
+    oracle-checkable. Weights outside [0, 1] clamp naturally (<=0 never
+    keeps, >=1 always keeps)."""
+    threshold = F.round(F.col(weight_col) * buckets, 0)
+    return df.filter(hash_bucket(key, buckets, salt) < threshold)

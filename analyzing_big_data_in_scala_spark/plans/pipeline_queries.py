@@ -1789,3 +1789,46 @@ def embeddings_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("x"), 4).alias("max_x"),
         F.sum((F.col("x") == 0).cast("long")).alias("n_zero"),
     )
+
+
+@query(
+    "documents_quality_weighted_sample",
+    # Same quality fragment as doc_quality_scores (rounded-to-6 published
+    # value), same portable-hash bucket, same half-up rounding of
+    # weight*buckets on both engines -> exact membership parity.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS t
+                FROM documents)
+            WHERE t <> ''
+        ),
+        stats AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*) AS uniq_ratio,
+                   AVG(CASE WHEN term IN {sql_stopword_list()} THEN 1.0 ELSE 0.0 END) AS stop_ratio
+            FROM toks GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT doc_id,
+                   ROUND(0.5 * LEAST(n_tokens / 100.0, 1.0)
+                       + 0.25 * uniq_ratio
+                       + 0.25 * LEAST(stop_ratio * 4, 1.0), 6) AS quality
+            FROM stats
+        )
+        SELECT doc_id, quality
+        FROM scored
+        WHERE ({{h}} % 10000) < ROUND(quality * 10000, 0)
+    """.format(h=_HASH64.format(x="CAST(doc_id AS VARCHAR) || 'qweight'")),
+    description="Quality-weighted deterministic sampling (training-mix step): keep probability == the published per-doc quality score, membership a pure hash function of doc_id — reproducible across runs/engines/partitionings, zero RNG",
+)
+def documents_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import unigram_profile
+    from ..operators.sampling import weighted_hash_sample
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.join(unigram_profile(docs), "doc_id").select("doc_id", "quality")
+    return weighted_hash_sample(
+        scored, key="doc_id", weight_col="quality", buckets=10_000, salt="qweight"
+    )

@@ -109,6 +109,7 @@ def test_driver_window_covers_oracle_backed_queries():
                                        # slot held by events_user_sessions
         "events_resample_10min_gapfill",  # time-series gap fill (new this round)
         "embeddings_dimension_profile",   # vector-column QA profile (new this round)
+        "documents_quality_weighted_sample",  # per-row weighted sampling (new this round)
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
