@@ -109,6 +109,10 @@ def salted_equi_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
+    if buckets < 1:
+        # buckets=0 would make the replicated right side EMPTY (sequence(0,-1))
+        # — a silently-empty inner join, not an error. Refuse instead.
+        raise ValueError(f"salted_equi_join: need buckets >= 1, got {buckets}")
     keys = [on] if isinstance(on, str) else list(on)
     clashes = {"_salt"}.intersection(left.columns).union(
         {"_salt"}.intersection(right.columns)

@@ -77,13 +77,18 @@ def chunk_dedup_stats(
     stride: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-passage profile:
-    (id_col, n_chunks, n_dup_chunks, dup_chunk_frac).
+    (id_col, n_chunks, n_dup_chunks, dup_chunk_ppm).
 
     A chunk occurrence is *duplicated* when its hash also appears in at
     least one OTHER document (within-doc repeats alone don't count — a
     doc's own refrain is repetition, not cross-corpus boilerplate;
-    `operators/repetition.py` measures that). dup_chunk_frac is NULL for
-    zero-chunk docs.
+    `operators/repetition.py` measures that). dup_chunk_ppm is the
+    duplicated fraction in parts-per-million as a BIGINT, computed with
+    pure integer arithmetic (round-half-up of n_dup*1e6/n_chunks via
+    `(2*a*1e6 + b) div (2*b)`) so the value is bit-identical on any
+    engine — no float division, no ROUND-on-double tie-breaking
+    (Spark HALF_UP vs DuckDB last-ulp diverged when the ratio was an
+    exactly-representable k/2^m half). NULL for zero-chunk docs.
 
     Scale shape: chunk table → one hash aggregate for the global per-hash
     document frequency → equi-join back ON THE 8-BYTE HASH (both sides
@@ -107,14 +112,14 @@ def chunk_dedup_stats(
         .join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
-            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
-            F.round(
-                F.try_divide(
-                    F.coalesce("n_dup_chunks", F.lit(0)).cast("double"),
-                    F.coalesce("n_chunks", F.lit(0)),
-                ),
-                6,
-            ).alias("dup_chunk_frac"),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_ppm",
+            F.when(
+                F.col("n_chunks") > 0,
+                F.expr("(n_dup_chunks * 2000000L + n_chunks) div (2L * n_chunks)"),
+            ),
         )
     )

@@ -112,6 +112,7 @@ def funnel_key_table(
     chunk_size: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunk_stride: int | None = None,
 ) -> DataFrame:
     """(id, bench, kind, h, stop, c): per-(doc, kind, key) occurrence
     counts from one scan + one explode + one aggregate.
@@ -120,7 +121,26 @@ def funnel_key_table(
     contamination set); training docs emit every kind. ``stop`` marks
     stop-word unigrams (kind 1) so the language/quality gates can reuse
     the same aggregate.
+
+    ``kind`` tags share one integer space: 0 = exact-hash, 1/2/3 =
+    uni/bi/tri-grams, ``contam_n`` = contamination grams, ``chunk_size`` =
+    chunk hashes. The two parameter-valued kinds must therefore be distinct
+    from each other and from the reserved tags, or unrelated gate families
+    would silently merge in the (id, kind, h) aggregate — validated here.
     """
+    reserved = {0, 1, 2, 3}
+    if contam_n in reserved or chunk_size in reserved or contam_n == chunk_size:
+        raise ValueError(
+            "funnel_key_table: contam_n and chunk_size must be distinct and "
+            f"outside reserved kinds {sorted(reserved)}; got contam_n={contam_n}, "
+            f"chunk_size={chunk_size}"
+        )
+    if chunk_stride is None:
+        chunk_stride = chunk_size
+    if not 0 < chunk_stride <= chunk_size:
+        raise ValueError(
+            f"funnel_key_table: need 0 < chunk_stride <= chunk_size, got {chunk_stride}"
+        )
     stops = tuple(w.lower() for w in STOP_WORDS)
     norm = normalize_text(text_col)
     toked = docs.select(
@@ -149,8 +169,12 @@ def funnel_key_table(
         return F.transform(idx, mk)
 
     def chunk_structs() -> Column:
-        n_chunks = F.ceil(F.size("toks") / F.lit(chunk_size)).cast("int")
-        idx = F.when(F.size("toks") > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        # chunk_stride < chunk_size gives OVERLAPPING windows (same dial as
+        # chunking.token_chunks): shifted boilerplate that straddles the
+        # aligned grid still yields at least one matching window pair, at
+        # chunk_size/chunk_stride times the kind-row volume.
+        n_windows = F.ceil(F.size("toks") / F.lit(chunk_stride)).cast("int")
+        idx = F.when(F.size("toks") > 0, F.sequence(F.lit(0), n_windows - 1)).otherwise(
             F.array().cast("array<int>")
         )
         return F.transform(
@@ -158,7 +182,7 @@ def funnel_key_table(
             lambda i: F.struct(
                 F.lit(chunk_size).alias("kind"),
                 _portable_hash64_str(
-                    F.concat_ws(" ", F.slice(F.col("toks"), i * chunk_size + 1, chunk_size))
+                    F.concat_ws(" ", F.slice(F.col("toks"), i * chunk_stride + 1, chunk_size))
                 ).alias("h"),
                 F.lit(False).alias("stop"),
             ),
@@ -193,13 +217,16 @@ def curation_funnel_stages(
     chunk_size: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunk_stride: int | None = None,
 ) -> DataFrame:
     """(stage, n_docs) — cumulative survivor counts through the six-gate
     funnel, from the single-pass key table. Output contract and values are
     identical to composing the standalone gate queries (the DuckDB oracle
     of `corpus_curation_funnel` is unchanged and still value-matches).
     """
-    counts = funnel_key_table(docs, is_bench, contam_n, chunk_size, id_col, text_col)
+    counts = funnel_key_table(
+        docs, is_bench, contam_n, chunk_size, id_col, text_col, chunk_stride=chunk_stride
+    )
 
     # --- kinds 1..3 -> language / quality / repetition gates -------------
     ng = counts.filter(F.col("kind").isin(1, 2, 3) & ~F.col("bench"))

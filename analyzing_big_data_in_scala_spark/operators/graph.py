@@ -372,7 +372,12 @@ def bfs_hops(
     )
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
     if seeds is None:
-        seeds = _vertices_from_edges(edges).agg(F.min("id").alias("id"))
+        # Seed from the TRAVERSAL edge set (sym excludes self-loops via
+        # canonical_undirected), not the raw vertex set: a global-min vertex
+        # with only self-loop edges exists in _vertices_from_edges but not in
+        # sym, and seeding it would diverge from the min(u)-over-sym
+        # definition the SQL oracles use.
+        seeds = sym.agg(F.min("u").alias("id"))
 
     settled = seeds.select("id", F.lit(0).cast("int").alias("hops")).localCheckpoint()
     frontier = settled
@@ -429,7 +434,9 @@ def sssp_weighted(
     ).localCheckpoint()
 
     if seeds is None:
-        seeds = _vertices_from_edges(edges).agg(F.min("id").alias("id"))
+        # Same seed definition as bfs_hops: min vertex of the self-loop-free
+        # symmetric edge set, matching the oracle's MIN(u) FROM sym.
+        seeds = sym.agg(F.min("u").alias("id"))
     settled = seeds.select("id", F.lit(0).cast("long").alias("dist")).localCheckpoint()
     frontier = settled
     for _ in range(max_hops):

@@ -65,15 +65,23 @@ def merge_upsert(
         *[F.col(c).alias(f"_c_{c}") for c in payload],
     )
 
-    joined = base.join(ch, base[key] == ch["_ck"], "full_outer")
+    # Rename the base side's columns before joining: `changes` is often
+    # derived from `base` itself (CDC against the same snapshot), and
+    # resolving shared-lineage attribute refs across a self-join is exactly
+    # the pattern Spark's AMBIGUOUS_SELF_JOIN detection exists to reject.
+    # Unique names on both sides mean nothing resolves through lineage.
+    b = base.select(
+        F.col(key).alias("_bk"), *[F.col(c).alias(f"_b_{c}") for c in payload]
+    )
+    joined = b.join(ch, F.col("_bk") == F.col("_ck"), "full_outer")
     surviving = joined.filter(
         (F.col("_op").isNull()) | (F.col("_op") != "D")
     )
     return surviving.select(
-        F.coalesce(base[key], F.col("_ck")).alias(key),
+        F.coalesce(F.col("_bk"), F.col("_ck")).alias(key),
         *[
             F.when(F.col("_op").isNotNull(), F.col(f"_c_{c}"))
-            .otherwise(base[c])
+            .otherwise(F.col(f"_b_{c}"))
             .alias(c)
             for c in payload
         ],

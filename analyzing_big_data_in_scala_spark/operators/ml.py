@@ -33,6 +33,17 @@ def with_synthetic_label(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text", label.alias("sentiment")).filter(F.col("text") != "null")
 
 
+def hash_split(labeled: DataFrame, id_col: str = "doc_id", test_buckets: int = 5):
+    """Deterministic (train, test) split: one hash bucket in `test_buckets`
+    goes to test (~20%). Unlike `randomSplit`, the assignment depends only
+    on the row's id — not on partitioning, session, or read layout — so the
+    split (and therefore the seed-fixed model's confusion matrix) is
+    bit-reproducible anywhere, which is what lets the query layer pin the
+    metrics to a constants oracle."""
+    is_test = F.pmod(F.xxhash64(F.col(id_col)), F.lit(test_buckets)) == 0
+    return labeled.filter(~is_test), labeled.filter(is_test)
+
+
 def build_pipeline(num_features: int = 1000) -> Pipeline:
     """M1-M6 (AirlineSentimentAnalysis.scala:43-67)."""
     tokenizer = Tokenizer(inputCol="text", outputCol="words")

@@ -29,30 +29,38 @@ from . import streaming_queries  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Relational / lakehouse-maintenance / data-quality core. The classic
-    # relational queries that were GREEN in CORRECTNESS_r01 with unchanged
-    # implementations (pricing_summary, revenue_by_nation, degree/triangle
-    # graph queries, the r1 dedup chain) ceded their slots to operators
-    # that have never had a driver row — r1 evidence stands for them.
+    # Round-3 rotation (VERDICT r2 item 3). Priorities, in order:
+    #  1. The 9 queries that have NEVER had a driver row (window-rotation
+    #     debt): quartiles, rank functions, tumbling_10min, full-grid ML,
+    #     training_shards, late_arrival, resample_gapfill,
+    #     dimension_profile, quality_weighted_sample.
+    #  2. Everything whose implementation or oracle CHANGED this round and
+    #     so needs fresh evidence: the two float-parity fixes
+    #     (doc_chunk_dedup, events_json_by_type), the now-value-checked
+    #     lineitem_approx_profile and ml_sentiment_metrics, the re-planned
+    #     streaming_first_seen_per_user + its new custom-state twin, the
+    #     new strided funnel, the re-aliased orders_merge_upsert, and the
+    #     reseeded graph_bfs_hops / graph_sssp_weighted.
+    #  3. Backfill with r2-green evictees so the breadth evidence stays
+    #     fresh. r2-green queries evicted to make room (zorder, data
+    #     profile/quality checks, pii, url domains, ner, sliding window,
+    #     salted events, user sessions, hash sample, sentiment counts)
+    #     keep their CORRECTNESS_r02 rows as standing evidence.
+
+    # Relational / lakehouse maintenance
     "orders_merge_upsert",
     "orders_incremental_agg_refresh",
     "orders_salted_segment_revenue",
-    "lineitem_zorder_keys",
+    "orders_rank_functions",
     "lineitem_approx_profile",
-    "orders_data_profile",
-    "orders_quality_checks",
     "customer_fuzzy_name_matches",
-    # Text / TF-IDF / search
+    # Text / TF-IDF / language-model stats
     "tfidf_doc_frequencies_stemmed",
     "corpus_pmi_collocations",
     "doc_perplexity_proxy",
     "doc_repetition_filters",
-    "doc_pii_scan",
     "doc_decontamination",
-    "doc_url_domains",
-    # Graph — PageRank via unrolled-CTE oracle, CC via recursive-CTE
-    # closure oracle, BFS/SSSP via depth-capped recursion (iterative !=
-    # unverifiable)
+    # Graph — iterative families against recursive/unrolled-CTE oracles
     "graph_pagerank_reference",
     "graph_components_two_phase",
     "graph_bfs_hops",
@@ -62,32 +70,38 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_cross_source_matrix",
     "similarity_cluster_assign",
     "embeddings_centroid_outliers",
+    "embeddings_dimension_profile",
     "doc_chunk_dedup",
     "dedup_embedding_cosine",
     "dedup_semantic",
     "dedup_incremental_batch",
     "corpus_curation_pipeline",
     "corpus_curation_funnel",
+    "corpus_curation_funnel_strided",
+    "corpus_training_shards",
     "similarity_quantized_topk",
-    # Pipeline tail (unchecked in round 1 — all oracle-backed except ml)
     "multimodal_payload_features",
-    "ner_gazetteer_counts",
-    "events_json_by_type",
-    "events_sliding_20min",
-    "events_salted_by_type",
-    "events_user_sessions",
-    "events_session_window_native",
+    # Sampling / sharding
+    "documents_quality_weighted_sample",
+    "documents_source_mixture",
+    "documents_token_shards",
+    # ML (pinned constants oracle + rows-only full grid)
     "ml_sentiment_metrics",
+    "ml_sentiment_metrics_full_grid",
+    # Events: windows, sessions, time series
+    "events_json_by_type",
+    "events_tumbling_10min",
+    "events_value_quartiles_by_type",
+    "events_session_window_native",
     "events_conversion_funnel",
     "events_asof_latest_order",
     "events_range_join_daily_windows",
-    "documents_hash_sample_split",
-    "documents_source_mixture",
-    "documents_token_shards",
+    "events_late_arrival_profile",
+    "events_resample_10min_gapfill",
     # Streaming (availableNow drains — batch-equivalence oracles)
     "streaming_tumbling_counts",
     "streaming_first_seen_per_user",
-    "streaming_sentiment_counts",
+    "streaming_first_seen_custom_state",
     "streaming_kafka_feed",
     "streaming_click_purchase_join",
     "streaming_dedup_distinct_users",

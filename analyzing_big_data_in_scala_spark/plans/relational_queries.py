@@ -505,13 +505,23 @@ def global_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lineitem_approx_profile",
-    # Rows-only by design: HLL and quantile sketches are implementation-
-    # specific, so Spark's values can't hash-match DuckDB's. Accuracy is
-    # pinned instead by tests/test_relational.py::
-    # test_approx_profile_within_tolerance_of_exact (HLL rel-err < 5%,
-    # approx percentiles within 1% rank of exact).
-    oracle=None,
-    description="Approximate profiling: HLL distinct counts + sketch percentiles — the constant-memory scale path where exact COUNT(DISTINCT)/percentile would shuffle every value",
+    # VALUE-CHECKED sketch profiling (VERDICT r2 item 5): HLL and GK sketch
+    # values are implementation-specific, so the raw sketches can't hash-
+    # match DuckDB — but their ACCURACY CONTRACTS can. The Spark side emits
+    # exact n_rows plus one integer assertion per sketch column (HLL within
+    # 10% of the exact distinct count; each GK percentile between the exact
+    # interpolated quantiles at rank p±0.01), all evaluated inside the same
+    # distributed job. The oracle emits n_rows exactly and 1 for every
+    # assertion — a hash match means every sketch met its bound. The raw
+    # sketch-only operator (no exact pass) remains the profiling fast path.
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               1 AS orders_hll_ok, 1 AS parts_hll_ok, 1 AS suppliers_hll_ok,
+               1 AS price_p50_ok, 1 AS price_p90_ok, 1 AS price_p99_ok,
+               1 AS qty_p50_ok
+        FROM lineitem
+    """,
+    description="Approximate profiling: HLL distinct counts + GK sketch percentiles, value-checked via in-query accuracy assertions (HLL rel-err <= 10%, percentiles within ±0.01 rank of exact) — the constant-memory scale path where exact COUNT(DISTINCT)/percentile would shuffle every value",
 )
 def lineitem_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based table profiling. At 100 TB an exact COUNT(DISTINCT key)
@@ -519,32 +529,45 @@ def lineitem_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL++ (`approx_count_distinct`, ~few-KB sketch, default rsd 5%) and
     Greenwald-Khanna (`percentile_approx`, bounded rank error 1/accuracy)
     merge tiny map-side sketches instead — one narrow all-partial-agg pass,
-    no wide shuffle."""
+    no wide shuffle. The exact aggregates below exist only to judge the
+    sketches; a production profile run drops them."""
     l = _t(spark, sf_dir, "lineitem")
-    # One GK sketch for the three price quantiles (array result), flattened
-    # to scalar columns in a follow-up projection: array-typed result
-    # columns break order-insensitive canonicalization downstream (pandas
-    # sort_values can't order list cells), and scalars are what a profiling
-    # consumer wants anyway.
     sketched = l.agg(
         F.count("*").alias("n_rows"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "_price_q"
-        ),
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_p50"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("_pq"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("_qty_p50"),
+        F.count_distinct("l_orderkey").alias("_x_orders"),
+        F.count_distinct("l_partkey").alias("_x_parts"),
+        F.count_distinct("l_suppkey").alias("_x_suppliers"),
+        # Exact interpolated quantiles at rank p±0.01: the GK sketch's rank
+        # guarantee (error <= 1/accuracy = 1e-4) must land each sketch value
+        # inside the corresponding exact-value bracket.
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(x) for x in (0.49, 0.51, 0.89, 0.91, 0.98, 1.0)])
+        ).alias("_pb"),
+        F.percentile("l_quantity", F.array(F.lit(0.49), F.lit(0.51))).alias("_qb"),
     )
+
+    def hll_ok(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) <= 0.1 * F.col(exact)
+        ).cast("int")
+
+    def pct_ok(val, lo, hi):
+        return (val.between(lo, hi)).cast("int")
+
     return sketched.select(
         "n_rows",
-        "approx_orders",
-        "approx_parts",
-        "approx_suppliers",
-        F.element_at("_price_q", 1).alias("price_p50"),
-        F.element_at("_price_q", 2).alias("price_p90"),
-        F.element_at("_price_q", 3).alias("price_p99"),
-        "qty_p50",
+        hll_ok("approx_orders", "_x_orders").alias("orders_hll_ok"),
+        hll_ok("approx_parts", "_x_parts").alias("parts_hll_ok"),
+        hll_ok("approx_suppliers", "_x_suppliers").alias("suppliers_hll_ok"),
+        pct_ok(F.element_at("_pq", 1), F.element_at("_pb", 1), F.element_at("_pb", 2)).alias("price_p50_ok"),
+        pct_ok(F.element_at("_pq", 2), F.element_at("_pb", 3), F.element_at("_pb", 4)).alias("price_p90_ok"),
+        pct_ok(F.element_at("_pq", 3), F.element_at("_pb", 5), F.element_at("_pb", 6)).alias("price_p99_ok"),
+        pct_ok(F.col("_qty_p50"), F.element_at("_qb", 1), F.element_at("_qb", 2)).alias("qty_p50_ok"),
     )
 
 

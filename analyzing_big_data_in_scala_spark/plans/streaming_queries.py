@@ -41,14 +41,39 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY user_id
     """,
-    description="Custom stateful streaming dedup via applyInPandasWithState: first event per user",
+    description="Streaming first-seen per user via the JVM-native min() streaming aggregate (whole-stage codegen state store; per-key state = one long). The scale default — no Python worker in the loop.",
 )
 def streaming_first_seen_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JVM-native plan (VERDICT r2 item 4): a streaming min() aggregate keeps
+    # one long of state per key inside the HDFS-backed state store, entirely
+    # in the JVM — at 10^8 users nothing ever crosses into Python. The
+    # applyInPandasWithState variant lives on as
+    # `streaming_first_seen_custom_state` (the custom-stateful-op demo).
+    stream = ST.events_stream(spark, sf_dir)
+    result = (
+        stream.select("user_id", "event_id")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("first_event_id"))
+    )
+    table = f"stream_firstseen_{uuid.uuid4().hex[:8]}"
+    return ST.run_available_now(result, table, output_mode="update", state_partitions=8)
+
+
+@query(
+    "streaming_first_seen_custom_state",
+    oracle="""
+        SELECT user_id, MIN(event_id) AS first_event_id
+        FROM events
+        GROUP BY user_id
+    """,
+    description="Custom stateful streaming dedup via applyInPandasWithState: first event per user (T-ext demonstration of arbitrary per-key Python state; prefer streaming_first_seen_per_user's JVM aggregate at scale)",
+)
+def streaming_first_seen_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import first_seen_per_user
 
     stream = ST.events_stream(spark, sf_dir)
     result = first_seen_per_user(stream)
-    table = f"stream_firstseen_{uuid.uuid4().hex[:8]}"
+    table = f"stream_firstseen_cs_{uuid.uuid4().hex[:8]}"
     return ST.run_available_now(result, table, output_mode="update", state_partitions=8)
 
 

@@ -108,17 +108,24 @@ def main() -> None:
 
     spark.catalog.clearCache()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # Intra-query caches (jaccard/triangle/etc.) are scoped to their own
-        # query; dropping them between measurements keeps later queries from
-        # paying earlier queries' memory pressure.
-        spark.catalog.clearCache()
+    # Median-of-3 per query (VERDICT r2 item 7): single runs drifted ~1.5x
+    # between rounds purely from host contention, drowning real plan
+    # regressions. Three round-robin passes (not back-to-back per query, so
+    # a transient host stall can't poison all samples of one query) and the
+    # per-query median make round-over-round deltas attributable to plans.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            fn = QUERIES[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples[name].append(time.perf_counter() - t0)
+            # Intra-query caches (jaccard/triangle/etc.) are scoped to their
+            # own query; dropping them between measurements keeps later
+            # queries from paying earlier queries' memory pressure.
+            spark.catalog.clearCache()
 
+    times = {name: round(sorted(ts)[1], 3) for name, ts in samples.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

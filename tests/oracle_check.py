@@ -39,7 +39,11 @@ def _norm_cell(v):
             return "nan"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6f}"
+        # Full shortest-round-trip repr (17 significant digits): the driver
+        # hashes floats strictly, so any last-ulp cross-engine divergence a
+        # 6-decimal format would mask MUST fail here too — local green has
+        # to imply driver green (VERDICT r2 items 1-3).
+        return repr(v)
     if isinstance(v, int):
         return str(v)
     if v is None:

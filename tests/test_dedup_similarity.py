@@ -473,10 +473,10 @@ def test_chunk_dedup_cross_document_only(spark):
 
     stats = {r.doc_id: r for r in chunk_dedup_stats(docs, chunk_size=3).collect()}
     assert (stats[1].n_chunks, stats[1].n_dup_chunks) == (2, 1)
-    assert stats[1].dup_chunk_frac == 0.5
+    assert stats[1].dup_chunk_ppm == 500000  # 1/2 duplicated, in exact ppm
     assert (stats[2].n_chunks, stats[2].n_dup_chunks) == (2, 1)
     assert (stats[3].n_chunks, stats[3].n_dup_chunks) == (1, 0)
-    assert stats[4].n_chunks == 0 and stats[4].dup_chunk_frac is None
+    assert stats[4].n_chunks == 0 and stats[4].dup_chunk_ppm is None
     # a doc's own refrain is repetition, not cross-corpus boilerplate
     assert (stats[5].n_chunks, stats[5].n_dup_chunks) == (2, 0)
 

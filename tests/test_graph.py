@@ -173,3 +173,18 @@ def test_sssp_hop_cap_truncates(spark):
         for r in G.sssp_weighted(edges, weight=F.lit(1), max_hops=2).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_default_seed_skips_self_loop_only_min_vertex(spark):
+    # Vertex 0 exists ONLY as a self-loop; the traversal graph
+    # (canonical_undirected) drops self-loops, so the default seed must be
+    # the min vertex OF THE TRAVERSAL EDGE SET (1), matching the SQL
+    # oracle's MIN(u) FROM sym — not the raw min vertex (0) whose BFS
+    # would be a single isolated row (ADVICE r2).
+    edges = spark.createDataFrame([(0, 0), (1, 2), (2, 3)], "src long, dst long")
+    got = {r.id: r.hops for r in G.bfs_hops(edges).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    from pyspark.sql import functions as F
+
+    dist = {r.id: r.dist for r in G.sssp_weighted(edges, weight=F.lit(1)).collect()}
+    assert dist == {1: 0, 2: 1, 3: 2}

@@ -70,3 +70,16 @@ def test_apply_agg_delta_group_lifecycle(spark):
         for r in apply_agg_delta(base_agg, delta, ["g"], ["n", "s"], count_col="n").collect()
     )
     assert got == [("a", 3, 27.0), ("c", 2, 9.0)]
+
+
+def test_merge_changes_derived_from_base_self_join(spark, base):
+    # The classic Spark self-join trap: `changes` built FROM `base` shares
+    # attribute lineage with it. The operator renames both sides before the
+    # full-outer join, so nothing resolves ambiguously (ADVICE r2).
+    from pyspark.sql import functions as F
+
+    changes = base.filter(F.col("k") <= 2).select(
+        "k", F.lit("U").alias("op"), F.upper("s").alias("s"), (F.col("v") * 2).alias("v")
+    )
+    got = sorted((r.k, r.s, r.v) for r in merge_upsert(base, changes, "k").collect())
+    assert got == [(1, "A", 20.0), (2, "B", 40.0), (3, "c", 30.0)]
