@@ -1,0 +1,120 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005): fixed-memory frequency
+estimation for heavy-hitter queries over unbounded key cardinality.
+
+At 100 TB an exact per-term count table has vocabulary-sized cardinality
+(hundreds of millions of keys); the CMS is a constant `depth × width`
+integer grid that (a) builds in one explode + one map-side-combined hash
+aggregate, (b) merges across partitions/batches by cell-wise addition (the
+aggregate IS the merge), and (c) answers point queries with
+`min_i grid[i][h_i(key)]`, guaranteed >= the true count and over by at
+most ~2N/width with high probability.
+
+Every hash is the md5-derived portable hash, so the ENTIRE sketch — every
+cell, every estimate — is bit-reproducible in DuckDB and the operator is
+fully value-checkable (not assertion-checked like the HLL/GK profile: CMS
+arithmetic is pure integers, so the oracle can rebuild the grid exactly).
+Production swap: xxhash64 rows (JVM-intrinsic) once cross-engine parity
+isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash64
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _bucket(key, row: int, width: int):
+    # Row-salted portable hash -> bucket. The salt prefix ("cms<row>:")
+    # gives depth independent hash functions from one base hash.
+    return F.pmod(
+        portable_hash64(F.concat(F.lit(f"cms{row}:"), key)), F.lit(width)
+    ).cast("int")
+
+
+def cms_build(
+    keys: DataFrame,
+    key_col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, bucket, cnt) — the sketch grid from one pass over the key
+    stream. depth×width rows regardless of input size; partial aggregation
+    does the per-partition sketching, the shuffle merges depth×width cells."""
+    cells = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row"),
+                        _bucket(F.col(key_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return cells.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key_col, cms_est) for each probe key: min over the key's depth
+    cells. The sketch is depth×width rows — always broadcast."""
+    pb = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row"),
+                        _bucket(F.col(key_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        pb.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def cms_heavy_hitters(
+    keys: DataFrame,
+    key_col: str = "term",
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Exact top-k keys with their CMS estimates side by side:
+    (key_col, exact_cnt, cms_est, overcount). overcount = cms_est −
+    exact_cnt is always >= 0 (the CMS one-sided error guarantee, now a
+    value-checked column). Ties in the top-k cut break on ascending key."""
+    exact = (
+        keys.groupBy(key_col)
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc(key_col))
+        .limit(k)
+    )
+    sketch = cms_build(keys, key_col, depth, width)
+    est = cms_estimate(sketch, exact.select(key_col), key_col, depth, width)
+    return exact.join(est, key_col).select(
+        key_col,
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

@@ -5,6 +5,7 @@ from . import relational_queries  # noqa: F401,E402
 from . import text_queries  # noqa: F401,E402
 from . import graph_queries  # noqa: F401,E402
 from . import pipeline_queries  # noqa: F401,E402
+from . import sketch_queries  # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
@@ -53,13 +54,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_salted_segment_revenue",
     "orders_rank_functions",
     "lineitem_approx_profile",
-    "customer_fuzzy_name_matches",
-    # Text / TF-IDF / language-model stats
+    # Text / TF-IDF / language-model stats / IR scoring / sketches
     "tfidf_doc_frequencies_stemmed",
     "corpus_pmi_collocations",
     "doc_perplexity_proxy",
     "doc_repetition_filters",
     "doc_decontamination",
+    "search_bm25_topk",
+    "terms_cms_heavy_hitters",
     # Graph — iterative families against recursive/unrolled-CTE oracles
     "graph_pagerank_reference",
     "graph_components_two_phase",
@@ -71,6 +73,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_cluster_assign",
     "embeddings_centroid_outliers",
     "embeddings_dimension_profile",
+    "embeddings_random_projection",
     "doc_chunk_dedup",
     "dedup_embedding_cosine",
     "dedup_semantic",
@@ -94,8 +97,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_value_quartiles_by_type",
     "events_session_window_native",
     "events_conversion_funnel",
-    "events_asof_latest_order",
-    "events_range_join_daily_windows",
     "events_late_arrival_profile",
     "events_resample_10min_gapfill",
     # Streaming (availableNow drains — batch-equivalence oracles)

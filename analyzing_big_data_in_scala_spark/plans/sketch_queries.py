@@ -1,0 +1,157 @@
+"""IR-scoring + sketch + projection queries (round 3 breadth): BM25 ranked
+retrieval, count-min heavy hitters, JL random projection. All three are
+fully value-checked — their arithmetic is integer-exact or a shared
+verbatim expression string, so the DuckDB oracles rebuild every value
+bit-for-bit (no rows-only entries in this module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.bm25 import BM25_CONTRIB_SQL, bm25_topk
+from ..operators.projection import random_projection
+from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_heavy_hitters
+from ..sources.catalog import load_table
+from .registry import query
+from .text_queries import QUERY_TERMS, _SQL_TOKS
+
+_HASH64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+    # The SAME expression string the Spark plan compiles (operators/bm25.py
+    # BM25_CONTRIB_SQL) — identical IEEE expression tree on both engines.
+    contrib = BM25_CONTRIB_SQL.format(k1=1.2, b=0.75)
+    return f"""
+        WITH {_SQL_TOKS},
+        q(term) AS (VALUES {terms}),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+        ),
+        df_t AS (SELECT term, COUNT(doc_id) AS df FROM tf GROUP BY term),
+        stats AS (
+            SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM documents) AS avgdl
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   COUNT(*) AS n_matched,
+                   SUM({contrib}) AS score_ppm
+            FROM tf
+            JOIN dl ON dl.doc_id = tf.doc_id
+            JOIN df_t ON df_t.term = tf.term
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, n_matched, score_ppm,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT doc_id, n_matched, score_ppm, rank FROM ranked WHERE rank <= 20
+    """
+
+
+@query(
+    "search_bm25_topk",
+    oracle=_bm25_oracle(),
+    description="BM25 ranked retrieval over documents (Lucene-variant idf, k1=1.2 b=0.75): per-term contribution quantized to integer ppm before the per-doc sum, so scores/ranks are order-independent exact integers; top-20 via TakeOrderedAndProject (operators/bm25.py — modern twin of the reference's TF-IDF cosine search, MovieSearchEngine.scala:239-308)",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(_docs(spark, sf_dir), list(QUERY_TERMS), k=20)
+
+
+def _cms_oracle() -> str:
+    bucket = _HASH64.format(x="'cms' || i || ':' || term")
+    return f"""
+        WITH {_SQL_TOKS},
+        cells AS (
+            SELECT i AS row, {bucket} % {CMS_WIDTH} AS bucket
+            FROM toks, UNNEST(generate_series(0, {CMS_DEPTH - 1})) t(i)
+        ),
+        sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket),
+        exact AS (
+            SELECT term, COUNT(*) AS exact_cnt FROM toks GROUP BY term
+            ORDER BY exact_cnt DESC, term ASC LIMIT 20
+        ),
+        probes AS (
+            SELECT term, exact_cnt, i AS row, {bucket} % {CMS_WIDTH} AS bucket
+            FROM exact, UNNEST(generate_series(0, {CMS_DEPTH - 1})) t(i)
+        ),
+        est AS (
+            SELECT probes.term, MIN(sketch.cnt) AS cms_est
+            FROM probes JOIN sketch
+              ON sketch.row = probes.row AND sketch.bucket = probes.bucket
+            GROUP BY probes.term
+        )
+        SELECT exact.term, exact.exact_cnt, est.cms_est,
+               est.cms_est - exact.exact_cnt AS overcount
+        FROM exact JOIN est ON est.term = exact.term
+    """
+
+
+@query(
+    "terms_cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    description=f"Count-min sketch ({CMS_DEPTH}x{CMS_WIDTH} grid, portable row-salted hashes) over the corpus term stream; exact top-20 terms joined with their CMS estimates — the grid AND the estimates are integer-exact, so the one-sided overcount guarantee is a value-checked column (operators/sketches.py)",
+)
+def terms_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import token_table
+
+    return cms_heavy_hitters(token_table(_docs(spark, sf_dir)), k=20)
+
+
+def _projection_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
+    # Signs re-derived IN SQL from md5('rp:<k>:<j>') — the same pure
+    # function hashlib evaluates driver-side in operators/projection.py.
+    sign = (
+        "CASE WHEN " + _HASH64.format(x="'rp:' || k || ':' || (j - 1)")
+        + " % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    return f"""
+        WITH sc AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+            FROM sc
+        ),
+        qi AS (
+            SELECT vec_id, j, q[j] AS qj
+            FROM qz, UNNEST(generate_series(1, {in_dim})) t(j)
+        ),
+        signs AS (
+            SELECT k, j, {sign} AS s
+            FROM UNNEST(generate_series(0, {out_dim - 1})) a(k),
+                 UNNEST(generate_series(1, {in_dim})) b(j)
+        )
+        SELECT qi.vec_id,
+               CAST(signs.k AS INT) AS dim_idx,
+               CAST(SUM(qi.qj * signs.s) AS BIGINT) AS value
+        FROM qi JOIN signs ON signs.j = qi.j
+        GROUP BY qi.vec_id, signs.k
+    """
+
+
+@query(
+    "embeddings_random_projection",
+    oracle=_projection_oracle(),
+    description="Johnson-Lindenstrauss 64->16 random projection of the embedding column (deterministic ±1 Achlioptas matrix from portable md5 signs, int8-quantized input): pure BIGINT arithmetic, map-only narrow transform — the 4x compare/shuffle reduction ahead of ANN at scale (operators/projection.py)",
+)
+def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, out_dim=16, in_dim=64)

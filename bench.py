@@ -85,6 +85,10 @@ HEADLINE = [
     "orders_data_profile",
     "orders_quality_checks",
     "customer_fuzzy_name_matches",
+    # IR scoring / sketches / projection (round 3)
+    "search_bm25_topk",
+    "terms_cms_heavy_hitters",
+    "embeddings_random_projection",
 ]
 
 

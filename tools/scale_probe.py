@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from analyzing_big_data_in_scala_spark.operators import asof as A  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import bm25 as B  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import dedup as D  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import projection as P  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import sketches as K  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import graph as G  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import repetition as R  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import similarity as S  # noqa: E402
@@ -163,6 +166,21 @@ def main() -> None:
                         F.col("id") % 10_000_000 == bfs_base_seed
                     ),
                 )
+            ),
+            # One tokenize + dl/tf aggregates + broadcast stats/df, top-k
+            # TakeOrdered — expect ~linear with the token stream.
+            "bm25_topk": lambda: noop(
+                B.bm25_topk(docs, ["spark", "merge", "window", "big"], k=20)
+            ),
+            # Sketch shuffle volume is the FIXED 4x256 grid: the explode
+            # grows with tokens but partial aggregation collapses it
+            # map-side — expect ~linear scan cost, constant shuffle.
+            "cms_heavy_hitters": lambda: noop(
+                K.cms_heavy_hitters(T.token_table(docs), k=20)
+            ),
+            # Map-only: zero exchanges; expect pure scan-bound linear.
+            "random_projection": lambda: noop(
+                P.random_projection(emb, out_dim=16, in_dim=64)
             ),
             # The n_planes knob IS the scale path: +1 plane per 2x data
             # keeps cell occupancy constant, so the within-cell self-join
