@@ -67,3 +67,37 @@ def entity_counts(
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("entity"))
     )
+
+
+def entity_cooccurrence_edges(
+    docs: DataFrame,
+    gazetteer: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Entity co-occurrence graph (text -> graph composition): an edge
+    (entity_a < entity_b, n_docs) for every entity pair mentioned together
+    in at least one document. The n_docs weight is the standard
+    co-mention signal feeding entity-graph analytics (degrees, PageRank,
+    communities — `operators/graph.py` consumes this edge list directly).
+
+    Scale shape: per-doc entity sets are bounded by the gazetteer size, so
+    the per-doc pair fan-out is O(|gazetteer|^2) — a constant, never
+    corpus-quadratic; the single shuffle is the (entity_a, entity_b)
+    count aggregate."""
+    ents = (
+        docs.select(
+            F.col(id_col).alias("_d"),
+            F.explode(
+                F.array_distinct(extract_gazetteer_entities(F.col(text_col), gazetteer))
+            ).alias("e"),
+        )
+    )
+    a = ents.select(F.col("_d"), F.col("e").alias("entity_a"))
+    b = ents.select(F.col("_d"), F.col("e").alias("entity_b"))
+    return (
+        a.join(b, "_d")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").alias("n_docs"))
+    )

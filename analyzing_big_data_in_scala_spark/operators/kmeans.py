@@ -1,0 +1,111 @@
+"""Distributed spherical k-means (Lloyd iterations) over an embedding
+column — the iterative-ML companion of `similarity.spherical_assign`
+(which is only the E-step against GIVEN centroids).
+
+Everything is deterministic, so the full loop — init, assign, update,
+reassign — is value-checkable cross-engine, which fitted MLlib KMeans
+(seeded RNG init, engine-private float order) can never be:
+
+- **init**: the k vectors with the smallest portable md5 hash of their id
+  (tie-break on id) become centroids 0..k-1 — a pure function of the data,
+  no RNG, reproducible in SQL as ORDER BY hash LIMIT k;
+- **assign**: max-cosine over int8-quantized vectors (integer-exact dots,
+  IEEE-exact sqrt norms, argmax on the 6-rounded cosine with min-id
+  tie-break) — the proven `spherical_assign` recipe;
+- **update**: new centroid = per-dimension MEAN of the member vectors'
+  quantized components — integer sums / integer counts, exact division;
+  empty clusters keep their previous centroid (standard Lloyd);
+- the updated centroids re-enter assignment through the same
+  `quantize_int8` path, so round 2 is as exact as round 1.
+
+Scale shape per round: assignment is a broadcast cross join with k rows +
+one map-side-combined argmax aggregate (the corpus shuffles ONCE per
+round, on its own id); the update is a posexplode + (cluster, dim)
+aggregate whose output is k×dim rows — trivially collected into the next
+broadcast. Rounds are a Python loop over lazy plans (same checkpoint
+pattern as `operators/graph.py` PageRank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash64
+from .similarity import quantize_int8, spherical_assign
+
+
+def hash_seed_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(centroid_id, vec_col): deterministic k-seed pick — smallest
+    portable hash of the id wins, ids break ties. centroid_id = 0..k-1 in
+    that order."""
+    ranked = (
+        emb.select(
+            portable_hash64(F.col(id_col)).alias("_h"), F.col(id_col).alias("_id"), vec_col
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_h", "_id")
+    return ranked.withColumn(
+        "centroid_id", (F.row_number().over(w) - 1).cast("long")
+    ).select("centroid_id", vec_col)
+
+
+def _update_centroids(
+    assigned: DataFrame,
+    emb: DataFrame,
+    prev_centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """M-step: per-dimension mean of the member vectors' int8-quantized
+    components (exact BIGINT sums / counts). Clusters that lost every
+    member keep their previous centroid."""
+    q = quantize_int8(emb, id_col, vec_col).select(
+        id_col, F.col("qvec").cast("array<double>").alias("q")
+    )
+    member_dims = (
+        assigned.select(id_col, "centroid_id")
+        .join(q, id_col)
+        .select("centroid_id", F.posexplode("q").alias("j", "x"))
+    )
+    dim_means = member_dims.groupBy("centroid_id", "j").agg(
+        (F.sum("x") / F.count("*")).alias("m")
+    )
+    updated = dim_means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
+        ).alias("_new_vec")
+    )
+    return (
+        prev_centroids.join(updated, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("_new_vec", F.col(vec_col).cast("array<double>")).alias(vec_col),
+        )
+    )
+
+
+def kmeans_lloyd_assign(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment after `rounds` Lloyd update rounds (rounds=0 is plain
+    seed assignment == `spherical_assign` on the hash seeds). Returns
+    (id_col, centroid_id, cosine) for every vector."""
+    if k < 1 or rounds < 0:
+        raise ValueError(f"kmeans_lloyd_assign: bad k={k} or rounds={rounds}")
+    centroids = hash_seed_centroids(emb, k, id_col, vec_col)
+    assigned = spherical_assign(emb, centroids, id_col, vec_col)
+    for _ in range(rounds):
+        centroids = _update_centroids(assigned, emb, centroids, id_col, vec_col)
+        assigned = spherical_assign(emb, centroids, id_col, vec_col)
+    return assigned

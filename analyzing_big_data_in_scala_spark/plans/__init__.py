@@ -74,8 +74,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embeddings_centroid_outliers",
     "embeddings_dimension_profile",
     "embeddings_random_projection",
+    "embeddings_kmeans_lloyd",
     "doc_chunk_dedup",
-    "dedup_embedding_cosine",
+    "entity_cooccurrence_edges",
     "dedup_semantic",
     "dedup_incremental_batch",
     "corpus_curation_pipeline",
@@ -86,7 +87,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_payload_features",
     # Sampling / sharding
     "documents_quality_weighted_sample",
-    "documents_source_mixture",
     "documents_token_shards",
     # ML (pinned constants oracle + rows-only full grid)
     "ml_sentiment_metrics",

@@ -1039,6 +1039,30 @@ def ner_gazetteer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.entity_counts(docs, E.extract_gazetteer_entities(F.col("text"), GAZETTEER))
 
 
+@query(
+    "entity_cooccurrence_edges",
+    # Text -> graph composition: the co-mention edge list is pure set
+    # algebra over the gazetteer hits, fully SQL-expressible.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS term
+            FROM documents
+        ),
+        ents AS (
+            SELECT DISTINCT doc_id, term AS e FROM toks
+            WHERE term IN {str(GAZETTEER)}
+        )
+        SELECT a.e AS entity_a, b.e AS entity_b, COUNT(*) AS n_docs
+        FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.e < b.e
+        GROUP BY a.e, b.e
+    """,
+    description="Entity co-occurrence graph from gazetteer NER: weighted co-mention edges (entity_a < entity_b, n_docs) — the text->graph composite whose edge list feeds the graph operators directly; per-doc pair fan-out bounded by the gazetteer, one shuffle on the pair key",
+)
+def entity_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.entity_cooccurrence_edges(_docs(spark, sf_dir), GAZETTEER)
+
+
 # ---------------------------------------------------------------------------
 # Events: JSON extraction, tumbling windows, sessionization
 # ---------------------------------------------------------------------------

@@ -1,8 +1,9 @@
-"""IR-scoring + sketch + projection queries (round 3 breadth): BM25 ranked
-retrieval, count-min heavy hitters, JL random projection. All three are
-fully value-checked — their arithmetic is integer-exact or a shared
-verbatim expression string, so the DuckDB oracles rebuild every value
-bit-for-bit (no rows-only entries in this module).
+"""IR-scoring + sketch + projection + iterative-clustering queries (round 3
+breadth): BM25 ranked retrieval, count-min heavy hitters, JL random
+projection, k-means Lloyd. All fully value-checked — the arithmetic is
+integer-exact, IEEE-exact (sqrt), or a shared verbatim expression string,
+so the DuckDB oracles rebuild every value bit-for-bit (no rows-only
+entries in this module).
 """
 
 from __future__ import annotations
@@ -145,6 +146,105 @@ def _projection_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
         FROM qi JOIN signs ON signs.j = qi.j
         GROUP BY qi.vec_id, signs.k
     """
+
+
+_KMEANS_ORACLE = """
+    WITH sc AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+        FROM sc
+    ),
+    seeds AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS centroid_id
+        FROM (
+            SELECT vec_id,
+                   CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM embeddings
+        )
+        ORDER BY h, vec_id LIMIT 8
+    ),
+    cent0 AS (
+        SELECT s.centroid_id, qz.q AS cq FROM seeds s JOIN qz ON qz.vec_id = s.vec_id
+    ),
+    a1s AS (
+        SELECT e.vec_id, c.centroid_id,
+               ROUND(SUM(e.q[i] * c.cq[i])
+                   / (sqrt(SUM(e.q[i] * e.q[i])) * sqrt(SUM(c.cq[i] * c.cq[i]))), 6) AS cosine
+        FROM qz e JOIN cent0 c ON TRUE
+        , UNNEST(generate_series(1, len(e.q))) t(i)
+        GROUP BY e.vec_id, c.centroid_id
+    ),
+    a1 AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+            FROM a1s
+        ) WHERE rn = 1
+    ),
+    mdims AS (
+        SELECT a1.centroid_id, i AS j, qz.q[i] AS x
+        FROM a1 JOIN qz ON qz.vec_id = a1.vec_id
+        , UNNEST(generate_series(1, len(qz.q))) t(i)
+    ),
+    means AS (
+        SELECT centroid_id, j, SUM(x) / COUNT(*) AS m FROM mdims GROUP BY centroid_id, j
+    ),
+    newvec AS (SELECT centroid_id, list(m ORDER BY j) AS v FROM means GROUP BY centroid_id),
+    cent1v AS (
+        SELECT c0.centroid_id,
+               COALESCE(nv.v, (SELECT sc.v FROM seeds s2 JOIN sc ON sc.vec_id = s2.vec_id
+                               WHERE s2.centroid_id = c0.centroid_id)) AS v
+        FROM cent0 c0 LEFT JOIN newvec nv ON nv.centroid_id = c0.centroid_id
+    ),
+    cent1 AS (
+        SELECT centroid_id,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS cq
+        FROM (
+            SELECT centroid_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM cent1v
+        )
+    ),
+    a2s AS (
+        SELECT e.vec_id, c.centroid_id,
+               ROUND(SUM(e.q[i] * c.cq[i])
+                   / (sqrt(SUM(e.q[i] * e.q[i])) * sqrt(SUM(c.cq[i] * c.cq[i]))), 6) AS cosine
+        FROM qz e JOIN cent1 c ON TRUE
+        , UNNEST(generate_series(1, len(e.q))) t(i)
+        GROUP BY e.vec_id, c.centroid_id
+    )
+    SELECT vec_id, centroid_id, cosine FROM (
+        SELECT vec_id, centroid_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+        FROM a2s
+    ) WHERE rn = 1
+"""
+
+
+@query(
+    "embeddings_kmeans_lloyd",
+    # The full iterative loop unrolled in SQL: hash-seeded init, quantized
+    # argmax assignment, per-dimension-mean update (exact integer sums /
+    # counts), re-quantize, re-assign. Every stage reuses a recipe already
+    # proven green (qz fragment, rounded-cosine argmax, ROW_NUMBER
+    # tie-break) — sqrt is IEEE-exact, so no new float-parity surface.
+    oracle=_KMEANS_ORACLE,
+    description="Spherical k-means, one full Lloyd round (k=8): deterministic hash-seeded init -> quantized max-cosine assign -> exact per-dim-mean centroid update (empty clusters keep their seed) -> reassign; per round the corpus shuffles once and centroids stay a k-row broadcast (operators/kmeans.py — the iterative-ML twin of the graph loops)",
+)
+def embeddings_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_lloyd_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_assign(emb, k=8, rounds=1)
 
 
 @query(

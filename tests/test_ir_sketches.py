@@ -1,5 +1,5 @@
 """Unit tests for the round-3 breadth operators: BM25 ranked retrieval,
-count-min heavy hitters, JL random projection."""
+count-min heavy hitters, JL random projection, k-means Lloyd."""
 
 from __future__ import annotations
 
@@ -134,3 +134,73 @@ def test_jl_sign_deterministic_and_balanced():
     # roughly balanced (md5 bits): a wildly skewed matrix would break JL
     pos = sum(1 for s in flat if s == 1)
     assert 0.35 * len(flat) < pos < 0.65 * len(flat)
+
+
+def test_kmeans_lloyd_assignments_and_empty_cluster(spark):
+    from analyzing_big_data_in_scala_spark.operators.kmeans import (
+        hash_seed_centroids,
+        kmeans_lloyd_assign,
+    )
+
+    # Two tight groups on orthogonal axes + one lone outlier. ids are
+    # chosen so the three smallest portable-hash ids (27, 6, 19 — ranked
+    # with the same md5 formula as hash_seed_centroids) fall one per
+    # group: seeds start inside each natural cluster, so one Lloyd round
+    # must produce a perfect grouping. (Lloyd never merges clusters, so
+    # two seeds inside one group would legitimately keep it split — the
+    # seed placement is part of the fixture, not an accident.)
+    vecs = [
+        (27, [10.0, 0.0, 0.1, 0.0]),   # group A, seed -> centroid 0
+        (1, [9.0, 0.2, 0.0, 0.0]),     # group A
+        (2, [11.0, 0.0, 0.0, 0.3]),    # group A
+        (6, [0.0, 10.0, 0.0, 0.1]),    # group B, seed -> centroid 1
+        (4, [0.3, 9.5, 0.0, 0.0]),     # group B
+        (5, [0.0, 11.0, 0.2, 0.0]),    # group B
+        (19, [0.0, 0.0, 0.0, -8.0]),   # outlier, seed -> centroid 2
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    seeds = {r.centroid_id for r in hash_seed_centroids(emb, 3).collect()}
+    assert seeds == {0, 1, 2}
+
+    got = {r.vec_id: r.centroid_id for r in kmeans_lloyd_assign(emb, k=3, rounds=1).collect()}
+    assert set(got) == {27, 1, 2, 6, 4, 5, 19}
+    assert got[27] == got[1] == got[2] == 0
+    assert got[6] == got[4] == got[5] == 1
+    assert got[19] == 2
+
+    # k > distinct vectors in a group forces empty clusters in some round;
+    # the operator must still return a full assignment.
+    many = {r.vec_id for r in kmeans_lloyd_assign(emb, k=6, rounds=2).collect()}
+    assert many == {27, 1, 2, 6, 4, 5, 19}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bad k"):
+        kmeans_lloyd_assign(emb, k=0)
+
+
+def test_entity_cooccurrence_edges(spark):
+    from analyzing_big_data_in_scala_spark.operators.entities import (
+        entity_cooccurrence_edges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark and stream talk to spark again"),   # spark+stream (dups collapse)
+            (2, "stream meets spark near the window"),     # spark+stream+window
+            (3, "vector only here"),                       # no pair
+            (4, "spark alone"),                            # no pair
+        ],
+        "doc_id long, text string",
+    )
+    gaz = ("spark", "stream", "window", "vector")
+    got = {
+        (r.entity_a, r.entity_b): r.n_docs
+        for r in entity_cooccurrence_edges(docs, gaz).collect()
+    }
+    assert got == {
+        ("spark", "stream"): 2,
+        ("spark", "window"): 1,
+        ("stream", "window"): 1,
+    }

@@ -120,3 +120,26 @@ def test_drop_duplicates_within_watermark_across_batches(spark, tmp_path):
     mat = run_available_now(dedup, table, output_mode="append", state_partitions=4)
     kept = sorted(r.k for r in mat.select("k").collect())
     assert kept == ["a", "b", "c"]  # one survivor per key, across batches
+
+
+def test_tws_totals_env_gate(spark):
+    """transformWithStateInPandas needs protobuf; in this container the
+    operator must fail FAST with the dependency explanation (not a deep
+    streaming-runner stack). If protobuf is ever present, the plan must at
+    least construct."""
+    import importlib.util
+
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.streaming import stream as ST
+    from analyzing_big_data_in_scala_spark.streaming.stateful import (
+        user_event_totals_tws,
+    )
+
+    s = ST.events_stream(spark, "/root/testdata/sf0.001")
+    if importlib.util.find_spec("google") is None:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            user_event_totals_tws(s)
+    else:
+        df = user_event_totals_tws(s)
+        assert set(df.columns) == {"user_id", "n_events", "sum_value_e4"}

@@ -106,7 +106,8 @@ def test_driver_window_covers_oracle_backed_queries():
         "events_sliding_20min", "events_salted_by_type", "events_user_sessions",
         "documents_hash_sample_split", "streaming_sentiment_counts",
         "customer_fuzzy_name_matches", "events_asof_latest_order",
-        "events_range_join_daily_windows",
+        "events_range_join_daily_windows", "documents_source_mixture",
+        "dedup_embedding_cosine",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)

@@ -46,6 +46,7 @@ PICKS = {
     "search_bm25_topk": "BM25: corpus stats (N, avgdl) and per-term df broadcast as 1-row / vocab-sized sides; per-(doc,term) contribution quantized to integer ppm in-projection; global top-20 compiles to TakeOrderedAndProject, never a full sort.",
     "terms_cms_heavy_hitters": "Count-min: the 4x256 grid materializes via one explode + map-side-combined aggregate (shuffle volume = cells, not tokens); the probe joins the BROADCAST sketch; exact top-20 is TakeOrderedAndProject.",
     "embeddings_random_projection": "JL projection is a pure map: quantize + 16 integer dot products + posexplode in ONE codegen stage over the scan — zero exchanges in the whole plan.",
+    "embeddings_kmeans_lloyd": "One Lloyd round: each assignment is a k-row BROADCAST cross join + map-side-combined argmax (one corpus shuffle); the centroid update aggregates k×dim rows and re-enters as the next broadcast — the corpus is never shuffled on cluster id.",
 }
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import asof as A  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import bm25 as B  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import dedup as D  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import kmeans as KM  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import projection as P  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import sketches as K  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import graph as G  # noqa: E402
@@ -181,6 +182,12 @@ def main() -> None:
             # Map-only: zero exchanges; expect pure scan-bound linear.
             "random_projection": lambda: noop(
                 P.random_projection(emb, out_dim=16, in_dim=64)
+            ),
+            # Per Lloyd round: broadcast cross join with k rows + one
+            # corpus argmax shuffle + a k×dim update aggregate — expect
+            # ~linear in vectors, independent of k's placement.
+            "kmeans_lloyd": lambda: noop(
+                KM.kmeans_lloyd_assign(emb, k=8, rounds=1)
             ),
             # The n_planes knob IS the scale path: +1 plane per 2x data
             # keeps cell occupancy constant, so the within-cell self-join
