@@ -226,6 +226,20 @@ def main() -> None:
             lines.append(
                 f"| {name} | {t[1]} | {t[4]} | — (quadratic by design; probed to 4x) | x4/x1 = {r4} |"
             )
+    lines += [
+        "",
+        "Notes:",
+        "- `semantic_dedup` runs with the documented planes schedule (+1 plane",
+        "  per 2x data), which holds candidate-PAIR count at ~copies x the base",
+        "  — so its expected curve is ~16x at 16x data (linear in pairs), not",
+        "  sub-16x; a ratio near 16-20 here is the design target, not a",
+        "  regression. A fixed plane count would be quadratic.",
+        "- `curation_funnel` aggregates every n-gram/chunk/exact key of the",
+        "  corpus once; its ratio tracks total key volume (slightly superlinear",
+        "  vs docs because inflated corpora shift the unigram distribution).",
+        "- Sub-4x ratios mean fixed per-job overheads (planning, task launch)",
+        "  still dominate at this fixture size.",
+    ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
