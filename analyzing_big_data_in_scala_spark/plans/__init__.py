@@ -67,9 +67,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_components_two_phase",
     "graph_bfs_hops",
     "graph_sssp_weighted",
+    "graph_kcore_membership",
     # Dedup / similarity / embedding hygiene
     "dedup_near_clusters",
-    "dedup_cross_source_matrix",
     "similarity_cluster_assign",
     "embeddings_centroid_outliers",
     "embeddings_dimension_profile",

@@ -317,3 +317,45 @@ _HASH64 = "CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = G.sssp_weighted(_edges(spark, sf_dir), max_hops=15)
     return dist.select("id", F.col("dist").cast("long").alias("dist"))
+
+
+def _kcore_sql(k: int = 3, stages: int = 16) -> str:
+    """Unrolled peeling oracle (same pattern as _pagerank_sql): one CTE per
+    peel round. Peeling is monotone and idempotent once stable, so any
+    stage count >= the convergence round count yields the fixpoint — the
+    Spark loop's early exit and this fixed unrolling agree exactly."""
+    # AS MATERIALIZED is load-bearing: every stage references its
+    # predecessor twice (degree filter + edge join), so DuckDB's default
+    # CTE inlining would expand the chain exponentially (2^stages scans of
+    # the events parquet — observed as 'Too many open files').
+    parts = [
+        "s0 AS MATERIALIZED (SELECT a AS u, b AS v FROM canon UNION ALL SELECT b AS u, a AS v FROM canon)"
+    ]
+    for i in range(1, stages + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT u FROM (SELECT u, COUNT(*) AS d FROM {prev} GROUP BY u) WHERE d >= {k})"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e "
+            f"JOIN k{i} x ON x.u = e.u JOIN k{i} y ON y.u = e.v)"
+        )
+    body = ",\n".join(parts)
+    return f"""
+        WITH {_SQL_CANON.strip().lstrip()},
+        {body}
+        SELECT u AS id, COUNT(*) AS core_degree FROM s{stages} GROUP BY u
+    """
+
+
+@query(
+    "graph_kcore_membership",
+    # k=70 sits just above the fixture graph's minimum degree at the
+    # driver's oracle scale (sf0.01: min deg 68, median 86), so the peel
+    # actually fires (cascading removals) instead of trivially keeping or
+    # dropping everyone; the micro-graph unit covers the structural cases.
+    oracle=_kcore_sql(k=70, stages=16),
+    description="k-core decomposition (k=70) by iterative peeling: surviving vertices with their within-core degree — the dense-region primitive; per round one degree aggregate + two semi joins over the shrinking edge set, early-exit on the first stable round (operators/graph.py kcore_vertices; oracle = 16 unrolled peel stages, exact fixpoint)",
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.kcore_vertices(_edges(spark, sf_dir), k=70)

@@ -90,6 +90,7 @@ HEADLINE = [
     "terms_cms_heavy_hitters",
     "embeddings_random_projection",
     "embeddings_kmeans_lloyd",
+    "graph_kcore_membership",
 ]
 
 

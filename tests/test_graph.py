@@ -188,3 +188,24 @@ def test_bfs_default_seed_skips_self_loop_only_min_vertex(spark):
 
     dist = {r.id: r.dist for r in G.sssp_weighted(edges, weight=F.lit(1)).collect()}
     assert dist == {1: 0, 2: 1, 3: 2}
+
+
+def test_kcore_peeling_cascades(spark):
+    import pytest
+
+    # Square 1-2-3-4 with diagonal 1-3, plus a chain 4-5-6 hanging off:
+    # 2-core = {1,2,3,4} (the chain peels in cascade: 6 first, then 5),
+    # 3-core = {} (even 1 and 3 have degree 3 only before the square peels:
+    # removing 2 or 4 drops them below 3 -> full collapse).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    core2 = {r.id: r.core_degree for r in G.kcore_vertices(edges, k=2).collect()}
+    assert set(core2) == {1, 2, 3, 4}
+    assert core2[1] == core2[3] == 3 and core2[2] == core2[4] == 2
+    assert G.kcore_vertices(edges, k=3).count() == 0
+    # k=1 keeps everything (no isolated vertices in an edge-derived graph)
+    assert G.kcore_vertices(edges, k=1).count() == 6
+    with pytest.raises(ValueError, match="k >= 1"):
+        G.kcore_vertices(edges, k=0)

@@ -107,7 +107,7 @@ def test_driver_window_covers_oracle_backed_queries():
         "documents_hash_sample_split", "streaming_sentiment_counts",
         "customer_fuzzy_name_matches", "events_asof_latest_order",
         "events_range_join_daily_windows", "documents_source_mixture",
-        "dedup_embedding_cosine",
+        "dedup_embedding_cosine", "dedup_cross_source_matrix",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
