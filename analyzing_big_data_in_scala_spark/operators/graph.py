@@ -490,7 +490,10 @@ def kcore_vertices(
         .localCheckpoint()
     )
     prev_edges = cur.count()
+    converged = prev_edges == 0
     for _ in range(max_iterations):
+        if converged:
+            break
         keep = (
             cur.groupBy("u")
             .agg(F.count("*").alias("d"))
@@ -504,9 +507,17 @@ def kcore_vertices(
         )
         n = nxt.count()
         cur = nxt
-        if n == prev_edges:
-            break
+        converged = n == prev_edges
         prev_edges = n
+    if not converged:
+        # Returning a partially-peeled subgraph would be a silently-wrong
+        # k-core (vertices with degree < k still present) AND diverge from
+        # the fixed-stage SQL oracle — refuse loudly instead.
+        raise RuntimeError(
+            f"kcore_vertices: peeling did not converge within {max_iterations} "
+            f"rounds ({prev_edges} directed edges remain) — raise max_iterations "
+            f"(and keep the oracle's unrolled stage count >= it)"
+        )
     return (
         cur.groupBy("u")
         .agg(F.count("*").alias("core_degree"))

@@ -22,8 +22,12 @@ Scale shape per round: assignment is a broadcast cross join with k rows +
 one map-side-combined argmax aggregate (the corpus shuffles ONCE per
 round, on its own id); the update is a posexplode + (cluster, dim)
 aggregate whose output is k×dim rows — trivially collected into the next
-broadcast. Rounds are a Python loop over lazy plans (same checkpoint
-pattern as `operators/graph.py` PageRank).
+broadcast. Rounds are a Python loop; each round's (tiny) centroid frame is
+localCheckpoint-ed so the next assignment starts from materialized
+centroids instead of recursively embedding every earlier round's corpus
+aggregate — the same lineage-cut discipline as `operators/graph.py`
+PageRank, applied at the centroid frame because that is this loop's
+carried state.
 """
 
 from __future__ import annotations
@@ -103,9 +107,18 @@ def kmeans_lloyd_assign(
     (id_col, centroid_id, cosine) for every vector."""
     if k < 1 or rounds < 0:
         raise ValueError(f"kmeans_lloyd_assign: bad k={k} or rounds={rounds}")
-    centroids = hash_seed_centroids(emb, k, id_col, vec_col)
+    centroids = hash_seed_centroids(emb, k, id_col, vec_col).localCheckpoint()
     assigned = spherical_assign(emb, centroids, id_col, vec_col)
     for _ in range(rounds):
-        centroids = _update_centroids(assigned, emb, centroids, id_col, vec_col)
+        # Checkpointing the k-row centroid frame per round is the lineage
+        # cut: without it, round N's plan embeds round N-1's corpus-wide
+        # argmax aggregate (and so on recursively), re-executing every
+        # earlier round inside the final action. With it, each round's
+        # assignment plan starts from a materialized k×dim table —
+        # constant plan depth, one corpus pass per round, same pattern as
+        # the graph loops.
+        centroids = _update_centroids(
+            assigned, emb, centroids, id_col, vec_col
+        ).localCheckpoint()
         assigned = spherical_assign(emb, centroids, id_col, vec_col)
     return assigned

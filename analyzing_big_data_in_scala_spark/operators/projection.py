@@ -61,6 +61,23 @@ def random_projection(
         raise ValueError(f"random_projection: bad dims out={out_dim} in={in_dim}")
     signs = sign_matrix(out_dim, in_dim)
     q = quantize_int8(emb, id_col, vec_col)
+    # Length guard inside the plan: an in_dim shorter than the vectors
+    # would otherwise NULL-pad the zip_with and poison every sum to NULL
+    # (while the SQL oracle would happily sum a prefix) — exactly the
+    # silent divergence this module exists to rule out. raise_error makes
+    # the mismatch a loud job failure on any row.
+    q = q.withColumn(
+        "qvec",
+        F.when(F.size("qvec") == in_dim, F.col("qvec")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"random_projection: in_dim={in_dim} but vector has "),
+                    F.size("qvec").cast("string"),
+                    F.lit(" components"),
+                )
+            )
+        ),
+    )
     sums = F.array(
         *[
             F.aggregate(

@@ -36,6 +36,23 @@ def _bucket(key, row: int, width: int):
     ).cast("int")
 
 
+def _cells(key, depth: int, width: int):
+    """Exploded (row, bucket) cells for one key — the SINGLE definition of
+    cell derivation, used by both the build and the probe side (divergent
+    copies would silently hash build and probe to different buckets)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("row"),
+                    _bucket(key, i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+
+
 def cms_build(
     keys: DataFrame,
     key_col: str = "term",
@@ -45,19 +62,7 @@ def cms_build(
     """(row, bucket, cnt) — the sketch grid from one pass over the key
     stream. depth×width rows regardless of input size; partial aggregation
     does the per-partition sketching, the shuffle merges depth×width cells."""
-    cells = keys.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).cast("int").alias("row"),
-                        _bucket(F.col(key_col), i, width).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rb")
-    )
+    cells = keys.select(_cells(F.col(key_col), depth, width).alias("rb"))
     return cells.groupBy(
         F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
     ).agg(F.count("*").alias("cnt"))
@@ -73,18 +78,7 @@ def cms_estimate(
     """(key_col, cms_est) for each probe key: min over the key's depth
     cells. The sketch is depth×width rows — always broadcast."""
     pb = probes.select(
-        key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).cast("int").alias("row"),
-                        _bucket(F.col(key_col), i, width).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        key_col, _cells(F.col(key_col), depth, width).alias("rb")
     ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
     return (
         pb.join(F.broadcast(sketch), ["row", "bucket"])

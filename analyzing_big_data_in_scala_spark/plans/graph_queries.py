@@ -319,11 +319,13 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("id", F.col("dist").cast("long").alias("dist"))
 
 
-def _kcore_sql(k: int = 3, stages: int = 16) -> str:
+def _kcore_sql(k: int = 3, stages: int = 30) -> str:
     """Unrolled peeling oracle (same pattern as _pagerank_sql): one CTE per
     peel round. Peeling is monotone and idempotent once stable, so any
-    stage count >= the convergence round count yields the fixpoint — the
-    Spark loop's early exit and this fixed unrolling agree exactly."""
+    stage count >= the convergence round count yields the fixpoint — and
+    `kcore_vertices` RAISES if it hasn't converged within its
+    max_iterations (default 30), so keeping stages == that cap guarantees
+    the two sides can never silently disagree."""
     # AS MATERIALIZED is load-bearing: every stage references its
     # predecessor twice (degree filter + edge join), so DuckDB's default
     # CTE inlining would expand the chain exponentially (2^stages scans of
@@ -354,8 +356,8 @@ def _kcore_sql(k: int = 3, stages: int = 16) -> str:
     # driver's oracle scale (sf0.01: min deg 68, median 86), so the peel
     # actually fires (cascading removals) instead of trivially keeping or
     # dropping everyone; the micro-graph unit covers the structural cases.
-    oracle=_kcore_sql(k=70, stages=16),
-    description="k-core decomposition (k=70) by iterative peeling: surviving vertices with their within-core degree — the dense-region primitive; per round one degree aggregate + two semi joins over the shrinking edge set, early-exit on the first stable round (operators/graph.py kcore_vertices; oracle = 16 unrolled peel stages, exact fixpoint)",
+    oracle=_kcore_sql(k=70, stages=30),
+    description="k-core decomposition (k=70) by iterative peeling: surviving vertices with their within-core degree — the dense-region primitive; per round one degree aggregate + two semi joins over the shrinking edge set, early-exit on the first stable round (operators/graph.py kcore_vertices; oracle = 30 unrolled peel stages matching the loop cap, exact fixpoint)",
 )
 def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.kcore_vertices(_edges(spark, sf_dir), k=70)

@@ -1332,9 +1332,9 @@ def _ml_confusion_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of doc_id, the CV seed/grid are fixed, and the metric columns are
     # integer-exact — the confusion matrix at the driver's oracle scale
     # (sf0.01) is therefore a constant, derived once by running the query
-    # and re-derived by tests/test_ml.py. Valid ONLY at sf0.01 (the one
-    # scale the driver oracles at); other scales use the same query with
-    # invariant unit checks.
+    # and re-derived by tests/test_relational.py::test_ml_pinned_constants.
+    # Valid ONLY at sf0.01 (the one scale the driver oracles at); the
+    # self-check tool skips it elsewhere (tests/oracle_check.py PINNED_SF).
     oracle="""
         SELECT klass,
                CAST(tp AS BIGINT) AS tp,

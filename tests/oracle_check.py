@@ -10,6 +10,11 @@ import math
 
 import duckdb
 
+# Queries whose oracle is a constants table pinned at one specific scale:
+# checking them at any other sf is a guaranteed false red, so the
+# self-check (and the pytest parity sweep) skip them elsewhere.
+PINNED_SF: dict[str, str] = {"ml_sentiment_metrics": "sf0.01"}
+
 TABLES = (
     "region",
     "nation",
@@ -98,6 +103,10 @@ def main() -> int:
     failures = 0
     for name, spec in QUERIES.items():
         if only and name not in only:
+            continue
+        pinned = PINNED_SF.get(name)
+        if pinned is not None and pinned not in sf_dir:
+            print(f"SKIP {name}: constants oracle pinned to {pinned}")
             continue
         try:
             df = spec.fn(spark, sf_dir)

@@ -204,3 +204,13 @@ def test_entity_cooccurrence_edges(spark):
         ("spark", "window"): 1,
         ("stream", "window"): 1,
     }
+
+
+def test_random_projection_rejects_dim_mismatch(spark):
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="in_dim=32 but vector has 16"):
+        random_projection(emb, out_dim=4, in_dim=32).collect()

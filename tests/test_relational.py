@@ -9,13 +9,13 @@ import pytest
 from analyzing_big_data_in_scala_spark.plans.registry import QUERIES
 import analyzing_big_data_in_scala_spark.plans  # noqa: F401
 
-from .conftest import SF_SMALL
-from .oracle_check import compare, duckdb_conn
+from .conftest import SF_ORACLE, SF_SMALL
+from .oracle_check import PINNED_SF, compare, duckdb_conn
 
 ORACLE_QUERIES = sorted(
     name
     for name, spec in QUERIES.items()
-    if spec.oracle is not None and name != "ml_sentiment_metrics"
+    if spec.oracle is not None and name not in PINNED_SF
 )
 
 
@@ -434,3 +434,14 @@ def test_conversion_funnel_strict_ordering(spark):
     assert sorted(r.user_id for r in t1.collect()) == [1, 2, 3]
     assert sorted(r.user_id for r in t2.collect()) == [1, 2]  # user 3's click was pre-view
     assert sorted(r.user_id for r in t3.collect()) == [1]     # user 2's purchase pre-click
+
+
+def test_ml_pinned_constants(spark):
+    """Re-derive the ml_sentiment_metrics pinned constants oracle at its
+    pinned scale (sf0.01): the hash split + fixed CV seed make the
+    confusion matrix a constant there, and this is the one place the
+    constant is re-checked outside the external driver."""
+    spec = QUERIES["ml_sentiment_metrics"]
+    con = duckdb_conn(SF_ORACLE)
+    result = compare(spec.fn(spark, SF_ORACLE), con, spec.oracle)
+    assert result["values_match"], result

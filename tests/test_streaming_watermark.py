@@ -137,7 +137,14 @@ def test_tws_totals_env_gate(spark):
     )
 
     s = ST.events_stream(spark, "/root/testdata/sf0.001")
-    if importlib.util.find_spec("google") is None:
+    # Probe the exact module the operator guard imports: a bare "google"
+    # namespace package (google-auth etc.) without protobuf must still
+    # take the gated branch.
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
         with pytest.raises(NotImplementedError, match="protobuf"):
             user_event_totals_tws(s)
     else:
