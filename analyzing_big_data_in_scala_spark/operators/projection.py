@@ -41,22 +41,18 @@ def sign_matrix(out_dim: int, in_dim: int) -> list[list[int]]:
     return [[jl_sign(k, j) for j in range(in_dim)] for k in range(out_dim)]
 
 
-def random_projection(
+def projected_vectors(
     emb: DataFrame,
     out_dim: int = 16,
     in_dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id_col, dim_idx, value) — long-form projected vectors, one row per
-    output dimension. value = Σ_j q_j · sign(k, j) over the int8-quantized
-    vector: pure BIGINT arithmetic end to end (|value| <= in_dim·127), so
-    results are exact on any engine or partitioning.
-
-    Long form rather than an array column because per-dimension rows are
-    what both the cross-engine comparator and downstream per-dimension
-    operators (QA profiles, per-dim stats) consume; a consumer that wants
-    arrays regroups with collect_list over (id, dim_idx)."""
+    """(id_col, pvec array<long>) — the projected vectors in array form,
+    value_k = Σ_j q_j · sign(k, j) over the int8-quantized vector: pure
+    BIGINT arithmetic end to end (|value| <= in_dim·127), exact on any
+    engine or partitioning. This is the form downstream similarity search
+    consumes (`similarity.cosine_topk` over 4x-shorter vectors)."""
     if out_dim < 1 or in_dim < 1:
         raise ValueError(f"random_projection: bad dims out={out_dim} in={in_dim}")
     signs = sign_matrix(out_dim, in_dim)
@@ -92,6 +88,22 @@ def random_projection(
             for k in range(out_dim)
         ]
     )
-    return q.select(id_col, F.posexplode(sums).alias("dim_idx", "value")).select(
+    return q.select(id_col, sums.alias("pvec"))
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, dim_idx, value) — long-form projected vectors, one row per
+    output dimension (posexplode of :func:`projected_vectors`). Long form
+    is what the cross-engine comparator and per-dimension consumers (QA
+    profiles, per-dim stats) want; similarity search consumes the array
+    form directly."""
+    p = projected_vectors(emb, out_dim, in_dim, id_col, vec_col)
+    return p.select(id_col, F.posexplode("pvec").alias("dim_idx", "value")).select(
         id_col, F.col("dim_idx").cast("int").alias("dim_idx"), "value"
     )

@@ -83,7 +83,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_curation_funnel",
     "corpus_curation_funnel_strided",
     "corpus_training_shards",
-    "similarity_quantized_topk",
+    "similarity_projected_topk",
     "multimodal_payload_features",
     # Sampling / sharding
     "documents_quality_weighted_sample",

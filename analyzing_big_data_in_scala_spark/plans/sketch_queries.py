@@ -255,3 +255,74 @@ def embeddings_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return random_projection(emb, out_dim=16, in_dim=64)
+
+
+def _projected_topk_oracle(out_dim: int = 16, in_dim: int = 64, k: int = 10) -> str:
+    # Rebuild the projection (same CTE chain as _projection_oracle), regroup
+    # to per-vector lists, then the proven cosine-topk pattern: integer-sum
+    # dots, IEEE-exact sqrt norms, rank on the unrounded (bit-identical)
+    # cosine with min-id tie-break, ROUND(,6) only in the output.
+    sign = (
+        "CASE WHEN " + _HASH64.format(x="'rp:' || k || ':' || (j - 1)")
+        + " % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    return f"""
+        WITH sc AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+            FROM sc
+        ),
+        qi AS (
+            SELECT vec_id, j, q[j] AS qj
+            FROM qz, UNNEST(generate_series(1, {in_dim})) t(j)
+        ),
+        signs AS (
+            SELECT k, j, {sign} AS s
+            FROM UNNEST(generate_series(0, {out_dim - 1})) a(k),
+                 UNNEST(generate_series(1, {in_dim})) b(j)
+        ),
+        pd AS (
+            SELECT qi.vec_id, signs.k, SUM(qi.qj * signs.s) AS val
+            FROM qi JOIN signs ON signs.j = qi.j
+            GROUP BY qi.vec_id, signs.k
+        ),
+        pvec AS (SELECT vec_id, list(val ORDER BY k) AS p FROM pd GROUP BY vec_id),
+        q3 AS (SELECT vec_id AS query_id, p AS qp FROM pvec WHERE vec_id < 3),
+        scored AS (
+            SELECT c.vec_id, q3.query_id,
+                   SUM(c.p[j] * q3.qp[j])
+                       / (sqrt(SUM(c.p[j] * c.p[j])) * sqrt(SUM(q3.qp[j] * q3.qp[j]))) AS cosine
+            FROM pvec c JOIN q3 ON c.vec_id <> q3.query_id
+            , UNNEST(generate_series(1, {out_dim})) t(j)
+            GROUP BY c.vec_id, q3.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "similarity_projected_topk",
+    oracle=_projected_topk_oracle(),
+    description="ANN over JL-projected vectors: brute-force cosine top-10 for 3 probe vectors in the 16-dim projected space — the projection actually feeding search (4x fewer FLOPs/bytes per comparison); integer projected vectors keep every cosine bit-identical cross-engine (operators/projection.py + similarity.cosine_topk)",
+)
+def similarity_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.projection import projected_vectors
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pv = projected_vectors(emb, out_dim=16, in_dim=64)
+    probes = pv.filter("vec_id < 3")
+    return cosine_topk(pv, probes, k=10, vec_col="pvec")

@@ -91,6 +91,7 @@ HEADLINE = [
     "embeddings_random_projection",
     "embeddings_kmeans_lloyd",
     "graph_kcore_membership",
+    "similarity_projected_topk",
 ]
 
 

@@ -214,3 +214,25 @@ def test_random_projection_rejects_dim_mismatch(spark):
     )
     with pytest.raises(Exception, match="in_dim=32 but vector has 16"):
         random_projection(emb, out_dim=4, in_dim=32).collect()
+
+
+def test_projected_topk_finds_duplicate_vector(spark):
+    from analyzing_big_data_in_scala_spark.operators.projection import (
+        projected_vectors,
+    )
+    from analyzing_big_data_in_scala_spark.operators.similarity import cosine_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(20)]
+    # vector 100 is an exact copy of probe vector 0: identical quantized
+    # form -> identical projection -> cosine exactly 1.0 -> guaranteed
+    # rank 1 for the probe (self-matches are excluded).
+    rows.append((100, list(rows[0][1])))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pv = projected_vectors(emb, out_dim=8, in_dim=16)
+    probes = pv.filter("vec_id = 0")
+    top = cosine_topk(pv, probes, k=3, vec_col="pvec").collect()
+    assert [r.rank for r in top] == [1, 2, 3]
+    assert top[0].vec_id == 100 and top[0].cosine == 1.0
