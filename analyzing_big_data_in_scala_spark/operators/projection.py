@@ -41,6 +41,47 @@ def sign_matrix(out_dim: int, in_dim: int) -> list[list[int]]:
     return [[jl_sign(k, j) for j in range(in_dim)] for k in range(out_dim)]
 
 
+def _validate_and_quantize(
+    emb: DataFrame, out_dim: int, in_dim: int, id_col: str, vec_col: str
+):
+    """Shared head of both projection forms: dim validation + int8
+    quantization + the per-dimension integer-sum expressions.
+
+    Length guard: a wrong in_dim would NULL-pad the zip_with and poison
+    every sum to NULL (while the SQL oracle would sum a prefix). An
+    IN-PLAN guard is off the table for performance: when()/otherwise and
+    even coalesce(assert_true(...)) are conditional expressions, which
+    whole-stage codegen excludes from subexpression elimination — the
+    quantize aggregate then re-evaluates once per output dimension
+    (measured 0.8s -> 11-23s at sf0.1). Instead: probe ONE row eagerly,
+    which catches the misconfiguration class outright; a genuinely
+    ragged row (data corruption) still surfaces loudly as an all-NULL
+    projected vector, never as plausible wrong numbers."""
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"random_projection: bad dims out={out_dim} in={in_dim}")
+    probe = emb.select(F.size(vec_col).alias("_n")).limit(1).collect()
+    if probe and probe[0]._n != in_dim:
+        raise ValueError(
+            f"random_projection: in_dim={in_dim} but vector has "
+            f"{probe[0]._n} components"
+        )
+    signs = sign_matrix(out_dim, in_dim)
+    q = quantize_int8(emb, id_col, vec_col)
+
+    def dim_sum(k: int):
+        return F.aggregate(
+            F.zip_with(
+                F.col("qvec"),
+                F.array(*[F.lit(s) for s in signs[k]]),
+                lambda x, s: x.cast("long") * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return q, F.array(*[dim_sum(k) for k in range(out_dim)])
+
+
 def projected_vectors(
     emb: DataFrame,
     out_dim: int = 16,
@@ -53,41 +94,7 @@ def projected_vectors(
     BIGINT arithmetic end to end (|value| <= in_dim·127), exact on any
     engine or partitioning. This is the form downstream similarity search
     consumes (`similarity.cosine_topk` over 4x-shorter vectors)."""
-    if out_dim < 1 or in_dim < 1:
-        raise ValueError(f"random_projection: bad dims out={out_dim} in={in_dim}")
-    signs = sign_matrix(out_dim, in_dim)
-    q = quantize_int8(emb, id_col, vec_col)
-    # Length guard inside the plan: an in_dim shorter than the vectors
-    # would otherwise NULL-pad the zip_with and poison every sum to NULL
-    # (while the SQL oracle would happily sum a prefix) — exactly the
-    # silent divergence this module exists to rule out. raise_error makes
-    # the mismatch a loud job failure on any row.
-    q = q.withColumn(
-        "qvec",
-        F.when(F.size("qvec") == in_dim, F.col("qvec")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"random_projection: in_dim={in_dim} but vector has "),
-                    F.size("qvec").cast("string"),
-                    F.lit(" components"),
-                )
-            )
-        ),
-    )
-    sums = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("qvec"),
-                    F.array(*[F.lit(s) for s in signs[k]]),
-                    lambda x, s: x.cast("long") * s,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for k in range(out_dim)
-        ]
-    )
+    q, sums = _validate_and_quantize(emb, out_dim, in_dim, id_col, vec_col)
     return q.select(id_col, sums.alias("pvec"))
 
 
@@ -99,11 +106,17 @@ def random_projection(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id_col, dim_idx, value) — long-form projected vectors, one row per
-    output dimension (posexplode of :func:`projected_vectors`). Long form
-    is what the cross-engine comparator and per-dimension consumers (QA
-    profiles, per-dim stats) want; similarity search consumes the array
-    form directly."""
-    p = projected_vectors(emb, out_dim, in_dim, id_col, vec_col)
-    return p.select(id_col, F.posexplode("pvec").alias("dim_idx", "value")).select(
+    output dimension. Long form is what the cross-engine comparator and
+    per-dimension consumers (QA profiles, per-dim stats) want; similarity
+    search consumes :func:`projected_vectors`'s array form directly.
+
+    The sums array feeds posexplode INLINE rather than through
+    projected_vectors' named pvec column: a Project(pvec) + Generate pair
+    drops the big higher-order-function projection out of whole-stage
+    codegen (interpreted evaluation, ~9x slower at sf0.1); the inline
+    generator keeps the whole thing in one codegen stage.
+    """
+    q, sums = _validate_and_quantize(emb, out_dim, in_dim, id_col, vec_col)
+    return q.select(id_col, F.posexplode(sums).alias("dim_idx", "value")).select(
         id_col, F.col("dim_idx").cast("int").alias("dim_idx"), "value"
     )
