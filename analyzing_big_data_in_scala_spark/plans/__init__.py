@@ -78,7 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_chunk_dedup",
     "entity_cooccurrence_edges",
     "dedup_semantic",
-    "dedup_incremental_batch",
+    "documents_quality_topfrac",
     "corpus_curation_pipeline",
     "corpus_curation_funnel",
     "corpus_curation_funnel_strided",
@@ -87,7 +87,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_payload_features",
     # Sampling / sharding
     "documents_quality_weighted_sample",
-    "documents_token_shards",
+    "streaming_static_enrichment",
     # ML (pinned constants oracle + rows-only full grid)
     "ml_sentiment_metrics",
     "ml_sentiment_metrics_full_grid",

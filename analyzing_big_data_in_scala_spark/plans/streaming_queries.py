@@ -189,3 +189,32 @@ def streaming_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     mat = ST.run_available_now(dedup, table, output_mode="append", state_partitions=8)
     return mat.groupBy("event_type").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "streaming_static_enrichment",
+    # Batch-equivalence oracle; the per-row integerized value sum is the
+    # order-independent cross-engine recipe (events_json_by_type).
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(e.value * 10000) AS BIGINT)) AS sum_value_e4
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY segment
+    """,
+    description="Stream-static join (the standard enrichment pattern): the events stream joined per micro-batch to a BROADCAST static customer dimension — stateless, no watermark, dimension re-resolvable between batches; aggregated per market segment == batch join",
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    stream = ST.events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    result = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("sum_value_e4"),
+    )
+    table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    return ST.run_available_now(result, table, state_partitions=8)

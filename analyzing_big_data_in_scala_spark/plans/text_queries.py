@@ -611,3 +611,43 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import pmi_collocations
 
     return pmi_collocations(_docs(spark, sf_dir), min_count=5, topk=50)
+
+
+@query(
+    "documents_quality_topfrac",
+    # Threshold-equality is float-SAFE by construction: the interpolated
+    # p75 either falls strictly BETWEEN two adjacent round-6 quality
+    # values (no doc's value lies in that open interval, so last-ulp
+    # noise in the threshold cannot flip any comparison) or lands exactly
+    # ON a tied data value (bit-identical on both engines). Spark
+    # `percentile` and DuckDB `quantile_cont` share the linear-
+    # interpolation definition (proven green in events_value_quartiles).
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        stats AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*) AS uniq_ratio,
+                   AVG(CASE WHEN term IN {sql_stopword_list()} THEN 1.0 ELSE 0.0 END) AS stop_ratio
+            FROM toks GROUP BY doc_id
+        ),
+        q AS (
+            SELECT d.doc_id AS doc_id,
+                   ROUND(0.5 * LEAST(s.n_tokens / 100.0, 1.0)
+                       + 0.25 * s.uniq_ratio
+                       + 0.25 * LEAST(s.stop_ratio * 4, 1.0), 6) AS quality
+            FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+        ),
+        thr AS (SELECT quantile_cont(quality, 0.75) AS t FROM q)
+        SELECT doc_id, quality FROM q WHERE quality >= (SELECT t FROM thr)
+    """,
+    description="Global-threshold quality curation: keep the top quartile of docs by corpus-relative quality (threshold = exact p75 as an in-plan 1-row broadcast, no driver round-trip). Exact percentile for oracle parity at test scale; at 10^10 docs swap percentile_approx (bounded GK sketch) into the identical plan shape",
+)
+def documents_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = doc_quality_scores(spark, sf_dir)
+    thr = scored.agg(F.percentile("quality", F.lit(0.75)).alias("_t"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("_t"))
+        .select("doc_id", "quality")
+    )

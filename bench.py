@@ -92,6 +92,8 @@ HEADLINE = [
     "embeddings_kmeans_lloyd",
     "graph_kcore_membership",
     "similarity_projected_topk",
+    "documents_quality_topfrac",
+    "streaming_static_enrichment",
 ]
 
 
