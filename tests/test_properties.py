@@ -130,3 +130,101 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, texts, pad):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     for a, b in expect_overlap:
         assert by_doc.get(a, set()) & by_doc.get(b, set()), (a, b)
+
+
+@PROP_SETTINGS
+@given(texts=TEXTS)
+def test_cms_never_undercounts_property(spark, texts):
+    """CMS one-sided error law: estimate >= exact for EVERY key, any corpus."""
+    from analyzing_big_data_in_scala_spark.operators import sketches as K
+    from analyzing_big_data_in_scala_spark.operators.tfidf import token_table
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    keys = token_table(docs)
+    if keys.isEmpty():
+        return
+    exact = {r.term: r.cnt for r in keys.groupBy("term").agg(F.count("*").alias("cnt")).collect()}
+    sketch = K.cms_build(keys)
+    est = {r.term: r.cms_est for r in K.cms_estimate(sketch, keys.distinct()).collect()}
+    for t, c in exact.items():
+        assert est[t] >= c, (t, est[t], c)
+    # total mass conservation: every grid row sums to the stream length
+    n = sum(exact.values())
+    rows = {}
+    for r in sketch.collect():
+        rows[r.row] = rows.get(r.row, 0) + r.cnt
+    assert all(v == n for v in rows.values()), rows
+
+
+@PROP_SETTINGS
+@given(texts=TEXTS)
+def test_bm25_score_bounds_and_matching(spark, texts):
+    """Scores are positive for matching docs only; n_matched <= |query|."""
+    from analyzing_big_data_in_scala_spark.operators.bm25 import bm25_scores
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    res = bm25_scores(docs, ["a", "0", "xy"]).collect()
+    toks = {i: set(re.findall(r"[a-z0-9]+", t.lower())) for i, t in enumerate(texts)}
+    for r in res:
+        matched = toks[r.doc_id] & {"a", "0", "xy"}
+        assert matched, r  # only matching docs appear
+        assert r.n_matched == len(matched)
+        assert r.score_ppm > 0  # idf > 0 when df <= N
+
+
+@PROP_SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-8, 8, allow_nan=False, width=32), min_size=6, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_projection_linearity_and_bounds(spark, vecs):
+    """|value| <= in_dim*127; identical vectors project identically."""
+    from analyzing_big_data_in_scala_spark.operators.projection import random_projection
+
+    rows = list(enumerate(vecs)) + [(100 + i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.vec_id, r.dim_idx): r.value for r in random_projection(emb, 4, 6).collect()}
+    for (vid, k), val in out.items():
+        assert abs(val) <= 6 * 127
+    for i in range(len(vecs)):
+        for k in range(4):
+            assert out[(i, k)] == out[(100 + i, k)]
+
+
+@PROP_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=20
+    ),
+    k=st.integers(1, 4),
+)
+def test_kcore_invariants(spark, edges, k):
+    """Every survivor's core_degree >= k, and the survivor set is a
+    fixpoint: re-running the peel on the induced subgraph changes nothing."""
+    e = spark.createDataFrame(edges, "src long, dst long")
+    core = {r.id: r.core_degree for r in G.kcore_vertices(e, k=k).collect()}
+    for v, d in core.items():
+        assert d >= k, (v, d, k)
+    # independent fixpoint check in plain Python
+    und = {tuple(sorted(t)) for t in edges if t[0] != t[1]}
+    alive = {v for t in und for v in t}
+    changed = True
+    while changed:
+        deg = {v: 0 for v in alive}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {v for v, d in deg.items() if d < k}
+        changed = bool(drop)
+        alive -= drop
+    assert set(core) == alive
+    want_deg = {v: 0 for v in alive}
+    for a, b in und:
+        if a in alive and b in alive:
+            want_deg[a] += 1
+            want_deg[b] += 1
+    assert core == want_deg
