@@ -1,0 +1,80 @@
+"""Trailing-window z-score anomaly detection over an event stream — the
+classic observability primitive (flag values far from their own recent
+history), expressed as bounded-frame window aggregates.
+
+Scale shape: ONE window pass partitioned by the series key, ordered by
+(ts, id), frame `ROWS BETWEEN w PRECEDING AND 1 PRECEDING` — state per
+partition is the w-row frame, never the series; partitions are
+data-proportional keys (event_type here), so no single-partition global
+window exists at any scale.
+
+Cross-engine determinism (the round-3 recipe stack):
+- values integerize PER ROW (1e-4 units as BIGINT) before any window sum,
+  so frame sums/sum-of-squares are exact integers in any evaluation order
+  (incremental frame maintenance vs recompute cannot diverge);
+- the z computation is ONE expression string (`Z_EXPR_SQL`) compiled
+  verbatim by both Spark and DuckDB over those exact integers — identical
+  IEEE expression tree, sqrt is IEEE-exact;
+- the variance numerator `ss·n − s²` stays in BIGINT (≤ ~6e16 for
+  w=50, |value|≤490k in e4 units — well under 2^63) and rows with a
+  zero/undefined std are filtered BEFORE z is evaluated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared Spark/DuckDB expression over the exact-integer window columns
+# (ve4, s, ss, n): z = (x - mean) / std with
+# mean = s/n and var = (ss*n - s^2) / n^2. Only evaluated on rows where
+# n == window and ss*n - s^2 > 0 (filtered upstream on both engines).
+Z_EXPR_SQL = (
+    "(CAST(ve4 AS DOUBLE) - CAST(s AS DOUBLE) / n)"
+    " / sqrt(CAST(ss * n - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n))"
+)
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    window: int = 50,
+    z_threshold: float = 3.0,
+    partition_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(partition_col, id_col, value_e4, z) for every event whose value is
+    >= `z_threshold` standard deviations from the mean of the PREVIOUS
+    `window` values in its series (trailing frame excludes the current
+    row, so an outlier cannot mask itself). Events without a full trailing
+    window, or whose window has zero variance, are never flagged."""
+    if window < 2:
+        raise ValueError(f"rolling_zscore_anomalies: need window >= 2, got {window}")
+    ve4 = F.round(F.col(value_col) * 10000).cast("long")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-window, -1)
+    )
+    framed = events.select(
+        partition_col,
+        id_col,
+        ve4.alias("ve4"),
+        F.count("*").over(w).alias("n"),
+        F.sum(ve4).over(w).alias("s"),
+        F.sum(ve4 * ve4).over(w).alias("ss"),
+    )
+    eligible = framed.filter(
+        (F.col("n") == window) & (F.col("ss") * F.col("n") - F.col("s") * F.col("s") > 0)
+    )
+    return (
+        eligible.withColumn("z", F.expr(Z_EXPR_SQL))
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select(
+            partition_col,
+            id_col,
+            F.col("ve4").alias("value_e4"),
+            F.round("z", 6).alias("z"),
+        )
+    )

@@ -56,7 +56,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lineitem_approx_profile",
     # Text / TF-IDF / language-model stats / IR scoring / sketches
     "tfidf_doc_frequencies_stemmed",
-    "corpus_pmi_collocations",
     "doc_perplexity_proxy",
     "doc_repetition_filters",
     "doc_decontamination",
@@ -99,6 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_conversion_funnel",
     "events_late_arrival_profile",
     "events_resample_10min_gapfill",
+    "events_rolling_zscore_anomalies",
     # Streaming (availableNow drains — batch-equivalence oracles)
     "streaming_tumbling_counts",
     "streaming_first_seen_per_user",

@@ -1936,3 +1936,42 @@ def documents_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataF
     return weighted_hash_sample(
         scored, key="doc_id", weight_col="quality", buckets=10_000, salt="qweight"
     )
+
+
+@query(
+    "events_rolling_zscore_anomalies",
+    # Same Z_EXPR_SQL string as the Spark plan, over identical exact-integer
+    # window columns — see operators/anomaly.py for the determinism chain.
+    oracle="""
+        WITH ev AS (
+            SELECT event_type, event_id, ts,
+                   CAST(ROUND(value * 10000) AS BIGINT) AS ve4
+            FROM events
+        ),
+        framed AS (
+            SELECT event_type, event_id, ve4,
+                   COUNT(*) OVER w AS n,
+                   SUM(ve4) OVER w AS s,
+                   SUM(ve4 * ve4) OVER w AS ss
+            FROM ev
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+        ),
+        eligible AS (
+            SELECT * FROM framed WHERE n = 50 AND ss * n - s * s > 0
+        ),
+        scored AS (
+            SELECT event_type, event_id, ve4 AS value_e4,
+                   (CAST(ve4 AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                       / sqrt(CAST(ss * n - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n)) AS z
+            FROM eligible
+        )
+        SELECT event_type, event_id, value_e4, ROUND(z, 6) AS z
+        FROM scored WHERE abs(z) >= 3.0
+    """,
+    description="Trailing-window anomaly scan: per event-type series, flag events >= 3 sigma from the mean of their own previous 50 values (bounded ROWS frame excluding the current row; per-row integerized values make every frame sum exact, the z expression is one shared string both engines compile) — operators/anomaly.py",
+)
+def events_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anomaly import rolling_zscore_anomalies
+
+    return rolling_zscore_anomalies(load_table(spark, sf_dir, "events"), window=50)

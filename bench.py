@@ -94,6 +94,7 @@ HEADLINE = [
     "similarity_projected_topk",
     "documents_quality_topfrac",
     "streaming_static_enrichment",
+    "events_rolling_zscore_anomalies",
 ]
 
 

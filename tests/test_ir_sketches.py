@@ -236,3 +236,38 @@ def test_projected_topk_finds_duplicate_vector(spark):
     top = cosine_topk(pv, probes, k=3, vec_col="pvec").collect()
     assert [r.rank for r in top] == [1, 2, 3]
     assert top[0].vec_id == 100 and top[0].cosine == 1.0
+
+
+def test_rolling_zscore_flags_spike_not_zero_variance(spark):
+    import datetime
+
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.anomaly import (
+        rolling_zscore_anomalies,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def rows(kind, values):
+        return [
+            (kind, i + (1000 if kind == "flat" else 0), t0 + datetime.timedelta(seconds=i), v)
+            for i, v in enumerate(values)
+        ]
+
+    # "varied": alternating baseline with one huge spike after a full
+    # window -> the spike must be the ONLY flag. "flat": constant values
+    # then a spike — trailing variance is ZERO, so nothing may be flagged
+    # (z undefined, filtered, not inf/NaN).
+    varied = rows("varied", [10.0, 12.0] * 30 + [100.0] + [10.0, 12.0] * 5)
+    flat = rows("flat", [10.0] * 60 + [100.0])
+    ev = spark.createDataFrame(
+        varied + flat, "event_type string, event_id long, ts timestamp, value double"
+    )
+    got = rolling_zscore_anomalies(ev, window=50).collect()
+    assert [(r.event_type, r.event_id) for r in got] == [("varied", 60)]
+    assert got[0].value_e4 == 1000000
+    assert got[0].z > 3.0
+
+    with pytest.raises(ValueError, match="window >= 2"):
+        rolling_zscore_anomalies(ev, window=1)

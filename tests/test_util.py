@@ -109,7 +109,7 @@ def test_driver_window_covers_oracle_backed_queries():
         "events_range_join_daily_windows", "documents_source_mixture",
         "dedup_embedding_cosine", "dedup_cross_source_matrix",
         "similarity_quantized_topk", "dedup_incremental_batch",
-        "documents_token_shards",
+        "documents_token_shards", "corpus_pmi_collocations",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
