@@ -55,7 +55,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_rank_functions",
     "lineitem_approx_profile",
     # Text / TF-IDF / language-model stats / IR scoring / sketches
-    "tfidf_doc_frequencies_stemmed",
     "doc_perplexity_proxy",
     "doc_repetition_filters",
     "doc_decontamination",
@@ -99,6 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_late_arrival_profile",
     "events_resample_10min_gapfill",
     "events_rolling_zscore_anomalies",
+    "events_type_association_rules",
     # Streaming (availableNow drains — batch-equivalence oracles)
     "streaming_tumbling_counts",
     "streaming_first_seen_per_user",

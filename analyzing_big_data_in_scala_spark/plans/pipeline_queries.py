@@ -1975,3 +1975,35 @@ def events_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.anomaly import rolling_zscore_anomalies
 
     return rolling_zscore_anomalies(load_table(spark, sf_dir, "events"), window=50)
+
+
+@query(
+    "events_type_association_rules",
+    # Support counts are integers; confidence/lift use the pure-BIGINT
+    # round-half-up ppm division on both engines — nothing float.
+    oracle="""
+        WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+        nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+        item_n AS (SELECT i, COUNT(*) AS n_item FROM bi GROUP BY i),
+        pairs AS (
+            SELECT l.i AS antecedent, r.i AS consequent, COUNT(*) AS n_both
+            FROM bi l JOIN bi r ON l.b = r.b AND l.i <> r.i
+            GROUP BY l.i, r.i
+            HAVING COUNT(*) >= 2
+        )
+        SELECT p.antecedent, p.consequent, p.n_both,
+               a.n_item AS n_ante, c.n_item AS n_cons,
+               (p.n_both * 2000000 + a.n_item) // (2 * a.n_item) AS confidence_ppm,
+               (p.n_both * (SELECT n FROM nb) * 2000000 + a.n_item * c.n_item)
+                   // (2 * a.n_item * c.n_item) AS lift_ppm
+        FROM pairs p
+        JOIN item_n a ON a.i = p.antecedent
+        JOIN item_n c ON c.i = p.consequent
+    """,
+    description="Market-basket association rules over per-user event-type baskets: directed A->B rules with exact integer support and pure-BIGINT ppm confidence/lift; pair fan-out bounded by the type catalog, one basket-key shuffle (operators/association.py)",
+)
+def events_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.association import association_rules
+
+    ev = load_table(spark, sf_dir, "events")
+    return association_rules(ev, basket_col="user_id", item_col="event_type", min_support=2)

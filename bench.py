@@ -95,6 +95,7 @@ HEADLINE = [
     "documents_quality_topfrac",
     "streaming_static_enrichment",
     "events_rolling_zscore_anomalies",
+    "events_type_association_rules",
 ]
 
 

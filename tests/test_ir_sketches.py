@@ -271,3 +271,32 @@ def test_rolling_zscore_flags_spike_not_zero_variance(spark):
 
     with pytest.raises(ValueError, match="window >= 2"):
         rolling_zscore_anomalies(ev, window=1)
+
+
+def test_association_rules_hand_computed(spark):
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.association import (
+        association_rules,
+    )
+
+    # 4 baskets: {x,y}, {x,y}, {x,z}, {y}
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "y"), (3, "x"), (3, "z"), (4, "y")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(df, "b", "i", min_support=2).collect()
+    }
+    # only (x,y)/(y,x) co-occur in >= 2 baskets; duplicates in a basket
+    # must NOT inflate counts (basket 2 lists y twice)
+    assert set(got) == {("x", "y"), ("y", "x")}
+    xy = got[("x", "y")]
+    assert (xy.n_both, xy.n_ante, xy.n_cons) == (2, 3, 3)
+    # confidence = 2/3 -> 666667 ppm (round half up); lift = 2*4/(3*3) = 8/9
+    assert xy.confidence_ppm == 666667
+    assert xy.lift_ppm == 888889
+    yx = got[("y", "x")]
+    assert (yx.n_both, yx.n_ante, yx.n_cons) == (2, 3, 3)
+
+    with pytest.raises(ValueError, match="min_support"):
+        association_rules(df, "b", "i", min_support=0)

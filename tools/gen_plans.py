@@ -47,6 +47,8 @@ PICKS = {
     "terms_cms_heavy_hitters": "Count-min: the 4x256 grid materializes via one explode + map-side-combined aggregate (shuffle volume = cells, not tokens); the probe joins the BROADCAST sketch; exact top-20 is TakeOrderedAndProject.",
     "embeddings_random_projection": "JL projection is a pure map: quantize + 16 integer dot products + posexplode in ONE codegen stage over the scan — zero exchanges in the whole plan.",
     "embeddings_kmeans_lloyd": "One Lloyd round: each assignment is a k-row BROADCAST cross join + map-side-combined argmax (one corpus shuffle); the centroid update aggregates k×dim rows and re-enters as the next broadcast — the corpus is never shuffled on cluster id.",
+    "events_rolling_zscore_anomalies": "One window pass: bounded ROWS frame per data-proportional series key (never a global single-partition window); integerized values keep the frame sums exact; z + both filters evaluate in the same stage.",
+    "events_type_association_rules": "Pair generation self-joins on the BASKET key (fan-out bounded by the item catalog), two hash aggregates; item-count sides broadcast into the final projection — one corpus-sized shuffle total.",
 }
 
 
