@@ -93,7 +93,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_json_by_type",
     "events_tumbling_10min",
     "events_value_quartiles_by_type",
-    "events_session_window_native",
+    "events_weekly_retention",
     "events_conversion_funnel",
     "events_late_arrival_profile",
     "events_resample_10min_gapfill",

@@ -2007,3 +2007,52 @@ def events_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ev = load_table(spark, sf_dir, "events")
     return association_rules(ev, basket_col="user_id", item_col="event_type", min_support=2)
+
+
+@query(
+    "events_weekly_retention",
+    # Pure integer analytics end to end: epoch-week bucketing (tz-free),
+    # distinct-user counts, ppm retention via the BIGINT ratio recipe.
+    oracle="""
+        WITH activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+            FROM events
+        ),
+        cohorts AS (SELECT user_id, MIN(week) AS cohort FROM activity GROUP BY user_id),
+        cohort_size AS (SELECT cohort, COUNT(*) AS n_cohort FROM cohorts GROUP BY cohort),
+        ret AS (
+            SELECT c.cohort, a.week - c.cohort AS offset_weeks,
+                   COUNT(DISTINCT a.user_id) AS n_active
+            FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+            GROUP BY c.cohort, a.week - c.cohort
+        )
+        SELECT r.cohort, r.offset_weeks, r.n_active, s.n_cohort,
+               (r.n_active * 2000000 + s.n_cohort) // (2 * s.n_cohort) AS retention_ppm
+        FROM ret r JOIN cohort_size s ON s.cohort = r.cohort
+    """,
+    description="Cohort retention matrix: users bucketed by first-activity epoch-week, distinct-active counts per (cohort, week offset), retention as exact BIGINT ppm — the standard growth-analytics triangle; two distinct-aggregates + one broadcast-sized cohort join, no window over the event stream",
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    cohort_size = cohorts.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    ret = (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("offset_weeks"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(cohort_size), "cohort")
+        .select(
+            "cohort",
+            "offset_weeks",
+            "n_active",
+            "n_cohort",
+            F.expr(
+                "(n_active * 2000000L + n_cohort) div (2L * n_cohort)"
+            ).alias("retention_ppm"),
+        )
+    )

@@ -96,6 +96,7 @@ HEADLINE = [
     "streaming_static_enrichment",
     "events_rolling_zscore_anomalies",
     "events_type_association_rules",
+    "events_weekly_retention",
 ]
 
 

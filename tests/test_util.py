@@ -110,7 +110,7 @@ def test_driver_window_covers_oracle_backed_queries():
         "dedup_embedding_cosine", "dedup_cross_source_matrix",
         "similarity_quantized_topk", "dedup_incremental_batch",
         "documents_token_shards", "corpus_pmi_collocations",
-        "tfidf_doc_frequencies_stemmed",
+        "tfidf_doc_frequencies_stemmed", "events_session_window_native",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
