@@ -15,9 +15,13 @@ Cross-engine determinism (the round-3 recipe stack):
 - the z computation is ONE expression string (`Z_EXPR_SQL`) compiled
   verbatim by both Spark and DuckDB over those exact integers — identical
   IEEE expression tree, sqrt is IEEE-exact;
-- the variance numerator `ss·n − s²` stays in BIGINT (≤ ~6e16 for
-  w=50, |value|≤490k in e4 units — well under 2^63) and rows with a
-  zero/undefined std are filtered BEFORE z is evaluated.
+- the variance numerator `ss·n − s²` stays in BIGINT: with
+  `ss ≤ n·max(ve4)²`, `ss·n < 2^63` needs `|value| < 2^31.5/(n·1e4)`
+  (≈ 6074 for the default window of 50). The operator validates the
+  caller-declared `max_abs_value` against that bound eagerly; a data row
+  beyond the declaration still fails LOUDLY (Spark 4 ANSI overflow), never
+  silently. Rows with a zero/undefined std are filtered BEFORE z is
+  evaluated.
 """
 
 from __future__ import annotations
@@ -43,14 +47,27 @@ def rolling_zscore_anomalies(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    max_abs_value: float = 5000.0,
 ) -> DataFrame:
     """(partition_col, id_col, value_e4, z) for every event whose value is
     >= `z_threshold` standard deviations from the mean of the PREVIOUS
     `window` values in its series (trailing frame excludes the current
     row, so an outlier cannot mask itself). Events without a full trailing
-    window, or whose window has zero variance, are never flagged."""
+    window, or whose window has zero variance, are never flagged.
+
+    `max_abs_value` is the caller's declared value envelope: the exact-
+    integer variance arithmetic needs window²·(max_abs_value·1e4)² < 2^63
+    (the association_rules-style upfront guard); a row that exceeds the
+    declaration fails loudly via ANSI overflow rather than corrupting."""
     if window < 2:
         raise ValueError(f"rolling_zscore_anomalies: need window >= 2, got {window}")
+    if window * window * (max_abs_value * 10000.0) ** 2 >= 2.0**63:
+        raise ValueError(
+            f"rolling_zscore_anomalies: window={window} with "
+            f"max_abs_value={max_abs_value} overflows the exact BIGINT "
+            f"variance bound (need window^2 * (max_abs_value*1e4)^2 < 2^63 — "
+            f"shrink the window or the declared value range)"
+        )
     ve4 = F.round(F.col(value_col) * 10000).cast("long")
     w = (
         Window.partitionBy(partition_col)

@@ -6,7 +6,9 @@ Scale shape: distinct (basket, item) once, then pair generation is a
 self-equi-join ON THE BASKET KEY — fan-out per basket is O(items²) with
 items bounded by the catalog (event types here), never corpus-quadratic;
 two hash aggregates (item counts, pair counts) and a broadcast of the
-item-count table close it out. One corpus-sized shuffle on the basket key.
+item-count table close it out. The distinct table is localCheckpoint-ed
+(it feeds four consumers plus a build-time count), so the corpus pays one
+distinct shuffle and one basket-key join shuffle total.
 
 Cross-engine exactness: supports are integers; confidence and lift are
 emitted as integer ppm via pure-BIGINT round-half-up division
@@ -37,9 +39,16 @@ def association_rules(
     asymmetric)."""
     if min_support < 1:
         raise ValueError(f"association_rules: need min_support >= 1, got {min_support}")
-    bi = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    # localCheckpoint: the distinct (basket, item) table is consumed four
+    # times (basket count, item counts, both sides of the pair join) and a
+    # count() action runs at build time — without the cut, the corpus-wide
+    # distinct would execute once for the count and again for the final
+    # action. Materialized, the count is cheap and the distinct runs once.
+    bi = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+        .localCheckpoint()
+    )
     n_baskets = bi.select("_b").distinct().count()
     # Exact-ppm lift computes n_both·N·2e6 in BIGINT; with n_both <= N that
     # needs N² · 2e6 < 2^63 → N <= ~2.1e6 baskets. Beyond that, swap the

@@ -2022,8 +2022,11 @@ def events_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame
         cohorts AS (SELECT user_id, MIN(week) AS cohort FROM activity GROUP BY user_id),
         cohort_size AS (SELECT cohort, COUNT(*) AS n_cohort FROM cohorts GROUP BY cohort),
         ret AS (
+            -- COUNT(*), not COUNT(DISTINCT): activity is distinct on
+            -- (user_id, week) and each (user_id, week) maps to exactly one
+            -- (cohort, offset) group, so rows == distinct users here.
             SELECT c.cohort, a.week - c.cohort AS offset_weeks,
-                   COUNT(DISTINCT a.user_id) AS n_active
+                   COUNT(*) AS n_active
             FROM activity a JOIN cohorts c ON c.user_id = a.user_id
             GROUP BY c.cohort, a.week - c.cohort
         )
@@ -2039,10 +2042,13 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = ev.select("user_id", week.alias("week")).distinct()
     cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort"))
     cohort_size = cohorts.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    # COUNT(*), not count_distinct: activity is distinct on (user_id, week)
+    # and offset = week - cohort is unique per user within a group, so the
+    # two-phase distinct machinery would dedup nothing at extra shuffle cost.
     ret = (
         activity.join(cohorts, "user_id")
         .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("offset_weeks"))
-        .agg(F.count_distinct("user_id").alias("n_active"))
+        .agg(F.count("*").alias("n_active"))
     )
     return (
         ret.join(F.broadcast(cohort_size), "cohort")

@@ -111,7 +111,11 @@ def terms_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(token_table(_docs(spark, sf_dir)), k=20)
 
 
-def _projection_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
+def _projection_ctes(out_dim: int, in_dim: int) -> str:
+    """Shared CTE chain for EVERY projection oracle (quantize -> per-
+    component rows -> md5 signs): ONE definition, so a change to the
+    quantize rounding or the jl_sign hash cannot silently fork between the
+    long-form and the topk oracle (the sketches.py _cells lesson)."""
     # Signs re-derived IN SQL from md5('rp:<k>:<j>') — the same pure
     # function hashlib evaluates driver-side in operators/projection.py.
     sign = (
@@ -119,7 +123,7 @@ def _projection_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
         + " % 2 = 0 THEN 1 ELSE -1 END"
     )
     return f"""
-        WITH sc AS (
+        sc AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
@@ -139,7 +143,12 @@ def _projection_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
             SELECT k, j, {sign} AS s
             FROM UNNEST(generate_series(0, {out_dim - 1})) a(k),
                  UNNEST(generate_series(1, {in_dim})) b(j)
-        )
+        )"""
+
+
+def _projection_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
+    return f"""
+        WITH {_projection_ctes(out_dim, in_dim)}
         SELECT qi.vec_id,
                CAST(signs.k AS INT) AS dim_idx,
                CAST(SUM(qi.qj * signs.s) AS BIGINT) AS value
@@ -258,36 +267,12 @@ def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _projected_topk_oracle(out_dim: int = 16, in_dim: int = 64, k: int = 10) -> str:
-    # Rebuild the projection (same CTE chain as _projection_oracle), regroup
-    # to per-vector lists, then the proven cosine-topk pattern: integer-sum
-    # dots, IEEE-exact sqrt norms, rank on the unrounded (bit-identical)
-    # cosine with min-id tie-break, ROUND(,6) only in the output.
-    sign = (
-        "CASE WHEN " + _HASH64.format(x="'rp:' || k || ':' || (j - 1)")
-        + " % 2 = 0 THEN 1 ELSE -1 END"
-    )
+    # Shared projection CTE prefix + per-dim sums regrouped to lists, then
+    # the proven cosine-topk pattern: integer-sum dots, IEEE-exact sqrt
+    # norms, rank on the unrounded (bit-identical) cosine with min-id
+    # tie-break, ROUND(,6) only in the output.
     return f"""
-        WITH sc AS (
-            SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-            FROM embeddings
-        ),
-        qz AS (
-            SELECT vec_id,
-                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
-                        ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
-            FROM sc
-        ),
-        qi AS (
-            SELECT vec_id, j, q[j] AS qj
-            FROM qz, UNNEST(generate_series(1, {in_dim})) t(j)
-        ),
-        signs AS (
-            SELECT k, j, {sign} AS s
-            FROM UNNEST(generate_series(0, {out_dim - 1})) a(k),
-                 UNNEST(generate_series(1, {in_dim})) b(j)
-        ),
+        WITH {_projection_ctes(out_dim, in_dim)},
         pd AS (
             SELECT qi.vec_id, signs.k, SUM(qi.qj * signs.s) AS val
             FROM qi JOIN signs ON signs.j = qi.j

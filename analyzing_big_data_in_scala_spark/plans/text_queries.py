@@ -36,6 +36,30 @@ _SQL_TF = _SQL_TOKS + """,
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term)
 """
 
+
+def _sql_quality() -> str:
+    """Shared CTE chain ending in q(doc_id, quality) — the ONE SQL
+    definition of the quality formula, used by the doc_quality_scores
+    oracle and every threshold/filter oracle built on it (a second
+    hand-maintained copy would silently keep checking an old formula
+    after a weights/rounding tweak)."""
+    return f"""{_SQL_TOKS},
+        stats AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*) AS uniq_ratio,
+                   AVG(CASE WHEN term IN {sql_stopword_list()} THEN 1.0 ELSE 0.0 END) AS stop_ratio
+            FROM toks GROUP BY doc_id
+        ),
+        q AS (
+            SELECT d.doc_id AS doc_id,
+                   ROUND(0.5 * LEAST(s.n_tokens / 100.0, 1.0)
+                       + 0.25 * s.uniq_ratio
+                       + 0.25 * LEAST(s.stop_ratio * 4, 1.0), 6) AS quality
+            FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+        )"""
+
+
 _SQL_TFIDF_CORE = _SQL_TF + """,
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
@@ -301,19 +325,8 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_quality_scores",
     oracle=f"""
-        WITH {_SQL_TOKS},
-        stats AS (
-            SELECT doc_id,
-                   COUNT(*) AS n_tokens,
-                   CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*) AS uniq_ratio,
-                   AVG(CASE WHEN term IN {sql_stopword_list()} THEN 1.0 ELSE 0.0 END) AS stop_ratio
-            FROM toks GROUP BY doc_id
-        )
-        SELECT d.doc_id AS doc_id,
-               ROUND(0.5 * LEAST(s.n_tokens / 100.0, 1.0)
-                   + 0.25 * s.uniq_ratio
-                   + 0.25 * LEAST(s.stop_ratio * 4, 1.0), 6) AS quality
-        FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+        WITH {_sql_quality()}
+        SELECT doc_id, quality FROM q
     """,
     description="Heuristic quality score: length, lexical diversity, stopword ratio",
 )
@@ -623,21 +636,7 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `percentile` and DuckDB `quantile_cont` share the linear-
     # interpolation definition (proven green in events_value_quartiles).
     oracle=f"""
-        WITH {_SQL_TOKS},
-        stats AS (
-            SELECT doc_id,
-                   COUNT(*) AS n_tokens,
-                   CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*) AS uniq_ratio,
-                   AVG(CASE WHEN term IN {sql_stopword_list()} THEN 1.0 ELSE 0.0 END) AS stop_ratio
-            FROM toks GROUP BY doc_id
-        ),
-        q AS (
-            SELECT d.doc_id AS doc_id,
-                   ROUND(0.5 * LEAST(s.n_tokens / 100.0, 1.0)
-                       + 0.25 * s.uniq_ratio
-                       + 0.25 * LEAST(s.stop_ratio * 4, 1.0), 6) AS quality
-            FROM documents d JOIN stats s ON d.doc_id = s.doc_id
-        ),
+        WITH {_sql_quality()},
         thr AS (SELECT quantile_cont(quality, 0.75) AS t FROM q)
         SELECT doc_id, quality FROM q WHERE quality >= (SELECT t FROM thr)
     """,
