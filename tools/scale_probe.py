@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
+from analyzing_big_data_in_scala_spark.operators import anomaly as AN  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import asof as A  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import association as AR  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import bm25 as B  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import dedup as D  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import kmeans as KM  # noqa: E402
@@ -188,6 +190,16 @@ def main() -> None:
             # ~linear in vectors, independent of k's placement.
             "kmeans_lloyd": lambda: noop(
                 KM.kmeans_lloyd_assign(emb, k=8, rounds=1)
+            ),
+            # One bounded-frame window pass per series key — expect
+            # ~linear with events (frame cost is constant per row).
+            "rolling_zscore": lambda: noop(
+                AN.rolling_zscore_anomalies(ev, window=50)
+            ),
+            # Distinct + basket-key self-join with catalog-bounded fan-out
+            # + two aggregates — expect ~linear with events.
+            "association_rules": lambda: noop(
+                AR.association_rules(ev, "user_id", "event_type", min_support=2)
             ),
             # The n_planes knob IS the scale path: +1 plane per 2x data
             # keeps cell occupancy constant, so the within-cell self-join
