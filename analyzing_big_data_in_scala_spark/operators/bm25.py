@@ -11,14 +11,22 @@ and per-term document frequencies are in-plan 1-row / vocabulary-sized
 broadcasts; nothing is collected to the driver; top-k materializes as
 TakeOrderedAndProject, never a global sort.
 
-Cross-engine determinism: the per-(doc, term) BM25 contribution is ONE
-closed-form double expression over integer inputs (tf, df, dl, N) and one
-exact integer ratio (avgdl) — `BM25_CONTRIB_SQL` below is injected
-verbatim into both the Spark plan (`F.expr`) and the DuckDB oracle, so
-both engines evaluate the identical IEEE expression tree. The result is
-quantized to integer ppm PER TERM before the per-doc sum, which makes the
-final scores order-independent exact integers (float summation order can
-never flip a rank or a hash).
+Cross-engine determinism (two-stage quantization, ADVICE r3): IEEE-754
+requires +, -, *, / (and sqrt) to be CORRECTLY ROUNDED — identical bits on
+identical inputs on every conforming engine — but ln() is NOT a
+correctly-rounded operation, so JVM `Math.log` and DuckDB's libm may
+differ in the last ulp for some inputs, and a ulp landing on a
+ROUND(x*1e6) half-boundary would flip an output integer. The recipe below
+confines ln to ONE site per query term: `BM25_IDF_E6_SQL` quantizes the
+idf to an integer (idf_e6) immediately after the ln, per TERM, and
+`BM25_CONTRIB_SQL` then computes the per-(doc, term) contribution from
+(idf_e6, tf, dl, avgdl) using only correctly-rounded double ops — so the
+residual cross-engine risk is ~|query terms| rounding sites (each ~1e-10
+half-boundary probability), not one per (doc, term) row, and everything
+downstream of those few sites is bit-identical by IEEE guarantee. The
+contribution is an integer ppm PER TERM before the per-doc sum, which
+makes the final scores order-independent exact integers (float summation
+order can never flip a rank or a hash).
 """
 
 from __future__ import annotations
@@ -28,16 +36,26 @@ from pyspark.sql import functions as F
 
 from .tfidf import token_table
 
-# Shared Spark/DuckDB expression: BM25 term contribution in ppm, as a
-# BIGINT. Placeholders: k1, b are float literals; tf/df/dl are per-row
-# integer columns; n_docs (BIGINT) and avgdl (exact DOUBLE ratio) come from
-# the broadcast corpus-stats row.
-BM25_CONTRIB_SQL = (
+# Shared Spark/DuckDB expression: Lucene-variant idf quantized to an
+# integer e6 scale — the ONLY ln() site (see module docstring). df and
+# n_docs are per-term / corpus integer columns.
+BM25_IDF_E6_SQL = (
     "CAST(ROUND("
     "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+# Shared Spark/DuckDB expression: BM25 term contribution in ppm, as a
+# BIGINT, from the pre-quantized idf_e6. Placeholders: k1, b are float
+# literals; tf/dl are per-row integer columns; avgdl (exact DOUBLE ratio of
+# two BIGINTs) comes from the broadcast corpus-stats row. Only +,*,/ on
+# doubles — correctly rounded, bit-identical cross-engine.
+BM25_CONTRIB_SQL = (
+    "CAST(ROUND("
+    "CAST(idf_e6 AS DOUBLE)"
     " * ((CAST(tf AS DOUBLE) * (1.0 + {k1}))"
     "    / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} * (CAST(dl AS DOUBLE) / avgdl))))"
-    " * 1000000.0) AS BIGINT)"
+    ") AS BIGINT)"
 )
 
 
@@ -69,10 +87,16 @@ def bm25_scores(
     stats = n_row.crossJoin(tot_row).select(
         "n_docs", (F.col("_tot").cast("double") / F.col("n_docs")).alias("avgdl")
     )
+    # idf quantized per TERM (the only ln site — module docstring); the
+    # idf table is |query terms| rows, always broadcast.
+    idf_t = (
+        df_t.crossJoin(F.broadcast(n_row))
+        .select("term", F.expr(BM25_IDF_E6_SQL).alias("idf_e6"))
+    )
     contrib = BM25_CONTRIB_SQL.format(k1=k1, b=b)
     scored = (
         tf.join(dl, id_col)
-        .join(F.broadcast(df_t), "term")
+        .join(F.broadcast(idf_t), "term")
         .crossJoin(F.broadcast(stats))
         .select(id_col, F.expr(contrib).alias("c_ppm"))
     )

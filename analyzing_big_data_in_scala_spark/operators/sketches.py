@@ -76,14 +76,20 @@ def cms_estimate(
     width: int = CMS_WIDTH,
 ) -> DataFrame:
     """(key_col, cms_est) for each probe key: min over the key's depth
-    cells. The sketch is depth×width rows — always broadcast."""
+    cells. The sketch is depth×width rows — always broadcast.
+
+    LEFT join from the probe cells: a probe key the stream never touched
+    hashes to cells absent from the grouped sketch (count 0), and an inner
+    join would silently drop it from the output instead of estimating 0
+    (ADVICE r3). COALESCE(cnt, 0) restores the true CMS semantics
+    `min_i grid[i][h_i(key)]` with empty cells reading 0."""
     pb = probes.select(
         key_col, _cells(F.col(key_col), depth, width).alias("rb")
     ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
     return (
-        pb.join(F.broadcast(sketch), ["row", "bucket"])
+        pb.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 

@@ -823,17 +823,19 @@ def corpus_curation_funnel_strided(spark: SparkSession, sf_dir: str) -> DataFram
         per_doc AS (
             SELECT chunks.doc_id,
                    COUNT(*) AS n_chunks,
-                   SUM(CASE WHEN dfreq.chunk_df > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+                   -- CAST: DuckDB SUM over integers is HUGEINT -> float64 in
+                   -- pandas canonicalization -> driver hash mismatch vs int64.
+                   CAST(SUM(CASE WHEN dfreq.chunk_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
             FROM chunks JOIN dfreq ON chunks.h = dfreq.h
             GROUP BY chunks.doc_id
         )
         SELECT d.doc_id,
                COALESCE(p.n_chunks, 0) AS n_chunks,
                COALESCE(p.n_dup_chunks, 0) AS n_dup_chunks,
-               CASE WHEN COALESCE(p.n_chunks, 0) > 0
+               CAST(CASE WHEN COALESCE(p.n_chunks, 0) > 0
                     THEN (COALESCE(p.n_dup_chunks, 0) * 2000000 + p.n_chunks)
                          // (2 * p.n_chunks)
-               END AS dup_chunk_ppm
+               END AS BIGINT) AS dup_chunk_ppm
         FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """,
     description="Sub-document dedup: 32-token chunk hashes, cross-document duplicated-passage fraction (integer ppm) per doc (chunk-granularity stand-in for suffix-array substring dedup that scales: two hash aggregates over 8-byte keys)",
@@ -1072,9 +1074,12 @@ def entity_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-               SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_value_e4,
-               SUM(CAST(ROUND(value * 10000) AS BIGINT)) // COUNT(*) AS avg_value_e4
+               -- CAST the SUMs: DuckDB SUM(BIGINT) yields HUGEINT (int128),
+               -- which pandas canonicalizes to float64 and hash-mismatches
+               -- Spark's int64 even for identical values.
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_value_e4
         FROM events
         GROUP BY event_type
         ORDER BY event_type

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.bm25 import BM25_CONTRIB_SQL, bm25_topk
+from ..operators.bm25 import BM25_CONTRIB_SQL, BM25_IDF_E6_SQL, bm25_topk
 from ..operators.projection import random_projection
 from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_heavy_hitters
 from ..sources.catalog import load_table
@@ -26,8 +26,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_oracle() -> str:
     terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
-    # The SAME expression string the Spark plan compiles (operators/bm25.py
-    # BM25_CONTRIB_SQL) — identical IEEE expression tree on both engines.
+    # The SAME expression strings the Spark plan compiles (operators/bm25.py):
+    # idf quantized to idf_e6 per term (the only ln site — not correctly
+    # rounded, so it is confined to |terms| sites), then a contribution
+    # built from correctly-rounded double ops only (bit-identical cross-
+    # engine by IEEE guarantee).
     contrib = BM25_CONTRIB_SQL.format(k1=1.2, b=0.75)
     return f"""
         WITH {_SQL_TOKS},
@@ -43,13 +46,17 @@ def _bm25_oracle() -> str:
                    CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
                        / (SELECT COUNT(*) FROM documents) AS avgdl
         ),
+        idf AS (
+            SELECT term, {BM25_IDF_E6_SQL} AS idf_e6
+            FROM df_t CROSS JOIN stats
+        ),
         scored AS (
             SELECT tf.doc_id,
                    COUNT(*) AS n_matched,
-                   SUM({contrib}) AS score_ppm
+                   CAST(SUM({contrib}) AS BIGINT) AS score_ppm
             FROM tf
             JOIN dl ON dl.doc_id = tf.doc_id
-            JOIN df_t ON df_t.term = tf.term
+            JOIN idf ON idf.term = tf.term
             CROSS JOIN stats
             GROUP BY tf.doc_id
         ),

@@ -198,7 +198,9 @@ def streaming_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
         SELECT c.c_mktsegment AS segment,
                COUNT(*) AS n_events,
-               SUM(CAST(ROUND(e.value * 10000) AS BIGINT)) AS sum_value_e4
+               -- CAST the SUM: DuckDB SUM(BIGINT) is HUGEINT -> float64 under
+               -- pandas canonicalization -> driver hash mismatch vs int64.
+               CAST(SUM(CAST(ROUND(e.value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY segment
     """,

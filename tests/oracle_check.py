@@ -7,8 +7,11 @@ self-check before the driver's own gate runs.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 # Queries whose oracle is a constants table pinned at one specific scale:
 # checking them at any other sf is a guaranteed false red, so the
@@ -37,22 +40,31 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        # Full shortest-round-trip repr (17 significant digits): the driver
-        # hashes floats strictly, so any last-ulp cross-engine divergence a
-        # 6-decimal format would mask MUST fail here too — local green has
-        # to imply driver green (VERDICT r2 items 1-3).
-        return repr(v)
-    if isinstance(v, int):
-        return str(v)
+    # TYPE-FAITHFUL normalization (ADVICE r3, medium): the driver
+    # canonicalizes both sides via pandas, where DuckDB HUGEINT (an uncast
+    # SUM over integers) becomes float64 and hash-mismatches Spark's int64
+    # even for bit-identical values. Tagging the normalized string with the
+    # type class ("i" vs "f") makes that divergence fail LOCALLY too —
+    # local green must imply driver green. Floats hash at full shortest
+    # round-trip repr (17 sig digits), never collapsed to ints.
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if v is None:
         return ""
+    if isinstance(v, (bool, np.bool_)):
+        return "b" + str(int(v))
+    if isinstance(v, (int, np.integer)):
+        return "i" + str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "nan"
+        return "f" + repr(f)
+    try:
+        if pd.isna(v):  # NaT and pandas NA markers
+            return ""
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
@@ -62,11 +74,17 @@ def canonical_rows(columns: list[str], rows: list[tuple]) -> list[str]:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = spark_df.columns
-    res = con.execute(sql)
-    o_cols = [d[0] for d in res.description]
-    o_rows = res.fetchall()
+    # Both sides go THROUGH pandas, mirroring the driver's canonicalization
+    # path: Spark via toPandas() (Arrow), DuckDB via .df() — so dtype
+    # conversions the driver sees (HUGEINT->float64, nullable int->float64)
+    # happen here identically instead of being papered over by fetchall()'s
+    # exact Python ints.
+    s_pdf = spark_df.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = [tuple(r) for r in s_pdf.to_numpy(dtype=object)]
+    o_pdf = con.execute(sql).df()
+    o_cols = list(o_pdf.columns)
+    o_rows = [tuple(r) for r in o_pdf.to_numpy(dtype=object)]
     out = {
         "rows_match": len(s_rows) == len(o_rows),
         "cols_match": sorted(s_cols) == sorted(o_cols),
@@ -105,7 +123,9 @@ def main() -> int:
         if only and name not in only:
             continue
         pinned = PINNED_SF.get(name)
-        if pinned is not None and pinned not in sf_dir:
+        # Exact basename compare (not substring): 'sf0.01' must not match
+        # a hypothetical 'sf0.012' / 'sf0.01-alt' fixture dir.
+        if pinned is not None and os.path.basename(sf_dir.rstrip("/")) != pinned:
             print(f"SKIP {name}: constants oracle pinned to {pinned}")
             continue
         try:

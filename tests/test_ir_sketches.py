@@ -66,14 +66,18 @@ def test_bm25_matches_textbook_formula(spark):
     avgdl = sum(len(v) for v in toks.values()) / n
     df = {t: sum(1 for v in toks.values() if t in v) for t in ("a", "d")}
 
+    def half_up(x):
+        return math.floor(x + 0.5)  # Spark/DuckDB ROUND for positive x
+
     def contrib(t, d):
         tf = toks[d].count(t)
         if not tf:
             return 0
-        idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+        # Two-stage quantization mirroring BM25_IDF_E6_SQL + BM25_CONTRIB_SQL
+        idf_e6 = half_up(math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)) * 1e6)
         k1, b = 1.2, 0.75
-        s = idf * (tf * (1.0 + k1)) / (tf + k1 * (1.0 - b + b * (len(toks[d]) / avgdl)))
-        return round(s * 1e6)
+        w = (tf * (1.0 + k1)) / (tf + k1 * (1.0 - b + b * (len(toks[d]) / avgdl)))
+        return half_up(idf_e6 * w)
 
     for d in (1, 2):
         assert got[d] == contrib("a", d) + contrib("d", d), d
@@ -97,6 +101,25 @@ def test_cms_estimates_never_undercount(spark):
     for r in hh.values():
         assert r.overcount >= 0
         assert r.cms_est == r.exact_cnt + r.overcount
+
+
+def test_cms_estimate_absent_probe_returns_zero_or_collision(spark):
+    """A probe key never inserted into the sketch must still appear in the
+    output (left join from probe cells, ADVICE r3): its estimate is 0 when
+    any of its depth cells is empty, or a small collision overcount —
+    never a dropped row."""
+    keys = spark.createDataFrame([("x",), ("x",), ("y",)], "term string")
+    sketch = cms_build(keys)
+    probes = spark.createDataFrame(
+        [("x",), ("never_seen_key",), ("another_missing",)], "term string"
+    )
+    est = {r.term: r.cms_est for r in cms_estimate(sketch, probes).collect()}
+    assert set(est) == {"x", "never_seen_key", "another_missing"}
+    assert est["x"] >= 2
+    # With only 2 distinct inserted keys across 4x256 cells, an absent
+    # probe colliding on ALL 4 rows is impossible here: estimate is 0.
+    assert est["never_seen_key"] == 0
+    assert est["another_missing"] == 0
 
 
 def test_random_projection_matches_numpy(spark):
