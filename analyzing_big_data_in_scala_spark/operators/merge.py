@@ -22,7 +22,7 @@ pipeline runs per micro-batch via foreachBatch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 VALID_OPS = ("I", "U", "D")
@@ -120,3 +120,54 @@ def apply_agg_delta(
     if count_col is not None:
         out = out.filter(F.col(count_col) > 0)
     return out
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    state_col: str,
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change/event log:
+    (key, state, valid_from, valid_to, version, is_current) — one row per
+    key per CONTIGUOUS run of the same state (gaps-and-islands collapse:
+    consecutive events that don't change the state are merged into one
+    validity interval), valid_to = next run's valid_from, NULL while
+    current. This is the warehouse SCD2 build (Kimball type 2) and the
+    point-in-time table an as-of join resolves against.
+
+    Scale shape: ONE shuffle — both windows partition by `key` with the
+    same ordering, so Catalyst plans a single Exchange+Sort and runs the
+    lag-filter and the renumber/lead over the same sorted partitions.
+    State per key during the sort is the key's row run, never the corpus.
+
+    Determinism: ordering ties on (ts_col, tie_col) — pass the event id
+    so replays across partitionings produce identical histories. Null
+    states participate via null-safe comparison (NULL is a state; a
+    NULL -> 'x' transition opens a new version).
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    flagged = (
+        changes.select(key, state_col, ts_col, *( [tie_col] if tie_col else [] ))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag(state_col).over(w))
+        .filter(
+            (F.col("_rn") == 1) | ~F.col(state_col).eqNullSafe(F.col("_prev"))
+        )
+    )
+    order2 = [F.col("valid_from").asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    keyed = flagged.select(
+        key,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        *([tie_col] if tie_col else []),
+    )
+    w2 = Window.partitionBy(key).orderBy(*order2)
+    return (
+        keyed.withColumn("version", F.row_number().over(w2).cast("int"))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key, "state", "valid_from", "valid_to", "version", "is_current")
+    )

@@ -1,0 +1,84 @@
+"""Multi-resolution time rollup (the "continuous aggregate" / hypertable
+rollup pattern: TimescaleDB continuous aggregates, Druid/Pinot rollup
+segments) — maintain the same aggregate at several time resolutions by
+re-aggregating the FINER level's partials instead of rescanning raw data.
+
+Scale shape: the raw corpus is scanned ONCE, into the finest-level
+partials (one hash aggregate with map-side combine). Every coarser level
+aggregates the previous level's output — at 100 TB / 1-second events, the
+1-hour rollup reads 10-minute partial rows (~6 rows per key-hour), not
+raw events, so each additional resolution costs a shuffle over data
+proportional to the finer AGGREGATE's cardinality, which is bounded by
+(time buckets x key cardinality) regardless of raw volume. Sums and
+counts are associative, so re-aggregated partials are exactly equal to a
+direct GROUP BY at the coarser resolution (the DuckDB oracle computes
+each level directly from raw rows and must match bit-for-bit).
+
+Cross-engine determinism: values are integerized per ROW at the finest
+level (value -> 1e-4 units as BIGINT) so every sum at every level is an
+order-independent exact integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (bucket seconds, label); each level's seconds must divide the next's so
+# floor-of-floor bucketing is exact: p | L => floor(floor(e/p)*p/L) == floor(e/L).
+DEFAULT_LEVELS: tuple[tuple[int, str], ...] = (
+    (600, "10min"),
+    (3600, "1h"),
+    (86400, "1d"),
+)
+
+
+def multires_rollup(
+    events: DataFrame,
+    levels: tuple[tuple[int, str], ...] = DEFAULT_LEVELS,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(level, bucket_start, key_col, n, sum_value_e4) for every level in
+    `levels` — finest level from raw rows, each coarser level from the
+    finer level's partials (counts/sums re-aggregate associatively)."""
+    for (p, _), (lv, _) in zip(levels, levels[1:]):
+        if lv % p != 0:
+            raise ValueError(f"multires_rollup: {p} must divide {lv}")
+    finest, finest_label = levels[0]
+    partials = events.groupBy(
+        F.floor(F.unix_timestamp(ts_col) / finest).cast("long").alias("bucket"),
+        key_col,
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col(value_col) * 10000).cast("bigint")).alias("sum_value_e4"),
+    )
+
+    def emit(df: DataFrame, secs: int, label: str) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("level"),
+            (F.col("bucket") * secs).cast("long").alias("bucket_start"),
+            key_col,
+            "n",
+            "sum_value_e4",
+        )
+
+    out = emit(partials, finest, finest_label)
+    cur, prev_secs = partials, finest
+    for secs, label in levels[1:]:
+        # Exact BIGINT division (`div`), never floor(a/b) on doubles — a
+        # double quotient can land an ulp under an exact integer and
+        # diverge from the oracle's integer `//` (see verify-skill note).
+        # floor(b*p/L) == b div (L/p) for b >= 0 when p | L.
+        step = secs // prev_secs
+        cur = (
+            cur.groupBy(
+                F.expr(f"bucket div {step}").alias("bucket"),
+                key_col,
+            )
+            .agg(F.sum("n").alias("n"), F.sum("sum_value_e4").alias("sum_value_e4"))
+        )
+        prev_secs = secs
+        out = out.unionByName(emit(cur, secs, label))
+    return out

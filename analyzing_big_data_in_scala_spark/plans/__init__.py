@@ -48,10 +48,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     salted events, user sessions, hash sample, sentiment counts)
     #     keep their CORRECTNESS_r02 rows as standing evidence.
 
+    # Round-4 rotation: the four queries whose ORACLES changed this round
+    # (HUGEINT-cast fixes: events_json_by_type, doc_chunk_dedup,
+    # streaming_static_enrichment, search_bm25_topk — the r3 hash reds)
+    # and the changed-impl terms_cms_heavy_hitters keep their slots for
+    # fresh evidence; the two NEW queries (events_scd2_user_state,
+    # events_multires_rollup) take the slots of r3-green
+    # orders_incremental_agg_refresh / orders_salted_segment_revenue
+    # (CORRECTNESS_r03 rows stand, implementations unchanged).
+
     # Relational / lakehouse maintenance
     "orders_merge_upsert",
-    "orders_incremental_agg_refresh",
-    "orders_salted_segment_revenue",
+    "events_scd2_user_state",
+    "events_multires_rollup",
     "orders_rank_functions",
     "lineitem_approx_profile",
     # Text / TF-IDF / language-model stats / IR scoring / sketches

@@ -2067,3 +2067,69 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_ppm"),
         )
     )
+
+
+@query(
+    "events_scd2_user_state",
+    # Identical window logic in DuckDB: gaps-and-islands collapse with
+    # IS DISTINCT FROM (null-safe, mirroring eqNullSafe), then renumber +
+    # lead over the surviving change rows. Ties order on event_id both
+    # sides, so histories are replay-identical.
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type AS state, ts, event_id,
+                   LAG(event_type) OVER w AS prev,
+                   ROW_NUMBER() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id, state, ts AS valid_from, event_id
+            FROM ordered
+            WHERE rn = 1 OR state IS DISTINCT FROM prev
+        )
+        SELECT user_id, state, valid_from,
+               LEAD(valid_from) OVER w2 AS valid_to,
+               CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+               LEAD(valid_from) OVER w2 IS NULL AS is_current
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+    description="SCD2 dimension build (Kimball type-2) from the events change log: per-user state history with validity intervals — consecutive same-state events collapse into one version (gaps-and-islands), valid_to = next version's valid_from, NULL while current; ONE shuffle (both windows share the user_id partitioning+sort) — operators/merge.py scd2_history",
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import scd2_history
+
+    ev = load_events(spark, sf_dir)
+    return scd2_history(ev, key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")
+
+
+@query(
+    "events_multires_rollup",
+    # The oracle computes EVERY level directly from raw rows; the Spark
+    # plan scans raw data once (finest level) and re-aggregates partials
+    # upward — associativity of count/integer-sum makes them bit-equal.
+    oracle="""
+        WITH base AS (
+            SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS b, event_type,
+                   CAST(ROUND(value * 10000) AS BIGINT) AS ve4
+            FROM events
+        )
+        SELECT '10min' AS level, b * 600 AS bucket_start, event_type,
+               COUNT(*) AS n, CAST(SUM(ve4) AS BIGINT) AS sum_value_e4
+        FROM base GROUP BY b, event_type
+        UNION ALL
+        SELECT '1h', (b // 6) * 3600, event_type,
+               COUNT(*), CAST(SUM(ve4) AS BIGINT)
+        FROM base GROUP BY (b // 6), event_type
+        UNION ALL
+        SELECT '1d', (b // 144) * 86400, event_type,
+               COUNT(*), CAST(SUM(ve4) AS BIGINT)
+        FROM base GROUP BY (b // 144), event_type
+    """,
+    description="Multi-resolution continuous aggregate (hypertable rollup): 10min/1h/1d per-type counts and integer-exact value sums, each coarser level re-aggregated from the finer level's PARTIALS — one raw scan total, coarser levels cost shuffles over aggregate cardinality, not raw volume (operators/rollup.py)",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import multires_rollup
+
+    return multires_rollup(load_events(spark, sf_dir))

@@ -97,6 +97,9 @@ HEADLINE = [
     "events_rolling_zscore_anomalies",
     "events_type_association_rules",
     "events_weekly_retention",
+    # SCD2 / continuous aggregate (round 4)
+    "events_scd2_user_state",
+    "events_multires_rollup",
 ]
 
 

@@ -83,3 +83,75 @@ def test_merge_changes_derived_from_base_self_join(spark, base):
     )
     got = sorted((r.k, r.s, r.v) for r in merge_upsert(base, changes, "k").collect())
     assert got == [(1, "A", 20.0), (2, "B", 40.0), (3, "c", 30.0)]
+
+
+def test_scd2_history_collapses_runs_and_orders_versions(spark):
+    from analyzing_big_data_in_scala_spark.operators.merge import scd2_history
+    from datetime import datetime
+
+    T = datetime
+    rows = [
+        # user 1: a, a (collapse), b, a  -> 3 versions
+        (1, T(2024, 1, 1, 0), "a", 1),
+        (1, T(2024, 1, 1, 1), "a", 2),
+        (1, T(2024, 1, 1, 2), "b", 3),
+        (1, T(2024, 1, 1, 3), "a", 4),
+        # user 2: single event -> one open interval
+        (2, T(2024, 1, 1, 0), "x", 5),
+        # user 3: null state is a real state; null -> y opens a version
+        (3, T(2024, 1, 1, 0), None, 6),
+        (3, T(2024, 1, 1, 1), None, 7),
+        (3, T(2024, 1, 1, 2), "y", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    hist = scd2_history(df, "user_id", "event_type", "ts", "event_id")
+    got = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in hist.collect()
+    }
+    assert len(got) == 6
+    assert got[(1, 1)] == ("a", T(2024, 1, 1, 0), T(2024, 1, 1, 2), False)
+    assert got[(1, 2)] == ("b", T(2024, 1, 1, 2), T(2024, 1, 1, 3), False)
+    assert got[(1, 3)] == ("a", T(2024, 1, 1, 3), None, True)
+    assert got[(2, 1)] == ("x", T(2024, 1, 1, 0), None, True)
+    assert got[(3, 1)] == (None, T(2024, 1, 1, 0), T(2024, 1, 1, 2), False)
+    assert got[(3, 2)] == ("y", T(2024, 1, 1, 2), None, True)
+    # Intervals tile: every non-current valid_to equals the next valid_from
+    # (asserted above), and exactly one current row per key.
+    cur = hist.filter("is_current").groupBy("user_id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_multires_rollup_levels_consistent(spark):
+    from analyzing_big_data_in_scala_spark.operators.rollup import multires_rollup
+    from pyspark.sql import functions as F
+    from datetime import datetime
+
+    rows = [
+        (datetime(2024, 1, 1, 0, m % 60, 0), "t%d" % (m % 2), float(m)) for m in range(180)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = multires_rollup(df)
+    levels = {r.level for r in out.select("level").distinct().collect()}
+    assert levels == {"10min", "1h", "1d"}
+    # Each level's total count and sum equal the raw totals (partials
+    # re-aggregate losslessly).
+    totals = (
+        out.groupBy("level")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value_e4").alias("s"))
+        .collect()
+    )
+    raw_n = len(rows)
+    raw_s = sum(round(v * 10000) for _, _, v in rows)
+    for r in totals:
+        assert r.n == raw_n, r
+        assert r.s == raw_s, r
+    # Coarser levels have no more buckets than finer ones
+    nb = {r.level: r.b for r in out.groupBy("level").agg(F.countDistinct("bucket_start").alias("b")).collect()}
+    assert nb["1d"] <= nb["1h"] <= nb["10min"]
+    # bucket_start is aligned to its level's grid
+    for secs, lbl in ((600, "10min"), (3600, "1h"), (86400, "1d")):
+        bad = out.filter((F.col("level") == lbl) & (F.col("bucket_start") % secs != 0)).count()
+        assert bad == 0, lbl
