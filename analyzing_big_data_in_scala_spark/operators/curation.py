@@ -227,6 +227,16 @@ def curation_funnel_stages(
     counts = funnel_key_table(
         docs, is_bench, contam_n, chunk_size, id_col, text_col, chunk_stride=chunk_stride
     )
+    # MATERIALIZE the key table: its four gate-family consumers filter on
+    # `kind`, and Catalyst pushes those filters BELOW the aggregate —
+    # making every consumer's exchange subtree distinct (no ReuseExchange
+    # possible) and re-planning the full tokenize+explode+aggregate chain
+    # per consumer (observed: 18 parquet scans in the composed funnel
+    # plan). The lazy localCheckpoint runs the one corpus scan + one
+    # corpus-sized shuffle ONCE; every gate family then reads the
+    # materialized (id, kind, h) rows — the documented single-pass design,
+    # now physically true.
+    counts = counts.localCheckpoint(eager=False)
 
     # --- kinds 1..3 -> language / quality / repetition gates -------------
     ng = counts.filter(F.col("kind").isin(1, 2, 3) & ~F.col("bench"))
@@ -331,6 +341,11 @@ def curation_funnel_stages(
         )
     )
 
+    # flags is one narrow row per document and has SEVEN consumers (the
+    # six stage aggregates + the exact-dedup survivor join) — materialize
+    # it too, or each stage row recomputes the whole gate join tree.
+    flags = flags.localCheckpoint(eager=False)
+
     # --- kind 0 -> exact dedup over stage-5 survivors --------------------
     exact = counts.filter(F.col("kind") == 0).select("id", F.col("h").alias("dup_hash"))
     keep = (
@@ -339,24 +354,24 @@ def curation_funnel_stages(
         .agg(F.min("id").alias("id"))
     )
 
-    stages = [
-        flags.agg(F.lit("00_corpus").alias("stage"), F.count("*").alias("n_docs")),
-        *[
-            flags.agg(
-                F.lit(label).alias("stage"),
-                F.sum(F.col(c).cast("long")).alias("n_docs"),
-            )
-            for label, c in [
-                ("01_english", "c1"),
-                ("02_quality", "c2"),
-                ("03_not_repetitive", "c3"),
-                ("04_decontaminated", "c4"),
-                ("05_passage_clean", "c5"),
-            ]
-        ],
-        keep.agg(F.lit("06_exact_unique").alias("stage"), F.count("*").alias("n_docs")),
-    ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
-    return out
+    # All six cumulative stage counts from ONE aggregate over flags (a
+    # single 1-row result unpivoted via stack) instead of six separate
+    # aggregate branches — one flags read, one job, no union of aggregates.
+    summary = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.col("c1").cast("long")).alias("n1"),
+        F.sum(F.col("c2").cast("long")).alias("n2"),
+        F.sum(F.col("c3").cast("long")).alias("n3"),
+        F.sum(F.col("c4").cast("long")).alias("n4"),
+        F.sum(F.col("c5").cast("long")).alias("n5"),
+    )
+    stage_rows = summary.select(
+        F.expr(
+            "stack(6, '00_corpus', n0, '01_english', n1, '02_quality', n2, "
+            "'03_not_repetitive', n3, '04_decontaminated', n4, "
+            "'05_passage_clean', n5) as (stage, n_docs)"
+        )
+    )
+    return stage_rows.unionByName(
+        keep.agg(F.lit("06_exact_unique").alias("stage"), F.count("*").alias("n_docs"))
+    )

@@ -134,13 +134,15 @@ def ngram_jaccard_pairs(
             .select("h")
         )
         sh = sh.join(F.broadcast(hot), "h", "left_anti")
-    # ``cache_shingles`` persists the hashed shingle table (used three
-    # times: sizes + both join sides). The cache outlives the query — a
-    # long-lived session running many one-shot analytics should pass False
-    # (the a/b join sides' identical exchanges still collapse via
-    # ReuseExchange) or call spark.catalog.clearCache() between workloads.
+    # ``cache_shingles`` materializes the hashed shingle table (used three
+    # times: sizes + both join sides) via a LAZY localCheckpoint — unlike
+    # .cache(), the storage is reclaimed when the DataFrame is GC'd, so it
+    # cannot leak across queries in a long-lived session, and the three
+    # consumers physically share one tokenize+shingle+distinct run instead
+    # of each re-planning it (the a/b exchange pair alone reuses, but
+    # `sizes` aggregates pre-exchange and re-scans without this).
     if cache_shingles:
-        sh = sh.cache()
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col("id").alias("id_a"), "h")
@@ -517,10 +519,14 @@ def incremental_dedup(
     the exact-stage survivors internally, skipping a second
     tokenize->shingle->minhash pass over the batch.
     """
+    # Batch-sized intermediates with 2-3 consumers each are materialized
+    # (lazy localCheckpoint): the frames are small by design — per-batch
+    # cost must track the BATCH — so materialization is cheap and stops
+    # each consumer from re-tokenizing/re-hashing the batch.
     batch_exact = new_docs.select(
         F.col(id_col).alias("id"),
         portable_hash64(normalize_text(text_col)).alias("dup_hash"),
-    )
+    ).localCheckpoint(eager=False)
     corpus_hashes = index_exact.select("dup_hash").distinct()
     in_corpus = batch_exact.join(
         corpus_hashes.withColumn("_in_corpus", F.lit(True)), "dup_hash", "left"
@@ -542,6 +548,8 @@ def incremental_dedup(
             exact_survivor_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
         )
         batch_bands = minhash_band_table(survivors, num_perm, bands, k, id_col, text_col)
+    # Three consumers (corpus probe + both sides of the in-batch self-join).
+    batch_bands = batch_bands.localCheckpoint(eager=False)
     near_corpus_ids = batch_bands.join(
         index_bands.select("band", "band_key"), ["band", "band_key"], "left_semi"
     ).select("id").distinct()
@@ -628,8 +636,10 @@ def near_dedup_clusters(
     from .graph import connected_components_two_phase
     from pyspark.sql import Window
 
+    # cache_shingles=True is safe here: the materialization is a lazy
+    # localCheckpoint scoped to this query's lineage, not a catalog cache.
     pairs = ngram_jaccard_pairs(
-        docs, k, threshold, id_col, text_col, max_shingle_df, cache_shingles=False
+        docs, k, threshold, id_col, text_col, max_shingle_df, cache_shingles=True
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comps = connected_components_two_phase(edges)

@@ -80,20 +80,21 @@ def triangle_counts(edges: DataFrame, cache_oriented: bool = True) -> DataFrame:
     quadratically. Output is identical to any other exactly-once
     enumeration: (id, triangles) for vertices in >= 1 triangle.
 
-    ``cache_oriented`` persists the oriented edge list, used four times in
-    the plan. The cache lives until the session drops it — long-lived
-    sessions that run many one-shot analytics should pass False (the
-    wedge self-join's two identical exchanges still collapse via
-    ReuseExchange; only the closing-edge union re-scans) or call
-    ``spark.catalog.clearCache()`` between workloads.
+    ``cache_oriented`` materializes the oriented edge list, used four
+    times in the plan, via a lazy localCheckpoint (reclaimed when the
+    DataFrame is GC'd — no session-lifetime cache leak). The canonical
+    edge set (3 consumers) and the degree table (2 consumers: both sides
+    of the degree join) are always materialized: without that, Catalyst
+    re-plans the full edges-from-source derivation per consumer (observed
+    20 source scans in the composed plan).
     """
-    e = canonical_undirected(edges)
+    e = canonical_undirected(edges).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("id"))
         .union(e.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
-    )
+    ).localCheckpoint(eager=False)
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
@@ -108,7 +109,7 @@ def triangle_counts(edges: DataFrame, cache_oriented: bool = True) -> DataFrame:
         )
     )
     if cache_oriented:
-        oriented = oriented.cache()
+        oriented = oriented.localCheckpoint(eager=False)
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     # Wedges centered at u over its out-neighbors; x<y dedups the pair.

@@ -59,7 +59,9 @@ def doc_logprob_profile(
     the join shape is identical.
     """
     occ = _token_occurrences(docs, id_col, text_col)
-    counts = unigram_counts(docs, id_col, text_col)
+    # counts has 2 consumers (total row + occurrence join): materialize the
+    # vocabulary-sized table once instead of tokenizing the corpus twice.
+    counts = unigram_counts(docs, id_col, text_col).localCheckpoint(eager=False)
     total = counts.agg(F.sum("c").alias("t"))
     lp = (
         occ.join(counts, "term")
@@ -110,8 +112,12 @@ def pmi_collocations(
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs"))
-    c1 = unigram_counts(docs, id_col, text_col)
+    # c2 has 2 consumers (total row + scoring) and c1 has 3 (total row +
+    # both unigram joins): materialize the vocabulary-sized count tables
+    # once (lazy localCheckpoint) so the corpus tokenize/explode runs once
+    # per table, not once per consumer.
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs")).localCheckpoint(eager=False)
+    c1 = unigram_counts(docs, id_col, text_col).localCheckpoint(eager=False)
     n1 = c1.agg(F.sum("c").alias("n1"))
     n2 = c2.agg(F.sum("n_pairs").alias("n2"))
     scored = (

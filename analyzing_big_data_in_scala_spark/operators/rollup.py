@@ -54,6 +54,14 @@ def multires_rollup(
         F.count("*").alias("n"),
         F.sum(F.round(F.col(value_col) * 10000).cast("bigint")).alias("sum_value_e4"),
     )
+    # MATERIALIZE the finest partials: without this, Catalyst plans each
+    # union branch as its own scan->aggregate chain (verified: 3x `Scan
+    # parquet`, 0 ReusedExchange — the exchange-reuse rule does not fire
+    # across the differently-shaped branch tops), i.e. THREE corpus scans
+    # at 100 TB. The lazy localCheckpoint computes the partials once at
+    # first use and serves every level from the materialized (buckets x
+    # keys)-sized result — the actual continuous-aggregate contract.
+    partials = partials.localCheckpoint(eager=False)
 
     def emit(df: DataFrame, secs: int, label: str) -> DataFrame:
         return df.select(

@@ -575,17 +575,37 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The threshold is on the ROUNDED score: it is the published per-doc
     # value (doc_quality_scores), so the gate is reproducible from that
     # table.
-    eligible = docs.join(unigram_profile(docs), "doc_id").filter(
-        (F.col("pred_lang") == "en") & (F.col("quality") >= 0.45)
+    #
+    # The NARROW intermediates (per-doc gate metadata, survivor id sets,
+    # LSH band rows) are materialized with lazy localCheckpoints: each has
+    # 2+ downstream consumers, and without materialization Catalyst
+    # re-plans the whole upstream chain per consumer (observed: 12 parquet
+    # scans and ~4 re-runs of the unigram_profile aggregate in this one
+    # query; 24 scans in corpus_training_shards, which builds on it).
+    # Stage consumers that need TEXT re-join the docs scan against the
+    # materialized id sets — a pruned column scan per stage, never a
+    # repeated tokenize/aggregate.
+    elig_meta = (
+        unigram_profile(docs)
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.45))
+        .select("doc_id", "n_tokens", "quality")
+        .localCheckpoint(eager=False)
     )
+    elig_text = docs.join(elig_meta.select("doc_id"), "doc_id", "left_semi")
     keep_exact = (
-        D.exact_hash_table(eligible)
+        D.exact_hash_table(elig_text)
         .groupBy("dup_hash")
         .agg(F.min("id").alias("doc_id"))
         .select("doc_id")
     )
-    survivors = eligible.join(keep_exact, "doc_id", "left_semi")
-    bands = D.minhash_band_table(survivors)
+    surv_ids = (
+        elig_meta.select("doc_id")
+        .join(keep_exact, "doc_id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    bands = D.minhash_band_table(
+        docs.join(surv_ids, "doc_id", "left_semi")
+    ).localCheckpoint(eager=False)
     near_drop = (
         bands.alias("x")
         .join(
@@ -597,8 +617,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.id").alias("doc_id"))
         .distinct()
     )
-    return survivors.join(near_drop, "doc_id", "left_anti").select(
-        "doc_id", "n_tokens", "quality"
+    return (
+        elig_meta.join(surv_ids, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality")
     )
 
 
@@ -1406,25 +1428,29 @@ def ml_sentiment_metrics_full_grid(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # Each stage table has TWO consumers (the next stage's join + its own
+    # count row); the lazy localCheckpoints pin the chain to exactly one
+    # pushed-filter events scan per stage instead of re-running the whole
+    # upstream cascade per consumer (6 scans -> 3).
     t1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-    )
+    ).localCheckpoint(eager=False)
     t2 = (
         ev.filter(F.col("event_type") == "click")
         .join(t1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-    )
+    ).localCheckpoint(eager=False)
     t3 = (
         ev.filter(F.col("event_type") == "purchase")
         .join(t2, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
-    )
+    ).localCheckpoint(eager=False)
     stages = [
         t1.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users")),
         t2.agg(

@@ -49,6 +49,8 @@ PICKS = {
     "embeddings_kmeans_lloyd": "One Lloyd round: each assignment is a k-row BROADCAST cross join + map-side-combined argmax (one corpus shuffle); the centroid update aggregates k×dim rows and re-enters as the next broadcast — the corpus is never shuffled on cluster id.",
     "events_rolling_zscore_anomalies": "One window pass: bounded ROWS frame per data-proportional series key (never a global single-partition window); integerized values keep the frame sums exact; z + both filters evaluate in the same stage.",
     "events_type_association_rules": "Pair generation self-joins on the BASKET key (fan-out bounded by the item catalog), two hash aggregates; item-count sides broadcast into the final projection — one corpus-sized shuffle total.",
+    "events_scd2_user_state": "SCD2 build in ONE shuffle: a single Exchange+Sort on the key serves both windows (lag-filter collapse, then renumber/lead over the survivors) — per-key state is the key's row run, never corpus-wide.",
+    "events_multires_rollup": "Continuous aggregate: raw events aggregate ONCE into 10min partials, materialized via lazy localCheckpoint (without it Catalyst planned a scan->aggregate chain PER union branch: 3 corpus scans, 0 ReusedExchange); 1h/1d levels re-aggregate the checkpointed partial rows (bounded by buckets x types).",
 }
 
 

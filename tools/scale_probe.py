@@ -30,7 +30,9 @@ from analyzing_big_data_in_scala_spark.operators import sketches as K  # noqa: E
 from analyzing_big_data_in_scala_spark.operators import graph as G  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import repetition as R  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import similarity as S  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import rollup as RU  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import tfidf as T  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators.merge import scd2_history  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators.curation import (  # noqa: E402
     curation_funnel_stages,
 )
@@ -209,6 +211,16 @@ def main() -> None:
                     emb, threshold=0.35, n_planes=4 + (copies.bit_length() - 1)
                 )
             ),
+            # One key-partitioned Exchange+Sort shared by both windows;
+            # per-key state is the key's run, never the corpus — expect
+            # ~linear with events (inflation adds users, not run length).
+            "scd2_history": lambda: noop(
+                scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+            ),
+            # Raw scan once into 10min partials; 1h/1d levels re-aggregate
+            # partial rows (bounded by buckets x event types, fixed under
+            # inflation) — expect linear scan cost + constant rollup tail.
+            "multires_rollup": lambda: noop(RU.multires_rollup(ev)),
         }
         for name, fn in cases.items():
             # Exact all-pairs cosine is quadratic by definition (16x data =
