@@ -171,3 +171,108 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(key, "state", "valid_from", "valid_to", "version", "is_current")
     )
+
+
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    key: str,
+    state_col: str,
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold an APPEND-ONLY change batch into
+    an existing :func:`scd2_history` table, producing exactly the history a
+    full rebuild over (old events ++ batch) would — the Delta Live Tables
+    "APPLY CHANGES" / Kimball incremental type-2 load, as one batch-sized
+    plan.
+
+    Contract: every batch timestamp must be >= every timestamp folded into
+    `history` (append-only ingest; the standard watermark guarantee). Runs:
+
+    - the batch collapses to its own state runs (same gaps-and-islands as
+      the full build);
+    - a batch run continuing the key's CURRENT state is absorbed (no new
+      version — the open interval simply stays open);
+    - otherwise the open interval closes at the first surviving run's
+      valid_from, and new versions continue the key's version sequence;
+    - keys absent from the batch pass through untouched, keys new in the
+      batch start at version 1.
+
+    Scale shape: every step is an equi-join or window on `key` over the
+    BATCH (plus the history's current rows — one row per live key); the
+    closed history rows are touched by nothing but the final union. Per-
+    batch cost tracks the batch and the live-key set, never the full
+    history. Equality with the full rebuild is oracle-checked
+    (`events_scd2_incremental`).
+    """
+    hist_cols = [key, "state", "valid_from", "valid_to", "version", "is_current"]
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    runs = (
+        batch.select(key, state_col, ts_col, *([tie_col] if tie_col else []))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag(state_col).over(w))
+        .filter((F.col("_rn") == 1) | ~F.col(state_col).eqNullSafe(F.col("_prev")))
+        .select(
+            key,
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("valid_from"),
+            *([tie_col] if tie_col else []),
+        )
+    )
+    open_rows = history.filter(F.col("is_current")).select(
+        key,
+        F.col("state").alias("_open_state"),
+        F.col("valid_from").alias("_open_from"),
+        F.col("version").alias("_open_version"),
+    )
+    # Absorb a first run that continues the current state; renumber what
+    # survives so versions continue the key's sequence.
+    order2 = [F.col("valid_from").asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w2 = Window.partitionBy(key).orderBy(*order2)
+    ranked = runs.withColumn("_rn", F.row_number().over(w2)).join(
+        open_rows, key, "left"
+    )
+    surviving = ranked.filter(
+        ~((F.col("_rn") == 1) & F.col("state").eqNullSafe(F.col("_open_state")))
+    )
+    w3 = Window.partitionBy(key).orderBy(*order2)
+    new_rows = surviving.select(
+        key,
+        "state",
+        "valid_from",
+        (F.coalesce(F.col("_open_version"), F.lit(0))
+         + F.row_number().over(w3)).cast("int").alias("version"),
+        F.lead("valid_from").over(w3).alias("valid_to"),
+    ).select(
+        key,
+        "state",
+        "valid_from",
+        "valid_to",
+        "version",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+    # Close (or keep open) the previously-current row per touched key.
+    closes = new_rows.groupBy(key).agg(F.min("valid_from").alias("_close_at"))
+    updated_open = (
+        history.filter(F.col("is_current"))
+        .join(closes, key, "left")
+        .select(
+            key,
+            "state",
+            "valid_from",
+            # _close_at is the first NEW version's start — NULL when the
+            # whole batch was absorbed (or the key is untouched), keeping
+            # the interval open. A min over versions > open_version is
+            # exactly the first surviving run because versions continue
+            # the open row's sequence.
+            F.col("_close_at").alias("valid_to"),
+            "version",
+            F.col("_close_at").isNull().alias("is_current"),
+        )
+    )
+    closed_rows = history.filter(~F.col("is_current")).select(*hist_cols)
+    return closed_rows.unionByName(updated_open.select(*hist_cols)).unionByName(
+        new_rows.select(*hist_cols)
+    )

@@ -60,6 +60,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Relational / lakehouse maintenance
     "orders_merge_upsert",
     "events_scd2_user_state",
+    "events_scd2_incremental",
     "events_multires_rollup",
     "streaming_incremental_rollup",
     "lineitem_approx_profile",
@@ -72,7 +73,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Graph — iterative families against recursive/unrolled-CTE oracles
     "graph_pagerank_reference",
     "graph_components_two_phase",
-    "graph_bfs_hops",
     "graph_sssp_weighted",
     "graph_kcore_membership",
     # Dedup / similarity / embedding hygiene

@@ -2159,3 +2159,52 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import multires_rollup
 
     return multires_rollup(load_events(spark, sf_dir))
+
+
+@query(
+    "events_scd2_incremental",
+    # The oracle is the FULL-history rebuild (identical window SQL to
+    # events_scd2_user_state): the incremental fold must reproduce it
+    # bit-for-bit — the strongest possible check for an incremental
+    # maintenance operator.
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type AS state, ts, event_id,
+                   LAG(event_type) OVER w AS prev,
+                   ROW_NUMBER() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id, state, ts AS valid_from, event_id
+            FROM ordered
+            WHERE rn = 1 OR state IS DISTINCT FROM prev
+        )
+        SELECT user_id, state, valid_from,
+               LEAD(valid_from) OVER w2 AS valid_to,
+               CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+               LEAD(valid_from) OVER w2 IS NULL AS is_current
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+    description="Incremental SCD2 maintenance (Delta Live Tables APPLY-CHANGES counterpart): history built over the older 3/4 of the event-time range, the newest 1/4 folded in as an append-only batch via merge.scd2_apply_batch — per-batch cost tracks the batch + live keys, closed history rows are never touched; result must equal the full rebuild (operators/merge.py)",
+)
+def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import scd2_apply_batch, scd2_history
+
+    ev = load_events(spark, sf_dir)
+    # Integer-exact split threshold from the data, derived IN-PLAN (1-row
+    # broadcast bounds, no driver collect): T = mn + 3*(mx-mn) div 4 over
+    # integer epoch seconds — base strictly before T, batch at/after T, so
+    # the append-only contract holds by construction.
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("_mn"),
+        F.max(F.unix_timestamp("ts")).alias("_mx"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "_t", F.expr("_mn + (3 * (_mx - _mn)) div 4")
+    )
+    base = tagged.filter(F.unix_timestamp("ts") < F.col("_t")).drop("_mn", "_mx", "_t")
+    batch = tagged.filter(F.unix_timestamp("ts") >= F.col("_t")).drop("_mn", "_mx", "_t")
+    history = scd2_history(base, key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")
+    return scd2_apply_batch(history, batch, key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")

@@ -101,6 +101,7 @@ HEADLINE = [
     "events_scd2_user_state",
     "events_multires_rollup",
     "streaming_incremental_rollup",
+    "events_scd2_incremental",
 ]
 
 

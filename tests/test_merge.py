@@ -155,3 +155,75 @@ def test_multires_rollup_levels_consistent(spark):
     for secs, lbl in ((600, "10min"), (3600, "1h"), (86400, "1d")):
         bad = out.filter((F.col("level") == lbl) & (F.col("bucket_start") % secs != 0)).count()
         assert bad == 0, lbl
+
+
+def test_scd2_apply_batch_equals_full_rebuild(spark):
+    from analyzing_big_data_in_scala_spark.operators.merge import (
+        scd2_apply_batch,
+        scd2_history,
+    )
+    from datetime import datetime
+
+    T = datetime
+    old = [
+        # key 1: two versions, open state 'b'
+        (1, T(2024, 1, 1, 0), "a", 1),
+        (1, T(2024, 1, 1, 1), "b", 2),
+        # key 2: open state 'x'
+        (2, T(2024, 1, 1, 0), "x", 3),
+        # key 4: untouched by the batch
+        (4, T(2024, 1, 1, 0), "q", 4),
+    ]
+    new = [
+        # key 1: first run CONTINUES 'b' (absorbed), then changes to 'c'
+        (1, T(2024, 1, 2, 0), "b", 10),
+        (1, T(2024, 1, 2, 1), "c", 11),
+        # key 2: immediate change, then a repeat (collapsed in-batch)
+        (2, T(2024, 1, 2, 0), "y", 12),
+        (2, T(2024, 1, 2, 1), "y", 13),
+        # key 3: brand new key, two states
+        (3, T(2024, 1, 2, 0), "m", 14),
+        (3, T(2024, 1, 2, 1), "n", 15),
+    ]
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    base_df = spark.createDataFrame(old, schema)
+    batch_df = spark.createDataFrame(new, schema)
+    full_df = spark.createDataFrame(old + new, schema)
+
+    args = dict(key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")
+    hist = scd2_history(base_df, **args)
+    got = scd2_apply_batch(hist, batch_df, **args)
+    want = scd2_history(full_df, **args)
+    key = lambda r: (r.user_id, r.version)
+    got_m = {key(r): (r.state, r.valid_from, r.valid_to, r.is_current) for r in got.collect()}
+    want_m = {key(r): (r.state, r.valid_from, r.valid_to, r.is_current) for r in want.collect()}
+    assert got_m == want_m
+    # Spot-check the interesting rows: key 1's 'b' interval extends THROUGH
+    # the absorbed batch event and closes at the 'c' change.
+    assert got_m[(1, 2)] == ("b", T(2024, 1, 1, 1), T(2024, 1, 2, 1), False)
+    assert got_m[(1, 3)] == ("c", T(2024, 1, 2, 1), None, True)
+    # key 4 untouched, key 3 starts at version 1.
+    assert got_m[(4, 1)] == ("q", T(2024, 1, 1, 0), None, True)
+    assert got_m[(3, 1)][0] == "m" and got_m[(3, 2)][0] == "n"
+
+
+def test_scd2_apply_batch_all_absorbed_keeps_interval_open(spark):
+    from analyzing_big_data_in_scala_spark.operators.merge import (
+        scd2_apply_batch,
+        scd2_history,
+    )
+    from datetime import datetime
+
+    T = datetime
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    base = spark.createDataFrame([(1, T(2024, 1, 1), "a", 1)], schema)
+    batch = spark.createDataFrame(
+        [(1, T(2024, 1, 2), "a", 2), (1, T(2024, 1, 3), "a", 3)], schema
+    )
+    args = dict(key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")
+    got = scd2_apply_batch(scd2_history(base, **args), batch, **args).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.state, r.valid_from, r.valid_to, r.version, r.is_current) == (
+        "a", T(2024, 1, 1), None, 1, True,
+    )

@@ -116,7 +116,7 @@ def test_driver_window_covers_oracle_backed_queries():
         # to the new SCD2 / multi-resolution-rollup / streaming
         # incremental-rollup queries):
         "orders_incremental_agg_refresh", "orders_salted_segment_revenue",
-        "orders_rank_functions",
+        "orders_rank_functions", "graph_bfs_hops",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)

@@ -261,6 +261,10 @@ def main() -> None:
         "- `curation_funnel` aggregates every n-gram/chunk/exact key of the",
         "  corpus once; its ratio tracks total key volume (slightly superlinear",
         "  vs docs because inflated corpora shift the unigram distribution).",
+        "  Round 4 materialized its multi-consumer intermediates (the key",
+        "  table and per-doc flags) — absolute times dropped ~3.7x at 16x vs",
+        "  the round-2 probe, which was silently re-running the corpus",
+        "  explode per gate family.",
         "- Sub-4x ratios mean fixed per-job overheads (planning, task launch)",
         "  still dominate at this fixture size.",
     ]
