@@ -253,6 +253,9 @@ def scd2_apply_batch(
         "version",
         F.col("valid_to").isNull().alias("is_current"),
     )
+    # new_rows is BATCH-sized with two consumers (the close derivation and
+    # the final union) — materialize it once.
+    new_rows = new_rows.localCheckpoint(eager=False)
     # Close (or keep open) the previously-current row per touched key.
     closes = new_rows.groupBy(key).agg(F.min("valid_from").alias("_close_at"))
     updated_open = (

@@ -123,11 +123,14 @@ def search_many(
     """
     from pyspark.sql import Window
 
-    tf = term_frequencies(docs, id_col, text_col)
+    # tf feeds idf + tfidf; tfidf feeds dots + norms. Materialize both
+    # (lazy localCheckpoint) so the corpus tokenize runs once, not per
+    # consumer — measured 1.42s -> 1.17s at sf0.1 (see search_query note).
+    tf = term_frequencies(docs, id_col, text_col).localCheckpoint(eager=False)
     idf = _idf_in_plan(docs, tf, id_col)
     tfidf = tf.join(F.broadcast(idf), "term").select(
         id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
-    )
+    ).localCheckpoint(eager=False)
 
     qtok = queries.select("query_id", F.explode(tokens("query")).alias("term"))
     qtf = qtok.groupBy("query_id", "term").agg(F.count("*").alias("qtf"))
@@ -179,16 +182,19 @@ def search_query(
     True-cosine by default; Q1 quirk under `reference_semantics`.
     Returns (id_col, score) top-k.
 
-    No .cache() on the shared tf/tfidf subplans: they are identical, so
-    Catalyst's ReuseExchange serves every consumer from one shuffle write —
-    caching here measured SLOWER (extra materialization + format copy).
+    tf and tfidf are materialized via lazy localCheckpoint (round 4): tf
+    feeds idf + tfidf, tfidf feeds dots + norms, and without
+    materialization each consumer re-plans the corpus tokenize chain.
+    .cache() had measured SLOWER here (memory-format copy overhead), but
+    the checkpoint variant measured FASTER (1.42s -> 1.17s at sf0.1) and
+    is GC-reclaimed, so it cannot leak across queries.
     """
     spark = docs.sparkSession
-    tf = term_frequencies(docs, id_col, text_col)
+    tf = term_frequencies(docs, id_col, text_col).localCheckpoint(eager=False)
     idf = _idf_in_plan(docs, tf, id_col)
     tfidf = tf.join(F.broadcast(idf), "term").select(
         id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
-    )
+    ).localCheckpoint(eager=False)
 
     qterms = spark.createDataFrame([(t,) for t in query_terms], "term string")
     qtf = qterms.groupBy("term").agg(F.count("*").alias("qtf"))

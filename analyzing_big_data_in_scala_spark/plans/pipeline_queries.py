@@ -2206,5 +2206,12 @@ def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tagged.filter(F.unix_timestamp("ts") < F.col("_t")).drop("_mn", "_mx", "_t")
     batch = tagged.filter(F.unix_timestamp("ts") >= F.col("_t")).drop("_mn", "_mx", "_t")
-    history = scd2_history(base, key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")
+    # In production the history is a PERSISTED table; materializing the
+    # on-the-fly rebuild here mirrors that (its three consumers inside the
+    # fold — current rows twice, closed rows once — would otherwise each
+    # re-run the full window chain). At real scale the union-through of
+    # closed rows becomes a partition-pruned merge-on-write instead.
+    history = scd2_history(
+        base, key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id"
+    ).localCheckpoint(eager=False)
     return scd2_apply_batch(history, batch, key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")

@@ -35,7 +35,6 @@ PICKS = {
     "dedup_semantic": "Quantize + hyperplane-bucket in ONE projection over the scan; candidate generation is a self equi-join on the cell key (shuffle on bucket only); the min-id drop set is a broadcast anti-ish left join back.",
     "doc_repetition_filters": "All n-gram sizes from one tokenize + one explode (flattened struct array); two hash aggregates with map-side partials; pivot is a final single-shuffle aggregate.",
     "similarity_quantized_topk": "int8 quantization fused into the scan projection; scoring identical to brute-force cosine but over 4x-smaller vectors; TakeOrderedAndProject top-k.",
-    "corpus_curation_funnel": "Six gates from ONE corpus scan: a single explode emits narrow (id, kind, hash) rows for every gate family, one corpus-sized hash aggregate feeds language/quality/repetition stats, the broadcast bench-gram semi join, the chunk-df join, and the exact-dedup key — gate fan-out happens on aggregate OUTPUT, never by re-scanning text.",
     "orders_salted_segment_revenue": "Salted equi-join: fact side salted by whole-row xxhash64 in the scan projection, dimension exploded x8 replicas, join key (custkey, salt) — a hot key spreads over 8 reducers; the post-join aggregate is an ordinary two-phase hash agg.",
     "lineitem_zorder_keys": "Z-value = min/max-scale (exact BIGINT div) + bit-interleave, all in one codegen projection over the scan; stats come from a 1-row broadcast cross join (no driver collect); top-k as TakeOrderedAndProject.",
     "similarity_cluster_assign": "Centroids quantized + broadcast (k rows); all k cosines per vector in one projection after the cross join; argmax via max(struct) hash aggregate with map-side partials — no window, no extra shuffle.",
@@ -50,6 +49,8 @@ PICKS = {
     "events_rolling_zscore_anomalies": "One window pass: bounded ROWS frame per data-proportional series key (never a global single-partition window); integerized values keep the frame sums exact; z + both filters evaluate in the same stage.",
     "events_type_association_rules": "Pair generation self-joins on the BASKET key (fan-out bounded by the item catalog), two hash aggregates; item-count sides broadcast into the final projection — one corpus-sized shuffle total.",
     "events_scd2_user_state": "SCD2 build in ONE shuffle: a single Exchange+Sort on the key serves both windows (lag-filter collapse, then renumber/lead over the survivors) — per-key state is the key's row run, never corpus-wide.",
+    "events_scd2_incremental": "Incremental SCD2 fold: batch-side windows + key equi-joins against the history's CURRENT rows only; the closed history enters nowhere but the final union — per-batch cost tracks the batch + live keys, and the result is oracle-proven equal to a full rebuild.",
+    "corpus_curation_funnel": "Six gates from ONE corpus scan — now physically true: the (id, kind, h) key table and the per-doc flags are materialized via lazy localCheckpoint (without that, Catalyst re-planned the scan+explode chain per gate family: 18 scans), and the six stage counts collapse into one aggregate unpivoted via stack.",
     "events_multires_rollup": "Continuous aggregate: raw events aggregate ONCE into 10min partials, materialized via lazy localCheckpoint (without it Catalyst planned a scan->aggregate chain PER union branch: 3 corpus scans, 0 ReusedExchange); 1h/1d levels re-aggregate the checkpointed partial rows (bounded by buckets x types).",
 }
 
