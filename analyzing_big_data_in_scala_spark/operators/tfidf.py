@@ -123,14 +123,13 @@ def search_many(
     """
     from pyspark.sql import Window
 
-    # tf feeds idf + tfidf; tfidf feeds dots + norms. Materialize both
-    # (lazy localCheckpoint) so the corpus tokenize runs once, not per
-    # consumer — measured 1.42s -> 1.17s at sf0.1 (see search_query note).
-    tf = term_frequencies(docs, id_col, text_col).localCheckpoint(eager=False)
+    # No materialization on tf/tfidf — same ReuseExchange rationale as
+    # search_query (interleaved A/B re-verified in round 4).
+    tf = term_frequencies(docs, id_col, text_col)
     idf = _idf_in_plan(docs, tf, id_col)
     tfidf = tf.join(F.broadcast(idf), "term").select(
         id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
-    ).localCheckpoint(eager=False)
+    )
 
     qtok = queries.select("query_id", F.explode(tokens("query")).alias("term"))
     qtf = qtok.groupBy("query_id", "term").agg(F.count("*").alias("qtf"))
@@ -182,19 +181,20 @@ def search_query(
     True-cosine by default; Q1 quirk under `reference_semantics`.
     Returns (id_col, score) top-k.
 
-    tf and tfidf are materialized via lazy localCheckpoint (round 4): tf
-    feeds idf + tfidf, tfidf feeds dots + norms, and without
-    materialization each consumer re-plans the corpus tokenize chain.
-    .cache() had measured SLOWER here (memory-format copy overhead), but
-    the checkpoint variant measured FASTER (1.42s -> 1.17s at sf0.1) and
-    is GC-reclaimed, so it cannot leak across queries.
+    No materialization on the shared tf/tfidf subplans — DELIBERATE, and
+    re-verified in round 4: unlike the curation funnel (where pushed-down
+    per-consumer filters make the exchange subtrees distinct), every
+    consumer here sits ABOVE an identical tf exchange, so ReuseExchange
+    genuinely serves them from one shuffle write. Both .cache() (round 1)
+    and lazy localCheckpoint (round 4, interleaved A/B: 1.68s vs 1.36s
+    median at sf0.1) measured SLOWER than the shared-exchange plan.
     """
     spark = docs.sparkSession
-    tf = term_frequencies(docs, id_col, text_col).localCheckpoint(eager=False)
+    tf = term_frequencies(docs, id_col, text_col)
     idf = _idf_in_plan(docs, tf, id_col)
     tfidf = tf.join(F.broadcast(idf), "term").select(
         id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
-    ).localCheckpoint(eager=False)
+    )
 
     qterms = spark.createDataFrame([(t,) for t in query_terms], "term string")
     qtf = qterms.groupBy("term").agg(F.count("*").alias("qtf"))
