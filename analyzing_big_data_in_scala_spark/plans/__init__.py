@@ -48,14 +48,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     salted events, user sessions, hash sample, sentiment counts)
     #     keep their CORRECTNESS_r02 rows as standing evidence.
 
-    # Round-4 rotation: the four queries whose ORACLES changed this round
-    # (HUGEINT-cast fixes: events_json_by_type, doc_chunk_dedup,
-    # streaming_static_enrichment, search_bm25_topk — the r3 hash reds)
-    # and the changed-impl terms_cms_heavy_hitters keep their slots for
-    # fresh evidence; the two NEW queries (events_scd2_user_state,
-    # events_multires_rollup) take the slots of r3-green
-    # orders_incremental_agg_refresh / orders_salted_segment_revenue
-    # (CORRECTNESS_r03 rows stand, implementations unchanged).
+    # Round-4 rotation:
+    #  1. The four queries whose ORACLES changed this round (HUGEINT-cast
+    #     fixes: events_json_by_type, doc_chunk_dedup,
+    #     streaming_static_enrichment, search_bm25_topk — the r3 hash
+    #     reds) and the changed-impl terms_cms_heavy_hitters keep their
+    #     slots for fresh evidence.
+    #  2. The five NEW round-4 queries hold slots: events_scd2_user_state,
+    #     events_scd2_incremental, events_multires_rollup,
+    #     streaming_incremental_rollup, similarity_ann_recall_profile
+    #     (the last upgrades the ANN family from rows-only to pinned
+    #     value-checked recall measurements).
+    #  3. Evicted to make room — all r3-green with unchanged
+    #     implementations (CORRECTNESS_r03 rows stand):
+    #     orders_incremental_agg_refresh, orders_salted_segment_revenue,
+    #     orders_rank_functions, graph_bfs_hops (superset
+    #     graph_sssp_weighted keeps the iterative slot),
+    #     embeddings_random_projection (superset similarity_projected_topk
+    #     keeps the projection slot).
 
     # Relational / lakehouse maintenance
     "orders_merge_upsert",
@@ -80,7 +90,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_cluster_assign",
     "embeddings_centroid_outliers",
     "embeddings_dimension_profile",
-    "embeddings_random_projection",
+    "similarity_ann_recall_profile",
     "embeddings_kmeans_lloyd",
     "doc_chunk_dedup",
     "entity_cooccurrence_edges",

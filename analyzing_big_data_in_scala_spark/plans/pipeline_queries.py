@@ -2215,3 +2215,56 @@ def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id"
     ).localCheckpoint(eager=False)
     return scd2_apply_batch(history, batch, key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")
+
+
+@query(
+    "similarity_ann_recall_profile",
+    # PINNED CONSTANTS oracle (ml_sentiment_metrics precedent), valid at
+    # the driver's sf0.01 only (tests/oracle_check.py PINNED_SF gates the
+    # other scales): per-probe result counts and brute-force-overlap hits
+    # for BOTH approximate ANN paths. The values are deterministic — LSH
+    # buckets come from a fixed +-1 hyperplane pattern, IVF centroids from
+    # a fixed-seed Lloyd run, ties break on ascending id — reproduced
+    # bit-for-bit under local[4]/64-shuffle-partition sessions before
+    # pinning. This upgrades the ANN family from rows-only driver evidence
+    # to value-checked recall measurements: the driver now verifies not
+    # just that the index answers, but exactly HOW approximate it is.
+    oracle="""
+        SELECT method, CAST(query_id AS BIGINT) AS query_id,
+               CAST(n_results AS BIGINT) AS n_results,
+               CAST(n_brute_hits AS BIGINT) AS n_brute_hits
+        FROM (VALUES
+            ('lsh', 0, 10, 2), ('lsh', 1, 10, 2), ('lsh', 2, 10, 3),
+            ('ivf', 0, 10, 10), ('ivf', 1, 10, 8), ('ivf', 2, 10, 6)
+        ) t(method, query_id, n_results, n_brute_hits)
+    """,
+    description="ANN quality profile: per-probe result count and brute-force-overlap (recall numerator) for the LSH-bucketed and IVF paths, both computed in-plan against the exact cosine top-10 — the approximate indexes' accuracy measured as exact integers (pinned-constants oracle at sf0.01)",
+)
+def similarity_ann_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    brute = S.cosine_topk(emb, probes, k=10).select(
+        "query_id", F.col("vec_id").alias("hit")
+    ).localCheckpoint(eager=False)  # consumed by both method joins
+    out = None
+    for method, fn in (("lsh", S.lsh_topk), ("ivf", S.ivf_topk)):
+        approx = fn(emb, probes, k=10).select(
+            "query_id", F.col("vec_id").alias("hit")
+        ).localCheckpoint(eager=False)  # consumed by count + overlap join
+        n = approx.groupBy("query_id").agg(F.count("*").alias("n_results"))
+        hits = (
+            approx.join(brute, ["query_id", "hit"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_brute_hits"))
+        )
+        prof = (
+            n.join(hits, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                "n_results",
+                F.coalesce("n_brute_hits", F.lit(0)).cast("long").alias("n_brute_hits"),
+            )
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out

@@ -102,6 +102,7 @@ HEADLINE = [
     "events_multires_rollup",
     "streaming_incremental_rollup",
     "events_scd2_incremental",
+    "similarity_ann_recall_profile",
 ]
 
 

@@ -16,7 +16,10 @@ import pandas as pd
 # Queries whose oracle is a constants table pinned at one specific scale:
 # checking them at any other sf is a guaranteed false red, so the
 # self-check (and the pytest parity sweep) skip them elsewhere.
-PINNED_SF: dict[str, str] = {"ml_sentiment_metrics": "sf0.01"}
+PINNED_SF: dict[str, str] = {
+    "ml_sentiment_metrics": "sf0.01",
+    "similarity_ann_recall_profile": "sf0.01",
+}
 
 TABLES = (
     "region",

@@ -228,3 +228,60 @@ def test_kcore_invariants(spark, edges, k):
             want_deg[a] += 1
             want_deg[b] += 1
     assert core == want_deg
+
+
+# Random per-user event streams: (user 0..2, minute offset 0..30, state a..c).
+# Unique (user, minute) pairs keep the (ts, tie) order total without relying
+# on generated event ids.
+SCD2_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=30),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=14,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@PROP_SETTINGS
+@given(events=SCD2_EVENTS, split=st.integers(min_value=0, max_value=31))
+def test_scd2_apply_batch_equals_rebuild_property(spark, events, split):
+    """For ANY event stream and ANY time split point, folding the newer
+    part into the older part's history must equal the full rebuild —
+    including empty-base and empty-batch splits."""
+    from datetime import datetime, timedelta
+
+    from analyzing_big_data_in_scala_spark.operators.merge import (
+        scd2_apply_batch,
+        scd2_history,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + timedelta(minutes=m), s, u * 1000 + m) for (u, m, s) in events
+    ]
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    full = spark.createDataFrame(rows, schema)
+    base = [r for r in rows if r[1] < t0 + timedelta(minutes=split)]
+    batch = [r for r in rows if r[1] >= t0 + timedelta(minutes=split)]
+    args = dict(key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")
+    want = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(full, **args).collect()
+    }
+    if not base:
+        # Empty history: the fold IS the plain build over the batch.
+        hist = spark.createDataFrame([], "user_id long, state string, valid_from timestamp, valid_to timestamp, version int, is_current boolean")
+    else:
+        hist = scd2_history(spark.createDataFrame(base, schema), **args)
+    if batch:
+        got_df = scd2_apply_batch(hist, spark.createDataFrame(batch, schema), **args)
+    else:
+        got_df = hist
+    got = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in got_df.collect()
+    }
+    assert got == want
