@@ -54,18 +54,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     streaming_static_enrichment, search_bm25_topk — the r3 hash
     #     reds) and the changed-impl terms_cms_heavy_hitters keep their
     #     slots for fresh evidence.
-    #  2. The five NEW round-4 queries hold slots: events_scd2_user_state,
+    #  2. The six NEW round-4 queries hold slots: events_scd2_user_state,
     #     events_scd2_incremental, events_multires_rollup,
     #     streaming_incremental_rollup, similarity_ann_recall_profile
-    #     (the last upgrades the ANN family from rows-only to pinned
-    #     value-checked recall measurements).
+    #     (upgrades the ANN family from rows-only to pinned value-checked
+    #     recall measurements), events_approx_group_profile (grouped
+    #     HLL/GK sketches with in-plan accuracy assertions).
     #  3. Evicted to make room — all r3-green with unchanged
     #     implementations (CORRECTNESS_r03 rows stand):
     #     orders_incremental_agg_refresh, orders_salted_segment_revenue,
     #     orders_rank_functions, graph_bfs_hops (superset
     #     graph_sssp_weighted keeps the iterative slot),
     #     embeddings_random_projection (superset similarity_projected_topk
-    #     keeps the projection slot).
+    #     keeps the projection slot), events_value_quartiles_by_type
+    #     (events_approx_group_profile carries the same exact-percentile
+    #     machinery per group plus the sketch assertions).
 
     # Relational / lakehouse maintenance
     "orders_merge_upsert",
@@ -111,7 +114,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Events: windows, sessions, time series
     "events_json_by_type",
     "events_tumbling_10min",
-    "events_value_quartiles_by_type",
+    "events_approx_group_profile",
     "events_weekly_retention",
     "events_conversion_funnel",
     "events_late_arrival_profile",

@@ -2268,3 +2268,48 @@ def similarity_ann_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+@query(
+    "events_approx_group_profile",
+    # Per-GROUP sketch profiling (the grouped extension of
+    # lineitem_approx_profile's assertion pattern): exact row/distinct
+    # counts anchor each group's row; the HLL and GK sketch columns are
+    # value-checked via in-plan accuracy assertions (the oracle emits the
+    # exact columns and constant-1 assertions — a hash match means every
+    # group's sketch met its bound).
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS exact_users,
+               CAST(1 AS INT) AS hll_ok,
+               CAST(1 AS INT) AS gk_median_ok
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Per-group approximate profiling: HLL distinct users + GK median per event type, judged in-plan against exact counts (HLL rel-err <= 10%) and the exact p49-p51 quantile bracket (GK rank error <= 1e-3 at accuracy 1000) — grouped sketches are the constant-memory path when per-key exact distincts would shuffle every (key, user) pair; exact columns anchor the rows, assertions value-check the sketches",
+)
+def events_approx_group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("_hll_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("_gk_median"),
+        # Exact p49/p51 bracket: GK's rank guarantee (<= 1/accuracy = 1e-3)
+        # must land the sketch median inside it.
+        F.percentile("value", F.array(F.lit(0.49), F.lit(0.51))).alias("_mb"),
+    )
+    return prof.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            (F.abs(F.col("_hll_users") - F.col("exact_users"))
+             / F.col("exact_users")) <= 0.1
+        ).cast("int").alias("hll_ok"),
+        (
+            (F.col("_gk_median") >= F.col("_mb")[0])
+            & (F.col("_gk_median") <= F.col("_mb")[1])
+        ).cast("int").alias("gk_median_ok"),
+    )

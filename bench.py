@@ -103,6 +103,7 @@ HEADLINE = [
     "streaming_incremental_rollup",
     "events_scd2_incremental",
     "similarity_ann_recall_profile",
+    "events_approx_group_profile",
 ]
 
 

@@ -121,6 +121,10 @@ def test_driver_window_covers_oracle_backed_queries():
         # similarity_projected_topk (same projection feeding actual
         # search) keeps the slot; the r3-green row stands.
         "embeddings_random_projection",
+        # events_value_quartiles_by_type demoted: events_approx_group_profile
+        # exercises the same exact-percentile machinery (p49/p51 brackets)
+        # per group PLUS the sketch assertions; the r3-green row stands.
+        "events_value_quartiles_by_type",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
