@@ -108,7 +108,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Sampling / sharding
     "documents_quality_weighted_sample",
     "streaming_static_enrichment",
-    # ML (pinned constants oracle + rows-only full grid)
+    # ML (both pinned-constants oracles at sf0.01)
     "ml_sentiment_metrics",
     "ml_sentiment_metrics_full_grid",
     # Events: windows, sessions, time series

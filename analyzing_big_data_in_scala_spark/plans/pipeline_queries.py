@@ -1384,8 +1384,26 @@ def ml_sentiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ml_sentiment_metrics_full_grid",
-    oracle=None,
-    description="M7/M8 at full reference parity: the complete 3x3x2x2 = 36-combo CV grid x 2 folds (AirlineSentimentAnalysis.scala:72-85); small-grid variant covers the CI path",
+    # PINNED CONSTANTS oracle at sf0.01 (ml_sentiment_metrics precedent,
+    # extended to the FULL 36-combo grid): the hash split is partitioning-
+    # independent and the CV seed fixed, so the winning model's per-class
+    # confusion row and rounded metrics are constants — reproduced
+    # bit-for-bit under a local[4]/64-shuffle vanilla session before
+    # pinning. Rounded doubles pin exactly because both engines store the
+    # nearest double of the same 6-decimal literal. This retires the last
+    # pinnable rows-only entry.
+    oracle="""
+        SELECT CAST(klass AS INT) AS klass, CAST(tp AS BIGINT) AS tp,
+               CAST(true_n AS BIGINT) AS true_n, CAST(pred_n AS BIGINT) AS pred_n,
+               CAST("precision" AS DOUBLE) AS "precision",
+               CAST(recall AS DOUBLE) AS recall, CAST(f1 AS DOUBLE) AS f1
+        FROM (VALUES
+            (0, 12, 31, 46, 0.26087, 0.387097, 0.311688),
+            (1, 5, 32, 25, 0.2, 0.15625, 0.175439),
+            (2, 12, 35, 27, 0.444444, 0.342857, 0.387097)
+        ) t(klass, tp, true_n, pred_n, "precision", recall, f1)
+    """,
+    description="M7/M8 at full reference parity: the complete 3x3x2x2 = 36-combo CV grid x 2 folds (AirlineSentimentAnalysis.scala:72-85), per-class confusion + metrics pinned as a constants oracle at sf0.01 (deterministic via hash_split + fixed seed); small-grid variant covers the CI path",
 )
 def ml_sentiment_metrics_full_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = M.with_synthetic_label(_docs(spark, sf_dir))

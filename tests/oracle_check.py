@@ -18,6 +18,7 @@ import pandas as pd
 # self-check (and the pytest parity sweep) skip them elsewhere.
 PINNED_SF: dict[str, str] = {
     "ml_sentiment_metrics": "sf0.01",
+    "ml_sentiment_metrics_full_grid": "sf0.01",
     "similarity_ann_recall_profile": "sf0.01",
 }
 
