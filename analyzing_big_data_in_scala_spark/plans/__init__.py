@@ -96,7 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_recall_profile",
     "embeddings_kmeans_lloyd",
     "doc_chunk_dedup",
-    "entity_cooccurrence_edges",
+    "events_seasonal_naive_eval",
     "dedup_semantic",
     "documents_quality_topfrac",
     "corpus_curation_pipeline",

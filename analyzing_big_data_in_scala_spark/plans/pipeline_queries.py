@@ -2331,3 +2331,65 @@ def events_approx_group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_gk_median") <= F.col("_mb")[1])
         ).cast("int").alias("gk_median_ok"),
     )
+
+
+@query(
+    "events_seasonal_naive_eval",
+    # Pure-integer recipe throughout: per-row integerized values, integer
+    # bucket arithmetic, and the round-half-up ppm division for the means
+    # (the doc_chunk_dedup recipe) — nothing float crosses engines. CASTs
+    # around the SUMs keep DuckDB off HUGEINT.
+    oracle="""
+        WITH b AS (
+            SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS ve4
+            FROM events GROUP BY bucket, event_type
+        ),
+        scored AS (
+            SELECT cur.event_type,
+                   ABS(cur.n - prev.n) AS err_n,
+                   ABS(cur.ve4 - prev.ve4) AS err_v
+            FROM b cur JOIN b prev
+              ON prev.bucket = cur.bucket - 144 AND prev.event_type = cur.event_type
+        )
+        SELECT event_type,
+               COUNT(*) AS n_scored,
+               CAST(SUM(err_n) AS BIGINT) AS sum_abs_err_n,
+               CAST((CAST(SUM(err_n) AS BIGINT) * 2000000 + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) AS mae_n_ppm,
+               CAST(SUM(err_v) AS BIGINT) AS sum_abs_err_ve4,
+               CAST((CAST(SUM(err_v) AS BIGINT) * 2000000 + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) AS mae_ve4_ppm
+        FROM scored GROUP BY event_type
+    """,
+    description="Forecast-baseline evaluation (the M4 seasonal-naive benchmark): each 10-min bucket's per-type count and integer value-sum predicted by the same bucket 24h earlier (lag 144); per-type MAE as exact round-half-up ppm integers — the standing quality bar any real forecaster must beat, computed as two hash aggregates and one self equi-join on (bucket-144, type), no windows over the raw stream",
+)
+def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    b = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("ve4"),
+    )
+    cur = b.alias("cur")
+    prev = b.select(
+        (F.col("bucket") + 144).alias("bucket"),
+        "event_type",
+        F.col("n").alias("prev_n"),
+        F.col("ve4").alias("prev_ve4"),
+    ).alias("prev")
+    scored = cur.join(prev, ["bucket", "event_type"]).select(
+        "event_type",
+        F.abs(F.col("n") - F.col("prev_n")).alias("err_n"),
+        F.abs(F.col("ve4") - F.col("prev_ve4")).alias("err_v"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        F.sum("err_n").alias("sum_abs_err_n"),
+        F.expr("(sum(err_n) * 2000000L + count(*)) div (2L * count(*))").alias("mae_n_ppm"),
+        F.sum("err_v").alias("sum_abs_err_ve4"),
+        F.expr("(sum(err_v) * 2000000L + count(*)) div (2L * count(*))").alias("mae_ve4_ppm"),
+    )

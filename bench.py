@@ -104,6 +104,7 @@ HEADLINE = [
     "events_scd2_incremental",
     "similarity_ann_recall_profile",
     "events_approx_group_profile",
+    "events_seasonal_naive_eval",
 ]
 
 

@@ -125,6 +125,9 @@ def test_driver_window_covers_oracle_backed_queries():
         # exercises the same exact-percentile machinery (p49/p51 brackets)
         # per group PLUS the sketch assertions; the r3-green row stands.
         "events_value_quartiles_by_type",
+        # entity_cooccurrence_edges demoted (r3-green, unchanged): slot
+        # ceded to the new seasonal-naive forecast evaluation family.
+        "entity_cooccurrence_edges",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
