@@ -2374,6 +2374,10 @@ def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("ve4"),
     )
+    # b feeds BOTH self-join sides — materialize the bucket-cardinality
+    # aggregate once (lazy localCheckpoint) instead of scanning the raw
+    # events twice.
+    b = b.localCheckpoint(eager=False)
     cur = b.alias("cur")
     prev = b.select(
         (F.col("bucket") + 144).alias("bucket"),

@@ -50,6 +50,8 @@ PICKS = {
     "events_type_association_rules": "Pair generation self-joins on the BASKET key (fan-out bounded by the item catalog), two hash aggregates; item-count sides broadcast into the final projection — one corpus-sized shuffle total.",
     "events_scd2_user_state": "SCD2 build in ONE shuffle: a single Exchange+Sort on the key serves both windows (lag-filter collapse, then renumber/lead over the survivors) — per-key state is the key's row run, never corpus-wide.",
     "events_scd2_incremental": "Incremental SCD2 fold: batch-side windows + key equi-joins against the history's CURRENT rows only; the closed history enters nowhere but the final union — per-batch cost tracks the batch + live keys, and the result is oracle-proven equal to a full rebuild.",
+    "events_approx_group_profile": "Grouped sketch profiling in ONE aggregate: HLL distinct-users and GK median sketches merge map-side alongside the exact anchor counts; the accuracy assertions evaluate in the final projection — no second pass, no per-key exact-distinct shuffle in the production (sketch-only) variant.",
+    "events_seasonal_naive_eval": "Forecast-baseline eval: one bucket aggregate (map-side combined), a self equi-join on (bucket-144, type) — the lag is pushed into the join key, so no window over the raw stream — and a per-type error aggregate; all integer arithmetic.",
     "corpus_curation_funnel": "Six gates from ONE corpus scan — now physically true: the (id, kind, h) key table and the per-doc flags are materialized via lazy localCheckpoint (without that, Catalyst re-planned the scan+explode chain per gate family: 18 scans), and the six stage counts collapse into one aggregate unpivoted via stack.",
     "events_multires_rollup": "Continuous aggregate: raw events aggregate ONCE into 10min partials, materialized via lazy localCheckpoint (without it Catalyst planned a scan->aggregate chain PER union branch: 3 corpus scans, 0 ReusedExchange); 1h/1d levels re-aggregate the checkpointed partial rows (bounded by buckets x types).",
 }
