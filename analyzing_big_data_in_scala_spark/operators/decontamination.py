@@ -41,6 +41,13 @@ def contamination_scan(
     the benchmark; ``hit_frac`` = hits / doc's distinct n-grams;
     ``contaminated`` = n_hits >= min_hits. Docs shorter than n tokens have
     zero n-grams: they can never be flagged and report hit_frac NULL."""
+    # corpus_grams has two consumers (per-doc sizes + the benchmark semi
+    # join) but NO materialization — deliberate: both sit above the
+    # shingle table's identical distinct-exchange (the semi join applies
+    # ABOVE it), so ReuseExchange serves them from one shuffle write.
+    # Interleaved A/B at sf0.1 (round 4): checkpoint 1.89s vs plain 1.54s
+    # median — same verdict as the tf/tfidf search subplans, opposite of
+    # the funnel (where pushed-down per-consumer filters defeat reuse).
     corpus_grams = hashed_shingle_table(corpus, k=n, id_col=id_col, text_col=text_col)
     bench_grams = (
         hashed_shingle_table(benchmark, k=n, id_col=id_col, text_col=text_col)
