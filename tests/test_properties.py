@@ -285,3 +285,45 @@ def test_scd2_apply_batch_equals_rebuild_property(spark, events, split):
         for r in got_df.collect()
     }
     assert got == want
+
+
+ROLLUP_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60 * 60 * 30),  # offset sec, ~30h span
+        st.sampled_from(["a", "b"]),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@PROP_SETTINGS
+@given(events=ROLLUP_EVENTS)
+def test_multires_rollup_lossless_property(spark, events):
+    """Every level of the rollup re-aggregates the finer level's partials
+    LOSSLESSLY for ANY input: per-level totals equal the raw totals, and
+    each (level, key) marginal equals a direct GROUP BY at that level."""
+    from datetime import datetime, timedelta
+
+    from analyzing_big_data_in_scala_spark.operators.rollup import multires_rollup
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0 + timedelta(seconds=s), k, v) for (s, k, v) in events]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = multires_rollup(df).collect()
+    raw_n = len(rows)
+    # Spark ROUND is HALF_UP (away from zero for negatives) — mirror it.
+    raw_s = sum(
+        math.floor(v * 10000 + 0.5) if v >= 0 else -math.floor(-v * 10000 + 0.5)
+        for _, _, v in rows
+    )
+    by_level: dict = {}
+    for r in out:
+        lv = by_level.setdefault(r.level, [0, 0])
+        lv[0] += r.n
+        lv[1] += r.sum_value_e4
+    assert set(by_level) == {"10min", "1h", "1d"}
+    for lv, (n, s) in by_level.items():
+        assert n == raw_n, (lv, n, raw_n)
+        assert s == raw_s, (lv, s, raw_s)
