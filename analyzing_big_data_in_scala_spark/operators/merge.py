@@ -187,8 +187,12 @@ def scd2_apply_batch(
     "APPLY CHANGES" / Kimball incremental type-2 load, as one batch-sized
     plan.
 
-    Contract: every batch timestamp must be >= every timestamp folded into
-    `history` (append-only ingest; the standard watermark guarantee). Runs:
+    Contract: every batch (ts, tie) ordering key must be STRICTLY greater
+    than every ordering key folded into `history` (append-only ingest; the
+    standard watermark guarantee). Strictness matters: a batch event tied
+    on ts with a base event but sorting before it on `tie_col` would land
+    earlier in a full rebuild's run order than the fold can place it, so
+    ts-equality across the boundary is outside the guarantee. Runs:
 
     - the batch collapses to its own state runs (same gaps-and-islands as
       the full build);
@@ -226,6 +230,11 @@ def scd2_apply_batch(
         F.col("state").alias("_open_state"),
         F.col("valid_from").alias("_open_from"),
         F.col("version").alias("_open_version"),
+        # Distinguishes "key has an open row whose state is NULL" from "key
+        # is new in the batch" after the left join below: without it, a new
+        # key whose first state is NULL hits eqNullSafe(NULL, NULL) = true
+        # and its version-1 run is wrongly absorbed.
+        F.lit(True).alias("_has_open"),
     )
     # Absorb a first run that continues the current state; renumber what
     # survives so versions continue the key's sequence.
@@ -235,7 +244,11 @@ def scd2_apply_batch(
         open_rows, key, "left"
     )
     surviving = ranked.filter(
-        ~((F.col("_rn") == 1) & F.col("state").eqNullSafe(F.col("_open_state")))
+        ~(
+            (F.col("_rn") == 1)
+            & F.col("_has_open").isNotNull()
+            & F.col("state").eqNullSafe(F.col("_open_state"))
+        )
     )
     w3 = Window.partitionBy(key).orderBy(*order2)
     new_rows = surviving.select(

@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 from ..streaming import stream as ST
 from .registry import query
 
+# Micro-batch count of the most recent streaming_incremental_rollup run,
+# surfaced so tests can assert the fold actually ran incrementally
+# (>= 2 batches) rather than collapsing into one vacuous batch.
+LAST_FOLD_BATCHES: int | None = None
+
 
 @query(
     "streaming_tumbling_counts",
@@ -289,9 +294,22 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            # Timed out before the availableNow drain finished: fail fast
+            # with the real cause instead of returning a partially-folded
+            # aggregate that surfaces as a confusing oracle mismatch.
+            q.stop()
+            raise RuntimeError(
+                "streaming_incremental_rollup: availableNow drain did not "
+                "terminate within 120s"
+            )
         if state["agg"] is None:
             raise RuntimeError("streaming_incremental_rollup: no batches arrived")
+        # Surface the micro-batch count for tests: the incremental-fold
+        # property (agg_delta folded >= 2 times) is only meaningful if the
+        # staged 4-file source actually delivered multiple batches.
+        global LAST_FOLD_BATCHES
+        LAST_FOLD_BATCHES = state["batches"]
         # The eager localCheckpoints above materialized the standing
         # aggregate, so the result survives the staged files' removal.
         return state["agg"]

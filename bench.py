@@ -147,14 +147,39 @@ def main() -> None:
 
     times = {name: round(sorted(ts)[1], 3) for name, ts in samples.items()}
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
+
+    # Full per-query map goes to a side file; the printed line stays compact.
+    # The driver captures only the tail of stdout (BENCH_r04.json had
+    # "parsed": null because the full 73-query map overflowed its 2000-char
+    # window, leaving a truncated, unparseable line). Keep the printed JSON
+    # comfortably under that window: total + the 15 slowest queries at
+    # 2-decimal precision (~600 chars), with everything else in
+    # BENCH_DETAIL.json next to this script.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "samples": {k: [round(t, 3) for t in v] for k, v in samples.items()},
+            },
+            f,
+            indent=1,
+        )
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:15])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in slowest.items()},
+                "sf": sf,
+                "n_queries": len(times),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -207,6 +207,43 @@ def test_scd2_apply_batch_equals_full_rebuild(spark):
     assert got_m[(3, 1)][0] == "m" and got_m[(3, 2)][0] == "n"
 
 
+def test_scd2_apply_batch_new_key_null_first_state(spark):
+    """A key NEW in the batch whose FIRST state is NULL must still produce
+    its version-1 row: the left join against the open rows yields
+    _open_state = NULL for new keys, and without the _has_open marker
+    eqNullSafe(NULL, NULL) = true silently absorbed the run (ADVICE r4)."""
+    from analyzing_big_data_in_scala_spark.operators.merge import (
+        scd2_apply_batch,
+        scd2_history,
+    )
+    from datetime import datetime
+
+    T = datetime
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    base = spark.createDataFrame([(1, T(2024, 1, 1), "a", 1)], schema)
+    batch = spark.createDataFrame(
+        [(2, T(2024, 1, 2), None, 2), (2, T(2024, 1, 3), "x", 3)], schema
+    )
+    args = dict(key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")
+    got = scd2_apply_batch(scd2_history(base, **args), batch, **args)
+    want = scd2_history(
+        spark.createDataFrame(
+            [(1, T(2024, 1, 1), "a", 1), (2, T(2024, 1, 2), None, 2), (2, T(2024, 1, 3), "x", 3)],
+            schema,
+        ),
+        **args,
+    )
+    as_map = lambda df: {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in df.collect()
+    }
+    got_m = as_map(got)
+    assert got_m == as_map(want)
+    # The NULL state is version 1 (closed at the 'x' change), not absorbed.
+    assert got_m[(2, 1)] == (None, T(2024, 1, 2), T(2024, 1, 3), False)
+    assert got_m[(2, 2)] == ("x", T(2024, 1, 3), None, True)
+
+
 def test_scd2_apply_batch_all_absorbed_keeps_interval_open(spark):
     from analyzing_big_data_in_scala_spark.operators.merge import (
         scd2_apply_batch,

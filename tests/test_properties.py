@@ -237,7 +237,9 @@ SCD2_EVENTS = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),
         st.integers(min_value=0, max_value=30),
-        st.sampled_from(["a", "b", "c"]),
+        # None exercises the "NULL is a state" contract — including a key
+        # whose FIRST batch state is NULL (the r4 absorb bug).
+        st.sampled_from(["a", "b", "c", None]),
     ),
     min_size=1,
     max_size=14,

@@ -181,5 +181,12 @@ def test_streaming_incremental_rollup_folds_multiple_batches(spark):
     # A 4-file staged source under maxFilesPerTrigger=1 must have folded
     # at least twice — i.e. some groups were merged across batches, which
     # only happens via apply_agg_delta (event_id ranges don't align with
-    # time buckets, so buckets straddle file splits).
+    # time buckets, so buckets straddle file splits). The query surfaces
+    # its micro-batch count precisely so this isn't vacuously green when
+    # everything arrives in one batch.
+    from analyzing_big_data_in_scala_spark.plans import streaming_queries as SQ
+
     assert len(got) > 0
+    assert SQ.LAST_FOLD_BATCHES is not None and SQ.LAST_FOLD_BATCHES >= 2, (
+        f"expected >= 2 micro-batches, got {SQ.LAST_FOLD_BATCHES}"
+    )
