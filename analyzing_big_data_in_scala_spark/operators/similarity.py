@@ -16,6 +16,9 @@ double precision); no Python UDF in the scoring loop.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -389,7 +392,14 @@ def ivf_topk_indexed(
 
 def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id expression: bit p = sign(v . h_p)
-    with h_p a deterministic +-1 hyperplane derived from (p, index) parity."""
+    with h_p a deterministic +-1 hyperplane derived from (p, index) parity.
+
+    NOTE: the (i*(p+1)+p) % 3 sign pattern depends only on p mod 3, so the
+    family has just THREE distinct hyperplanes (and the p%3==2 plane never
+    flips a sign) — cheap to re-derive in a SQL oracle, which is why
+    :func:`semantic_dedup` keeps it (its cells only need to agree across
+    engines, recall is enforced by the verify step). It is NOT a good ANN
+    hash; :func:`lsh_topk` uses :func:`_lsh_plane_bucket` instead."""
     v = F.transform(vec, lambda x: x.cast("double"))
     bucket = None
     for p in range(n_planes):
@@ -406,6 +416,53 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
         bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
+
+
+@lru_cache(maxsize=None)
+def _plane_signs(g: int, dim: int) -> tuple[float, ...]:
+    """Deterministic pseudo-random ±1 sign vector for global plane g:
+    component i's sign is the parity of md5(f"{g}:{i}")'s first byte —
+    platform-stable (unlike Python's salted hash()) and effectively
+    independent across planes and components."""
+    return tuple(
+        1.0 if hashlib.md5(f"{g}:{i}".encode()).digest()[0] % 2 == 0 else -1.0
+        for i in range(dim)
+    )
+
+
+def _lsh_plane_bucket(
+    vec_col: str, n_planes: int, dim: int, table: int
+) -> Column:
+    """LSH bucket from PSEUDO-RANDOM ±1 hyperplanes: the sign of component
+    i on global plane g = table*n_planes + p comes from :func:`_plane_signs`
+    — effectively independent across planes and tables (unlike
+    :func:`hyperplane_bucket`'s 3-plane parity family, whose near-duplicate
+    planes capped recall at 2-3/10).
+
+    Built as ONE SQL expression string of signed element_at sums, for two
+    measured reasons: (a) constructing ~128 aggregate/zip_with lambda
+    Columns through py4j made Catalyst ANALYSIS the dominant cost of the
+    whole query (~6 s per plan build — and bench rebuilds the plan every
+    sample); (b) higher-order functions are evaluated interpreted, while
+    a flat signed sum stays inside whole-stage codegen. The sum order is
+    fixed by the generated text (index-ascending, signs interleaved), so
+    buckets are deterministic across sessions and platforms. No SQL oracle
+    re-derives these buckets; the lsh path is value-checked through the
+    pinned recall profile instead."""
+    bits = []
+    for p in range(n_planes):
+        g = p + table * n_planes
+        signs = _plane_signs(g, dim)
+        terms = " + ".join(
+            (
+                f"CAST({vec_col}[{i}] AS DOUBLE)"
+                if s > 0
+                else f"(-CAST({vec_col}[{i}] AS DOUBLE))"
+            )
+            for i, s in enumerate(signs)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0.0D THEN {1 << p} ELSE 0 END)")
+    return F.expr(f"CAST({' + '.join(bits)} AS INT)")
 
 
 def hyperplane_signatures(
@@ -426,15 +483,67 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_tables: int = 8,
+    max_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket.
-    Recall < 1.0 by design; at scale this replaces the full corpus scan with
-    a bucket equi-join (multi-probe / more tables raise recall)."""
-    csig = hyperplane_signatures(corpus, n_planes, id_col, vec_col, dim)
-    qsig = hyperplane_signatures(query, n_planes, id_col, vec_col, dim).select(
-        F.col(id_col).alias("query_id"), "bucket"
+    """Approximate top-k: score only candidates sharing an LSH bucket with
+    the query in ANY of `n_tables` independent hash tables, where the query
+    additionally probes every bucket within Hamming distance `max_hamming`
+    of its own (multi-probe LSH, Lv et al. VLDB'07: flipping one signature
+    bit visits the buckets a near-neighbor most likely fell into, buying
+    the recall of many extra tables for the index cost of none).
+
+    Defaults (8 planes x 8 tables, Hamming <= 1) were tuned on the sf0.01
+    fixture: recall 7-8/10 vs exact top-10 at a ~30% candidate fraction.
+    The fixture's embeddings are near-uniform random — the hardest case
+    for LSH (neighbors barely beat random cosine) — so finer buckets
+    (10-12 planes) LOSE recall there; real clustered embeddings support
+    more planes and a far smaller candidate fraction at the same recall.
+
+    Scale shape: the corpus is signed ONCE per table in a single scan
+    (array + posexplode → n_tables rows per vector — the same banding
+    shape as MinHash LSH in dedup.py), the query's probe set
+    (n_tables * (1 + n_planes) rows per query at max_hamming=1) is
+    broadcast, and candidates come from the (table, bucket) equi-join —
+    never an all-pairs product. Dedup across tables is a distinct on
+    (query_id, id), candidate-sized. Recall is pinned as value-checked
+    constants in `similarity_ann_recall_profile`.
+    """
+    sig_cols = [
+        _lsh_plane_bucket(vec_col, n_planes, dim, t) for t in range(n_tables)
+    ]
+    # posexplode fed INLINE (Project+Generate over a named array column can
+    # drop the projection out of codegen — see verify-skill perf traps).
+    csig = corpus.select(
+        F.col(id_col), F.posexplode(F.array(*sig_cols)).alias("tbl", "bucket")
     )
-    cand = csig.join(F.broadcast(qsig), "bucket").select("query_id", id_col)
+    # Sign the query ONCE per table, then expand probes by XOR-ing the
+    # computed bucket VALUE with each single-bit mask (an earlier version
+    # re-built the full plane expression inside every probe struct —
+    # n_tables*(1+n_planes) copies of the signature tree made Catalyst
+    # analysis the dominant cost of the whole query).
+    qsig_cols = [
+        _lsh_plane_bucket(vec_col, n_planes, dim, t) for t in range(n_tables)
+    ]
+    masks = [0] + ([1 << j for j in range(n_planes)] if max_hamming >= 1 else [])
+    qprobes = (
+        query.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(F.array(*qsig_cols)).alias("tbl", "qbucket"),
+        )
+        .select(
+            "query_id",
+            "tbl",
+            F.explode(
+                F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        csig.join(F.broadcast(qprobes), ["tbl", "bucket"])
+        .select("query_id", id_col)
+        .distinct()
+    )
     scored = (
         cand.join(
             corpus.select(

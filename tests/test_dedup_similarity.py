@@ -111,8 +111,9 @@ def test_lsh_recall_against_brute_force(spark):
     approx = S.lsh_topk(emb, probes, k=5, n_planes=4).collect()
     exact_set = {(r.query_id, r.vec_id) for r in exact}
     approx_set = {(r.query_id, r.vec_id) for r in approx}
-    # LSH with 4 planes on 500 vecs should recover a reasonable share.
-    assert len(approx_set & exact_set) / len(exact_set) >= 0.3
+    # Multi-table multi-probe LSH (r5) should recover most of the exact
+    # top-k even with coarse 4-plane tables.
+    assert len(approx_set & exact_set) / len(exact_set) >= 0.7
     # And every approx hit must carry the SAME cosine as brute force would.
     exact_scores = {(r.query_id, r.vec_id): r.cosine for r in exact}
     for r in approx:
