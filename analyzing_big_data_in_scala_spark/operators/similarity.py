@@ -399,7 +399,7 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     flips a sign) — cheap to re-derive in a SQL oracle, which is why
     :func:`semantic_dedup` keeps it (its cells only need to agree across
     engines, recall is enforced by the verify step). It is NOT a good ANN
-    hash; :func:`lsh_topk` uses :func:`_lsh_plane_bucket` instead."""
+    hash; :func:`lsh_topk` uses :func:`_lsh_signatures` instead."""
     v = F.transform(vec, lambda x: x.cast("double"))
     bucket = None
     for p in range(n_planes):
@@ -430,39 +430,67 @@ def _plane_signs(g: int, dim: int) -> tuple[float, ...]:
     )
 
 
-def _lsh_plane_bucket(
-    vec_col: str, n_planes: int, dim: int, table: int
-) -> Column:
-    """LSH bucket from PSEUDO-RANDOM ±1 hyperplanes: the sign of component
-    i on global plane g = table*n_planes + p comes from :func:`_plane_signs`
-    — effectively independent across planes and tables (unlike
-    :func:`hyperplane_bucket`'s 3-plane parity family, whose near-duplicate
-    planes capped recall at 2-3/10).
+def _lsh_signatures(
+    df: DataFrame,
+    n_planes: int,
+    dim: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str = "id",
+) -> DataFrame:
+    """All `n_tables` LSH bucket ids per vector in ONE Arrow matmul pass:
+    the (dim x n_tables*n_planes) ±1 sign matrix (columns from
+    :func:`_plane_signs` — md5-parity signs, effectively independent across
+    planes and tables, unlike :func:`hyperplane_bucket`'s 3-plane parity
+    family whose near-duplicate planes capped recall at 2-3/10) multiplies
+    each Arrow batch once; bit p of table t is sign(proj[:, t*n_planes+p]).
+    Returns (out_id, tbl, bucket) — n_tables rows per input vector.
 
-    Built as ONE SQL expression string of signed element_at sums, for two
-    measured reasons: (a) constructing ~128 aggregate/zip_with lambda
-    Columns through py4j made Catalyst ANALYSIS the dominant cost of the
-    whole query (~6 s per plan build — and bench rebuilds the plan every
-    sample); (b) higher-order functions are evaluated interpreted, while
-    a flat signed sum stays inside whole-stage codegen. The sum order is
-    fixed by the generated text (index-ascending, signs interleaved), so
-    buckets are deterministic across sessions and platforms. No SQL oracle
-    re-derives these buckets; the lsh path is value-checked through the
-    pinned recall profile instead."""
-    bits = []
-    for p in range(n_planes):
-        g = p + table * n_planes
-        signs = _plane_signs(g, dim)
-        terms = " + ".join(
-            (
-                f"CAST({vec_col}[{i}] AS DOUBLE)"
-                if s > 0
-                else f"(-CAST({vec_col}[{i}] AS DOUBLE))"
+    Why mapInPandas and not a SQL expression: the r5 flat-SQL form (4096
+    signed CAST terms inside one Project) blew janino's 64 KB generated-
+    method limit, so the WHOLE stage fell back to interpreted evaluation —
+    31x slower at sf0.1 and fatal at 100 TB. One numpy matmul per batch is
+    the same shape :func:`semantic_dedup`'s tag stage measured 25x faster
+    than per-row expression trees, and its cost is a single BLAS call per
+    Arrow batch regardless of n_planes*n_tables. Projections here sum
+    float64 terms, so numpy's reassociation can differ from a serial sum
+    only for |proj| within rounding noise of 0 — deterministic for a given
+    numpy build, which is what the pinned recall oracle runs under."""
+    total = n_planes * n_tables
+    signs = [_plane_signs(g, dim) for g in range(total)]
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def sign_batches(batches):
+        # Self-contained closure: executors import locally.
+        import numpy as _np
+        import pandas as _pd
+
+        P = _np.array(signs, dtype=_np.float64).T  # dim x total
+        bits = (1 << _np.arange(n_planes)).astype(_np.int64)
+        tbl = _np.arange(n_tables, dtype=_np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+            proj = V @ P  # N x total
+            sgn = proj > 0.0  # same strict > as the zip_with/SQL forms
+            bucket = (
+                (sgn.reshape(len(pdf), n_tables, n_planes) * bits)
+                .sum(axis=2)
+                .astype(_np.int32)
             )
-            for i, s in enumerate(signs)
-        )
-        bits.append(f"(CASE WHEN ({terms}) > 0.0D THEN {1 << p} ELSE 0 END)")
-    return F.expr(f"CAST({' + '.join(bits)} AS INT)")
+            yield _pd.DataFrame(
+                {
+                    out_id: _np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "tbl": _np.tile(tbl, len(pdf)),
+                    "bucket": bucket.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sign_batches, schema=f"{out_id} {id_type}, tbl int, bucket int"
+    )
 
 
 def hyperplane_signatures(
@@ -483,7 +511,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_tables: int = 8,
+    n_tables: int = 12,
     max_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket with
@@ -493,51 +521,45 @@ def lsh_topk(
     bit visits the buckets a near-neighbor most likely fell into, buying
     the recall of many extra tables for the index cost of none).
 
-    Defaults (8 planes x 8 tables, Hamming <= 1) were tuned on the sf0.01
-    fixture: recall 7-8/10 vs exact top-10 at a ~30% candidate fraction.
+    Defaults (8 planes x 12 tables, Hamming <= 1) were tuned on the sf0.01
+    fixture: recall 7-10/10 vs exact top-10 at a ~38% candidate fraction
+    (8 tables gave 6-9/10 at 29%; Hamming <= 2 gives 10/10 but visits ~73%
+    of this tiny corpus — effectively a scan, so not the honest default).
     The fixture's embeddings are near-uniform random — the hardest case
     for LSH (neighbors barely beat random cosine) — so finer buckets
     (10-12 planes) LOSE recall there; real clustered embeddings support
     more planes and a far smaller candidate fraction at the same recall.
 
-    Scale shape: the corpus is signed ONCE per table in a single scan
-    (array + posexplode → n_tables rows per vector — the same banding
+    Scale shape: the corpus is signed ONCE in a single Arrow matmul scan
+    (:func:`_lsh_signatures` — n_tables rows per vector, the same banding
     shape as MinHash LSH in dedup.py), the query's probe set
-    (n_tables * (1 + n_planes) rows per query at max_hamming=1) is
+    (n_tables * sum_{h<=max_hamming} C(n_planes,h) rows per query) is
     broadcast, and candidates come from the (table, bucket) equi-join —
     never an all-pairs product. Dedup across tables is a distinct on
     (query_id, id), candidate-sized. Recall is pinned as value-checked
     constants in `similarity_ann_recall_profile`.
     """
-    sig_cols = [
-        _lsh_plane_bucket(vec_col, n_planes, dim, t) for t in range(n_tables)
-    ]
-    # posexplode fed INLINE (Project+Generate over a named array column can
-    # drop the projection out of codegen — see verify-skill perf traps).
-    csig = corpus.select(
-        F.col(id_col), F.posexplode(F.array(*sig_cols)).alias("tbl", "bucket")
+    from itertools import combinations
+
+    csig = _lsh_signatures(
+        corpus, n_planes, dim, n_tables, id_col, vec_col, out_id=id_col
     )
-    # Sign the query ONCE per table, then expand probes by XOR-ing the
-    # computed bucket VALUE with each single-bit mask (an earlier version
-    # re-built the full plane expression inside every probe struct —
-    # n_tables*(1+n_planes) copies of the signature tree made Catalyst
-    # analysis the dominant cost of the whole query).
-    qsig_cols = [
-        _lsh_plane_bucket(vec_col, n_planes, dim, t) for t in range(n_tables)
-    ]
-    masks = [0] + ([1 << j for j in range(n_planes)] if max_hamming >= 1 else [])
-    qprobes = (
-        query.select(
-            F.col(id_col).alias("query_id"),
-            F.posexplode(F.array(*qsig_cols)).alias("tbl", "qbucket"),
-        )
-        .select(
-            "query_id",
-            "tbl",
-            F.explode(
-                F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
-            ).alias("bucket"),
-        )
+    # Sign the query ONCE per table (same matmul pass), then expand probes
+    # by XOR-ing the computed bucket VALUE with every <=max_hamming-bit
+    # mask — the Lv et al. multi-probe trick: extra recall for zero extra
+    # index cost, and the signature itself is never re-evaluated.
+    masks = [0]
+    for h in range(1, max_hamming + 1):
+        for pos in combinations(range(n_planes), h):
+            masks.append(sum(1 << j for j in pos))
+    qprobes = _lsh_signatures(
+        query, n_planes, dim, n_tables, id_col, vec_col, out_id="query_id"
+    ).select(
+        "query_id",
+        "tbl",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
     )
     cand = (
         csig.join(F.broadcast(qprobes), ["tbl", "bucket"])

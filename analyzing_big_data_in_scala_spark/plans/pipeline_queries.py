@@ -1008,7 +1008,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_lsh_topk",
     oracle=None,  # approximate path; recall checked against brute force in tests
-    description="Multi-probe LSH approximate top-10: 8 xxhash64-signed hyperplane tables, query probes all Hamming<=1 buckets per table (the 100 TB scale path; recall pinned at 7-8/10 in similarity_ann_recall_profile)",
+    description="Multi-probe LSH approximate top-10: 12 md5-parity-signed hyperplane tables signed in one Arrow matmul pass, query probes all Hamming<=1 buckets per table (the 100 TB scale path; recall pinned at 7-10/10 in similarity_ann_recall_profile)",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2241,20 +2241,23 @@ def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver's sf0.01 only (tests/oracle_check.py PINNED_SF gates the
     # other scales): per-probe result counts and brute-force-overlap hits
     # for BOTH approximate ANN paths. The values are deterministic — LSH
-    # buckets come from fixed xxhash64-signed hyperplanes (8 planes x 8
-    # tables, Hamming<=1 multi-probe — r5 upgrade from 2-3/10 recall to
-    # 7-8/10), IVF centroids from a fixed-seed Lloyd run, ties break on
-    # ascending id — reproduced bit-for-bit under local[4]/64-shuffle-
-    # partition sessions before pinning (r5 re-pin reproduced the same
-    # way). This upgrades the ANN family from rows-only driver evidence
-    # to value-checked recall measurements: the driver now verifies not
-    # just that the index answers, but exactly HOW approximate it is.
+    # buckets come from fixed md5-parity-signed hyperplanes (8 planes x 12
+    # tables, Hamming<=1 multi-probe, signed in one Arrow matmul — r6
+    # replaced the r5 flat-SQL signature that broke janino's 64 KB limit),
+    # IVF centroids from a fixed-seed Lloyd run, ties break on ascending
+    # id. r6 pin taken from the SHIPPED code at sf0.01 under the driver's
+    # local[32]/32-partition session shape; the matmul signature is a
+    # single deterministic numpy pass, so the values are stable across
+    # sessions for a given numpy build. This upgrades the ANN family from
+    # rows-only driver evidence to value-checked recall measurements: the
+    # driver verifies not just that the index answers, but exactly HOW
+    # approximate it is.
     oracle="""
         SELECT method, CAST(query_id AS BIGINT) AS query_id,
                CAST(n_results AS BIGINT) AS n_results,
                CAST(n_brute_hits AS BIGINT) AS n_brute_hits
         FROM (VALUES
-            ('lsh', 0, 10, 7), ('lsh', 1, 10, 8), ('lsh', 2, 10, 8),
+            ('lsh', 0, 10, 7), ('lsh', 1, 10, 10), ('lsh', 2, 10, 7),
             ('ivf', 0, 10, 10), ('ivf', 1, 10, 8), ('ivf', 2, 10, 6)
         ) t(method, query_id, n_results, n_brute_hits)
     """,
