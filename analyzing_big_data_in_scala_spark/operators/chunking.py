@@ -123,3 +123,115 @@ def chunk_dedup_stats(
             ),
         )
     )
+
+
+def exact_substring_removal(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (Lee et al. 2022 §4.1 ExactSubstr,
+    "Deduplicating Training Data Makes Language Models Better"): excise
+    from each document every token covered by a `window`-token run that
+    also appears verbatim in at least one OTHER document, and emit the
+    cleaned text. Returns (id_col, n_tokens, n_removed_tokens,
+    cleaned_text); docs shorter than `window` tokens pass through intact.
+
+    Where :func:`chunk_dedup_stats` only MEASURES duplicated passages,
+    this is the removal step a training-data user runs next. The paper
+    builds a suffix array; the scalable Spark re-expression is hash-based:
+    at stride=1 every length-`window` substring is hashed, so any
+    duplicated run of >= `window` tokens is detected at every offset —
+    the same detection guarantee as the suffix array, minus md5-collision
+    odds (~1e-10 at a billion windows). stride > 1 is the recall/cost
+    dial (rows shrink by the stride; grid-shifted passages can then be
+    missed — see :func:`token_chunks`).
+
+    Shape, all DataFrame ops, nothing quadratic:
+      1. one scan: tokenize, slice+hash full windows (explode: ~1 row per
+         corpus TOKEN at stride=1 — heavy but linear, keys 8-byte longs);
+      2. per-hash cross-doc document frequency (hash aggregate), join back
+         on the hash (reuses the aggregate's exchange partitioning);
+      3. duplicated window starts -> merged removed intervals per doc
+         (gaps-and-islands over a per-doc window function: equal-length
+         intervals sorted by start merge iff start <= prev_start+window);
+      4. complement + re-concat kept tokens with higher-order array
+         functions (exists over the FEW merged intervals per doc) — no
+         Python in the path, no per-token shuffle beyond step 2's.
+
+    Within-doc repeats (df == 1) are repetition, not cross-corpus
+    boilerplate — same cross-doc-only rule as :func:`chunk_dedup_stats`.
+    One pass is not a fixed point (Lee et al. note the same): re-joining
+    kept tokens can in principle mint NEW cross-doc windows spanning a cut;
+    tests re-run the pass on the cleaned fixture corpus to show it lands
+    at zero on real data."""
+    from pyspark.sql import Window as W
+
+    if stride <= 0 or stride > window:
+        raise ValueError(f"exact_substring_removal: need 0 < stride <= window, got {stride}")
+    toked = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    # Full windows only: starts 0, stride, ... while start + window <= n.
+    n_full = (F.floor((F.size("toks") - F.lit(window)) / F.lit(stride)) + 1).cast("int")
+    starts = F.when(
+        F.size("toks") >= window,
+        F.sequence(F.lit(0), (n_full - 1) * stride, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toked.select(
+        "id", F.explode(starts).alias("p"), F.col("toks")
+    ).select(
+        "id",
+        "p",
+        portable_hash64(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("p") + 1, window))
+        ).alias("h"),
+    )
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("id").alias("wdf"))
+        .filter(F.col("wdf") > 1)
+        .select("h")
+    )
+    dup_starts = wins.join(dup_hashes, "h").select("id", "p")
+    # Gaps-and-islands: same-length intervals sorted by start merge iff
+    # start <= prev_start + window (touching intervals merge too — the
+    # union of removed positions is what matters).
+    w_ord = W.partitionBy("id").orderBy("p")
+    isl = (
+        dup_starts.withColumn("prev_p", F.lag("p").over(w_ord))
+        .withColumn(
+            "new_isl",
+            F.when(F.col("p") > F.col("prev_p") + window, 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(w_ord))
+    )
+    merged = isl.groupBy("id", "island").agg(
+        F.min("p").alias("s"), (F.max("p") + window).alias("e")
+    )
+    rms = merged.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("rms")
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        lambda i: ~F.exists(
+            F.col("rms"), lambda r: (i >= r["s"]) & (i < r["e"])
+        ),
+    )
+    return (
+        toked.join(rms, "id", "left")
+        .withColumn("rms", F.coalesce("rms", F.array().cast("array<struct<s:int,e:int>>")))
+        .select(
+            F.col("id").alias(id_col),
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.col("rms"), F.lit(0), lambda acc, r: acc + (r["e"] - r["s"])
+            )
+            .cast("long")
+            .alias("n_removed_tokens"),
+            F.when(F.size("toks") > 0, F.concat_ws(
+                " ",
+                F.transform(kept_idx, lambda i: F.element_at(F.col("toks"), i + 1)),
+            )).otherwise(F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -868,6 +868,54 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_stats(_docs(spark, sf_dir), chunk_size=32)
 
 
+@query(
+    "doc_exact_substring_removal",
+    # DuckDB re-derives the full removal end-to-end: stride-1 32-token
+    # window hashes (same _HASH64 long), cross-doc duplicated hashes,
+    # removed positions as the UNION of covered token indexes (the oracle
+    # expands generate_series per dup start and dedups — O(dups*32), fine
+    # at sf0.01), kept text re-joined with ' ' ORDER BY position. The
+    # Spark side merges intervals first (gaps-and-islands) — both forms
+    # compute the same position set, so cleaned_text matches verbatim.
+    oracle=f"""
+        WITH doc_toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id, i AS p,
+                   {_HASH64.format(x="array_to_string(list_slice(toks, i + 1, i + 32), ' ')")} AS h
+            FROM doc_toks, UNNEST(generate_series(0, len(toks) - 32, 1)) t(i)
+            WHERE len(toks) >= 32
+        ),
+        dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        dups AS (SELECT doc_id, p FROM wins JOIN dup_h USING (h)),
+        removed AS (
+            SELECT DISTINCT doc_id, pos
+            FROM dups, UNNEST(generate_series(p, p + 31)) u(pos)
+        ),
+        kept AS (
+            SELECT t.doc_id, u.pos, toks[u.pos + 1] AS tok
+            FROM doc_toks t, UNNEST(generate_series(0, len(toks) - 1)) u(pos)
+            WHERE len(toks) > 0 AND NOT EXISTS (
+                SELECT 1 FROM removed r WHERE r.doc_id = t.doc_id AND r.pos = u.pos)
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST((SELECT COUNT(*) FROM removed r WHERE r.doc_id = t.doc_id) AS BIGINT) AS n_removed_tokens,
+               COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                         FROM kept k WHERE k.doc_id = t.doc_id), '') AS cleaned_text
+        FROM doc_toks t
+    """,
+    description="Exact-substring duplicate REMOVAL (Lee et al. 2022 ExactSubstr): every token covered by a 32-token run appearing verbatim in another document is excised and the cleaned text emitted — stride-1 window hashes give the suffix-array detection guarantee with two linear hash aggregates (operators/chunking.py)",
+)
+def doc_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import exact_substring_removal
+
+    return exact_substring_removal(_docs(spark, sf_dir), window=32, stride=1)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

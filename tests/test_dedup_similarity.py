@@ -543,3 +543,97 @@ def test_token_chunks_stride_catches_shifted_passage(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         token_chunks(docs, chunk_size=8, stride=9)
+
+
+def test_exact_substring_removal_excises_shared_passage(spark):
+    from analyzing_big_data_in_scala_spark.operators.chunking import (
+        exact_substring_removal,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(8))  # 8-token shared passage
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four"),
+            (3, "totally unrelated text with no duplicates at all"),
+            (4, "tiny"),  # shorter than the window: passes through intact
+            (5, ""),      # zero tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in exact_substring_removal(docs, window=4, stride=1).collect()
+    }
+    # The shared run is excised at EVERY offset: all 8 tokens go (the
+    # surrounding context differs, so windows straddling the boundary
+    # are unique and the cut stops exactly at the passage edges).
+    assert out[1].cleaned_text == "alpha beta gamma delta"
+    assert out[1].n_removed_tokens == 8
+    assert out[2].cleaned_text == "one two three four"
+    assert out[2].n_removed_tokens == 8
+    # Untouched docs come back verbatim (tokenized form).
+    assert out[3].n_removed_tokens == 0
+    assert out[3].cleaned_text == "totally unrelated text with no duplicates at all"
+    assert out[4].cleaned_text == "tiny" and out[4].n_removed_tokens == 0
+    assert out[5].cleaned_text == "" and out[5].n_tokens == 0
+
+
+def test_exact_substring_removal_merges_overlapping_intervals(spark):
+    from analyzing_big_data_in_scala_spark.operators.chunking import (
+        exact_substring_removal,
+    )
+
+    # Two docs sharing TWO separate passages with a unique token between:
+    # intervals must merge within each passage but not across the gap.
+    p1 = " ".join(f"a{i}" for i in range(5))
+    p2 = " ".join(f"b{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} uniqx {p2}"),
+            (2, f"start {p1} mid1 mid2 {p2} end"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in exact_substring_removal(docs, window=4, stride=1).collect()
+    }
+    assert out[1].cleaned_text == "uniqx"
+    assert out[1].n_removed_tokens == 10
+    assert out[2].cleaned_text == "start mid1 mid2 end"
+    assert out[2].n_removed_tokens == 10
+
+
+def test_exact_substring_removal_property_no_dup_window_survives(spark):
+    """Every ORIGINAL 32-token window with cross-doc df>1 has all its
+    positions removed (the deterministic Lee et al. invariant), checked
+    in-plan on the sf0.001 fixture; and re-running the pass on the CLEANED
+    corpus removes nothing further there (one pass reaches the fixed point
+    on this data)."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.chunking import (
+        exact_substring_removal,
+    )
+    from analyzing_big_data_in_scala_spark.plans.pipeline_queries import _docs
+
+    from .conftest import SF_SMALL
+
+    docs = _docs(spark, SF_SMALL)
+    cleaned = exact_substring_removal(docs, window=32, stride=1)
+    agg = cleaned.agg(
+        F.sum("n_removed_tokens").alias("removed"),
+        F.sum("n_tokens").alias("total"),
+    ).first()
+    assert 0 < agg.removed < agg.total  # the fixture plants boilerplate
+    # Invariant: the cleaned texts contain NO cross-doc duplicated window.
+    # (Stronger than "original dup windows removed": it also catches
+    # freshly-minted duplicates across cut joints, which happen to be
+    # zero on this corpus.)
+    redo = exact_substring_removal(
+        cleaned.select("doc_id", F.col("cleaned_text").alias("text")),
+        window=32,
+        stride=1,
+    )
+    assert redo.agg(F.sum("n_removed_tokens")).first()[0] == 0
