@@ -316,3 +316,105 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# Micro-batch count of the most recent streaming_session_windows run
+# (tests assert >= 2: session merging across batches only actually
+# happened if the staged source delivered multiple micro-batches).
+LAST_SESSION_BATCHES: int | None = None
+
+
+@query(
+    "streaming_session_windows",
+    # Batch-equivalence oracle: the SAME SQL as the green batch query
+    # events_session_window_native — the watermarked streaming
+    # session_window drain over the staged time-ordered 4-file stream
+    # must produce exactly the sessions the batch sessionization yields.
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER w)) >= 1800
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    description="STREAMING session windows (watermarked F.session_window, 30-min gap): data-driven session state extended/merged across micro-batches — fixture staged as four time-ordered files so sessions genuinely span batch boundaries; drain == batch sessionization",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.catalog import load_events
+
+    # Stage the fixture as FOUR TIME-RANGED files (repartitionByRange on
+    # ts): a single-file source is one availableNow batch, which would
+    # make cross-batch session merging vacuous. Session fragments of the
+    # same user land in DIFFERENT batches whenever a session spans a
+    # file's time boundary — the state-merge path. NOTE the file SOURCE
+    # does not promise to deliver the ranged files in time order (it
+    # orders by modification time with arbitrary ties), so the watermark
+    # below is sized past the fixture's whole span: a 30-min watermark
+    # measurably dropped a nondeterministic fraction of rows when a
+    # later-range file arrived first. The watermarked operator path is
+    # still exercised; eviction simply never fires during the bounded
+    # drain, keeping it exactly batch-equivalent.
+    stage = tempfile.mkdtemp(prefix="stream_sessions_")
+    try:
+        ev = load_events(spark, sf_dir).select("user_id", "ts", "value")
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        result = ST.session_window_counts(stream, gap="30 minutes", watermark="3650 days")
+        table = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
+        # Inline drain (vs run_available_now) to keep the query HANDLE:
+        # recentProgress is read after termination for the micro-batch
+        # count, which tests assert >= 2 (cross-batch merging happened).
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                result.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(table)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(
+                "streaming_session_windows: availableNow drain did not "
+                "terminate within 120s"
+            )
+        # Materialize before the staged files are removed.
+        out = spark.table(table).localCheckpoint()
+        global LAST_SESSION_BATCHES
+        LAST_SESSION_BATCHES = (
+            sum(1 for p in q.recentProgress if p.numInputRows > 0) or None
+        )
+        return out
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

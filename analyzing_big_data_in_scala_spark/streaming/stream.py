@@ -89,6 +89,45 @@ def windowed_counts(stream: DataFrame, window: str = "10 minutes", watermark: st
     )
 
 
+def session_window_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Watermarked STREAMING session-window aggregation — the one
+    structured-streaming stateful surface tumbling/sliding windows don't
+    cover: session boundaries are data-driven (close after `gap` of
+    per-key silence), so the state store must EXTEND and MERGE open
+    sessions as micro-batches arrive (a session fragment in batch k
+    merges with its continuation in batch k+1). Output keyed by
+    (key, session_start) with the same shape as the batch
+    `events_session_window_native` query, so stream==batch equivalence
+    is directly checkable.
+
+    ts is truncated to whole seconds first (timestamp_seconds of
+    unix_timestamp) — session_window closes when the NEXT event is
+    >= gap after the previous, and the batch oracle measures the gap on
+    whole-second deltas; truncating makes both sides measure the same
+    gap. State eviction: the watermark lets Spark finalize sessions whose
+    end + gap is past the watermark; sizing `watermark` to the fixture's
+    staging order (time-ordered files => nothing ever arrives late) keeps
+    the drain exactly batch-equivalent."""
+    sec = F.timestamp_seconds(F.unix_timestamp("ts"))
+    return (
+        stream.select(F.col(key), sec.alias("ts"), F.col("value"))
+        .withWatermark("ts", watermark)
+        .groupBy(key, F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            key,
+            F.unix_timestamp("sw.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame,
     table_name: str,

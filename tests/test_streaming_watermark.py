@@ -190,3 +190,22 @@ def test_streaming_incremental_rollup_folds_multiple_batches(spark):
     assert SQ.LAST_FOLD_BATCHES is not None and SQ.LAST_FOLD_BATCHES >= 2, (
         f"expected >= 2 micro-batches, got {SQ.LAST_FOLD_BATCHES}"
     )
+
+
+def test_streaming_session_windows_match_batch_across_batches(spark):
+    """STREAMING session_window drain == batch sessionization, and the
+    staged 4-file source actually delivered multiple micro-batches (so the
+    state store really extended/merged open sessions across batches)."""
+    from analyzing_big_data_in_scala_spark.plans import QUERIES
+    from analyzing_big_data_in_scala_spark.plans import pipeline_queries as PQ
+    from analyzing_big_data_in_scala_spark.plans import streaming_queries as SQ
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["streaming_session_windows"].fn(spark, sf)
+    batch = QUERIES["events_session_window_native"].fn(spark, sf)
+    got = {(r.user_id, r.session_start): (r.n_events, r.sum_value) for r in out.collect()}
+    want = {(r.user_id, r.session_start): (r.n_events, r.sum_value) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    assert SQ.LAST_SESSION_BATCHES is not None and SQ.LAST_SESSION_BATCHES >= 2, (
+        f"expected >= 2 micro-batches, got {SQ.LAST_SESSION_BATCHES}"
+    )
