@@ -418,3 +418,75 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# Which stateful API the most recent streaming_user_totals run executed:
+# "tws" (transformWithStateInPandas) where protobuf exists, else "apws"
+# (applyInPandasWithState). Surfaced for tests; NOT an output column —
+# the result values are identical either way, so the oracle is
+# environment-independent.
+LAST_TOTALS_API: str | None = None
+
+
+@query(
+    "streaming_user_totals",
+    # Batch-equivalence oracle: after the update-mode drain, the LAST
+    # emission per user (the one with the highest running n_events —
+    # strictly increasing, so unique) must equal a one-shot GROUP BY.
+    # Per-row integerized sums keep the totals exact in any batch order.
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
+        FROM events
+        GROUP BY user_id
+    """,
+    description="Custom stateful running totals per user, SELF-ACTIVATING across stateful APIs: transformWithStateInPandas (Spark-4 StatefulProcessor) where protobuf exists, applyInPandasWithState otherwise — identical contract and values, staged 4-file source so state genuinely accumulates across micro-batches",
+)
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window as W
+
+    from ..sources.catalog import load_events
+    from ..streaming import stateful as SF
+
+    # Stage as FOUR files (range by event_id — no event-time semantics
+    # here, timeMode None) so update-mode state genuinely accumulates
+    # across micro-batches rather than one vacuous batch.
+    stage = tempfile.mkdtemp(prefix="stream_totals_")
+    try:
+        ev = load_events(spark, sf_dir).select("user_id", "event_id", "value")
+        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        global LAST_TOTALS_API
+        if SF.tws_available():
+            result = SF.user_event_totals_tws(stream)
+            LAST_TOTALS_API = "tws"
+        else:
+            result = SF.user_event_totals_apws(stream)
+            LAST_TOTALS_API = "apws"
+        table = f"stream_totals_{_uuid.uuid4().hex[:8]}"
+        drained = ST.run_available_now(
+            result, table, output_mode="update", state_partitions=8
+        )
+        # Update mode re-emits a user's RUNNING total each batch they
+        # appear in; the final total is the emission with the highest
+        # n_events (strictly increasing per key). Materialize before the
+        # staged files are removed.
+        w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return (
+            drained.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

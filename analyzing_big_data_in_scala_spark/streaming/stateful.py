@@ -67,8 +67,11 @@ def user_event_totals_tws(stream: DataFrame) -> DataFrame:
     fails fast with the real reason instead of a deep streaming-runner
     stack. The plan construction and processor are complete and unit-
     covered up to that boundary; on a cluster with protobuf present this
-    runs as written, which is why it is NOT registered as a driver query
-    here (a query that cannot execute would be a false red).
+    runs as written. The driver query `streaming_user_totals` registers
+    it behind :func:`tws_available`, falling back to the value-identical
+    :func:`user_event_totals_apws` — so the evidence row always runs the
+    richest stateful API the environment supports and SELF-ACTIVATES the
+    TWS path the moment protobuf appears.
 
     Emits (user_id, n_events, sum_value_e4) with the RUNNING totals after
     each batch (update semantics); over an availableNow drain of a static
@@ -132,4 +135,63 @@ def user_event_totals_tws(stream: DataFrame) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
+    )
+
+
+def tws_available() -> bool:
+    """Capability probe for transformWithStateInPandas: the TWS Python
+    worker speaks protobuf to the JVM state server, so `google.protobuf`
+    must be importable. Probed with find_spec (not a bare import) so a
+    `google` namespace package without protobuf still reports False."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def user_event_totals_apws(stream: DataFrame) -> DataFrame:
+    """Per-user running totals via applyInPandasWithState — the same
+    output contract as :func:`user_event_totals_tws` (user_id, n_events,
+    sum_value_e4 with RUNNING totals re-emitted each batch the key
+    appears in), on the API this container can execute. The
+    `streaming_user_totals` query self-activates the TWS form where
+    protobuf exists (:func:`tws_available`) and falls back here
+    otherwise, so the registered evidence row runs the richest available
+    stateful engine without ever faking the capability.
+
+    State per key: (n, s) — two longs, batch-count independent.
+    sum_value_e4 integerizes PER ROW (floor(v*1e4 + 0.5) == SQL ROUND for
+    the fixture's non-negative values) before summing: exact integer
+    totals in any batch/partition order — the proven cross-engine recipe."""
+
+    def totals_fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        n, s = 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(
+                np.floor(pdf["value"].to_numpy(dtype="float64") * 10000.0 + 0.5)
+                .astype("int64")
+                .sum()
+            )
+        if n == 0:
+            return
+        if state.exists:
+            prev_n, prev_s = state.get
+            n, s = n + prev_n, s + prev_s
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_e4": [s]}
+        )
+
+    return stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        totals_fn,
+        outputStructType="user_id long, n_events long, sum_value_e4 long",
+        stateStructType="n long, s long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -209,3 +209,28 @@ def test_streaming_session_windows_match_batch_across_batches(spark):
     assert SQ.LAST_SESSION_BATCHES is not None and SQ.LAST_SESSION_BATCHES >= 2, (
         f"expected >= 2 micro-batches, got {SQ.LAST_SESSION_BATCHES}"
     )
+
+
+def test_streaming_user_totals_self_activates_best_api(spark):
+    """streaming_user_totals must run TWS where protobuf exists and the
+    applyInPandasWithState twin otherwise — same values either way — and
+    the drain must equal the batch GROUP BY."""
+    from analyzing_big_data_in_scala_spark.plans import QUERIES
+    from analyzing_big_data_in_scala_spark.plans import streaming_queries as SQ
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_events
+    from analyzing_big_data_in_scala_spark.streaming.stateful import tws_available
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["streaming_user_totals"].fn(spark, sf)
+    assert SQ.LAST_TOTALS_API == ("tws" if tws_available() else "apws")
+    batch = (
+        load_events(spark, sf)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("sum_value_e4"),
+        )
+    )
+    got = {(r.user_id): (r.n_events, r.sum_value_e4) for r in out.collect()}
+    want = {(r.user_id): (r.n_events, r.sum_value_e4) for r in batch.collect()}
+    assert got == want and len(got) > 0
