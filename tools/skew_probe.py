@@ -1,0 +1,206 @@
+"""Zipf-skew stress probe: plain vs salted aggregate/join under a
+power-law key distribution, at 1x / 16x / 64x data inflation.
+
+    python tools/skew_probe.py [base_sf_dir] [out_md]
+
+The uniform-key inflation in scale_probe.py answers "is anything
+quadratic?"; this probe answers the OTHER 100 TB question: "what happens
+when one key owns half the data?" Keys are remapped to a deterministic
+Zipf(s=2)-like law (key k receives ~1/k^2 of the rows: the head key gets
+~50%, the second ~12%, a ~1k-key tail), then the same logical join and
+aggregation run three ways:
+
+- join_plain_noaqe  — shuffle join, AQE skew handling OFF: the hot key's
+  rows land on ONE reducer (the straggler a 1000-executor cluster pays
+  for at every skewed shuffle).
+- join_plain_aqe    — AQE skew-join ON (spark.sql.adaptive.skewJoin):
+  whether the runtime re-plan rescues the straggler at this size.
+- join_salted       — operators._util.salted_equi_join: the manual fix
+  for when AQE can't act (bucketed sides, skew known up front).
+
+Broadcast is disabled for the join cases: the probe's dim side is tiny,
+and a real plan would broadcast it away — THAT is always the first fix;
+the probe measures the shuffle path a non-broadcastable side forces.
+
+- agg_plain / agg_salted — groupBy(key).sum vs _util.salted_aggregate.
+  Expected finding (and the reason the salted twin exists as an explicit
+  opt-in, not a default): hash aggregation's MAP-SIDE partials already
+  collapse a hot key to one row per map partition, so plain sum/count
+  stays flat under skew and salting only pays off for wide per-key state
+  (collect-like payloads) or disabled partial aggregation. The probe
+  records the measured non-effect so the claim is numbers, not folklore.
+
+Results append a section to SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from analyzing_big_data_in_scala_spark.operators._util import (  # noqa: E402
+    salted_aggregate,
+    salted_equi_join,
+)
+from analyzing_big_data_in_scala_spark.session import get_spark  # noqa: E402
+from analyzing_big_data_in_scala_spark.sources.catalog import load_events  # noqa: E402
+
+
+def zipf_events(base: DataFrame, copies: int) -> DataFrame:
+    """Inflate `copies`x with replica-shifted event ids, then remap
+    user_id to a Zipf(s=2)-like law: r ~ Uniform[0, 1e6) via xxhash64 of
+    the (replica-unique) event id, key = floor(1e6 / (r+1)) — key k's
+    mass is ~1e6/k^2 rows of the range, so key 1 owns ~50% of all rows,
+    key 2 ~12%, with a ~1000-key tail. Deterministic end to end."""
+    parts = []
+    for c in range(copies):
+        parts.append(
+            base.withColumn("event_id", F.col("event_id") + F.lit(c * 10_000_000))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    r = F.pmod(F.xxhash64("event_id"), F.lit(1_000_000))
+    return (
+        out.withColumn("user_id", F.floor(F.lit(1_000_000) / (r + 1)).cast("long"))
+        .repartition(32)
+    )
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    spark = get_spark("skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev0 = load_events(spark, base_dir).select("event_id", "user_id", "value")
+
+    def noop(df: DataFrame) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    def set_conf(aqe_skew: bool, broadcast: bool) -> None:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(aqe_skew).lower())
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760" if broadcast else "-1"
+        )
+
+    results: dict[str, dict[int, float]] = {}
+    for copies in (1, 16, 64):
+        ev = zipf_events(ev0, copies).localCheckpoint()
+        # Dim side: one row per distinct key (the lookup a fact join does).
+        dim = (
+            ev.select("user_id").distinct()
+            .withColumn("segment", F.pmod(F.col("user_id"), F.lit(7)))
+            .localCheckpoint()
+        )
+
+        def join_plain():
+            return ev.join(dim, "user_id").groupBy("segment").agg(
+                F.sum("value").alias("v"), F.count("*").alias("n")
+            )
+
+        cases = {}
+
+        def case_join_noaqe():
+            set_conf(aqe_skew=False, broadcast=False)
+            noop(join_plain())
+
+        def case_join_aqe():
+            set_conf(aqe_skew=True, broadcast=False)
+            noop(join_plain())
+
+        def case_join_salted():
+            set_conf(aqe_skew=False, broadcast=False)
+            noop(
+                salted_equi_join(ev, dim, "user_id", buckets=32)
+                .groupBy("segment")
+                .agg(F.sum("value").alias("v"), F.count("*").alias("n"))
+            )
+
+        def case_agg_plain():
+            set_conf(aqe_skew=True, broadcast=True)
+            noop(
+                ev.groupBy("user_id").agg(
+                    F.sum("value").alias("v"), F.count("*").alias("n")
+                )
+            )
+
+        def case_agg_salted():
+            set_conf(aqe_skew=True, broadcast=True)
+            noop(
+                salted_aggregate(
+                    ev,
+                    ["user_id"],
+                    {"v": ("sum", "value"), "n": ("count", None)},
+                    salt_col=F.xxhash64("event_id"),
+                    buckets=32,
+                )
+            )
+
+        cases = {
+            "join_plain_noaqe": case_join_noaqe,
+            "join_plain_aqe": case_join_aqe,
+            "join_salted": case_join_salted,
+            "agg_plain": case_agg_plain,
+            "agg_salted": case_agg_salted,
+        }
+        for name, fn in cases.items():
+            fn()  # warm (JIT, file listing); second run is the sample
+            t = timed(fn)
+            results.setdefault(name, {})[copies] = t
+            print(f"copies={copies:2d} {name:18s} {t:7.2f}s", flush=True)
+        ev.unpersist()
+        dim.unpersist()
+    set_conf(aqe_skew=True, broadcast=True)
+
+    lines = [
+        "",
+        "## Zipf-skew probe (tools/skew_probe.py)",
+        "",
+        f"Base: `{base_dir}` events with user_id remapped to Zipf(s=2)-like",
+        "keys (head key ~50% of rows), inflated 1x/16x/64x. Join cases run",
+        "with broadcast DISABLED (a broadcastable dim is always the first",
+        "fix; the probe measures the forced-shuffle path). Seconds, 2nd run.",
+        "",
+        "| case | 1x | 16x | 64x | x64/x1 |",
+        "|---|---|---|---|---|",
+    ]
+    for name, by in results.items():
+        ratio = round(by[64] / by[1], 1) if by[1] else float("nan")
+        lines.append(f"| {name} | {by[1]} | {by[16]} | {by[64]} | {ratio} |")
+    lines += [
+        "",
+        "Notes:",
+        "- `join_salted` should stay near-flat-per-row where",
+        "  `join_plain_noaqe` degrades superlinearly (the hot key's single",
+        "  reducer); `join_plain_aqe` shows whether AQE's skew split already",
+        "  rescues the plan at this data size (its thresholds are tuned for",
+        "  256MB+ partitions, so at fixture scale it may not trigger).",
+        "- `agg_plain` vs `agg_salted`: map-side partial aggregation already",
+        "  collapses hot-key sum/count per map partition, so the plain path",
+        "  is expected FLAT and salting buys nothing here — the measured",
+        "  non-effect is the documented reason salted_aggregate is an",
+        "  explicit opt-in for wide-state aggregations only.",
+        "",
+    ]
+    with open(out_md, "a") as f:
+        f.write("\n".join(lines))
+    print(f"appended to {out_md}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
