@@ -30,104 +30,83 @@ from . import streaming_queries  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-3 rotation (VERDICT r2 item 3). Priorities, in order:
-    #  1. The 9 queries that have NEVER had a driver row (window-rotation
-    #     debt): quartiles, rank functions, tumbling_10min, full-grid ML,
-    #     training_shards, late_arrival, resample_gapfill,
-    #     dimension_profile, quality_weighted_sample.
-    #  2. Everything whose implementation or oracle CHANGED this round and
-    #     so needs fresh evidence: the two float-parity fixes
-    #     (doc_chunk_dedup, events_json_by_type), the now-value-checked
-    #     lineitem_approx_profile and ml_sentiment_metrics, the re-planned
-    #     streaming_first_seen_per_user + its new custom-state twin, the
-    #     new strided funnel, the re-aliased orders_merge_upsert, and the
-    #     reseeded graph_bfs_hops / graph_sssp_weighted.
-    #  3. Backfill with r2-green evictees so the breadth evidence stays
-    #     fresh. r2-green queries evicted to make room (zorder, data
-    #     profile/quality checks, pii, url domains, ner, sliding window,
-    #     salted events, user sessions, hash sample, sentiment counts)
-    #     keep their CORRECTNESS_r02 rows as standing evidence.
+    # Round-6 rotation (VERDICT r5 item 4). The r4/r5 windows left 76
+    # queries with r1-r3 evidence; this window retires the oldest debt:
+    #  1. NEW r6 queries take their first driver rows:
+    #     doc_exact_substring_removal, streaming_session_windows,
+    #     streaming_user_totals.
+    #  2. similarity_ann_recall_profile keeps its slot — its oracle was
+    #     re-pinned from shipped-code output after the Arrow-matmul LSH
+    #     rewrite (the r5 red), so it needs fresh green evidence.
+    #  3. EVERY oracle-backed query whose newest driver row is r1 cycles
+    #     back in (43 queries: the tfidf/search family, relational core,
+    #     dedup/fingerprint family, degrees/triangles, and — first driver
+    #     rows EVER — graph_pagerank and graph_component_sizes, whose
+    #     unrolled/recursive-CTE oracles were added after their r1
+    #     no_oracle rows).
+    #  4. The remaining 3 slots go to the r2 trio the verdict called out:
+    #     lineitem_zorder_keys, doc_pii_scan, doc_url_domains.
+    #  The r2/r3 remainder (~24 queries) rotates in r7; everything
+    #  evicted here is r4/r5-green with unchanged implementations, so
+    #  those rows stand as current evidence.
 
-    # Round-4 rotation:
-    #  1. The four queries whose ORACLES changed this round (HUGEINT-cast
-    #     fixes: events_json_by_type, doc_chunk_dedup,
-    #     streaming_static_enrichment, search_bm25_topk — the r3 hash
-    #     reds) and the changed-impl terms_cms_heavy_hitters keep their
-    #     slots for fresh evidence.
-    #  2. The six NEW round-4 queries hold slots: events_scd2_user_state,
-    #     events_scd2_incremental, events_multires_rollup,
-    #     streaming_incremental_rollup, similarity_ann_recall_profile
-    #     (upgrades the ANN family from rows-only to pinned value-checked
-    #     recall measurements), events_approx_group_profile (grouped
-    #     HLL/GK sketches with in-plan accuracy assertions).
-    #  3. Evicted to make room — all r3-green with unchanged
-    #     implementations (CORRECTNESS_r03 rows stand):
-    #     orders_incremental_agg_refresh, orders_salted_segment_revenue,
-    #     orders_rank_functions, graph_bfs_hops (superset
-    #     graph_sssp_weighted keeps the iterative slot),
-    #     embeddings_random_projection (superset similarity_projected_topk
-    #     keeps the projection slot), events_value_quartiles_by_type
-    #     (events_approx_group_profile carries the same exact-percentile
-    #     machinery per group plus the sketch assertions).
-
-    # Relational / lakehouse maintenance
-    "orders_merge_upsert",
-    "events_scd2_user_state",
-    "events_scd2_incremental",
-    "events_multires_rollup",
-    "streaming_incremental_rollup",
-    "lineitem_approx_profile",
-    # Text / TF-IDF / language-model stats / IR scoring / sketches
-    "doc_perplexity_proxy",
-    "doc_repetition_filters",
-    "doc_decontamination",
-    "search_bm25_topk",
-    "terms_cms_heavy_hitters",
-    # Graph — iterative families against recursive/unrolled-CTE oracles
-    "graph_pagerank_reference",
-    "graph_components_two_phase",
-    "graph_sssp_weighted",
-    "graph_kcore_membership",
-    # Dedup / similarity / embedding hygiene
-    "dedup_near_clusters",
-    "similarity_cluster_assign",
-    "embeddings_centroid_outliers",
-    "embeddings_dimension_profile",
+    # New + re-pinned (r6)
+    "doc_exact_substring_removal",
+    "streaming_session_windows",
+    "streaming_user_totals",
     "similarity_ann_recall_profile",
-    "embeddings_kmeans_lloyd",
-    "doc_chunk_dedup",
-    "events_seasonal_naive_eval",
-    "dedup_semantic",
-    "documents_quality_topfrac",
-    "corpus_curation_pipeline",
-    "corpus_curation_funnel",
-    "corpus_curation_funnel_strided",
-    "corpus_training_shards",
-    "similarity_projected_topk",
-    "multimodal_payload_features",
-    # Sampling / sharding
-    "documents_quality_weighted_sample",
-    "streaming_static_enrichment",
-    # ML (both pinned-constants oracles at sf0.01)
-    "ml_sentiment_metrics",
-    "ml_sentiment_metrics_full_grid",
-    # Events: windows, sessions, time series
-    "events_json_by_type",
-    "events_tumbling_10min",
-    "events_approx_group_profile",
-    "events_weekly_retention",
-    "events_conversion_funnel",
-    "events_late_arrival_profile",
-    "events_resample_10min_gapfill",
-    "events_rolling_zscore_anomalies",
-    "events_type_association_rules",
-    # Streaming (availableNow drains — batch-equivalence oracles)
-    "streaming_tumbling_counts",
-    "streaming_first_seen_per_user",
-    "streaming_first_seen_custom_state",
-    "streaming_kafka_feed",
-    "streaming_click_purchase_join",
-    "streaming_dedup_distinct_users",
+    # Relational core (r1 evidence until now)
+    "top_customers_by_orders",
+    "pricing_summary",
+    "revenue_by_nation",
+    "order_priority_counts",
+    "top_parts_by_revenue",
+    "customer_order_full_outer",
+    "supplier_part_type_share",
+    "top_customers_per_segment",
+    "customer_order_running_total",
+    "customers_with_expensive_items",
+    "customers_without_orders_filtered",
+    "customer_segment_setops",
+    "revenue_rollup",
+    "brand_returnflag_pivot",
+    "global_agg_stats",
+    # TF-IDF / search family (r1)
+    "tfidf_term_frequencies",
+    "tfidf_doc_frequencies",
+    "tfidf_idf",
+    "tfidf_matrix",
+    "search_single_word",
+    "search_multi_word_cosine",
+    "search_multi_word_reference",
+    "search_batch_queries",
+    # Text stats (r1)
+    "entity_word_count",
+    "doc_token_stats",
+    "doc_bpe_token_stats",
+    "doc_quality_scores",
+    "doc_language_id",
+    # Graph (r1; pagerank/component_sizes get their FIRST driver rows)
+    "graph_out_degrees",
+    "graph_in_degrees",
+    "graph_triangle_counts",
+    "graph_pagerank",
+    "graph_component_sizes",
+    # Dedup / fingerprint family (r1)
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_df_capped",
+    "dedup_minhash_signatures",
+    "dedup_minhash_candidates",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_fingerprint_rolling",
+    "doc_winnow_fingerprints",
+    "similarity_cosine_topk",
+    # r2 trio (verdict-named)
+    "lineitem_zorder_keys",
+    "doc_pii_scan",
+    "doc_url_domains",
 )
 
 

@@ -77,57 +77,52 @@ def test_driver_window_covers_oracle_backed_queries():
     assert len(DRIVER_WINDOW) == 50
 
     deliberate_demotions = {
-        # --- r1-GREEN, implementation unchanged since CORRECTNESS_r01
-        # recorded their pass (the evidence stands; slots ceded to
-        # operators that have never had a driver row):
-        "pricing_summary", "revenue_by_nation", "top_customers_by_orders",
-        "order_priority_counts", "top_parts_by_revenue",
-        "supplier_part_type_share", "customer_order_full_outer",
-        "top_customers_per_segment", "customer_order_running_total",
-        "customers_with_expensive_items", "customers_without_orders_filtered",
-        "customer_segment_setops", "revenue_rollup", "brand_returnflag_pivot",
-        "global_agg_stats",
-        "tfidf_term_frequencies", "tfidf_doc_frequencies", "tfidf_idf",
-        "tfidf_matrix", "search_single_word", "search_multi_word_cosine",
-        "search_multi_word_reference", "search_batch_queries",
-        "entity_word_count", "doc_token_stats", "doc_bpe_token_stats",
-        "doc_quality_scores", "doc_language_id",
-        "graph_out_degrees", "graph_in_degrees", "graph_triangle_counts",
-        "graph_pagerank", "graph_component_sizes",
-        "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_jaccard_df_capped",
-        "dedup_minhash_signatures", "dedup_minhash_candidates",
-        "dedup_simhash", "dedup_simhash_pairs", "doc_fingerprint_rolling",
-        "doc_winnow_fingerprints", "similarity_cosine_topk",
-        # --- r2-GREEN evictees (CORRECTNESS_r02 rows stand; slots ceded in
-        # the round-3 rotation to never-checked queries and to everything
-        # whose implementation/oracle changed this round):
-        "lineitem_zorder_keys", "orders_data_profile", "orders_quality_checks",
-        "doc_pii_scan", "doc_url_domains", "ner_gazetteer_counts",
-        "events_sliding_20min", "events_salted_by_type", "events_user_sessions",
-        "documents_hash_sample_split", "streaming_sentiment_counts",
-        "customer_fuzzy_name_matches", "events_asof_latest_order",
-        "events_range_join_daily_windows", "documents_source_mixture",
-        "dedup_embedding_cosine", "dedup_cross_source_matrix",
-        "similarity_quantized_topk", "dedup_incremental_batch",
-        "documents_token_shards", "corpus_pmi_collocations",
-        "tfidf_doc_frequencies_stemmed", "events_session_window_native",
-        # --- r3-GREEN evictees (CORRECTNESS_r03 rows stand,
-        # implementations unchanged; slots ceded in the round-4 rotation
-        # to the new SCD2 / multi-resolution-rollup / streaming
-        # incremental-rollup queries):
-        "orders_incremental_agg_refresh", "orders_salted_segment_revenue",
-        "orders_rank_functions", "graph_bfs_hops",
-        # embeddings_random_projection demoted: its superset
-        # similarity_projected_topk (same projection feeding actual
-        # search) keeps the slot; the r3-green row stands.
-        "embeddings_random_projection",
-        # events_value_quartiles_by_type demoted: events_approx_group_profile
-        # exercises the same exact-percentile machinery (p49/p51 brackets)
-        # per group PLUS the sketch assertions; the r3-green row stands.
-        "events_value_quartiles_by_type",
-        # entity_cooccurrence_edges demoted (r3-green, unchanged): slot
-        # ceded to the new seasonal-naive forecast evaluation family.
-        "entity_cooccurrence_edges",
+        # Round-6 rotation ledger (VERDICT r5 item 4): the window now
+        # holds the 43 r1-evidence queries + the 3 new r6 queries + the
+        # re-pinned recall profile + the zorder/pii/urls r2 trio. Every
+        # demotion below keeps its newest green CORRECTNESS row as
+        # standing evidence; the r2/r3 remainder rotates back in r7.
+        # --- r5-GREEN evictees (CORRECTNESS_r05 rows stand, unchanged):
+        "corpus_curation_funnel", "corpus_curation_funnel_strided",
+        "corpus_curation_pipeline", "corpus_training_shards",
+        "dedup_near_clusters", "dedup_semantic", "doc_chunk_dedup",
+        "doc_decontamination", "doc_perplexity_proxy",
+        "doc_repetition_filters", "documents_quality_topfrac",
+        "documents_quality_weighted_sample", "embeddings_centroid_outliers",
+        "embeddings_dimension_profile", "embeddings_kmeans_lloyd",
+        "events_approx_group_profile", "events_conversion_funnel",
+        "events_json_by_type", "events_late_arrival_profile",
+        "events_multires_rollup", "events_resample_10min_gapfill",
+        "events_rolling_zscore_anomalies", "events_scd2_incremental",
+        "events_scd2_user_state", "events_seasonal_naive_eval",
+        "events_tumbling_10min", "events_type_association_rules",
+        "events_weekly_retention", "graph_components_two_phase",
+        "graph_kcore_membership", "graph_pagerank_reference",
+        "graph_sssp_weighted", "lineitem_approx_profile",
+        "ml_sentiment_metrics", "ml_sentiment_metrics_full_grid",
+        "multimodal_payload_features", "orders_merge_upsert",
+        "search_bm25_topk", "similarity_cluster_assign",
+        "similarity_projected_topk", "streaming_click_purchase_join",
+        "streaming_dedup_distinct_users", "streaming_first_seen_custom_state",
+        "streaming_first_seen_per_user", "streaming_incremental_rollup",
+        "streaming_kafka_feed", "streaming_static_enrichment",
+        "streaming_tumbling_counts", "terms_cms_heavy_hitters",
+        # --- r2-GREEN remainder (CORRECTNESS_r02 rows stand; r7 queue):
+        "corpus_pmi_collocations", "customer_fuzzy_name_matches",
+        "dedup_cross_source_matrix", "dedup_embedding_cosine",
+        "dedup_incremental_batch", "documents_hash_sample_split",
+        "documents_source_mixture", "documents_token_shards",
+        "events_asof_latest_order", "events_range_join_daily_windows",
+        "events_salted_by_type", "events_session_window_native",
+        "events_sliding_20min", "events_user_sessions",
+        "ner_gazetteer_counts", "orders_data_profile",
+        "orders_quality_checks", "similarity_quantized_topk",
+        "streaming_sentiment_counts", "tfidf_doc_frequencies_stemmed",
+        # --- r3-GREEN remainder (CORRECTNESS_r03 rows stand; r7 queue):
+        "embeddings_random_projection", "entity_cooccurrence_edges",
+        "events_value_quartiles_by_type", "graph_bfs_hops",
+        "orders_incremental_agg_refresh", "orders_rank_functions",
+        "orders_salted_segment_revenue",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
