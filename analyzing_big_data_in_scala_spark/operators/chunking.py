@@ -171,7 +171,15 @@ def exact_substring_removal(
 
     if stride <= 0 or stride > window:
         raise ValueError(f"exact_substring_removal: need 0 < stride <= window, got {stride}")
-    toked = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    # Both intermediates below have TWO consumers (toked: window table +
+    # final join; wins: df aggregate + join-back), and ReuseExchange does
+    # not rescue either (the aggregate and join subtrees differ) — without
+    # the lazy checkpoints the tokenize+hash chain re-ran per consumer:
+    # 3 parquet scans, 3.1s at sf0.1 vs 0.6s checkpointed (the measured
+    # multi-consumer recompute trap; see corpus_curation_funnel).
+    toked = docs.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).localCheckpoint(eager=False)
     # Full windows only: starts 0, stride, ... while start + window <= n.
     n_full = (F.floor((F.size("toks") - F.lit(window)) / F.lit(stride)) + 1).cast("int")
     starts = F.when(
@@ -186,7 +194,7 @@ def exact_substring_removal(
         portable_hash64(
             F.concat_ws(" ", F.slice(F.col("toks"), F.col("p") + 1, window))
         ).alias("h"),
-    )
+    ).localCheckpoint(eager=False)
     dup_hashes = (
         wins.groupBy("h")
         .agg(F.count_distinct("id").alias("wdf"))

@@ -105,6 +105,10 @@ HEADLINE = [
     "similarity_ann_recall_profile",
     "events_approx_group_profile",
     "events_seasonal_naive_eval",
+    # round 6
+    "doc_exact_substring_removal",
+    "streaming_session_windows",
+    "streaming_user_totals",
 ]
 
 
