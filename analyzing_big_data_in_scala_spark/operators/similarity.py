@@ -539,8 +539,6 @@ def lsh_topk(
     (query_id, id), candidate-sized. Recall is pinned as value-checked
     constants in `similarity_ann_recall_profile`.
     """
-    from itertools import combinations
-
     csig = _lsh_signatures(
         corpus, n_planes, dim, n_tables, id_col, vec_col, out_id=id_col
     )
@@ -548,10 +546,7 @@ def lsh_topk(
     # by XOR-ing the computed bucket VALUE with every <=max_hamming-bit
     # mask — the Lv et al. multi-probe trick: extra recall for zero extra
     # index cost, and the signature itself is never re-evaluated.
-    masks = [0]
-    for h in range(1, max_hamming + 1):
-        for pos in combinations(range(n_planes), h):
-            masks.append(sum(1 << j for j in pos))
+    masks = _lsh_probe_masks(n_planes, max_hamming)
     qprobes = _lsh_signatures(
         query, n_planes, dim, n_tables, id_col, vec_col, out_id="query_id"
     ).select(
@@ -566,13 +561,27 @@ def lsh_topk(
         .select("query_id", id_col)
         .distinct()
     )
+    cvecs = corpus.select(
+        id_col, F.col(vec_col).alias("cvec"), _norm(F.col(vec_col)).alias("cn")
+    )
+    return _score_lsh_candidates(cand, cvecs, query, k, id_col, vec_col)
+
+
+def _score_lsh_candidates(
+    cand: DataFrame,
+    cvecs: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared LSH scoring tail: exact cosine over the candidate set only
+    (cand: (query_id, id); cvecs: (id, cvec, cn)), broadcast query side,
+    per-query top-k via row_number. Used by both the on-the-fly
+    :func:`lsh_topk` and the persisted-index :func:`lsh_topk_indexed` —
+    identical candidates in means identical rows out."""
     scored = (
-        cand.join(
-            corpus.select(
-                id_col, F.col(vec_col).alias("cvec"), _norm(F.col(vec_col)).alias("cn")
-            ),
-            id_col,
-        )
+        cand.join(cvecs, id_col)
         .join(
             F.broadcast(
                 query.select(
@@ -599,6 +608,100 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _lsh_probe_masks(n_planes: int, max_hamming: int) -> list[int]:
+    """Multi-probe XOR masks: every bit pattern with 1..max_hamming of the
+    low n_planes bits set, plus the identity probe 0."""
+    from itertools import combinations
+
+    masks = [0]
+    for h in range(1, max_hamming + 1):
+        for pos in combinations(range(n_planes), h):
+            masks.append(sum(1 << j for j in pos))
+    return masks
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    prefix: str = "lsh_index",
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 12,
+    num_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Sign the corpus ONCE (:func:`_lsh_signatures` Arrow matmul) and
+    persist the index, so repeated query batches never re-sign or rescan
+    unsigned vectors (the LSH twin of :func:`build_ivf_index`):
+
+      {prefix}_sig   (id_col, tbl, bucket)   bucketed+sorted by bucket
+      {prefix}_vecs  (id_col, cvec, cn)      bucketed by id_col
+      {prefix}_meta  (n_planes, dim, n_tables)  1 row
+
+    `_sig` is the only corpus-sized thing a probe ever joins (8-byte keys,
+    broadcast probe side — zero shuffle of the index), and `_vecs`
+    pre-computes the norms so scoring reads candidates without touching
+    raw embeddings. The geometry params live in `_meta` because the QUERY
+    side must sign with exactly the index's planes — a silently different
+    n_planes would probe garbage buckets; :func:`lsh_topk_indexed` reads
+    them back instead of trusting caller defaults."""
+    from ..sources.bucketing import drop_table_and_location, write_bucketed
+
+    sig = _lsh_signatures(
+        corpus, n_planes, dim, n_tables, id_col, vec_col, out_id=id_col
+    )
+    write_bucketed(sig, f"{prefix}_sig", bucket_col="bucket", num_buckets=num_buckets)
+    vecs = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    write_bucketed(vecs, f"{prefix}_vecs", bucket_col=id_col, num_buckets=num_buckets)
+    spark = corpus.sparkSession
+    drop_table_and_location(spark, f"{prefix}_meta")
+    spark.createDataFrame(
+        [(n_planes, dim, n_tables)], "n_planes int, dim int, n_tables int"
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+
+
+def lsh_topk_indexed(
+    spark,
+    query: DataFrame,
+    prefix: str = "lsh_index",
+    k: int = 10,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k against a :func:`build_lsh_index` index: the
+    corpus is never re-signed — only the (tiny) query batch runs the
+    signature matmul, with the plane geometry read from `{prefix}_meta`
+    so probe buckets are guaranteed to match the stored signatures. Same
+    contract as :func:`lsh_topk`; identical (planes, tables, max_hamming)
+    give IDENTICAL rows (pinned by the agreement query/test)."""
+    meta = spark.table(f"{prefix}_meta").first()
+    masks = _lsh_probe_masks(meta.n_planes, max_hamming)
+    qprobes = _lsh_signatures(
+        query, meta.n_planes, meta.dim, meta.n_tables, id_col, vec_col,
+        out_id="query_id",
+    ).select(
+        "query_id",
+        "tbl",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cand = (
+        spark.table(f"{prefix}_sig")
+        .join(F.broadcast(qprobes), ["tbl", "bucket"])
+        .select("query_id", id_col)
+        .distinct()
+    )
+    return _score_lsh_candidates(
+        cand, spark.table(f"{prefix}_vecs"), query, k, id_col, vec_col
     )
 
 

@@ -103,10 +103,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_fingerprint_rolling",
     "doc_winnow_fingerprints",
     "similarity_cosine_topk",
-    # r2 trio (verdict-named)
+    # r2 pair (verdict-named; doc_url_domains ceded its slot to the new
+    # similarity_lsh_indexed_agreement — its r2-green row stands, r7 queue)
     "lineitem_zorder_keys",
     "doc_pii_scan",
-    "doc_url_domains",
+    "similarity_lsh_indexed_agreement",
 )
 
 

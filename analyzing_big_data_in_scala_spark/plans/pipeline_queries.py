@@ -1063,6 +1063,40 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
 
 
+@query(
+    "similarity_lsh_indexed_agreement",
+    # Constant oracle: the persisted-index path must reproduce the
+    # on-the-fly path EXACTLY — same candidates (same planes/tables/
+    # probes), same scores, same ranks — so per probe the indexed top-10
+    # agrees on all 10 rows (query_id, vec_id, rank, rounded cosine).
+    # Any drift between build_lsh_index's stored signatures and the live
+    # signature matmul (plane geometry mismatch, stale meta, bucketing
+    # corruption) breaks the count and reds this row.
+    oracle="""
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(n_indexed AS BIGINT) AS n_indexed,
+               CAST(n_agree AS BIGINT) AS n_agree
+        FROM (VALUES (0, 10, 10), (1, 10, 10), (2, 10, 10))
+             t(query_id, n_indexed, n_agree)
+    """,
+    description="Persisted LSH index (build once: bucketed signature + norm tables, geometry in a meta table) queried without re-signing the corpus — per-probe full-row agreement with the on-the-fly multi-probe LSH, value-checked as exact integers",
+)
+def similarity_lsh_indexed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    S.build_lsh_index(emb, prefix="lshq_index")
+    indexed = S.lsh_topk_indexed(spark, probes, prefix="lshq_index", k=10)
+    live = S.lsh_topk(emb, probes, k=10)
+    both = indexed.join(live, ["query_id", "vec_id", "cosine", "rank"], "left_semi")
+    n_idx = indexed.groupBy("query_id").agg(F.count("*").alias("n_indexed"))
+    n_agr = both.groupBy("query_id").agg(F.count("*").alias("n_agree"))
+    return n_idx.join(n_agr, "query_id", "left").select(
+        "query_id",
+        F.col("n_indexed").cast("long").alias("n_indexed"),
+        F.coalesce("n_agree", F.lit(0)).cast("long").alias("n_agree"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas; deterministic fake decode — see operator)
 # ---------------------------------------------------------------------------

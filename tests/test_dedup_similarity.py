@@ -637,3 +637,40 @@ def test_exact_substring_removal_property_no_dup_window_survives(spark):
         stride=1,
     )
     assert redo.agg(F.sum("n_removed_tokens")).first()[0] == 0
+
+
+def test_lsh_index_persists_and_never_resigns_corpus(spark, monkeypatch):
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 2)
+    S.build_lsh_index(emb, prefix="t_lsh", n_planes=6, n_tables=4, num_buckets=4)
+
+    # The on-the-fly path for the SAME geometry (captured before poisoning).
+    live = sorted(
+        map(tuple, S.lsh_topk(emb, probes, k=5, n_planes=6, n_tables=4).collect())
+    )
+
+    # The indexed query path signs ONLY the probe batch: cap the signature
+    # helper so any corpus-sized re-sign fails loudly.
+    real_sig = S._lsh_signatures
+
+    def _guarded(df, *a, **kw):
+        if df.count() > 10:  # probes are 2 rows; the corpus is 500
+            raise AssertionError("lsh_topk_indexed re-signed the corpus")
+        return real_sig(df, *a, **kw)
+
+    monkeypatch.setattr(S, "_lsh_signatures", _guarded)
+    first = sorted(
+        map(tuple, S.lsh_topk_indexed(spark, probes, prefix="t_lsh", k=5).collect())
+    )
+    second = sorted(
+        map(tuple, S.lsh_topk_indexed(spark, probes, prefix="t_lsh", k=5).collect())
+    )
+    monkeypatch.undo()
+    assert first == second and len(first) > 0
+
+    # Geometry comes from the meta table (6 planes, 4 tables — NOT the
+    # 8/12 defaults), so the indexed rows must equal the on-the-fly rows
+    # exactly: same candidates, same cosines, same ranks.
+    assert first == live
