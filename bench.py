@@ -109,6 +109,7 @@ HEADLINE = [
     "doc_exact_substring_removal",
     "streaming_session_windows",
     "streaming_user_totals",
+    "similarity_lsh_indexed_agreement",
 ]
 
 
