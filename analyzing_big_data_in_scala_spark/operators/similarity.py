@@ -754,6 +754,123 @@ def quantized_topk(
     return cosine_topk(qc, qq, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _quantize_bucket_tag(
+    emb: DataFrame, n_planes: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared integer-exact tag stage for the semantic family
+    (:func:`semantic_dedup`, :func:`semantic_decontamination`): ONE Arrow
+    matmul per batch quantizes to int8 (floor(x/s + 0.5), zero vectors to
+    zeros — the try_divide twin) and signs the parity hyperplanes
+    ((i*(p+1)+p) % 3 == 0 → -1). Returns (id, qvec, bucket). Every
+    downstream cosine over the qvecs sums INTEGER-valued doubles — exact
+    in any order, so both the cell id and any threshold decision
+    bit-match a SQL re-derivation."""
+
+    def tag(batches):
+        # Self-contained closure: executors import locally.
+        import numpy as _np
+        import pandas as _pd
+
+        P = _np.ones((dim, n_planes))
+        for p in range(n_planes):
+            for i in range(dim):
+                if (i * (p + 1) + p) % 3 == 0:
+                    P[i, p] = -1.0
+        bits = 1 << _np.arange(n_planes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+            scale = _np.abs(V).max(axis=1) / 127.0
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                Q = _np.floor(V / scale[:, None] + 0.5)
+            Q[scale == 0] = 0.0  # zero vectors quantize to zero (try_divide twin)
+            proj = Q @ P
+            bucket = ((proj > 0) * bits).sum(axis=1).astype(_np.int32)
+            yield _pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "qvec": list(Q.astype(_np.int8)),
+                    "bucket": bucket,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        tag, schema="id long, qvec array<tinyint>, bucket int"
+    )
+
+
+def semantic_decontamination(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """EMBEDDING-level train/eval decontamination — the semantic
+    complement of the n-gram `operators/decontamination.py`: a TRAIN
+    vector is contaminated when some BENCH vector lands in its hyperplane
+    cell with cosine >= `threshold` (paraphrases and re-wordings that
+    share no 5-gram but sit next to the eval set in embedding space).
+    Returns one row per train vector: (id_col, bucket, n_bench_hits,
+    contaminated).
+
+    Same determinism contract as :func:`semantic_dedup` (shared
+    :func:`_quantize_bucket_tag` stage): int8 quantization makes every
+    cross-side cosine a sum of integer-valued doubles, so the threshold
+    decision — and therefore the whole output — bit-matches the DuckDB
+    re-derivation. Zero-norm vectors never contaminate and are never
+    contaminated (cosine undefined → no hit).
+
+    Scale shape: one tag scan per side, then a COGROUPED applyInPandas on
+    the cell key — per-cell cost is |train_cell| x |bench_cell| inside one
+    numpy matmul, never a corpus cross join; the bench side is tiny by
+    nature, so cells pair a large train block against a handful of bench
+    rows. Cross-cell paraphrases are missed by design (LSH recall, the
+    n_planes dial), identically on any engine."""
+    ttag = _quantize_bucket_tag(train, n_planes, dim, id_col, vec_col)
+    btag = _quantize_bucket_tag(bench, n_planes, dim, id_col, vec_col)
+
+    def score(tpdf, bpdf):
+        import numpy as _np
+        import pandas as _pd
+
+        if not len(tpdf):
+            return _pd.DataFrame(
+                {id_col: [], "bucket": [], "n_bench_hits": [], "contaminated": []}
+            ).astype({id_col: "int64", "bucket": "int32", "n_bench_hits": "int64", "contaminated": "bool"})
+        T = _np.array(list(tpdf["qvec"]), dtype=_np.float64)
+        tn = _np.linalg.norm(T, axis=1)
+        if len(bpdf):
+            B = _np.array(list(bpdf["qvec"]), dtype=_np.float64)
+            bn = _np.linalg.norm(B, axis=1)
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                C = (T @ B.T) / _np.outer(tn, bn)
+            C = _np.nan_to_num(C, nan=-2.0)  # zero-norm never clears a threshold
+            hits = (C >= threshold).sum(axis=1).astype(_np.int64)
+        else:
+            hits = _np.zeros(len(tpdf), dtype=_np.int64)
+        return _pd.DataFrame(
+            {
+                id_col: tpdf["id"].to_numpy(),
+                "bucket": tpdf["bucket"].to_numpy(),
+                "n_bench_hits": hits,
+                "contaminated": hits > 0,
+            }
+        )
+
+    return (
+        ttag.groupBy("bucket")
+        .cogroup(btag.groupBy("bucket"))
+        .applyInPandas(
+            score,
+            schema=f"{id_col} long, bucket int, n_bench_hits long, contaminated boolean",
+        )
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -800,39 +917,7 @@ def semantic_dedup(
     Integer-valued components keep every sum exact under numpy's
     reassociation — oracle parity is by construction, not luck.
     Executor memory is bounded by the largest cell (the n_planes knob)."""
-
-    def tag(batches):
-        # Self-contained closure: executors import locally.
-        import numpy as _np
-        import pandas as _pd
-
-        P = _np.ones((dim, n_planes))
-        for p in range(n_planes):
-            for i in range(dim):
-                if (i * (p + 1) + p) % 3 == 0:
-                    P[i, p] = -1.0
-        bits = 1 << _np.arange(n_planes)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = _np.array(list(pdf[vec_col]), dtype=_np.float64)
-            scale = _np.abs(V).max(axis=1) / 127.0
-            with _np.errstate(divide="ignore", invalid="ignore"):
-                Q = _np.floor(V / scale[:, None] + 0.5)
-            Q[scale == 0] = 0.0  # zero vectors quantize to zero (try_divide twin)
-            proj = Q @ P
-            bucket = ((proj > 0) * bits).sum(axis=1).astype(_np.int32)
-            yield _pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(),
-                    "qvec": list(Q.astype(_np.int8)),
-                    "bucket": bucket,
-                }
-            )
-
-    tagged = emb.select(id_col, vec_col).mapInPandas(
-        tag, schema="id long, qvec array<tinyint>, bucket int"
-    )
+    tagged = _quantize_bucket_tag(emb, n_planes, dim, id_col, vec_col)
 
     def classify(pdf):
         import numpy as _np

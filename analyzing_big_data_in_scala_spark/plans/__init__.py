@@ -71,8 +71,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "revenue_rollup",
     "brand_returnflag_pivot",
     "global_agg_stats",
-    # TF-IDF / search family (r1)
-    "tfidf_term_frequencies",
+    # TF-IDF / search family (r1; tfidf_term_frequencies ceded its slot to
+    # the new doc_semantic_decontamination — the tf table is evaluated
+    # inside the superset tfidf_matrix, and its r1-green row stands)
     "tfidf_doc_frequencies",
     "tfidf_idf",
     "tfidf_matrix",
@@ -108,6 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lineitem_zorder_keys",
     "doc_pii_scan",
     "similarity_lsh_indexed_agreement",
+    "doc_semantic_decontamination",
 )
 
 

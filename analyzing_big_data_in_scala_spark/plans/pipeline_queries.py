@@ -1002,6 +1002,64 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_semantic_decontamination",
+    # Same integer-exact machinery as dedup_semantic (shared quantize+
+    # bucket stage), extended to the train/bench split: a TRAIN vector is
+    # contaminated when a BENCH vector (vec_id % 25 == 0, the funnel's
+    # eval convention) shares its hyperplane cell with quantized cosine
+    # >= 0.35. Pair test and per-train hit count re-derived in pure SQL.
+    oracle="""
+        WITH sc AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+            FROM sc
+        ),
+        proj AS (
+            SELECT vec_id, p.p AS p,
+                   SUM(q[i] * (CASE WHEN (((i - 1) * (p.p + 1) + p.p) % 3) = 0 THEN -1 ELSE 1 END)) AS proj
+            FROM qz, UNNEST(generate_series(1, len(q))) t(i), (VALUES (0), (1), (2), (3)) p(p)
+            GROUP BY vec_id, p.p
+        ),
+        qb AS (
+            SELECT qz.vec_id, qz.q,
+                   CAST(SUM(CASE WHEN proj.proj > 0 THEN (1 << proj.p) ELSE 0 END) AS INT) AS bucket
+            FROM qz JOIN proj ON qz.vec_id = proj.vec_id
+            GROUP BY qz.vec_id, qz.q
+        ),
+        pair_hits AS (
+            SELECT t.vec_id AS tid
+            FROM qb t JOIN qb b ON t.bucket = b.bucket
+                 AND t.vec_id % 25 <> 0 AND b.vec_id % 25 = 0,
+                 UNNEST(generate_series(1, len(t.q))) u(i)
+            GROUP BY t.vec_id, b.vec_id
+            HAVING SUM(t.q[i] * t.q[i]) > 0 AND SUM(b.q[i] * b.q[i]) > 0
+               AND SUM(t.q[i] * b.q[i])
+                   / (sqrt(SUM(t.q[i] * t.q[i])) * sqrt(SUM(b.q[i] * b.q[i]))) >= 0.35
+        ),
+        per_train AS (SELECT tid, CAST(COUNT(*) AS BIGINT) AS n FROM pair_hits GROUP BY tid)
+        SELECT t.vec_id, t.bucket,
+               COALESCE(h.n, 0) AS n_bench_hits,
+               COALESCE(h.n, 0) > 0 AS contaminated
+        FROM (SELECT vec_id, bucket FROM qb WHERE vec_id % 25 <> 0) t
+        LEFT JOIN per_train h ON h.tid = t.vec_id
+    """,
+    description="SEMANTIC train/eval decontamination (embedding-space complement of the n-gram doc_decontamination): train vectors sharing a hyperplane cell with a benchmark vector at quantized cosine >= 0.35 are flagged, per-cell cogrouped Arrow matmul — catches paraphrases that share no 5-gram (operators/similarity.py semantic_decontamination)",
+)
+def doc_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 25 == 0)
+    train = emb.filter(F.col("vec_id") % 25 != 0)
+    return S.semantic_decontamination(train, bench, threshold=0.35, n_planes=4)
+
+
+@query(
     "similarity_quantized_topk",
     # Fully value-checked: floor(x/scale + 0.5) has one cross-engine
     # definition (unlike ROUND), and cosine over integer-valued doubles

@@ -110,6 +110,7 @@ HEADLINE = [
     "streaming_session_windows",
     "streaming_user_totals",
     "similarity_lsh_indexed_agreement",
+    "doc_semantic_decontamination",
 ]
 
 

@@ -674,3 +674,32 @@ def test_lsh_index_persists_and_never_resigns_corpus(spark, monkeypatch):
     # 8/12 defaults), so the indexed rows must equal the on-the-fly rows
     # exactly: same candidates, same cosines, same ranks.
     assert first == live
+
+
+def test_semantic_decontamination_flags_paraphrase_neighbors(spark):
+    """A train vector nearly parallel to a bench vector is contaminated;
+    orthogonal/zero vectors never are; bench never contaminates itself
+    (only train rows come back)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # bench (id % 5 == 0 in this test's split)
+        (1, [0.99, 0.05, 0.0, 0.0]),  # train: near-parallel to bench 0 -> hit
+        (2, [0.0, 1.0, 0.0, 0.0]),    # train: orthogonal -> clean
+        (3, [0.0, 0.0, 0.0, 0.0]),    # train: zero vector -> clean (no cosine)
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # train: anti-parallel -> clean
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bench = emb.filter(F.col("vec_id") == 0)
+    train = emb.filter(F.col("vec_id") != 0)
+    out = {
+        r.vec_id: r
+        for r in S.semantic_decontamination(
+            train, bench, threshold=0.9, n_planes=2, dim=4
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # train rows only, all of them
+    assert out[1].contaminated and out[1].n_bench_hits == 1
+    # 2/3/4 must be clean: orthogonal/zero/anti-parallel never clear 0.9.
+    # (2 and 4 may or may not share a CELL with the bench vector — the
+    # cosine test, not cell luck, is what keeps them clean.)
+    for i in (2, 3, 4):
+        assert not out[i].contaminated and out[i].n_bench_hits == 0
