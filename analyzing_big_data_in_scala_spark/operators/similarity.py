@@ -390,6 +390,69 @@ def ivf_topk_indexed(
     return _probe_and_score(indexed, centroids, query, k, nprobe, id_col, vec_col)
 
 
+def ivf_index_append(
+    batch: DataFrame,
+    prefix: str = "ivf_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a NEW vector batch into a :func:`build_ivf_index` index
+    without refitting: each batch vector is assigned to its nearest
+    STORED centroid (the same euclidean argmin the quantizer's transform
+    uses, broadcast k-row cross join + `min_by` — per-batch cost tracks
+    the batch, never the indexed corpus) and appended to `{prefix}_cells`
+    with the matching bucket spec, so later :func:`ivf_topk_indexed`
+    probes see old and new vectors identically. The mirror of
+    `dedup.py`'s incremental-dedup-vs-persisted-index contract, for ANN.
+
+    Centroids intentionally do NOT move (classic IVF maintenance):
+    re-centering would silently change every PAST assignment's meaning —
+    rebuild the index when drift warrants it."""
+    spark = batch.sparkSession
+    cent = spark.table(f"{prefix}_centroids")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        batch.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(id_col, vec_col, F.col("cell"), d2.alias("_d2"))
+        .groupBy(id_col, vec_col)
+        .agg(F.min_by("cell", F.struct(F.col("_d2"), F.col("cell"))).alias("cell"))
+    )
+    _append_bucketed(assigned, f"{prefix}_cells", bucket_col="cell")
+
+
+def _append_bucketed(df: DataFrame, table: str, bucket_col: str) -> None:
+    """Append to an existing bucketed table PRESERVING its bucket spec:
+    the bucket count is read from the catalog (DESCRIBE EXTENDED) and the
+    write re-declares the same bucketBy — `insertInto` would silently
+    drop bucketing on datasource tables, corrupting co-location for every
+    later bucket-pruned/co-located join. Columns are aligned to the
+    table's order explicitly (append matching is positional)."""
+    spark = df.sparkSession
+    n_buckets = None
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if r.col_name.strip() == "Num Buckets":
+            n_buckets = int(r.data_type.strip())
+    if n_buckets is None:
+        raise ValueError(f"_append_bucketed: {table} is not a bucketed table")
+    cols = spark.table(table).columns
+    (
+        df.select(*cols)
+        .write.mode("append")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
 def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id expression: bit p = sign(v . h_p)
     with h_p a deterministic +-1 hyperplane derived from (p, index) parity.
@@ -665,6 +728,34 @@ def build_lsh_index(
     spark.createDataFrame(
         [(n_planes, dim, n_tables)], "n_planes int, dim int, n_tables int"
     ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+
+
+def lsh_index_append(
+    batch: DataFrame,
+    prefix: str = "lsh_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a NEW vector batch into a :func:`build_lsh_index` index: sign
+    only the batch (geometry read from `{prefix}_meta`, so new signatures
+    are bit-compatible with the stored ones) and append to the signature
+    and vector tables with their original bucket specs. Per-batch cost
+    tracks the batch alone; because LSH signatures depend only on the
+    vector itself (no fitted model, unlike IVF centroids), the appended
+    index is IDENTICAL to a from-scratch rebuild over the union — pinned
+    by test."""
+    spark = batch.sparkSession
+    meta = spark.table(f"{prefix}_meta").first()
+    sig = _lsh_signatures(
+        batch, meta.n_planes, meta.dim, meta.n_tables, id_col, vec_col, out_id=id_col
+    )
+    _append_bucketed(sig, f"{prefix}_sig", bucket_col="bucket")
+    vecs = batch.select(
+        F.col(id_col),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    _append_bucketed(vecs, f"{prefix}_vecs", bucket_col=id_col)
 
 
 def lsh_topk_indexed(

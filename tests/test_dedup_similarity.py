@@ -703,3 +703,61 @@ def test_semantic_decontamination_flags_paraphrase_neighbors(spark):
     # cosine test, not cell luck, is what keeps them clean.)
     for i in (2, 3, 4):
         assert not out[i].contaminated and out[i].n_bench_hits == 0
+
+
+def test_lsh_index_append_equals_full_rebuild(spark):
+    """Build on the first half, append the second: queries against the
+    appended index must EQUAL queries against a from-scratch index over
+    the union (LSH signatures have no fitted state to drift)."""
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    probes = emb.filter(F.col("vec_id") < 2)
+
+    S.build_lsh_index(first, prefix="t_lsh_inc", n_planes=6, n_tables=4)
+    S.lsh_index_append(rest, prefix="t_lsh_inc")
+    appended = sorted(
+        map(tuple, S.lsh_topk_indexed(spark, probes, prefix="t_lsh_inc", k=5).collect())
+    )
+
+    S.build_lsh_index(emb, prefix="t_lsh_full", n_planes=6, n_tables=4)
+    full = sorted(
+        map(tuple, S.lsh_topk_indexed(spark, probes, prefix="t_lsh_full", k=5).collect())
+    )
+    assert appended == full and len(appended) > 0
+    # The appended signature table must cover every vector exactly
+    # n_tables times (no dropped/duplicated rows from the bucketed append).
+    n = spark.table("t_lsh_inc_sig").count()
+    assert n == emb.count() * 4
+
+
+def test_ivf_index_append_assigns_nearest_stored_centroid(spark):
+    """Appended vectors join the cell of their nearest STORED centroid
+    (centroids never move), and indexed queries then see them."""
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    S.build_ivf_index(first, prefix="t_ivf_inc", n_cells=8, num_buckets=4)
+    S.ivf_index_append(rest, prefix="t_ivf_inc")
+
+    cells = spark.table("t_ivf_inc_cells")
+    assert cells.count() == emb.count()
+    # Every appended vector's stored cell == argmin euclidean distance to
+    # the stored centroids (numpy recomputation, ties -> smallest cell).
+    import numpy as np
+
+    cent_rows = spark.table("t_ivf_inc_centroids").collect()
+    cent = np.array([r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)])
+    for r in cells.filter(F.col("vec_id") >= 400).collect():
+        d = np.linalg.norm(cent - np.array(r.embedding, dtype=np.float64), axis=1)
+        assert r.cell == int(np.argmin(d))
+    # An appended vector is retrievable: probe with itself, expect its
+    # nearest neighbors to come back (it can't be its own hit — the
+    # scorer excludes self — but the query must return k rows).
+    probe = emb.filter(F.col("vec_id") == 450)
+    got = S.ivf_topk_indexed(spark, probe, prefix="t_ivf_inc", k=5, nprobe=8).collect()
+    assert len(got) == 5
