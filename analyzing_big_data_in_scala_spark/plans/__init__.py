@@ -94,10 +94,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_pagerank",
     "graph_component_sizes",
     # Dedup / fingerprint family (r1)
+    # (dedup_minhash_signatures ceded its slot to the new corpus_bpe_merges
+    # — the signature table is evaluated inside the superset
+    # dedup_minhash_candidates; its r1-green row stands)
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_jaccard_df_capped",
-    "dedup_minhash_signatures",
     "dedup_minhash_candidates",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -110,6 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_pii_scan",
     "similarity_lsh_indexed_agreement",
     "doc_semantic_decontamination",
+    "corpus_bpe_merges",
 )
 
 

@@ -2542,3 +2542,76 @@ def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("err_v").alias("sum_abs_err_ve4"),
         F.expr("(sum(err_v) * 2000000L + count(*)) div (2L * count(*))").alias("mae_ve4_ppm"),
     )
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """Unrolled-round DuckDB twin of operators/bpe.bpe_merge_table (the
+    pagerank unrolled-CTE precedent applied to an iterative TRAINER):
+    round r picks the (count desc, pair asc) argmax over syms{r-1}'s
+    adjacent-pair counts and applies the same two-pass padded literal
+    replace — RE2's global regexp_replace is left-to-right non-overlapping
+    exactly like Java's, which is what makes the merge application
+    engine-portable without lookarounds. Every chained CTE is MATERIALIZED:
+    DuckDB inlines plain CTEs per reference, and each round references the
+    previous one ~3x (pair counts + two scalar argmax subqueries) — an
+    inlined chain re-reads the parquet ~3^n times and exhausts file
+    handles before it exhausts patience."""
+    parts = [
+        r"""
+        WITH words AS (
+            SELECT array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), ' ') AS s,
+                   cnt
+            FROM (
+                SELECT w, COUNT(*) AS cnt
+                FROM (
+                    SELECT UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS w
+                    FROM documents
+                )
+                WHERE w <> ''
+                GROUP BY w
+            )
+        ),
+        syms0 AS MATERIALIZED (SELECT s, cnt FROM words)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f""",
+        p{r} AS (
+            SELECT l[i] || ' ' || l[i + 1] AS pair, SUM(cnt) AS n
+            FROM (SELECT string_split(s, ' ') AS l, cnt FROM syms{r - 1}),
+                 UNNEST(generate_series(1, len(l) - 1)) t(i)
+            GROUP BY pair
+        ),
+        b{r} AS MATERIALIZED (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+        syms{r} AS MATERIALIZED (
+            SELECT trim(regexp_replace(regexp_replace(' ' || s || ' ',
+                       ' ' || (SELECT pair FROM b{r}) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ', 'g'),
+                       ' ' || (SELECT pair FROM b{r}) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ', 'g')) AS s,
+                   cnt
+            FROM syms{r - 1}
+        )""")
+    selects = "\n            UNION ALL ".join(
+        f"SELECT {r} AS step, split_part(pair, ' ', 1) AS left_sym,"
+        f" split_part(pair, ' ', 2) AS right_sym,"
+        f" replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + f"\n        {selects}"
+
+
+@query(
+    "corpus_bpe_merges",
+    oracle=_bpe_merges_oracle(8),
+    description="Distributed BPE tokenizer training (Sennrich et al. 2016): 8 merge rules learned over the word-TYPE table (one corpus aggregate, then vocabulary-sized rounds; one argmax row to the driver per round) — rule table value-checked against an 8-round unrolled SQL re-derivation incl. the two-pass left-to-right merge application (operators/bpe.py)",
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(_docs(spark, sf_dir), n_merges=8).select(
+        "step",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "merged",
+        "pair_count",
+    )

@@ -111,6 +111,7 @@ HEADLINE = [
     "streaming_user_totals",
     "similarity_lsh_indexed_agreement",
     "doc_semantic_decontamination",
+    "corpus_bpe_merges",
 ]
 
 

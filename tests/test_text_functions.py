@@ -295,3 +295,62 @@ def test_pmi_collocations_hand_computed(spark):
     ]
     assert rows[0].pmi == round(math.log((3 / 5) / (0.5 * 0.5)), 6)
     assert rows[1].pmi == round(math.log((2 / 5) / (0.5 * 0.5)), 6)
+
+
+def test_bpe_merges_greedy_order_and_overlap(spark):
+    """Known micro-corpus: pair counts decide merge order with (count desc,
+    pair asc) tie-break, and overlapping chains merge left-to-right."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.bpe import (
+        apply_merge,
+        bpe_merge_table,
+    )
+
+    docs = spark.createDataFrame(
+        # 'abab' x3 and 'ab' x2: pair counts a-b=8(?), b-a=3 ... the exact
+        # winner matters less than determinism; assert full table below.
+        [(1, "abab abab abab ab ab")],
+        "doc_id long, text string",
+    )
+    rules = [tuple(r) for r in bpe_merge_table(docs, n_merges=2).collect()]
+    # 'abab': pairs ab(2), ba(1); corpus: ab = 3*2 + 2*1 = 8, ba = 3.
+    assert rules[0][:4] == (1, "a", "b", "ab") and rules[0][4] == 8
+    # After merging ab: 'abab' -> 'ab ab', 'ab' -> 'ab'; best pair now
+    # 'ab ab' with count 3.
+    assert rules[1][:4] == (2, "ab", "ab", "abab") and rules[1][4] == 3
+
+    # Overlap semantics: merging (a,a) over 'a a a' keeps the greedy
+    # left-to-right result 'aa a'; over 'a a a a' -> 'aa aa'.
+    row = spark.range(1).select(
+        apply_merge(F.lit("a a a"), "a", "a").alias("x"),
+        apply_merge(F.lit("a a a a"), "a", "a").alias("y"),
+        apply_merge(F.lit("b a b a b"), "a", "b").alias("z"),
+    ).first()
+    assert row.x == "aa a"
+    assert row.y == "aa aa"
+    assert row.z == "b ab ab"  # both (a,b) occurrences merge (2-pass)
+
+
+def test_bpe_segment_round_trip(spark):
+    """Segmenting with the trained rules: pieces always concatenate back
+    to the word, and words containing trained merges actually use them."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.bpe import (
+        bpe_merge_table,
+        bpe_segment,
+    )
+    from analyzing_big_data_in_scala_spark.plans.pipeline_queries import _docs
+
+    docs = _docs(spark, "/root/testdata/sf0.001").limit(50)
+    rules = bpe_merge_table(docs, n_merges=4)
+    merges = [(r.left, r.right) for r in rules.orderBy("step").collect()]
+    assert len(merges) == 4
+    seg = bpe_segment(docs, merges)
+    bad = seg.filter(F.concat_ws("", F.col("pieces")) != F.col("word")).count()
+    assert bad == 0
+    # At least one word got a multi-char piece (the merges did something).
+    assert seg.filter(
+        F.exists(F.col("pieces"), lambda p: F.length(p) >= 2)
+    ).count() > 0
