@@ -524,3 +524,50 @@ def kcore_vertices(
         .agg(F.count("*").alias("core_degree"))
         .select(F.col("u").alias("id"), "core_degree")
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan et al.
+    2007; the GraphFrames `labelPropagation` counterpart) made fully
+    DETERMINISTIC: every vertex starts labeled with its own id; each round
+    every vertex simultaneously adopts the most frequent label among its
+    UNDIRECTED neighbors, ties broken by SMALLEST label. Returns
+    (id, label) after exactly `rounds` rounds.
+
+    Fixed horizon, not convergence: synchronous LPA can oscillate forever
+    between two colorings (any bipartite-ish region), so "run until
+    stable" is not well-defined — a fixed round count keeps the result an
+    engine-independent pure function of the graph, which is what lets an
+    unrolled-CTE oracle re-derive it value-for-value (the pagerank
+    precedent applied to community detection).
+
+    Scale shape per round: ONE equi-join (undirected edges x labels, both
+    hash-partitioned on the join key) + two hash aggregates — the
+    (id, label) count and the per-id argmax via min_by over a
+    (-count, label) struct (total order, no window, map-side partials).
+    Labels are lineage-cut per round like the pagerank loop."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        counts = nbr.groupBy("id", "label").agg(F.count("*").alias("n"))
+        labels = counts.groupBy("id").agg(
+            F.min_by(
+                "label",
+                F.struct((-F.col("n")).alias("nn"), F.col("label").alias("lb")),
+            ).alias("label")
+        ).localCheckpoint(eager=False)
+    return labels

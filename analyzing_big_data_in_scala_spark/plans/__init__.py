@@ -101,7 +101,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_jaccard_df_capped",
     "dedup_minhash_candidates",
-    "dedup_simhash",
+    # (dedup_simhash ceded its slot to the new graph_label_propagation —
+    # the fingerprints are evaluated inside the superset dedup_simhash_pairs;
+    # its r1-green row stands)
     "dedup_simhash_pairs",
     "doc_fingerprint_rolling",
     "doc_winnow_fingerprints",
@@ -113,6 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_lsh_indexed_agreement",
     "doc_semantic_decontamination",
     "corpus_bpe_merges",
+    "graph_label_propagation",
 )
 
 

@@ -361,3 +361,49 @@ def _kcore_sql(k: int = 3, stages: int = 30) -> str:
 )
 def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.kcore_vertices(_edges(spark, sf_dir), k=70)
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    """Unrolled-round DuckDB twin of operators.graph.label_propagation:
+    round r's per-vertex argmax (count desc, label asc) over neighbor
+    labels via ROW_NUMBER. Chained CTEs are MATERIALIZED — DuckDB inlines
+    plain CTEs per reference, and an inlined unrolled chain re-reads the
+    parquet exponentially (the corpus_bpe_merges lesson)."""
+    parts = [
+        "WITH ",
+        _SQL_EDGES,
+        """,
+        und AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM edges
+            ) WHERE src <> dst
+        ),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM und)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        c{r} AS (
+            SELECT u.src AS id, l.label, COUNT(*) AS n
+            FROM und u JOIN l{r - 1} l ON l.id = u.dst
+            GROUP BY u.src, l.label
+        ),
+        l{r} AS MATERIALIZED (
+            SELECT id, label FROM (
+                SELECT id, label,
+                       ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rk
+                FROM c{r}
+            ) WHERE rk = 1
+        )""")
+    parts.append(f"\n        SELECT id, label FROM l{rounds}")
+    return "".join(parts)
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_sql(rounds=4),
+    description="Synchronous label-propagation community detection, 4 fixed rounds (GraphFrames labelPropagation counterpart): per round one edges-x-labels equi-join + per-vertex (count desc, label asc) argmax via min_by — deterministic, value-checked against a 4-round unrolled MATERIALIZED-CTE oracle (operators/graph.py)",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.label_propagation(_edges(spark, sf_dir), rounds=4)

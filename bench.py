@@ -112,6 +112,7 @@ HEADLINE = [
     "similarity_lsh_indexed_agreement",
     "doc_semantic_decontamination",
     "corpus_bpe_merges",
+    "graph_label_propagation",
 ]
 
 

@@ -209,3 +209,31 @@ def test_kcore_peeling_cascades(spark):
     assert G.kcore_vertices(edges, k=1).count() == 6
     with pytest.raises(ValueError, match="k >= 1"):
         G.kcore_vertices(edges, k=0)
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: labels converge to the
+    min id of each clique; the bridge endpoints stay with their cliques
+    (3 in-clique neighbors outvote 1 bridge neighbor every round)."""
+    from analyzing_big_data_in_scala_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long",
+    )
+    out = {r.id: r.label for r in label_propagation(edges, rounds=4).collect()}
+    assert {out[i] for i in (1, 2, 3, 4)} == {1}
+    assert {out[i] for i in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """A path 1-2-3 after one round: vertex 2 sees labels {1, 3} tied at
+    one vote each -> takes 1; endpoints adopt their single neighbor."""
+    from analyzing_big_data_in_scala_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r.id: r.label for r in label_propagation(edges, rounds=1).collect()}
+    assert out == {1: 2, 2: 1, 3: 2}

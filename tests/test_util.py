@@ -115,7 +115,7 @@ def test_driver_window_covers_oracle_backed_queries():
         "events_asof_latest_order", "events_range_join_daily_windows",
         "events_salted_by_type", "events_session_window_native",
         "events_sliding_20min", "events_user_sessions", "doc_url_domains",
-        "tfidf_term_frequencies", "dedup_minhash_signatures",
+        "tfidf_term_frequencies", "dedup_minhash_signatures", "dedup_simhash",
         "ner_gazetteer_counts", "orders_data_profile",
         "orders_quality_checks", "similarity_quantized_topk",
         "streaming_sentiment_counts", "tfidf_doc_frequencies_stemmed",
