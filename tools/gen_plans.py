@@ -54,6 +54,10 @@ PICKS = {
     "events_seasonal_naive_eval": "Forecast-baseline eval: one bucket aggregate (map-side combined), a self equi-join on (bucket-144, type) — the lag is pushed into the join key, so no window over the raw stream — and a per-type error aggregate; all integer arithmetic.",
     "corpus_curation_funnel": "Six gates from ONE corpus scan — now physically true: the (id, kind, h) key table and the per-doc flags are materialized via lazy localCheckpoint (without that, Catalyst re-planned the scan+explode chain per gate family: 18 scans), and the six stage counts collapse into one aggregate unpivoted via stack.",
     "events_multires_rollup": "Continuous aggregate: raw events aggregate ONCE into 10min partials, materialized via lazy localCheckpoint (without it Catalyst planned a scan->aggregate chain PER union branch: 3 corpus scans, 0 ReusedExchange); 1h/1d levels re-aggregate the checkpointed partial rows (bounded by buckets x types).",
+    "similarity_lsh_topk": "Multi-probe LSH (r6 Arrow-matmul rewrite): corpus signatures come from ONE MapInPandas stage (all 12 tables per batch in a single BLAS call — the r5 flat-SQL signature blew janino's 64 KB limit and fell back to interpreted, 31x slower); probe buckets XOR-expand from the broadcast query signatures; candidates via (tbl, bucket) equi-join, exact-cosine re-rank, window top-k.",
+    "doc_exact_substring_removal": "Exact-substring removal: stride-1 window hashes in one explode+projection (codegen — the transform-inline HOF form measured 2x slower interpreted); the window table and token table are lazily checkpointed (each has two consumers ReuseExchange can't serve: 3 scans/3.1s -> 0.6s); dup starts merge per doc via one window pass; kept text rebuilt in-array.",
+    "graph_label_propagation": "Sync LPA round: undirected-edges x labels equi-join (both hash-partitioned on the join key) + (id,label) count + per-id argmax via min_by struct aggregate — no window function anywhere; labels lineage-cut per round.",
+    "doc_semantic_decontamination": "Cogrouped FlatMapCoGroupsInPandas on the hyperplane cell key: ONE shuffle per side, per-cell train x bench BLAS matmul; quantized integer cosine makes the threshold decision bit-exact cross-engine.",
 }
 
 
