@@ -27,6 +27,8 @@ from analyzing_big_data_in_scala_spark.operators import dedup as D  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import kmeans as KM  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import projection as P  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import sketches as K  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import bpe as BP  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import chunking as CH  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import graph as G  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import repetition as R  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import similarity as S  # noqa: E402
@@ -221,6 +223,25 @@ def main() -> None:
             # partial rows (bounded by buckets x event types, fixed under
             # inflation) — expect linear scan cost + constant rollup tail.
             "multires_rollup": lambda: noop(RU.multires_rollup(ev)),
+            # Stride-1 window hashing explodes ~1 row per corpus token,
+            # then two hash aggregates + one per-doc window — expect
+            # ~linear with the token stream (the checkpointed
+            # intermediates keep it one chain, not three).
+            "exact_substring_removal": lambda: noop(
+                CH.exact_substring_removal(docs)
+            ),
+            # Per LPA round: one edges x labels equi-join + two hash
+            # aggregates over (vertex, label) rows — expect ~linear with
+            # edges (replicas are disjoint subgraphs, so label cardinality
+            # grows with copies while per-round join fan-out stays local).
+            "label_propagation": lambda: noop(
+                G.label_propagation(G.edges_from_events(ev), rounds=2)
+            ),
+            # BPE statistics live on the word-TYPE table: the corpus
+            # aggregate is the only corpus-sized pass, and inflated
+            # replicas share one vocabulary — expect the curve to FLATTEN
+            # with copies (counts grow, distinct word types don't).
+            "bpe_merges_4": lambda: BP.bpe_merge_table(docs, n_merges=4).count(),
         }
         for name, fn in cases.items():
             # Exact all-pairs cosine is quadratic by definition (16x data =
@@ -268,8 +289,16 @@ def main() -> None:
         "- Sub-4x ratios mean fixed per-job overheads (planning, task launch)",
         "  still dominate at this fixture size.",
     ]
+    # Preserve sections other tools own (tools/skew_probe.py appends a
+    # "## Zipf-skew probe" section) across regeneration.
+    preserved = ""
+    if os.path.exists(out_md):
+        old = open(out_md).read()
+        idx = old.find("\n## Zipf-skew probe")
+        if idx >= 0:
+            preserved = old[idx:]
     with open(out_md, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + preserved)
     print("\n".join(lines))
 
 
