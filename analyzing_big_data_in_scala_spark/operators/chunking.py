@@ -175,7 +175,8 @@ def exact_substring_removal(
     # final join; wins: df aggregate + join-back), and ReuseExchange does
     # not rescue either (the aggregate and join subtrees differ) — without
     # the lazy checkpoints the tokenize+hash chain re-ran per consumer:
-    # 3 parquet scans, 3.1s at sf0.1 vs 0.6s checkpointed (the measured
+    # 3 parquet scans vs 1 at sf0.1 (warm-state A/B 3.1s vs 0.6s; a cold
+    # run still computes the chain once, ~2.2s vs ~3.5s — the measured
     # multi-consumer recompute trap; see corpus_curation_funnel).
     toked = docs.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("toks")
