@@ -2615,3 +2615,53 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged",
         "pair_count",
     )
+
+
+def _bpe_token_stats_oracle(n_merges: int) -> str:
+    """Extends :func:`_bpe_merges_oracle`'s unrolled chain: after the last
+    merge round, syms{n} IS the trained vocabulary (word = symbols with
+    spaces removed, piece count = symbol count), so per-doc BPE token
+    counts are one join from doc words to that vocabulary — which
+    value-checks the SEGMENTATION path, not just the rule table."""
+    chain = _bpe_merges_oracle(n_merges)
+    # Drop the rule-table SELECT tail; keep the CTE chain.
+    tail_at = chain.rfind("SELECT 1 AS step")
+    chain = chain[:tail_at].rstrip().rstrip(",")
+    return chain + f""",
+        vocab AS MATERIALIZED (
+            SELECT replace(s, ' ', '') AS word,
+                   CAST(len(string_split(s, ' ')) AS BIGINT) AS n_pieces
+            FROM syms{n_merges}
+        ),
+        doc_words AS (
+            SELECT doc_id, w
+            FROM (
+                SELECT doc_id,
+                       UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS w
+                FROM documents
+            )
+            WHERE w <> ''
+        )
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(v.n_pieces) AS BIGINT) AS n_pieces
+        FROM doc_words d JOIN vocab v ON v.word = d.w
+        GROUP BY d.doc_id"""
+
+
+@query(
+    "corpus_bpe_token_stats",
+    oracle=_bpe_token_stats_oracle(8),
+    description="Per-document token counts under the trained 8-rule BPE tokenizer (the 'how many tokens will training see' question): rules trained in-plan, segmentation applied as one composed column chain in a single corpus scan — value-checks bpe_segment end-to-end against the unrolled oracle's final vocabulary",
+)
+def corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_merge_table, bpe_segment
+
+    docs = _docs(spark, sf_dir)
+    rules = bpe_merge_table(docs, n_merges=8)
+    merges = [(r.left, r.right) for r in rules.orderBy("step").collect()]
+    seg = bpe_segment(docs, merges)
+    return seg.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.size("pieces")).cast("long").alias("n_pieces"),
+    )
