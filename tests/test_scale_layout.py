@@ -171,3 +171,39 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path_factory):
     # global range on BOTH dimensions (16 files -> ideal ~1/4 per dim).
     assert sum(ratios_p) / len(ratios_p) < 0.6, ratios_p
     assert sum(ratios_s) / len(ratios_s) < 0.6, ratios_s
+
+
+def test_lsh_signature_stage_stays_arrow_never_interpreted(spark):
+    """Round-6 regression guard: the LSH signature must be the Arrow
+    mapInPandas pass (2 stages: corpus + query), never a generated SQL
+    expression — the r5 flat-SQL form blew janino's 64 KB method limit
+    and dropped the WHOLE stage to interpreted eval (31x). A janino
+    failure surfaces as a WholeStageCodegen fallback warning, not an
+    error, so the plan shape is the only durable tripwire."""
+    from analyzing_big_data_in_scala_spark.operators import similarity as S
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = S.lsh_topk(emb, emb.filter(F.col("vec_id") < 2), k=5)
+    df.count()  # AQE: finalize the executed plan
+    plan = _physical_plan(df)
+    assert plan.count("MapInPandas") == 2  # corpus signatures + query signatures
+    # The probe side must broadcast; candidates come from an equi-join.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_substring_removal_single_corpus_scan(spark):
+    """Round-6 regression guard: without the lazy checkpoints the
+    tokenize+window-hash chain re-ran per consumer (3 parquet scans).
+    The final executed plan must read the checkpointed intermediates,
+    not re-scan parquet."""
+    from analyzing_big_data_in_scala_spark.operators.chunking import (
+        exact_substring_removal,
+    )
+    from analyzing_big_data_in_scala_spark.plans.pipeline_queries import _docs
+
+    out = exact_substring_removal(_docs(spark, "/root/testdata/sf0.001"))
+    out.count()
+    plan = _physical_plan(out)
+    assert plan.count("Scan parquet") == 0  # all inputs come from checkpoints
+    assert "Scan ExistingRDD" in plan
