@@ -329,3 +329,108 @@ def test_multires_rollup_lossless_property(spark, events):
     for lv, (n, s) in by_level.items():
         assert n == raw_n, (lv, n, raw_n)
         assert s == raw_s, (lv, s, raw_s)
+
+
+def _py_greedy_merge(symbols: list[str], left: str, right: str) -> list[str]:
+    """Reference token-space BPE merge: scan left-to-right, merge every
+    non-overlapping (left, right) adjacency greedily."""
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == left and symbols[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+@PROP_SETTINGS
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "ba", "c"]), min_size=1, max_size=12),
+    pair=st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "a"), ("c", "c")]),
+)
+def test_bpe_apply_merge_equals_token_space_greedy(spark, syms, pair):
+    """The two-pass padded literal replace (operators/bpe.apply_merge) must
+    equal the token-space left-to-right greedy merge for ANY symbol
+    sequence — including overlapping chains (a,a over 'a a a') and symbols
+    that are prefixes/suffixes of each other ('ab' vs 'a'/'b'), where a
+    substring-unaware replace would corrupt tokens."""
+    from analyzing_big_data_in_scala_spark.operators.bpe import apply_merge
+
+    left, right = pair
+    got = spark.range(1).select(
+        apply_merge(F.lit(" ".join(syms)), left, right).alias("s")
+    ).first().s
+    want = " ".join(_py_greedy_merge(syms, left, right))
+    assert got == want, f"{syms} merge {pair}: {got!r} != {want!r}"
+
+
+@PROP_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=30), min_size=2, max_size=6
+    ),
+    shared=st.text(alphabet="xy z", min_size=11, max_size=16),
+)
+def test_exact_substring_removal_property(spark, texts, shared):
+    """Plant a shared passage into the first two docs of a random corpus:
+    after removal (window=3, stride=1) no length-3 cross-doc duplicated
+    token window survives anywhere (re-running the pass removes nothing),
+    and untouched docs come back with all tokens intact."""
+    from analyzing_big_data_in_scala_spark.operators.chunking import (
+        exact_substring_removal,
+    )
+    from analyzing_big_data_in_scala_spark.functions.text import tokens as tok
+
+    planted = [
+        (0, texts[0] + " " + shared),
+        (1, shared + " " + texts[1]),
+    ] + [(i, t) for i, t in enumerate(texts[2:], start=2)]
+    docs = spark.createDataFrame(planted, "doc_id long, text string")
+    cleaned = exact_substring_removal(docs, window=3, stride=1)
+    total = cleaned.agg(F.sum("n_tokens"), F.sum("n_removed_tokens")).first()
+    assert total[1] is None or total[1] <= total[0]
+    redo = exact_substring_removal(
+        cleaned.select("doc_id", F.col("cleaned_text").alias("text")),
+        window=3,
+        stride=1,
+    )
+    assert (redo.agg(F.sum("n_removed_tokens")).first()[0] or 0) == 0
+
+
+@PROP_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=14,
+    ),
+    rounds=st.integers(1, 3),
+)
+def test_label_propagation_equals_python_simulation(spark, edges, rounds):
+    """Sync LPA must equal a direct per-round Python simulation (most
+    frequent undirected-neighbor label, ties -> smallest) on any graph."""
+    from collections import Counter
+
+    from analyzing_big_data_in_scala_spark.operators.graph import label_propagation
+
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nbrs: dict[int, list[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        labels = {
+            v: min(
+                Counter(labels[u] for u in ns).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for v, ns in nbrs.items()
+        }
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r.id: r.label for r in label_propagation(df, rounds=rounds).collect()}
+    assert got == labels
