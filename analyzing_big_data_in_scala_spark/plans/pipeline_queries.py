@@ -1974,15 +1974,37 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     t = F.unix_timestamp("ts").cast("long")
     # Arrival order = event_id (the fixture's ingestion sequence). The
-    # window is GLOBAL by design — the stream's high-water mark is global —
-    # but it shuffles only (event_id, ts, type): at real scale this is the
-    # one operator here that would move to a two-phase prefix-max (like
-    # packing.pack_token_shards) instead of a single-partition window.
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    arr = ev.select(
-        "event_type",
-        t.alias("t"),
-        F.max(t).over(w).alias("hwm"),
+    # high-water mark is global, but the running max is computed in TWO
+    # PHASES (the packing.distributed_running_sum shape, prefix-MAX
+    # instead of prefix-sum): per-arrival-bucket running max over rows
+    # partitioned by bucket, plus a strictly-preceding-bucket prefix max
+    # over the bucket-count-sized subtotal table — max is associative, so
+    # this equals the single-partition global window EXACTLY (same
+    # oracle), with no corpus-sized single-partition exchange. greatest()
+    # skips nulls, so the very first arrivals (empty preceding frame on
+    # both phases) keep their NULL hwm, matching the global-window
+    # semantics bit for bit.
+    bucket = F.floor(F.col("event_id") / F.lit(1000))
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.select(
+        "event_type", F.col("event_id"), t.alias("t"), bucket.alias("_bkt")
+    )
+    within = tagged.withColumn("_in_max", F.max("t").over(w_in))
+    totals = tagged.groupBy("_bkt").agg(F.max("t").alias("_tot"))
+    # One row per bucket: this window's frame is bucket-count-sized.
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("_off", F.max("_tot").over(w_off))
+    arr = (
+        within.join(F.broadcast(offsets.select("_bkt", "_off")), "_bkt")
+        .select(
+            "event_type",
+            "t",
+            F.greatest("_in_max", "_off").alias("hwm"),
+        )
     )
     late = F.col("hwm") - F.col("t")
     return arr.groupBy("event_type").agg(
