@@ -292,3 +292,25 @@ def scd2_apply_batch(
     return closed_rows.unionByName(updated_open.select(*hist_cols)).unionByName(
         new_rows.select(*hist_cols)
     )
+
+
+def idempotent_foreach_batch(fold):
+    """Make a foreachBatch fold EXACTLY-ONCE under micro-batch redelivery:
+    Structured Streaming guarantees at-least-once delivery to foreachBatch
+    — after a failure between the fold's side effect and the checkpoint
+    commit, the SAME (batch_df, batch_id) is delivered again, and a
+    non-idempotent fold (like a += aggregate delta) double-counts it. The
+    standard guard is batch-id dedup: `batch_id` is stable across
+    redeliveries of the same data (that is its documented contract), so
+    wrapping the fold skips exact replays while passing new batches
+    through. State is per-wrapper (one streaming query's lifetime — the
+    same scope as the fold's own accumulator closure)."""
+    seen: set[int] = set()
+
+    def guarded(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen:
+            return
+        fold(batch_df, batch_id)
+        seen.add(batch_id)
+
+    return guarded

@@ -288,8 +288,15 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).localCheckpoint()
             state["batches"] += 1
 
+        from ..operators.merge import idempotent_foreach_batch
+
+        # foreachBatch is at-least-once: a crash between the fold's side
+        # effect and the checkpoint commit redelivers the same batch, and
+        # the += delta fold would double-count it. The batch-id dedup
+        # wrapper makes the fold exactly-once (unit-pinned in
+        # test_merge.py).
         q = (
-            stream.writeStream.foreachBatch(fold)
+            stream.writeStream.foreachBatch(idempotent_foreach_batch(fold))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

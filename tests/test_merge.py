@@ -264,3 +264,26 @@ def test_scd2_apply_batch_all_absorbed_keeps_interval_open(spark):
     assert (r.state, r.valid_from, r.valid_to, r.version, r.is_current) == (
         "a", T(2024, 1, 1), None, 1, True,
     )
+
+
+def test_idempotent_foreach_batch_skips_redelivered_batches(spark):
+    """Exactly-once fold under at-least-once delivery: replaying the same
+    batch_id is a no-op; new batch_ids pass through; the same DATA under a
+    new batch_id is (correctly) applied — dedup is by id, not content."""
+    from analyzing_big_data_in_scala_spark.operators.merge import (
+        idempotent_foreach_batch,
+    )
+
+    applied = []
+
+    def fold(batch_df, batch_id):
+        applied.append((batch_id, batch_df.count()))
+
+    guarded = idempotent_foreach_batch(fold)
+    b = spark.range(5)
+    guarded(b, 0)
+    guarded(b, 0)  # redelivery after simulated crash: must not double-count
+    guarded(b, 1)
+    guarded(b, 1)
+    guarded(b, 2)
+    assert applied == [(0, 5), (1, 5), (2, 5)]
