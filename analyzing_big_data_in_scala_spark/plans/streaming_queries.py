@@ -497,3 +497,88 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "streaming_ann_index_ingest",
+    # Constant oracle: after the drain, a query against the incrementally-
+    # built index must agree row-for-row with the on-the-fly multi-probe
+    # LSH over the full corpus. LSH signatures have no fitted state, so
+    # the appended index == a from-scratch rebuild REGARDLESS of micro-
+    # batch arrival order — which is exactly what makes this streaming
+    # ingest deterministic enough to value-check (a fitted-state index
+    # like IVF would depend on which batch arrived first).
+    oracle="""
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(n_indexed AS BIGINT) AS n_indexed,
+               CAST(n_agree AS BIGINT) AS n_agree
+        FROM (VALUES (0, 10, 10), (1, 10, 10), (2, 10, 10))
+             t(query_id, n_indexed, n_agree)
+    """,
+    description="Streaming ANN index ingest: embedding micro-batches folded into the persisted LSH index via exactly-once foreachBatch (batch 1 builds, later batches append — per-batch cost tracks the batch); drained index agrees row-for-row with on-the-fly LSH over the full corpus",
+)
+def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators import similarity as S
+    from ..operators.merge import idempotent_foreach_batch
+    from ..sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stage = tempfile.mkdtemp(prefix="stream_ann_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ann_ckpt_")
+    prefix = "lshs_index"
+    try:
+        emb.select("vec_id", "embedding").repartitionByRange(4, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        state = {"built": False}
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            # localCheckpoint: the file-source batch frame is re-read
+            # twice inside build/append (signatures + vectors); pinning it
+            # also survives the staged files' later removal.
+            batch = batch_df.localCheckpoint()
+            if not batch.take(1):
+                return
+            if not state["built"]:
+                S.build_lsh_index(batch, prefix=prefix)
+                state["built"] = True
+            else:
+                S.lsh_index_append(batch, prefix=prefix)
+
+        q = (
+            stream.writeStream.foreachBatch(idempotent_foreach_batch(fold))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(
+                "streaming_ann_index_ingest: availableNow drain did not "
+                "terminate within 120s"
+            )
+        if not state["built"]:
+            raise RuntimeError("streaming_ann_index_ingest: no batches arrived")
+        probes = emb.filter(F.col("vec_id") < 3)
+        indexed = S.lsh_topk_indexed(spark, probes, prefix=prefix, k=10)
+        live = S.lsh_topk(emb, probes, k=10)
+        both = indexed.join(live, ["query_id", "vec_id", "cosine", "rank"], "left_semi")
+        n_idx = indexed.groupBy("query_id").agg(F.count("*").alias("n_indexed"))
+        n_agr = both.groupBy("query_id").agg(F.count("*").alias("n_agree"))
+        return n_idx.join(n_agr, "query_id", "left").select(
+            "query_id",
+            F.col("n_indexed").cast("long").alias("n_indexed"),
+            F.coalesce("n_agree", F.lit(0)).cast("long").alias("n_agree"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
