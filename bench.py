@@ -113,6 +113,8 @@ HEADLINE = [
     "doc_semantic_decontamination",
     "corpus_bpe_merges",
     "graph_label_propagation",
+    "corpus_bpe_token_stats",
+    "streaming_ann_index_ingest",
 ]
 
 
