@@ -998,3 +998,90 @@ def orders_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_custkey") % 50 == 0)
     )
+
+
+@query(
+    "orders_schema_evolution",
+    # The staged dataset is derived deterministically from `orders` (era 1
+    # = keys < the integer midpoint, WITHOUT the channel column; era 2 =
+    # the rest, WITH it), so the oracle re-derives the merged read's
+    # per-era profile straight from the source table: era-1 rows surface
+    # NULL channels under the merged schema, era-2 rows carry the derived
+    # value.
+    oracle="""
+        WITH bounds AS (
+            SELECT MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 2 AS mid
+            FROM orders
+        ),
+        tagged AS (
+            SELECT CASE WHEN o_orderkey < mid THEN 1 ELSE 2 END AS era,
+                   CASE WHEN o_orderkey < mid THEN NULL
+                        ELSE 'ch_' || CAST(o_orderkey % 3 AS VARCHAR) END AS channel,
+                   o_totalprice
+            FROM orders, bounds
+        )
+        SELECT era,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN channel IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_channels,
+               COUNT(DISTINCT channel) AS n_channels,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM tagged
+        GROUP BY era
+    """,
+    description="Parquet schema evolution (additive, schema-on-read): era-1 files written WITHOUT the channel column, era-2 appended WITH it, read back under mergeSchema's unified schema — era-1 rows NULL-fill, history is never rewritten (sources/evolution.py; the 100 TB alternative is a full-corpus backfill job)",
+)
+def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.evolution import append_era, read_merged
+
+    o = _t(spark, sf_dir, "orders")
+    # Integer-exact midpoint derived IN-PLAN (1-row broadcast bounds, the
+    # events_scd2_incremental recipe) — era membership is a pure function
+    # of the key on both engines.
+    bounds = o.agg(
+        F.min("o_orderkey").alias("_mn"), F.max("o_orderkey").alias("_mx")
+    )
+    tagged = o.crossJoin(F.broadcast(bounds)).withColumn(
+        "_mid", F.expr("_mn + (_mx - _mn) div 2")
+    )
+    era1 = tagged.filter(F.col("o_orderkey") < F.col("_mid")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    era2 = tagged.filter(F.col("o_orderkey") >= F.col("_mid")).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.concat(F.lit("ch_"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "channel"
+        ),
+    )
+    stage = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        append_era(era1, stage)  # era 1: no channel column in these footers
+        append_era(era2, stage)  # era 2: adds the column; era 1 untouched
+        merged = read_merged(spark, stage)
+        assert "channel" in merged.columns  # unified schema saw the new column
+        bounds2 = merged.agg(
+            F.min("o_orderkey").alias("_mn"), F.max("o_orderkey").alias("_mx")
+        )
+        out = (
+            merged.crossJoin(F.broadcast(bounds2))
+            .withColumn("_mid", F.expr("_mn + (_mx - _mn) div 2"))
+            .withColumn(
+                "era", F.when(F.col("o_orderkey") < F.col("_mid"), 1).otherwise(2)
+            )
+            .groupBy("era")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("channel").isNull().cast("long")).alias("null_channels"),
+                F.count_distinct("channel").alias("n_channels"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                    "total_cents"
+                ),
+            )
+        )
+        # Materialize before the staged files are removed.
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -115,6 +115,7 @@ HEADLINE = [
     "graph_label_propagation",
     "corpus_bpe_token_stats",
     "streaming_ann_index_ingest",
+    "orders_schema_evolution",
 ]
 
 

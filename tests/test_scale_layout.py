@@ -207,3 +207,25 @@ def test_exact_substring_removal_single_corpus_scan(spark):
     plan = _physical_plan(out)
     assert plan.count("Scan parquet") == 0  # all inputs come from checkpoints
     assert "Scan ExistingRDD" in plan
+
+
+def test_schema_evolution_additive_merge(spark, tmp_path):
+    """Era-1 files lack the new column; mergeSchema NULL-fills them and a
+    default (non-merged) read of an era-1-only directory simply doesn't
+    see the column — history is never rewritten."""
+    from analyzing_big_data_in_scala_spark.sources.evolution import (
+        append_era,
+        read_merged,
+    )
+
+    p = str(tmp_path / "evo")
+    append_era(spark.range(5).select(F.col("id").alias("k")), p)
+    append_era(
+        spark.range(5, 8).select(F.col("id").alias("k"), F.lit("new").alias("extra")),
+        p,
+    )
+    merged = read_merged(spark, p)
+    assert set(merged.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in merged.collect()}
+    assert all(rows[k] is None for k in range(5))
+    assert all(rows[k] == "new" for k in range(5, 8))
