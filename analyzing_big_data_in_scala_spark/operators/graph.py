@@ -571,3 +571,63 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             ).alias("label")
         ).localCheckpoint(eager=False)
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.15,
+    iterations: int = 10,
+) -> DataFrame:
+    """Personalized PageRank / TrustRank (Gyongyi et al. 2004): the
+    teleport distribution is uniform over `seeds` (a 1-column id frame)
+    instead of uniform over all vertices, so score mass flows outward
+    from the seed set — the trust/quality-propagation primitive a
+    curation pipeline runs with a hand-audited seed list (trusted
+    domains, vetted sources). Returns (id, ppr) for EVERY vertex
+    (non-seeds reachable only via teleport score 0 — kept, because "has
+    zero trust" is the signal).
+
+    Same loop discipline as :func:`pagerank` (fixed iterations,
+    localCheckpoint lineage cuts, loop-invariant out-degree join); init
+    r0 = the teleport vector itself. Deterministic for a fixed seed set,
+    so the whole fixpoint value-checks against an unrolled-CTE oracle."""
+    vertices = _vertices_from_edges(edges)
+    seed_ids = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    n_seeds = seed_ids.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    contrib_edges = edges.select("src", "dst").join(out_deg, "src").localCheckpoint()
+    # Teleport vector: 1/|S| on seeds, 0 elsewhere — also the init.
+    tele = vertices.join(
+        seed_ids.withColumn("_s", F.lit(1)), "id", "left"
+    ).select(
+        "id",
+        F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("tele"),
+    ).localCheckpoint()
+    ranks = tele.select("id", F.col("tele").alias("ppr"))
+    for i in range(iterations):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.id, "inner")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("ppr") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = (
+            tele.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(alpha) * F.col("tele")
+                    + F.lit(1 - alpha) * F.coalesce("mass", F.lit(0.0))
+                ).alias("ppr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

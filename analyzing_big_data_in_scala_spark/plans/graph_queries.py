@@ -413,3 +413,60 @@ def _lpa_sql(rounds: int = 4) -> str:
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.label_propagation(_edges(spark, sf_dir), rounds=4)
+
+
+def _ppr_sql(iterations: int = 10, seed_mod: int = 20, alpha: float = 0.15) -> str:
+    """Unrolled-round DuckDB twin of operators.graph.personalized_pagerank
+    with seeds = vertices where id % seed_mod == 0: teleport vector 1/|S|
+    on seeds (also the init), r{i} = alpha*tele + (1-alpha)*mass. Same
+    float-safety recipe as _pagerank_sql (Python float repr literals,
+    round-6 comparison); chained CTEs MATERIALIZED."""
+    beta = 1 - alpha
+    stages = [
+        """tele AS MATERIALIZED (
+            SELECT v.id,
+                   CASE WHEN v.id % {m} = 0 THEN CAST(1.0 AS DOUBLE) / (SELECT s FROM ns)
+                        ELSE CAST(0.0 AS DOUBLE) END AS tele
+            FROM vertices v)""".format(m=seed_mod),
+        "r0 AS MATERIALIZED (SELECT id, tele AS ppr FROM tele)",
+    ]
+    for i in range(1, iterations + 1):
+        stages.append(
+            f"""r{i} AS MATERIALIZED (
+            SELECT t.id, CAST({alpha!r} AS DOUBLE) * t.tele
+                   + CAST({beta!r} AS DOUBLE) * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS ppr
+            FROM tele t LEFT JOIN (
+                SELECT e.dst AS id, SUM(r.ppr / o.od) AS mass
+                FROM edges e
+                JOIN r{i - 1} r ON r.id = e.src
+                JOIN outd o ON o.src = e.src
+                GROUP BY e.dst
+            ) m ON m.id = t.id)"""
+        )
+    chain = ",\n        ".join(stages)
+    return f"""
+        WITH {_SQL_EDGES},
+        vertices AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        ns AS (SELECT COUNT(*) AS s FROM vertices WHERE id % {seed_mod} = 0),
+        outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        {chain}
+        SELECT id, ROUND(ppr, 6) AS ppr FROM r{iterations}
+        ORDER BY ppr DESC, id ASC LIMIT 20
+    """
+
+
+@query(
+    "graph_trustrank_from_seeds",
+    oracle=_ppr_sql(iterations=10, seed_mod=20),
+    description="Personalized PageRank / TrustRank (Gyongyi et al. 2004): teleport uniform over a deterministic seed set (id %% 20 == 0), 10 unrolled iterations — trust propagation from hand-audited sources, the graph-side quality signal of a curation pipeline; fully value-checked (operators/graph.py personalized_pagerank)",
+)
+def graph_trustrank_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    verts = G._vertices_from_edges(edges)
+    seeds = verts.filter(F.col("id") % 20 == 0)
+    ppr = G.personalized_pagerank(edges, seeds, alpha=0.15, iterations=10)
+    return (
+        ppr.select("id", F.round("ppr", 6).alias("ppr"))
+        .orderBy(F.desc("ppr"), F.asc("id"))
+        .limit(20)
+    )

@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_bpe_token_stats",
     "streaming_ann_index_ingest",
     "orders_schema_evolution",
+    "graph_trustrank_from_seeds",
 ]
 
 

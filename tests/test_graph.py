@@ -237,3 +237,27 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     out = {r.id: r.label for r in label_propagation(edges, rounds=1).collect()}
     assert out == {1: 2, 2: 1, 3: 2}
+
+
+def test_personalized_pagerank_hand_computed_chain(spark):
+    """Seeds {1} on chain 1->2->3 plus a seedless component 4->5: two
+    iterations hand-computed; seedless vertices stay at exactly 0 (no
+    teleport mass ever reaches them)."""
+    import pytest as _pytest
+
+    from analyzing_big_data_in_scala_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {
+        r.id: r.ppr
+        for r in personalized_pagerank(edges, seeds, alpha=0.15, iterations=2).collect()
+    }
+    # r1: ppr(1)=0.15, ppr(2)=0.85*1.0, ppr(3)=0
+    # r2: ppr(1)=0.15, ppr(2)=0.85*0.15, ppr(3)=0.85*0.85
+    assert out[1] == _pytest.approx(0.15)
+    assert out[2] == _pytest.approx(0.85 * 0.15)
+    assert out[3] == _pytest.approx(0.85 * 0.85)
+    assert out[4] == 0.0 and out[5] == 0.0
