@@ -174,3 +174,34 @@ def weighted_hash_sample(
     keeps, >=1 always keeps)."""
     threshold = F.round(F.col(weight_col) * buckets, 0)
     return df.filter(hash_bucket(key, buckets, salt) < threshold)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACTLY `n_per_stratum` rows per stratum (or all of a smaller
+    stratum), chosen by hash rank — the deterministic counterpart of
+    `sampleBy`, whose Bernoulli rates only hit counts in expectation.
+    The per-stratum choice is a pure function of (key, salt): stable
+    across runs, engines, partitionings, AND corpus growth (a kept row
+    stays kept until enough lower-hash rows join its stratum — no RNG
+    churn). The standard tool for balanced per-class subsets (eval sets,
+    per-source audit samples).
+
+    One window pass partitioned by the stratum — per-partition state is
+    the stratum's row count, never corpus-wide. Ties cannot happen: the
+    rank orders by (hash, key) and `key` is unique."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(key, buckets=1 << 30, salt=salt), F.col(key)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -2687,3 +2687,30 @@ def corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_words"),
         F.sum(F.size("pieces")).cast("long").alias("n_pieces"),
     )
+
+
+@query(
+    "documents_balanced_sample",
+    # DuckDB re-derives the hash rank (same md5-derived bucket + doc_id
+    # tie-break) per source and keeps rank <= 5 — exact membership, not a
+    # count comparison.
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {_HASH64.format(x="CAST(doc_id AS VARCHAR) || 'strat'")} % 1073741824, doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source FROM ranked WHERE rk <= 5
+    """,
+    description="Balanced per-source audit sample: EXACTLY 5 docs per source by deterministic hash rank (sampleBy's Bernoulli rates only hit counts in expectation) — stable across runs/engines/partitionings and under corpus growth; one window pass partitioned by the stratum (operators/sampling.py stratified_exact_sample)",
+)
+def documents_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_exact_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_exact_sample(
+        docs.select("doc_id", "source"), "source", n_per_stratum=5, key="doc_id"
+    ).select("doc_id", "source")

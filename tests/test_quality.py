@@ -71,3 +71,28 @@ def test_blocked_fuzzy_pairs_blocks_and_distance(spark):
     assert pairs[(1, 2)] == 1
     assert (1, 4) not in pairs and (2, 4) not in pairs  # blocking recall bound
     assert all(d <= 2 for d in pairs.values())
+
+
+def test_stratified_exact_sample_counts_and_stability(spark):
+    """Exactly n per stratum (all of a smaller stratum); membership is a
+    pure function of the key, so adding UNRELATED rows to another stratum
+    never changes an existing stratum's picks."""
+    from analyzing_big_data_in_scala_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    rows = [(i, "a") for i in range(20)] + [(100 + i, "b") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_exact_sample(df, "source", 5, key="doc_id").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by["a"]) == 5
+    assert by["b"] == {100, 101, 102}  # smaller stratum: kept whole
+    # Growth in stratum b must not disturb stratum a's membership.
+    more = df.union(
+        spark.createDataFrame([(200 + i, "b") for i in range(50)], "doc_id long, source string")
+    )
+    out2 = stratified_exact_sample(more, "source", 5, key="doc_id").collect()
+    a2 = {r.doc_id for r in out2 if r.source == "a"}
+    assert a2 == by["a"]

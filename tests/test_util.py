@@ -124,7 +124,7 @@ def test_driver_window_covers_oracle_backed_queries():
         # sealed; green in the full sweep at sf0.001+sf0.01, r7 queue:
         "graph_pagerank_tol", "corpus_bpe_token_stats",
         "streaming_ann_index_ingest", "orders_schema_evolution",
-        "graph_trustrank_from_seeds",
+        "graph_trustrank_from_seeds", "documents_balanced_sample",
         # --- r3-GREEN remainder (CORRECTNESS_r03 rows stand; r7 queue):
         "embeddings_random_projection", "entity_cooccurrence_edges",
         "events_value_quartiles_by_type", "graph_bfs_hops",
