@@ -2714,3 +2714,55 @@ def documents_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_exact_sample(
         docs.select("doc_id", "source"), "source", n_per_stratum=5, key="doc_id"
     ).select("doc_id", "source")
+
+
+@query(
+    "corpus_token_drift",
+    # The chi-square uses ONLY correctly-rounded IEEE ops (+ - * /) in the
+    # same evaluation order as the Spark expression, so the statistic is
+    # bit-identical cross-engine with no ln-quantization dance; both sides
+    # round to 6 and ORDER BY the rounded value with a token tie-break.
+    oracle="""
+        WITH doc_toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, UNNEST(toks) AS token FROM doc_toks
+        ),
+        b AS (SELECT token, COUNT(*) AS n_base FROM tok WHERE token <> '' AND doc_id % 2 = 0 GROUP BY token),
+        c AS (SELECT token, COUNT(*) AS n_current FROM tok WHERE token <> '' AND doc_id % 2 = 1 GROUP BY token),
+        j AS (
+            SELECT COALESCE(b.token, c.token) AS token,
+                   CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+                   CAST(COALESCE(n_current, 0) AS BIGINT) AS n_current
+            FROM b FULL OUTER JOIN c ON b.token = c.token
+            WHERE COALESCE(n_base, 0) + COALESCE(n_current, 0) >= 10
+        ),
+        t AS (SELECT CAST(SUM(n_base) AS DOUBLE) AS nb, CAST(SUM(n_current) AS DOUBLE) AS nc FROM j)
+        SELECT token, n_base, n_current,
+               ROUND(
+                 (CAST(n_base AS DOUBLE) - (CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE)) * nb / (nb + nc))
+                 * (CAST(n_base AS DOUBLE) - (CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE)) * nb / (nb + nc))
+                 / ((CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE)) * nb / (nb + nc))
+                 +
+                 (CAST(n_current AS DOUBLE) - (CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE)) * nc / (nb + nc))
+                 * (CAST(n_current AS DOUBLE) - (CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE)) * nc / (nb + nc))
+                 / ((CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE)) * nc / (nb + nc))
+               , 6) AS chi2
+        FROM j, t
+        ORDER BY chi2 DESC, token ASC LIMIT 20
+    """,
+    description="Corpus drift monitor: top-20 drifted tokens between the even-id (baseline) and odd-id (current) snapshots by per-token chi-square — ln-free arithmetic keeps the statistic bit-identical cross-engine; full-outer token join flags appearing/disappearing vocabulary (operators/drift.py)",
+)
+def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import token_drift_chi2
+
+    docs = _docs(spark, sf_dir)
+    return token_drift_chi2(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        k=20,
+        min_total=10,
+    )

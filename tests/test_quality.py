@@ -96,3 +96,25 @@ def test_stratified_exact_sample_counts_and_stability(spark):
     out2 = stratified_exact_sample(more, "source", 5, key="doc_id").collect()
     a2 = {r.doc_id for r in out2 if r.source == "a"}
     assert a2 == by["a"]
+
+
+def test_token_drift_chi2_flags_planted_shift(spark):
+    """A token that explodes in the current snapshot dominates the drift
+    report; a token with identical shares contributes ~zero chi-square."""
+    from analyzing_big_data_in_scala_spark.operators.drift import token_drift_chi2
+
+    base = spark.createDataFrame(
+        [(i, "stable filler words " + ("old " * 10)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [(i, "stable filler words " + ("new " * 10)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = token_drift_chi2(base, cur, k=5, min_total=5).collect()
+    top = out[0]
+    assert top.token in ("old", "new")  # the swapped tokens dominate
+    assert top.chi2 > 50
+    by = {r.token: r.chi2 for r in out}
+    # Identical-share tokens score ~0 (and sort last if present at all).
+    assert by.get("stable", 0.0) < 1e-6
