@@ -631,3 +631,65 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999), fixed-iteration power
+    method with L2 normalization each half-step:
+
+        auth_i(v) = Σ_{u→v} hub_{i-1}(u)   then auth_i /= ‖auth_i‖₂
+        hub_i(u)  = Σ_{u→v} auth_i(v)      then hub_i  /= ‖hub_i‖₂
+
+    Returns (id, auth, hub) for EVERY vertex (vertices with no in-links
+    have auth 0, no out-links hub 0 — kept, absence of endorsement is the
+    signal). Same loop discipline as :func:`pagerank`: fixed iterations
+    (deterministic → value-checkable by an unrolled-CTE oracle), lazy
+    `localCheckpoint` lineage cuts on every frame consumed twice (the
+    edge list feeds both half-steps; auth feeds the hub step AND the
+    output — without the cut each consumer re-runs the whole upstream
+    chain). Each half-step is one equi-join + one hash aggregate; the
+    L2 norm is a 1-row aggregate broadcast back — nothing is collected
+    to the driver.
+    """
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
+    vertices = _vertices_from_edges(edges)
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    hub = vertices.select("id", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+            .localCheckpoint(eager=False)  # consumed by norm AND join
+        )
+        an = araw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
+        auth = (
+            vertices.join(araw.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(an))
+            # try_divide: an all-zero iterate (edgeless graph) yields NULL
+            # -> 0, matching DuckDB's x/0.0 contract instead of erroring.
+            .select(
+                "id",
+                F.coalesce(F.try_divide("s", "n"), F.lit(0.0)).alias("auth"),
+            )
+            .localCheckpoint(eager=False)  # consumed by hub step AND output
+        )
+        hraw = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        hn = hraw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
+        hub = (
+            vertices.join(hraw.withColumnRenamed("src", "id"), "id", "left")
+            .crossJoin(F.broadcast(hn))
+            .select(
+                "id",
+                F.coalesce(F.try_divide("s", "n"), F.lit(0.0)).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return auth.join(hub, "id")

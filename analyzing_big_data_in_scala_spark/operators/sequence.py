@@ -1,0 +1,63 @@
+"""Sequence analytics over event streams: first-order Markov transition
+statistics between event types — the "what happens next" model behind
+next-action prediction, anomalous-flow detection, and funnel design
+(complements `association.py`, which ignores order).
+
+Scale shape: ONE window shuffle partitioned by the sequence key (the same
+partitioning a sessionization pass uses — at 100 TB this is the unavoidable
+shuffle, and it is the only one), then two hash aggregates over the tiny
+(|types|^2) transition space. Probabilities are integer ppm via the repo's
+round-half-up BIGINT formula `(n*2e6 + tot) DIV (2*tot)` — no float
+anywhere, so values hash identically on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences:
+
+        (from_type, to_type, n_transitions, prob_ppm)
+
+    where prob_ppm is the row-conditional probability
+    P(to | from) = n_transitions / Σ_to' n(from, to'), in round-half-up
+    integer ppm. Consecutive pairs come from LEAD over (key, order_cols) —
+    the last event of each key emits nothing. Deterministic as long as
+    `order_cols` is a total order within a key (the default ends with the
+    unique event_id)."""
+    w = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.call_function(
+                "div",
+                F.col("n_transitions") * F.lit(2_000_000).cast("long")
+                + F.col("_tot"),
+                F.lit(2).cast("long") * F.col("_tot"),
+            ).alias("prob_ppm"),
+        )
+    )

@@ -470,3 +470,68 @@ def graph_trustrank_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppr"), F.asc("id"))
         .limit(20)
     )
+
+
+def _hits_sql(iterations: int = 8) -> str:
+    """Unrolled-round DuckDB twin of operators.graph.hits. Every chained
+    CTE is MATERIALIZED (each round references its predecessor twice —
+    norm scalar subquery + join — and plain CTEs inline per reference,
+    re-reading the parquet exponentially). Both engines round to 6 dp and
+    rank on the ROUNDED authority, soaking ~1e-13 reassociation noise in
+    the float sums (same recipe as _pagerank_sql)."""
+    stages = [
+        "h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM vertices)"
+    ]
+    for i in range(1, iterations + 1):
+        stages.append(
+            f"""a{i}raw AS MATERIALIZED (
+                SELECT e.dst AS id, SUM(h.hub) AS s
+                FROM edges e JOIN h{i - 1} h ON h.id = e.src
+                GROUP BY e.dst)"""
+        )
+        stages.append(
+            f"""a{i} AS MATERIALIZED (
+                SELECT v.id,
+                       COALESCE(r.s / NULLIF((SELECT sqrt(SUM(s * s)) FROM a{i}raw), 0.0), 0.0) AS auth
+                FROM vertices v LEFT JOIN a{i}raw r ON r.id = v.id)"""
+        )
+        stages.append(
+            f"""h{i}raw AS MATERIALIZED (
+                SELECT e.src AS id, SUM(a.auth) AS s
+                FROM edges e JOIN a{i} a ON a.id = e.dst
+                GROUP BY e.src)"""
+        )
+        stages.append(
+            f"""h{i} AS MATERIALIZED (
+                SELECT v.id,
+                       COALESCE(r.s / NULLIF((SELECT sqrt(SUM(s * s)) FROM h{i}raw), 0.0), 0.0) AS hub
+                FROM vertices v LEFT JOIN h{i}raw r ON r.id = v.id)"""
+        )
+    chain = ",\n        ".join(stages)
+    n = iterations
+    return f"""
+        WITH {_SQL_EDGES},
+        vertices AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        {chain}
+        SELECT a.id, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub
+        FROM a{n} a JOIN h{n} h ON h.id = a.id
+        ORDER BY ROUND(a.auth, 6) DESC, a.id ASC LIMIT 20
+    """
+
+
+@query(
+    "graph_hits_authorities",
+    oracle=_hits_sql(iterations=8),
+    description="HITS hubs & authorities (Kleinberg 1999): 8 power-method iterations with per-half-step L2 normalization, top-20 vertices by authority with their hub scores — the link-analysis complement of PageRank (endorsement-quality vs popularity); fixpoint unrolled into generated MATERIALIZED CTE stages, fully value-checked (operators/graph.py hits)",
+)
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = G.hits(_edges(spark, sf_dir), iterations=8)
+    return (
+        res.select(
+            "id",
+            F.round("auth", 6).alias("auth"),
+            F.round("hub", 6).alias("hub"),
+        )
+        .orderBy(F.desc("auth"), F.asc("id"))
+        .limit(20)
+    )

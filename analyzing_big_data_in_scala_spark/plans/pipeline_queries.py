@@ -2221,6 +2221,38 @@ def events_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "events_markov_transitions",
+    # Transition counts are exact integers from LEAD over a total per-user
+    # order (ts, event_id — event_id unique); probabilities use the same
+    # pure-BIGINT round-half-up ppm division as the association rules.
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, COUNT(*) AS n_transitions
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        ),
+        totals AS (
+            SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS tot
+            FROM counts GROUP BY from_type
+        )
+        SELECT c.from_type, c.to_type, c.n_transitions,
+               (c.n_transitions * 2000000 + t.tot) // (2 * t.tot) AS prob_ppm
+        FROM counts c JOIN totals t ON t.from_type = c.from_type
+    """,
+    description="First-order Markov transition matrix between event types (per-user sequences ordered by ts,event_id): exact transition counts + row-conditional probability P(to|from) in round-half-up integer ppm — one window shuffle on the sequence key, then two aggregates over the |types|^2 space (operators/sequence.py)",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import markov_transitions
+
+    return markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "events_weekly_retention",
     # Pure integer analytics end to end: epoch-week bucketing (tz-free),
     # distinct-user counts, ppm retention via the BIGINT ratio recipe.

@@ -78,6 +78,97 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), list(QUERY_TERMS), k=20)
 
 
+def _hybrid_rrf_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+    contrib = BM25_CONTRIB_SQL.format(k1=1.2, b=0.75)
+    # BM25 side re-derived over documents EXCLUDING the probe doc (the
+    # Spark plan filters docs before scoring, so N/avgdl/df all shift);
+    # dense side = cosine vs vec 0 ranked by the ROUNDED value; fusion =
+    # exact integer RRF (1e9 // (60 + rank)) summed over <= 2 BIGINTs.
+    return f"""
+        WITH {_SQL_TOKS},
+        toks_f AS (SELECT * FROM toks WHERE doc_id <> 0),
+        q(term) AS (VALUES {terms}),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_f GROUP BY doc_id),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks_f
+            WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+        ),
+        df_t AS (SELECT term, COUNT(doc_id) AS df FROM tf GROUP BY term),
+        stats AS (
+            SELECT (SELECT COUNT(*) FROM documents WHERE doc_id <> 0) AS n_docs,
+                   CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM documents WHERE doc_id <> 0) AS avgdl
+        ),
+        idf AS (
+            SELECT term, {BM25_IDF_E6_SQL} AS idf_e6
+            FROM df_t CROSS JOIN stats
+        ),
+        bm_scored AS (
+            SELECT tf.doc_id, CAST(SUM({contrib}) AS BIGINT) AS score_ppm
+            FROM tf
+            JOIN dl ON dl.doc_id = tf.doc_id
+            JOIN idf ON idf.term = tf.term
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ),
+        bm_ranked AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS INT) AS rank
+            FROM bm_scored
+            QUALIFY rank <= 50
+        ),
+        qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        dn_scored AS (
+            SELECT e.vec_id AS doc_id,
+                   ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE))
+                       / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                          * sqrt(SUM(CAST(qv.qvec[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)))), 6) AS cosine
+            FROM embeddings e
+            CROSS JOIN qv
+            , UNNEST(generate_series(1, len(e.embedding))) t(i)
+            WHERE e.vec_id <> 0
+            GROUP BY e.vec_id
+        ),
+        dn_ranked AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT) AS rank
+            FROM dn_scored
+            QUALIFY rank <= 50
+        ),
+        fused AS (
+            SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+                   b.rank AS bm25_rank,
+                   d.rank AS dense_rank,
+                   CAST(COALESCE(1000000000 // (60 + b.rank), 0)
+                        + COALESCE(1000000000 // (60 + d.rank), 0) AS BIGINT) AS rrf_e9
+            FROM bm_ranked b FULL OUTER JOIN dn_ranked d ON d.doc_id = b.doc_id
+        )
+        SELECT doc_id, bm25_rank, dense_rank, rrf_e9,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id ASC) AS INT) AS rank
+        FROM fused
+        QUALIFY rank <= 20
+    """
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    description="Hybrid sparse+dense retrieval with reciprocal-rank fusion (Cormack 2009): BM25 top-50 over documents text + cosine top-50 vs probe vector 0 (its embedding stands in for the encoded query; the probe's own doc excluded from both sides), fused as exact-integer RRF weights 1e9 DIV (60+rank) — each retriever keeps its own scale-correct plan, fusion is a broadcast full-outer join over two <=50-row frames (operators/fusion.py)",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fusion import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        _docs(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        list(QUERY_TERMS),
+        probe_vec_id=0,
+        k_each=50,
+        k=20,
+    )
+
+
 def _cms_oracle() -> str:
     bucket = _HASH64.format(x="'cms' || i || ':' || term")
     return f"""

@@ -568,6 +568,14 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if not state["built"]:
             raise RuntimeError("streaming_ann_index_ingest: no batches arrived")
+        # foreachBatch runs `fold` in a CLONED SparkSession: the DROP +
+        # saveAsTable inside build/append invalidate the CLONE's relation
+        # cache, not this session's — without a refresh, a prior
+        # invocation's cached file listing for these tables serves deleted
+        # part files (FAILED_READ_FILE.FILE_NOT_EXIST, seen in bench
+        # re-runs within one JVM).
+        for t in ("sig", "vecs", "meta"):
+            spark.catalog.refreshTable(f"{prefix}_{t}")
         probes = emb.filter(F.col("vec_id") < 3)
         indexed = S.lsh_topk_indexed(spark, probes, prefix=prefix, k=10)
         live = S.lsh_topk(emb, probes, k=10)

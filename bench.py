@@ -117,6 +117,11 @@ HEADLINE = [
     "streaming_ann_index_ingest",
     "orders_schema_evolution",
     "graph_trustrank_from_seeds",
+    "documents_balanced_sample",
+    "corpus_token_drift",
+    "search_hybrid_rrf",
+    "graph_hits_authorities",
+    "events_markov_transitions",
 ]
 
 

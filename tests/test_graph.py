@@ -261,3 +261,31 @@ def test_personalized_pagerank_hand_computed_chain(spark):
     assert out[2] == _pytest.approx(0.85 * 0.15)
     assert out[3] == _pytest.approx(0.85 * 0.85)
     assert out[4] == 0.0 and out[5] == 0.0
+
+
+def test_hits_hand_computed_star_and_chain(spark):
+    from analyzing_big_data_in_scala_spark.operators.graph import hits
+
+    # Star: 1->3, 2->3. Fixpoint after one iteration:
+    # auth = (0, 0, 1); hub = (1/sqrt2, 1/sqrt2, 0).
+    star = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got = {r.id: r for r in hits(star, iterations=3).collect()}
+    assert got[3].auth == pytest.approx(1.0)
+    assert got[1].auth == 0.0 and got[2].auth == 0.0
+    assert got[1].hub == pytest.approx(2 ** -0.5)
+    assert got[2].hub == pytest.approx(2 ** -0.5)
+    assert got[3].hub == 0.0
+
+    # Chain 1->2->3: converges to auth=(0, 1/sqrt2, 1/sqrt2),
+    # hub=(1/sqrt2, 1/sqrt2, 0) — stable from iteration 1 on.
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.id: r for r in hits(chain, iterations=4).collect()}
+    assert got[2].auth == pytest.approx(2 ** -0.5)
+    assert got[3].auth == pytest.approx(2 ** -0.5)
+    assert got[1].auth == 0.0
+    assert got[1].hub == pytest.approx(2 ** -0.5)
+    assert got[2].hub == pytest.approx(2 ** -0.5)
+    assert got[3].hub == 0.0
+
+    with pytest.raises(ValueError, match="iterations"):
+        hits(chain, iterations=0)

@@ -323,3 +323,93 @@ def test_association_rules_hand_computed(spark):
 
     with pytest.raises(ValueError, match="min_support"):
         association_rules(df, "b", "i", min_support=0)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from analyzing_big_data_in_scala_spark.operators.fusion import rrf_fuse
+
+    # list A ranks docs 1,2,3; list B ranks docs 2,3,4. RRF k=60:
+    # doc2: 1e9//62 + 1e9//61 = 16129032 + 16393442 = 32522474  (top)
+    # doc3: 1e9//63 + 1e9//62 = 15873015 + 16129032 = 32002047
+    # doc1: 1e9//61 = 16393442 ; doc4: 1e9//63 = 15873015
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], "doc_id long, rank int")
+    out = rrf_fuse([("a", a), ("b", b)], rrf_k=60, k=10).collect()
+    assert [r.doc_id for r in out] == [2, 3, 1, 4]
+    assert [r.rrf_e9 for r in out] == [32522474, 32002047, 16393442, 15873015]
+    by_id = {r.doc_id: r for r in out}
+    # absent-side ranks stay NULL
+    assert by_id[1].b_rank is None and by_id[4].a_rank is None
+    assert by_id[2].a_rank == 2 and by_id[2].b_rank == 1
+
+    with pytest.raises(ValueError, match="two ranked lists"):
+        rrf_fuse([("a", a)])
+
+
+def test_hybrid_rrf_excludes_probe_and_fuses(spark):
+    from analyzing_big_data_in_scala_spark.operators.fusion import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark"),      # probe doc: must never appear
+            (1, "spark window merge"),
+            (2, "spark filler filler"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),   # closest to probe
+            (2, [0.0, 1.0]),   # orthogonal
+            (3, [0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_rrf_topk(docs, emb, ["spark", "merge"], probe_vec_id=0, k_each=3, k=10)
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    assert 0 not in ids
+    by_id = {r.doc_id: r for r in rows}
+    # doc1 matches both retrievers hard: bm25 rank 1 (2 terms) + dense rank 1
+    assert by_id[1].bm25_rank == 1 and by_id[1].dense_rank == 1
+    assert rows[0].doc_id == 1 and rows[0].rank == 1
+    # doc3 has no query term -> NULL bm25 rank, but still ranked densely
+    assert by_id[3].bm25_rank is None and by_id[3].dense_rank is not None
+    # fused score = sum of the two integer weights
+    for r in rows:
+        w = (1_000_000_000 // (60 + r.bm25_rank) if r.bm25_rank else 0) + (
+            1_000_000_000 // (60 + r.dense_rank) if r.dense_rank else 0
+        )
+        assert r.rrf_e9 == w
+
+
+def test_markov_transitions_hand_computed(spark):
+    from datetime import datetime
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        markov_transitions,
+    )
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        # user 1: A B A B ; user 2: A A
+        (1, t, 1, "A"), (2, t, 1, "B"), (3, t, 1, "A"), (4, t, 1, "B"),
+        (5, t, 2, "A"), (6, t, 2, "A"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): r for r in markov_transitions(ev).collect()
+    }
+    # transitions: u1 A->B, B->A, A->B ; u2 A->A
+    assert set(got) == {("A", "B"), ("B", "A"), ("A", "A")}
+    assert got[("A", "B")].n_transitions == 2
+    # P(B|A) = 2/3 -> 666667 ppm (round half up), P(A|A) = 1/3 -> 333333
+    assert got[("A", "B")].prob_ppm == 666667
+    assert got[("A", "A")].prob_ppm == 333333
+    assert got[("B", "A")].prob_ppm == 1000000
+    # equal timestamps fall back to event_id order (total order within key)
+    # -> the result above is only correct under that tie-break
