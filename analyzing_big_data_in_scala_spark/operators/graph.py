@@ -653,8 +653,16 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
     """
     if iterations < 1:
         raise ValueError("hits: iterations must be >= 1")
-    vertices = _vertices_from_edges(edges)
+    # vertices is consumed by the init AND the final zero-fill; the edge
+    # list by both half-steps of every iteration — lineage cuts on both.
+    vertices = _vertices_from_edges(edges).localCheckpoint(eager=False)
     e = edges.select("src", "dst").localCheckpoint(eager=False)
+    # The loop iterates on NONZERO-support frames only: a zero score
+    # contributes nothing to the next half-step's sums and nothing to the
+    # L2 norm, so carrying the full vertex set through every iteration
+    # (a per-half-step left join) is pure overhead — zeros are filled in
+    # ONCE at the end. After iteration 1 the auth support is exactly the
+    # in-link'd vertices and the hub support the out-link'd ones.
     hub = vertices.select("id", F.lit(1.0).alias("hub"))
     auth = None
     for _ in range(iterations):
@@ -662,17 +670,16 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
             e.join(hub.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum("hub").alias("s"))
-            .localCheckpoint(eager=False)  # consumed by norm AND join
+            .localCheckpoint(eager=False)  # consumed by norm AND divide
         )
         an = araw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
+        # try_divide: an all-zero iterate (edgeless graph) yields NULL
+        # -> dropped support, matching DuckDB's x/0.0 contract.
         auth = (
-            vertices.join(araw.withColumnRenamed("dst", "id"), "id", "left")
-            .crossJoin(F.broadcast(an))
-            # try_divide: an all-zero iterate (edgeless graph) yields NULL
-            # -> 0, matching DuckDB's x/0.0 contract instead of erroring.
+            araw.crossJoin(F.broadcast(an))
             .select(
-                "id",
-                F.coalesce(F.try_divide("s", "n"), F.lit(0.0)).alias("auth"),
+                F.col("dst").alias("id"),
+                F.try_divide("s", "n").alias("auth"),
             )
             .localCheckpoint(eager=False)  # consumed by hub step AND output
         )
@@ -684,12 +691,19 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
         )
         hn = hraw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
         hub = (
-            vertices.join(hraw.withColumnRenamed("src", "id"), "id", "left")
-            .crossJoin(F.broadcast(hn))
+            hraw.crossJoin(F.broadcast(hn))
             .select(
-                "id",
-                F.coalesce(F.try_divide("s", "n"), F.lit(0.0)).alias("hub"),
+                F.col("src").alias("id"),
+                F.try_divide("s", "n").alias("hub"),
             )
             .localCheckpoint(eager=False)
         )
-    return auth.join(hub, "id")
+    return (
+        vertices.join(auth, "id", "left")
+        .join(hub, "id", "left")
+        .select(
+            "id",
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )
