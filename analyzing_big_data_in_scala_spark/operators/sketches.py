@@ -118,3 +118,52 @@ def cms_heavy_hitters(
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+def hll_daily_rollup(
+    events: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    rel_err_bound_pct: int = 5,
+) -> DataFrame:
+    """Mergeable-sketch rollup: per-(group, epoch-day) Apache DataSketches
+    HLL partials (`hll_sketch_agg`) unioned per group (`hll_union_agg`) —
+    the pre-aggregation pattern that answers "distinct users over ANY day
+    range" at 100 TB by merging kilobyte sketches instead of re-scanning
+    the fact table (exact COUNT(DISTINCT) shuffles every distinct value,
+    and exact partials are NOT mergeable — 3 dedups/day don't sum to the
+    cross-day dedup).
+
+    Sketch bits are implementation-specific, so (like
+    `lineitem_approx_profile`) the output carries the exact distinct
+    count, the exact day count, and ONE integer assertion: the merged
+    estimate is within `rel_err_bound_pct` of the exact count (HLL
+    default lgK=12 ≈ 1.6% rsd, so 5% is a stable contract). The exact
+    pass exists only to judge the sketches; a production rollup drops it.
+
+    Output: (group_col, exact_users, n_days, hll_merge_ok)."""
+    day = F.floor(F.unix_timestamp(ts_col) / F.lit(86400)).cast("long")
+    daily = (
+        events.select(group_col, day.alias("_day"), key_col)
+        .groupBy(group_col, "_day")
+        .agg(F.hll_sketch_agg(key_col).alias("_sk"))
+    )
+    merged = daily.groupBy(group_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+        F.count("*").alias("n_days"),
+    )
+    exact = events.groupBy(group_col).agg(
+        F.count_distinct(key_col).alias("exact_users")
+    )
+    return exact.join(merged, group_col).select(
+        group_col,
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("_est") - F.col("exact_users")) * F.lit(100)
+            <= F.col("exact_users") * F.lit(rel_err_bound_pct)
+        )
+        .cast("int")
+        .alias("hll_merge_ok"),
+    )

@@ -409,3 +409,26 @@ def similarity_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = projected_vectors(emb, out_dim=16, in_dim=64)
     probes = pv.filter("vec_id < 3")
     return cosine_topk(pv, probes, k=10, vec_col="pvec")
+
+
+@query(
+    "events_hll_daily_rollup",
+    # Sketch bits are implementation-specific (DataSketches vs DuckDB), so
+    # — like lineitem_approx_profile — the oracle re-derives the EXACT
+    # columns and pins the accuracy assertion at 1: a hash match means
+    # every merged estimate met its 5% bound.
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               CAST(COUNT(DISTINCT CAST(FLOOR(epoch(ts)/86400) AS BIGINT)) AS BIGINT) AS n_days,
+               1 AS hll_merge_ok
+        FROM events GROUP BY event_type
+    """,
+    description="Mergeable-sketch rollup: per-(event_type, epoch-day) DataSketches HLL partials unioned per type — distinct-user counts over any day range by merging KB sketches instead of re-scanning the fact table (exact dedup partials are not mergeable); value-checked via exact distinct/day counts + an in-plan 5%-relative-error assertion (operators/sketches.py hll_daily_rollup)",
+)
+def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_events
+
+    from ..operators.sketches import hll_daily_rollup
+
+    return hll_daily_rollup(load_events(spark, sf_dir))

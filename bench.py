@@ -122,6 +122,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "graph_hits_authorities",
     "events_markov_transitions",
+    "events_hll_daily_rollup",
 ]
 
 
