@@ -146,6 +146,80 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_click_attribution_outer",
+    # Batch-equivalence oracle with the SAME watermark-safe cutoff the
+    # stream applies: a LEFT-OUTER stream-stream join emits an unmatched
+    # click's NULL row only after the watermark passes click_ts + 6h.
+    # With a watermark on EACH side, the query's global watermark is the
+    # MIN of the two (multipleWatermarkPolicy=min), whose final value is
+    # LEAST(max click ts, max purchase ts) - 12h — NOT global max(ts):
+    # measured, a global-max cutoff left the 2 youngest unmatched clicks
+    # pending. Both sides therefore restrict to click_ts <= least - 19h
+    # (1h margin); inside that region stream == batch left join exactly.
+    oracle="""
+        WITH mx AS (
+            SELECT LEAST(
+                (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+            ) - INTERVAL 19 HOUR AS cutoff
+        )
+        SELECT a.event_id AS click_id, a.user_id AS user_id,
+               b.event_id AS purchase_id,
+               CAST(FLOOR(epoch(b.ts)) - FLOOR(epoch(a.ts)) AS BIGINT) AS gap_sec,
+               CAST(b.event_id IS NOT NULL AS INT) AS matched
+        FROM events a LEFT JOIN events b
+          ON a.user_id = b.user_id
+         AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        WHERE a.event_type = 'click'
+          AND a.ts <= (SELECT cutoff FROM mx)
+    """,
+    description="LEFT-OUTER stream-stream interval join: every click emits — with its attributed purchase(s) within 6h, or once with NULLs after the watermark proves no purchase can still arrive; output restricted to the watermark-safe region (clicks older than max ts - 19h) so the bounded drain is exactly batch-equivalent",
+)
+def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_events
+
+    # 1-row driver probe for the safe-region cutoff (tiny, deliberate):
+    # min over the two join sides' max event times, mirroring the
+    # engine's min-of-watermarks policy.
+    ev = load_events(spark, sf_dir)
+    cutoff = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg((F.min("mx") - F.expr("INTERVAL 19 hours")).alias("c"))
+        .first()["c"]
+    )
+    stream = ST.events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "user_id",
+    )
+    joined = ST.stream_stream_interval_join(
+        clicks, purchases, key="user_id", left_ts="click_ts",
+        right_ts="purchase_ts", max_gap="6 hours", watermark="12 hours",
+        how="left_outer",
+    )
+    result = joined.filter(F.col("click_ts") <= F.lit(cutoff)).select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts"))
+        .cast("long")
+        .alias("gap_sec"),
+        F.col("purchase_id").isNotNull().cast("int").alias("matched"),
+    )
+    table = f"stream_attrib_outer_{uuid.uuid4().hex[:8]}"
+    return ST.run_available_now(result, table, output_mode="append", state_partitions=8)
+
+
+@query(
     "streaming_kafka_feed",
     # The producer contract is deterministic (to_json of a 2-field struct,
     # constant topic, NULL key), so the Kafka path is VALUE-checked, not

@@ -174,8 +174,9 @@ def stream_stream_interval_join(
     right_ts: str,
     max_gap: str = "6 hours",
     watermark: str = "12 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream INNER join with an event-time interval
+    """Watermarked stream-stream join with an event-time interval
     condition: rows pair when keys match and `right_ts` falls in
     [left_ts, left_ts + max_gap] (both inclusive).
 
@@ -186,17 +187,34 @@ def stream_stream_interval_join(
     not the stream history. Without the time bound the state store grows
     unboundedly; this helper makes the bound impossible to forget.
 
+    `how="left_outer"` additionally emits each unmatched left row ONCE
+    (right columns NULL) — but only after the watermark passes
+    `left_ts + max_gap`, because until then a matching right row could
+    still arrive. Consequence for bounded drains: a left row younger
+    than (final watermark - max_gap) is still pending when an
+    availableNow drain stops, so its NULL row is NOT emitted — consumers
+    needing determinism must restrict to left rows older than
+    max(right_ts) - watermark - max_gap (see
+    streaming_click_attribution_outer).
+
     Column names must be disjoint apart from `key` (pre-project with
     aliases); the right side's key column is dropped from the output.
     """
     l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    # Rename the right key BEFORE joining: left and right usually derive
+    # from the same stream (a self-join), where dropping `r[key]` by
+    # Column reference is ambiguous — measured under left_outer, the
+    # surviving key column was the RIGHT side's (NULL on unmatched rows).
+    # An unambiguous name makes the surviving key provably the left one.
+    r = right.withColumnRenamed(key, "_ss_right_key").withWatermark(
+        right_ts, watermark
+    )
     cond = (
-        (l[key] == r[key])
+        (l[key] == r["_ss_right_key"])
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_gap}"))
     )
-    return l.join(r, cond).drop(r[key])
+    return l.join(r, cond, how).drop("_ss_right_key")
 
 
 def run_processing_time(

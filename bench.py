@@ -123,6 +123,7 @@ HEADLINE = [
     "graph_hits_authorities",
     "events_markov_transitions",
     "events_hll_daily_rollup",
+    "streaming_click_attribution_outer",
 ]
 
 

@@ -33,6 +33,8 @@ from analyzing_big_data_in_scala_spark.operators import graph as G  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import repetition as R  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import similarity as S  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import rollup as RU  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import sequence as SEQ  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import fusion as FU  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import tfidf as T  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators.merge import scd2_history  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators.curation import (  # noqa: E402
@@ -242,6 +244,24 @@ def main() -> None:
             # replicas share one vocabulary — expect the curve to FLATTEN
             # with copies (counts grow, distinct word types don't).
             "bpe_merges_4": lambda: BP.bpe_merge_table(docs, n_merges=4).count(),
+            # Per half-step: one edges x scores equi-join + one hash
+            # aggregate + a 1-row norm broadcast; support-only iterates —
+            # expect ~linear with edges (probed at 2 iterations; the
+            # per-iteration cost is what scales).
+            "hits_2": lambda: noop(G.hits(G.edges_from_events(ev), iterations=2)),
+            # ONE window shuffle on the sequence key + two aggregates over
+            # the |types|^2 space — expect ~linear with events.
+            "markov_transitions": lambda: noop(SEQ.markov_transitions(ev)),
+            # Each retriever's own plan (BM25 tokenize+aggregates, dense
+            # one corpus pass) + a <=50-row fusion join — expect ~linear
+            # with the corpus, fusion cost constant.
+            "hybrid_rrf": lambda: noop(
+                FU.hybrid_rrf_topk(docs, emb, ["spark", "merge", "window", "big"])
+            ),
+            # Per-(type, day) sketch partials then a types-sized union —
+            # map-side partial aggregation does the heavy lifting; expect
+            # ~linear scan cost with events.
+            "hll_daily_rollup": lambda: noop(K.hll_daily_rollup(ev)),
         }
         for name, fn in cases.items():
             # Exact all-pairs cosine is quadratic by definition (16x data =
