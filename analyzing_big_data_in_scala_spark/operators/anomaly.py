@@ -95,3 +95,65 @@ def rolling_zscore_anomalies(
             F.round("z", 6).alias("z"),
         )
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Robust outlier profile per series: median + MAD (median absolute
+    deviation) + the count of values beyond the standard 3σ-equivalent
+    threshold 3·1.4826·MAD — the robust twin of the z-score detector
+    (medians don't move when the outliers themselves contaminate the
+    estimate, which is exactly when you need them).
+
+    Scale shape: two hash aggregates over per-row integerized values with
+    a types-sized broadcast join between them; exact percentiles per
+    GROUP are sort-based within the group's partition, never a global
+    sort.
+
+    Cross-engine determinism without any rounding soak: values
+    integerize per row (1e-4 units, BIGINT), so every median is the
+    midpoint of two integers — kept EXACT by carrying 2x the quantity
+    (`med2` = 2·median(ve4), `d2` = |2·ve4 − med2|, `mad2` =
+    median(d2)): all integer-or-half-integer-valued doubles, identical
+    bits on any engine and any interpolation formula. The only rounded
+    ops are the final /20000 display divisions and ONE multiply in the
+    threshold `d2 > 4.4478·mad2` (= 3·1.4826 in d2 units) — both
+    correctly rounded IEEE, so even the boundary comparison is
+    deterministic.
+
+    Output: (key_col, n, median_value, mad_value, n_outliers)."""
+    ve4 = F.expr(f"CAST(ROUND({value_col} * 10000) AS BIGINT)")
+    base = events.select(key_col, ve4.alias("ve4")).localCheckpoint(eager=False)
+    med = base.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        (F.percentile("ve4", 0.5) * 2).alias("med2"),
+    )
+    dev = (
+        base.join(F.broadcast(med.select(key_col, "med2")), key_col)
+        .select(key_col, F.abs(2 * F.col("ve4") - F.col("med2")).alias("d2"))
+        .localCheckpoint(eager=False)  # consumed by the mad agg AND the count
+    )
+    mad = dev.groupBy(key_col).agg(F.percentile("d2", 0.5).alias("mad2"))
+    out = (
+        dev.join(F.broadcast(mad), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                (F.col("d2") > F.lit(4.4478) * F.col("mad2")).cast("long")
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, key_col)
+        .join(out, key_col)
+        .select(
+            key_col,
+            "n",
+            (F.col("med2") / 20000).alias("median_value"),
+            (F.col("mad2") / 20000).alias("mad_value"),
+            "n_outliers",
+        )
+    )

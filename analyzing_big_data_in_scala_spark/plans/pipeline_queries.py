@@ -2253,6 +2253,51 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_mad_outliers",
+    # Determinism recipe in operators/anomaly.py:mad_outliers — per-row
+    # integerization makes every median an exact integer-or-half-integer
+    # double (med2/d2/mad2 carry 2x the quantity), so values and even the
+    # threshold comparison are bit-identical cross-engine with no
+    # rounding soak.
+    oracle="""
+        WITH base AS (
+            SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS ve4
+            FROM events
+        ),
+        med AS (
+            SELECT event_type, COUNT(*) AS n,
+                   quantile_cont(ve4, 0.5) * 2 AS med2
+            FROM base GROUP BY event_type
+        ),
+        dev AS (
+            SELECT b.event_type, ABS(2 * b.ve4 - m.med2) AS d2
+            FROM base b JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(d2, 0.5) AS mad2
+            FROM dev GROUP BY event_type
+        ),
+        outl AS (
+            SELECT d.event_type,
+                   CAST(SUM(CASE WHEN d.d2 > 4.4478 * m.mad2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev d JOIN mad m USING (event_type)
+            GROUP BY d.event_type
+        )
+        SELECT m.event_type, m.n,
+               m.med2 / 20000 AS median_value,
+               ma.mad2 / 20000 AS mad_value,
+               o.n_outliers
+        FROM med m JOIN mad ma USING (event_type) JOIN outl o USING (event_type)
+    """,
+    description="Robust outlier profile per event type: exact median + MAD + count beyond 3*1.4826*MAD — the contamination-proof twin of the rolling z-score detector; per-row integerized values make the medians and the boundary comparison bit-deterministic (operators/anomaly.py mad_outliers)",
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anomaly import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "events_weekly_retention",
     # Pure integer analytics end to end: epoch-week bucketing (tz-free),
     # distinct-user counts, ppm retention via the BIGINT ratio recipe.

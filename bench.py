@@ -124,6 +124,7 @@ HEADLINE = [
     "events_markov_transitions",
     "events_hll_daily_rollup",
     "streaming_click_attribution_outer",
+    "events_value_mad_outliers",
 ]
 
 

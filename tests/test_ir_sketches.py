@@ -439,3 +439,22 @@ def test_hll_daily_rollup_exact_columns_and_bound(spark):
     # HLL sparse mode is exact, so the dedup across days is the real test
     # — user 2 appears in BOTH day sketches and must count once)
     assert got["A"].hll_merge_ok == 1 and got["B"].hll_merge_ok == 1
+
+
+def test_mad_outliers_hand_computed(spark):
+    from analyzing_big_data_in_scala_spark.operators.anomaly import mad_outliers
+
+    # series A: values 1..5 plus one gross outlier 100.
+    # ve4 = 10000..50000, 1000000; median = (30000+40000)/2 = 35000 -> 3.5
+    # deviations |v-med| e4: 25000,15000,5000,5000,15000,965000
+    # MAD = median = (15000+15000)/2 = 15000 -> 1.5
+    # threshold = 4.4478 * 30000 (in d2 units) = 133434; only the gross
+    # outlier's d2 = 1930000 exceeds it.
+    rows = [(i, float(v), "A") for i, v in enumerate([1, 2, 3, 4, 5, 100])]
+    ev = spark.createDataFrame(rows, "event_id long, value double, event_type string")
+    got = {r.event_type: r for r in mad_outliers(ev).collect()}
+    a = got["A"]
+    assert a.n == 6
+    assert a.median_value == 3.5
+    assert a.mad_value == 1.5
+    assert a.n_outliers == 1
