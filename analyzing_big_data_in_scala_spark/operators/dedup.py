@@ -655,3 +655,64 @@ def near_dedup_clusters(
         F.count("*").over(w).alias("cluster_size"),
         (F.col("id") == F.col("cluster")).alias("kept"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED near-dup pairs by k-shingle containment
+    |A∩B| / |A| — the asymmetric measure Jaccard under-scores: a short
+    document quoted wholesale inside a long one has containment ~1 but
+    Jaccard ~|A|/|B|, so symmetric dedup misses exactly the
+    quote/boilerplate-inclusion cases a corpus cleaner cares about
+    (Broder 1997's "containment", the same statistic behind
+    superset/subset dedup).
+
+    Same inverted-index scale shape as :func:`ngram_jaccard_pairs` (one
+    shingle-hash self-join, 8-byte keys, optional `max_shingle_df` hot-
+    shingle cap): the intersection is computed ONCE per unordered pair,
+    then emitted in each direction that clears the threshold. Returns
+    (id_contained, id_container, containment) — the CONTAINED doc is the
+    dedup candidate.
+    """
+    sh = hashed_shingle_table(docs, k, id_col, text_col)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("h")
+        )
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
+    sh = sh.localCheckpoint(eager=False)  # sizes + both join sides
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+
+    a = sh.select(F.col("id").alias("id_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b").localCheckpoint(eager=False)
+    c_ab = F.col("inter") / F.col("size_a")  # A contained in B
+    c_ba = F.col("inter") / F.col("size_b")  # B contained in A
+    fwd = both.filter(c_ab >= threshold).select(
+        F.col("id_a").alias("id_contained"),
+        F.col("id_b").alias("id_container"),
+        F.round(c_ab, 6).alias("containment"),
+    )
+    rev = both.filter(c_ba >= threshold).select(
+        F.col("id_b").alias("id_contained"),
+        F.col("id_a").alias("id_container"),
+        F.round(c_ba, 6).alias("containment"),
+    )
+    return fwd.unionByName(rev)

@@ -93,6 +93,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_pairs",
+    # Same hash-join shape as dedup_ngram_jaccard; the intersection is
+    # computed once per unordered pair and emitted in each direction
+    # clearing |A∩B|/|A| >= 0.5 (threshold on the RAW ratio, ROUND only
+    # for display — mirrored exactly).
+    oracle=f"""
+        WITH {{shingles}},
+        hshingles AS (
+            SELECT DISTINCT id, {{h}} AS h FROM shingles
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM hshingles GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM hshingles a JOIN hshingles b USING (h)
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        both_sides AS (
+            SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+        )
+        SELECT id_a AS id_contained, id_b AS id_container,
+               ROUND(CAST(i AS DOUBLE) / na, 6) AS containment
+        FROM both_sides WHERE CAST(i AS DOUBLE) / na >= 0.5
+        UNION ALL
+        SELECT id_b AS id_contained, id_a AS id_container,
+               ROUND(CAST(i AS DOUBLE) / nb, 6) AS containment
+        FROM both_sides WHERE CAST(i AS DOUBLE) / nb >= 0.5
+    """.format(shingles=_SQL_SHINGLES, h=_HASH64.format(x="shingle")),
+    description="DIRECTED near-dup pairs by 3-shingle containment |A∩B|/|A| >= 0.5 (Broder 1997): catches the quote/boilerplate-inclusion cases symmetric Jaccard under-scores (short doc inside long doc => containment ~1, jaccard ~|A|/|B|); same inverted-index join shape, intersection computed once per unordered pair (operators/dedup.py containment_pairs)",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+
+
+@query(
     "dedup_jaccard_df_capped",
     # Same hash-join shape as dedup_ngram_jaccard plus the hot-shingle cap
     # (df <= 5) applied identically on both sides: exact Jaccard over the

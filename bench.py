@@ -125,6 +125,7 @@ HEADLINE = [
     "events_hll_daily_rollup",
     "streaming_click_attribution_outer",
     "events_value_mad_outliers",
+    "dedup_containment_pairs",
 ]
 
 

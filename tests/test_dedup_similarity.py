@@ -761,3 +761,25 @@ def test_ivf_index_append_assigns_nearest_stored_centroid(spark):
     probe = emb.filter(F.col("vec_id") == 450)
     got = S.ivf_topk_indexed(spark, probe, prefix="t_ivf_inc", k=5, nprobe=8).collect()
     assert len(got) == 5
+
+
+def test_containment_pairs_asymmetric(spark):
+    from analyzing_big_data_in_scala_spark.operators.dedup import containment_pairs
+
+    # doc 1 = a quote wholly inside doc 2; doc 3 unrelated.
+    quote = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, "intro words here " + quote + " and a long tail of extra prose"),
+            (3, "completely different content with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, k=3, threshold=0.5).collect()
+    got = {(r.id_contained, r.id_container): r.containment for r in rows}
+    # doc 1's shingles are all present in doc 2 -> containment exactly 1.0
+    assert got[(1, 2)] == 1.0
+    # the reverse direction is well below threshold (doc 2 is much longer)
+    assert (2, 1) not in got
+    assert not any(3 in p for p in got)
