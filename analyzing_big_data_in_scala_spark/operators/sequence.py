@@ -41,8 +41,14 @@ def markov_transitions(
         )
         .filter(F.col("to_type").isNotNull())
     )
-    counts = pairs.groupBy("from_type", "to_type").agg(
-        F.count("*").alias("n_transitions")
+    counts = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+        # |types|^2 rows consumed by BOTH the totals aggregate and the
+        # final join: without the lineage cut each consumer re-runs the
+        # scan -> window -> count chain (measured: the whole upstream
+        # appeared twice in the physical plan, 6 exchanges instead of 3).
+        .localCheckpoint(eager=False)
     )
     totals = counts.groupBy("from_type").agg(
         F.sum("n_transitions").alias("_tot")

@@ -58,6 +58,12 @@ PICKS = {
     "doc_exact_substring_removal": "Exact-substring removal: stride-1 window hashes in one explode+projection (codegen — the transform-inline HOF form measured 2x slower interpreted); the window table and token table are lazily checkpointed (each has two consumers ReuseExchange can't serve: 3 scans/3.1s -> 0.6s); dup starts merge per doc via one window pass; kept text rebuilt in-array.",
     "graph_label_propagation": "Sync LPA round: undirected-edges x labels equi-join (both hash-partitioned on the join key) + (id,label) count + per-id argmax via min_by struct aggregate — no window function anywhere; labels lineage-cut per round.",
     "doc_semantic_decontamination": "Cogrouped FlatMapCoGroupsInPandas on the hyperplane cell key: ONE shuffle per side, per-cell train x bench BLAS matmul; quantized integer cosine makes the threshold decision bit-exact cross-engine.",
+    "search_hybrid_rrf": "Hybrid retrieval: BM25 and dense-cosine subplans each keep their own scale shape (broadcast stats / broadcast probe); fusion is a full-outer join of two <=50-row frames (broadcast) + a 20-row TakeOrderedAndProject — integer RRF weights, no float summation.",
+    "graph_hits_authorities": "HITS half-step: edges x scores equi-join + hash aggregate + 1-row norm broadcast; support-only iterates (zero scores filled once at the end); every twice-consumed frame lineage-cut so no upstream re-runs.",
+    "events_markov_transitions": "ONE window shuffle on the sequence key (LEAD over ts,event_id) then two hash aggregates over the |types|^2 transition space; probabilities in pure-BIGINT ppm inside the final projection.",
+    "events_hll_daily_rollup": "Mergeable-sketch rollup: per-(type, day) HLL partials combine map-side, the per-type union aggregates kilobyte sketch rows (types x days), and the exact judge columns ride the same scan.",
+    "events_value_mad_outliers": "Two exact-percentile hash aggregates over per-row integerized values with types-sized broadcast joins between them — group-local sorts, never a global sort; the threshold comparison evaluates in the final aggregate's projection.",
+    "dedup_containment_pairs": "Same inverted-index shape as the Jaccard path (8-byte shingle-hash self-join, intersection aggregate); the checkpointed pair+sizes frame feeds BOTH direction filters without re-running the join.",
 }
 
 
