@@ -84,6 +84,26 @@ def hybrid_rrf_topk(
 
     Output: (doc_id, bm25_rank, dense_rank, rrf_e9, rank).
     """
+    bm, dn = sparse_dense_ranked_lists(
+        docs, embeddings, query_terms, probe_vec_id, k_each
+    )
+    return rrf_fuse([("bm25", bm), ("dense", dn)], rrf_k=rrf_k, k=k)
+
+
+def sparse_dense_ranked_lists(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    probe_vec_id: int = 0,
+    k_each: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """The two ranked lists behind :func:`hybrid_rrf_topk`, each
+    (doc_id, rank) with the probe's own doc excluded: BM25 over the text
+    and rounded-cosine over the embeddings (ranking on the ROUNDED value
+    with an id tie-break — the raw left-to-right fold is already
+    bit-identical cross-engine, but ranking on the rounded number means
+    even a tie AT the quantization boundary orders identically on every
+    engine)."""
     from .bm25 import bm25_topk
     from .similarity import cosine_scores
 
@@ -93,11 +113,6 @@ def hybrid_rrf_topk(
         )
         .select("doc_id", "rank")
     )
-    # Rank the dense side by the ROUNDED cosine (6 dp) with an id
-    # tie-break: the rounded value is the cross-engine contract (the raw
-    # left-to-right fold is already bit-identical, but ranking on the
-    # rounded number means even a tie AT the quantization boundary orders
-    # identically on every engine).
     scores = (
         cosine_scores(
             embeddings, embeddings.filter(F.col("vec_id") == probe_vec_id)
@@ -110,4 +125,72 @@ def hybrid_rrf_topk(
     dn = dn_top.withColumn("rank", F.row_number().over(dw).cast("int")).select(
         F.col("vec_id").alias("doc_id"), "rank"
     )
-    return rrf_fuse([("bm25", bm), ("dense", dn)], rrf_k=rrf_k, k=k)
+    return bm, dn
+
+
+def retrieval_label_eval(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    probe_vec_id: int = 0,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Retrieval-quality scorecard: precision-proxy, MRR, and recall at k
+    for each of the three retrievers (bm25 / dense / rrf), using the
+    embeddings' `label` column as the relevance judgment — a doc is
+    relevant iff it shares the probe vector's label (the standard
+    label-as-relevance protocol when no human judgments exist).
+
+    All metrics are exact integers (counts, `1e6 DIV first_rel_rank`,
+    round-half-up recall ppm), so the whole scorecard value-checks
+    cross-engine. Every frame in sight is <= k_each rows except the
+    relevance set (corpus-filtered, broadcast); the retrievers themselves
+    keep their own scale-correct plans.
+
+    Output: (retriever, n_rel_at_k, mrr_e6, recall_ppm)."""
+    bm, dn = sparse_dense_ranked_lists(
+        docs, embeddings, query_terms, probe_vec_id, k_each
+    )
+    rrf = rrf_fuse([("bm25", bm), ("dense", dn)], rrf_k=rrf_k, k=k).select(
+        "doc_id", "rank"
+    )
+    lists = (
+        bm.filter(F.col("rank") <= k).select(F.lit("bm25").alias("retriever"), "doc_id", "rank")
+        .unionByName(
+            dn.filter(F.col("rank") <= k).select(
+                F.lit("dense").alias("retriever"), "doc_id", "rank"
+            )
+        )
+        .unionByName(rrf.select(F.lit("rrf").alias("retriever"), "doc_id", "rank"))
+    )
+    probe_label = embeddings.filter(F.col("vec_id") == probe_vec_id).select("label")
+    rel = (
+        embeddings.join(F.broadcast(probe_label), "label")
+        .filter(F.col("vec_id") != probe_vec_id)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("_rel"))
+    )
+    tot = rel.agg(F.count("*").alias("_tot"))
+    flagged = lists.join(F.broadcast(rel), "doc_id", "left")
+    return (
+        flagged.groupBy("retriever")
+        .agg(
+            F.sum(F.coalesce("_rel", F.lit(0))).cast("long").alias("n_rel_at_k"),
+            F.min(F.when(F.col("_rel").isNotNull(), F.col("rank"))).alias("_first"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "retriever",
+            "n_rel_at_k",
+            F.coalesce(
+                F.call_function("div", F.lit(1_000_000).cast("long"), F.col("_first").cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("mrr_e6"),
+            F.call_function(
+                "div",
+                F.col("n_rel_at_k") * F.lit(2_000_000).cast("long") + F.col("_tot"),
+                F.lit(2).cast("long") * F.col("_tot"),
+            ).alias("recall_ppm"),
+        )
+    )

@@ -101,3 +101,75 @@ def quality_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def value_histogram(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-width histogram per group — the profiling complement of the
+    percentile sketches (shape, not just quantiles):
+
+        (key_col, bin, bin_lo, bin_hi, n)
+
+    with bin width (max-min)/n_bins computed per group and the max value
+    clamped into the last bin (the standard closed-right convention for
+    the final bin). Two passes by construction: group stats (min/max)
+    then the binning aggregate — the stats frame is groups-sized and
+    broadcast back, so the second pass is map-side until its final
+    (group, bin) aggregate. Empty bins are emitted with n=0 via a
+    per-group bin spine (groups x n_bins rows — tiny), so the histogram
+    shape is complete.
+
+    Cross-engine determinism: the bin index floor((v-min)*n/(max-min))
+    is ONE shared expression tree over exact parquet doubles (+,-,*,/
+    correctly rounded; ties at bin edges resolve identically); bin
+    bounds are emitted rounded to 6 dp for display."""
+    if n_bins < 1:
+        raise ValueError("value_histogram: n_bins must be >= 1")
+    stats = df.groupBy(key_col).agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+    binned = (
+        df.select(key_col, F.col(value_col).alias("_v"))
+        .join(F.broadcast(stats), key_col)
+        .select(
+            key_col,
+            # Degenerate group (all values equal): everything in bin 0
+            # rather than a 0/0 NaN bin.
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("_v") - F.col("_mn"))
+                        * n_bins
+                        / (F.col("_mx") - F.col("_mn"))
+                    ),
+                    F.lit(n_bins - 1).cast("long"),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy(key_col, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = stats.select(
+        key_col,
+        "_mn",
+        "_mx",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    width = (F.col("_mx") - F.col("_mn")) / n_bins
+    return (
+        spine.join(binned, [key_col, "bin"], "left")
+        .select(
+            key_col,
+            F.col("bin").cast("int").alias("bin"),
+            F.round(F.col("_mn") + F.col("bin") * width, 6).alias("bin_lo"),
+            F.round(F.col("_mn") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )

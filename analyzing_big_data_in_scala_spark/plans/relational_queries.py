@@ -1085,3 +1085,41 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "events_value_histogram",
+    # Shared expression trees: bin index ((v-mn)*10)/(mx-mn) and bounds
+    # mn + bin*((mx-mn)/10) are written with identical associativity on
+    # both engines; round-6 display soak on the bounds only.
+    oracle="""
+        WITH stats AS (
+            SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+            FROM events GROUP BY event_type
+        ),
+        binned AS (
+            SELECT e.event_type,
+                   CAST(CASE WHEN s.mx = s.mn THEN 0
+                        ELSE LEAST(FLOOR((e.value - s.mn) * 10 / (s.mx - s.mn)), 9)
+                   END AS INT) AS bin,
+                   COUNT(*) AS n
+            FROM events e JOIN stats s USING (event_type)
+            GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT event_type, mn, mx, CAST(i AS INT) AS bin
+            FROM stats, UNNEST(generate_series(0, 9)) t(i)
+        )
+        SELECT sp.event_type, sp.bin,
+               ROUND(sp.mn + sp.bin * ((sp.mx - sp.mn) / 10), 6) AS bin_lo,
+               ROUND(sp.mn + (sp.bin + 1) * ((sp.mx - sp.mn) / 10), 6) AS bin_hi,
+               CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+        FROM spine sp LEFT JOIN binned b
+          ON b.event_type = sp.event_type AND b.bin = sp.bin
+    """,
+    description="Equi-width 10-bin value histogram per event type (distribution SHAPE, complementing the percentile sketches): group stats broadcast back, one (group,bin) aggregate, empty bins emitted via a groups x bins spine so the shape is complete (operators/quality.py value_histogram)",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import value_histogram
+
+    return value_histogram(_t(spark, sf_dir, "events"), "event_type", "value", n_bins=10)

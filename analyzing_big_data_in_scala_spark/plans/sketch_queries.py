@@ -78,15 +78,18 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), list(QUERY_TERMS), k=20)
 
 
-def _hybrid_rrf_oracle() -> str:
+def _rrf_core_ctes() -> str:
+    """Shared CTE chain (through `fused`) re-deriving the two retrievers
+    and their RRF fusion — used by BOTH the hybrid-retrieval oracle and
+    the retrieval-evaluation oracle, so the two stay definitionally in
+    lock-step."""
     terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
     contrib = BM25_CONTRIB_SQL.format(k1=1.2, b=0.75)
     # BM25 side re-derived over documents EXCLUDING the probe doc (the
     # Spark plan filters docs before scoring, so N/avgdl/df all shift);
     # dense side = cosine vs vec 0 ranked by the ROUNDED value; fusion =
     # exact integer RRF (1e9 // (60 + rank)) summed over <= 2 BIGINTs.
-    return f"""
-        WITH {_SQL_TOKS},
+    return f"""{_SQL_TOKS},
         toks_f AS (SELECT * FROM toks WHERE doc_id <> 0),
         q(term) AS (VALUES {terms}),
         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_f GROUP BY doc_id),
@@ -143,7 +146,12 @@ def _hybrid_rrf_oracle() -> str:
                    CAST(COALESCE(1000000000 // (60 + b.rank), 0)
                         + COALESCE(1000000000 // (60 + d.rank), 0) AS BIGINT) AS rrf_e9
             FROM bm_ranked b FULL OUTER JOIN dn_ranked d ON d.doc_id = b.doc_id
-        )
+        )"""
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+        WITH {_rrf_core_ctes()}
         SELECT doc_id, bm25_rank, dense_rank, rrf_e9,
                CAST(ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id ASC) AS INT) AS rank
         FROM fused
@@ -166,6 +174,58 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_vec_id=0,
         k_each=50,
         k=20,
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    # Same core CTEs as the hybrid query (definitional lock-step), then
+    # label-as-relevance metrics — all exact integer arithmetic.
+    return f"""
+        WITH {_rrf_core_ctes()},
+        lists AS (
+            SELECT 'bm25' AS retriever, doc_id, rank FROM bm_ranked WHERE rank <= 10
+            UNION ALL
+            SELECT 'dense' AS retriever, doc_id, rank FROM dn_ranked WHERE rank <= 10
+            UNION ALL
+            SELECT 'rrf' AS retriever, doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id ASC) AS INT) AS rank
+            FROM fused
+            QUALIFY rank <= 10
+        ),
+        rel AS (
+            SELECT vec_id AS doc_id FROM embeddings
+            WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)
+              AND vec_id <> 0
+        ),
+        tot AS (SELECT COUNT(*) AS t FROM rel)
+        SELECT l.retriever,
+               CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+               CAST(COALESCE(
+                   1000000 // MIN(CASE WHEN r.doc_id IS NOT NULL THEN l.rank END),
+                   0) AS BIGINT) AS mrr_e6,
+               (CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    * 2000000 + (SELECT t FROM tot))
+                   // (2 * (SELECT t FROM tot)) AS recall_ppm
+        FROM lists l LEFT JOIN rel r ON r.doc_id = l.doc_id
+        GROUP BY l.retriever
+    """
+
+
+@query(
+    "search_retrieval_eval",
+    oracle=_retrieval_eval_oracle(),
+    description="Retrieval-quality scorecard at k=10 for bm25 / dense / rrf against label-as-relevance judgments (a doc is relevant iff it shares probe vector 0's label): hits@10, MRR as exact 1e6 DIV first-relevant-rank, recall as round-half-up ppm of the label's corpus population — the eval harness a retrieval stack ships with, fully value-checked (operators/fusion.py retrieval_label_eval)",
+)
+def search_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fusion import retrieval_label_eval
+
+    return retrieval_label_eval(
+        _docs(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        list(QUERY_TERMS),
+        probe_vec_id=0,
+        k=10,
+        k_each=50,
     )
 
 

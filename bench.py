@@ -126,6 +126,8 @@ HEADLINE = [
     "streaming_click_attribution_outer",
     "events_value_mad_outliers",
     "dedup_containment_pairs",
+    "events_value_histogram",
+    "search_retrieval_eval",
 ]
 
 

@@ -458,3 +458,44 @@ def test_mad_outliers_hand_computed(spark):
     assert a.median_value == 3.5
     assert a.mad_value == 1.5
     assert a.n_outliers == 1
+
+
+def test_retrieval_label_eval_hand_computed(spark):
+    from analyzing_big_data_in_scala_spark.operators.fusion import (
+        retrieval_label_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark"),              # probe doc (excluded)
+            (1, "spark merge window"),       # bm25 rank 1; relevant
+            (2, "spark filler"),             # bm25 rank 2; NOT relevant
+            (3, "no match terms at all"),    # dense-only candidate; relevant
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.9, 0.1], 7),   # dense rank 1, shares label 7
+            (2, [0.5, 0.5], 5),   # dense rank 2
+            (3, [0.1, 0.9], 7),   # dense rank 3, shares label 7
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r.retriever: r
+        for r in retrieval_label_eval(
+            docs, emb, ["spark", "merge"], probe_vec_id=0, k=3, k_each=3
+        ).collect()
+    }
+    # relevant set = {1, 3} (label 7, probe excluded) -> tot = 2
+    # bm25 list: [1, 2] -> hits {1}: n=1, first=1, recall 1/2
+    b = got["bm25"]
+    assert (b.n_rel_at_k, b.mrr_e6, b.recall_ppm) == (1, 1_000_000, 500_000)
+    # dense list: [1, 2, 3] -> hits {1, 3}: n=2, first=1, recall 1
+    d = got["dense"]
+    assert (d.n_rel_at_k, d.mrr_e6, d.recall_ppm) == (2, 1_000_000, 1_000_000)
+    # rrf fuses both -> 1 ranks first (both lists), 3 present via dense
+    r = got["rrf"]
+    assert r.n_rel_at_k == 2 and r.mrr_e6 == 1_000_000 and r.recall_ppm == 1_000_000

@@ -118,3 +118,23 @@ def test_token_drift_chi2_flags_planted_shift(spark):
     by = {r.token: r.chi2 for r in out}
     # Identical-share tokens score ~0 (and sort last if present at all).
     assert by.get("stable", 0.0) < 1e-6
+
+
+def test_value_histogram_bins_and_spine(spark):
+    from analyzing_big_data_in_scala_spark.operators.quality import value_histogram
+
+    rows = [("A", 0.0), ("A", 1.0), ("A", 5.0), ("A", 10.0), ("B", 7.0), ("B", 7.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {(r.k, r.bin): r for r in value_histogram(df, "k", "v", n_bins=5).collect()}
+    # A: range [0,10], width 2 -> 0.0,1.0 in bin 0; 5.0 in bin 2; max 10.0
+    # CLAMPS into the last bin (4); empty bins present with n=0
+    assert len(got) == 10  # 2 groups x 5 bins
+    assert got[("A", 0)].n == 2 and got[("A", 2)].n == 1 and got[("A", 4)].n == 1
+    assert got[("A", 1)].n == 0 and got[("A", 3)].n == 0
+    assert (got[("A", 0)].bin_lo, got[("A", 0)].bin_hi) == (0.0, 2.0)
+    # B degenerate (all equal): everything in bin 0, no NaN bin
+    assert got[("B", 0)].n == 2
+    assert sum(r.n for r in got.values() if r.k == "B") == 2
+
+    with pytest.raises(ValueError, match="n_bins"):
+        value_histogram(df, "k", "v", n_bins=0)

@@ -128,7 +128,8 @@ def test_driver_window_covers_oracle_backed_queries():
         "corpus_token_drift", "search_hybrid_rrf", "graph_hits_authorities",
         "events_markov_transitions", "events_hll_daily_rollup",
         "streaming_click_attribution_outer", "events_value_mad_outliers",
-        "dedup_containment_pairs",
+        "dedup_containment_pairs", "events_value_histogram",
+        "search_retrieval_eval",
         # --- r3-GREEN remainder (CORRECTNESS_r03 rows stand; r7 queue):
         "embeddings_random_projection", "entity_cooccurrence_edges",
         "events_value_quartiles_by_type", "graph_bfs_hops",
