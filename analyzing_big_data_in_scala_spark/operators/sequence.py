@@ -67,3 +67,51 @@ def markov_transitions(
             ).alias("prob_ppm"),
         )
     )
+
+
+def run_length_encode(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands run-length encoding of per-key event sequences:
+
+        (key, run_id, event_type, run_len, first_event_id)
+
+    one row per maximal run of consecutive same-type events within a key —
+    the compression pass behind "collapse repeated heartbeats", dwell-time
+    analysis, and bot-burst detection. run_id is the 1-based run ordinal
+    within the key (running sum of change flags).
+
+    Scale shape: ONE shuffle on the sequence key. The lag flag and the
+    running sum share the window's partitioning/ordering (one exchange,
+    two Window nodes), and the closing groupBy keys (key, run_id) are a
+    SUPERSET of the window's hash partitioning, which satisfies the
+    aggregate's clustered distribution — Catalyst plans the final
+    aggregate WITHOUT a new exchange (verified in tests via the plan).
+    Deterministic: order_cols end with the unique event id, change flags
+    use null-safe equality so the first row of a key always opens run 1.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
+    flagged = events.select(
+        key_col,
+        id_col,
+        type_col,
+        *[c for c in order_cols if c not in (key_col, id_col, type_col)],
+        F.when(F.lag(type_col).over(w).eqNullSafe(F.col(type_col)), F.lit(0).cast("long"))
+        .otherwise(F.lit(1).cast("long"))
+        .alias("_chg"),
+    )
+    runs = flagged.select(
+        key_col,
+        id_col,
+        type_col,
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("run_id"),
+    )
+    return runs.groupBy(key_col, "run_id").agg(
+        F.min(type_col).alias(type_col),  # constant within a run; min = the value
+        F.count("*").alias("run_len"),
+        F.min(id_col).alias("first_event_id"),
+    )

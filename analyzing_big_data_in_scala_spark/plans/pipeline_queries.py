@@ -2881,3 +2881,37 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=20,
         min_total=10,
     )
+
+
+@query(
+    "events_type_run_lengths",
+    # Pure gaps-and-islands integers: the lag change flag, the running-sum
+    # run ordinal, and the run stats are exact on both engines; the
+    # ordering (ts, event_id) is a total order within a key.
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN LAG(event_type) OVER w IS NOT DISTINCT FROM event_type
+                        THEN 0 ELSE 1 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+            FROM flagged
+        )
+        SELECT user_id, run_id,
+               MIN(event_type) AS event_type,
+               COUNT(*) AS run_len,
+               MIN(event_id) AS first_event_id
+        FROM runs
+        GROUP BY user_id, run_id
+    """,
+    description="Run-length encoding of per-user event-type sequences (gaps-and-islands): one row per maximal same-type run with its length and first event — ONE shuffle on the sequence key; the closing (user,run) aggregate reuses the window's hash partitioning so Catalyst plans it exchange-free (operators/sequence.py run_length_encode)",
+)
+def events_type_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import run_length_encode
+
+    return run_length_encode(load_table(spark, sf_dir, "events"))

@@ -1123,3 +1123,78 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import value_histogram
 
     return value_histogram(_t(spark, sf_dir, "events"), "event_type", "value", n_bins=10)
+
+
+@query(
+    "lineitem_bloom_pruned_join",
+    # The Bloom stage only removes rows the join would drop anyway (no
+    # false negatives), so the oracle is the PLAIN join — the equality is
+    # itself the proof the pruning is sound. Revenue integerizes per row
+    # (cents) before the sum, so the single output row is all-BIGINT.
+    oracle="""
+        SELECT COUNT(*) AS line_cnt,
+               COUNT(DISTINCT l.l_orderkey) AS order_cnt,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_e2
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    description="Bloom-filter semi-join pruning: lineitem is cut map-side by a 1 MiB bit-set of the urgent-order keys BEFORE the join shuffle (the explicit form of Spark's runtime bloom filter / DPP, for build sides too big to broadcast as rows); the exact join removes false positives so the result is row-identical to the plain join (operators/bloomjoin.py)",
+)
+def lineitem_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloomjoin import bloom_pruned_join
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    build = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    joined = bloom_pruned_join(l, build, "l_orderkey")
+    return joined.agg(
+        F.count("*").alias("line_cnt"),
+        F.count_distinct("l_orderkey").alias("order_cnt"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("revenue_e2"),
+    )
+
+
+@query(
+    "orders_weekly_revenue_delta",
+    # Cents integerize per row, so weekly sums, week-over-week deltas, and
+    # the 4-week moving sum are exact BIGINTs in any evaluation order.
+    # date_trunc('week') is Monday-based on both engines; the session is
+    # UTC-pinned. The lag/moving windows run over the ALREADY-AGGREGATED
+    # weekly frame (|weeks| rows, bounded by the calendar, not the data) —
+    # the only data-sized operation is the one groupBy shuffle.
+    oracle="""
+        WITH weekly AS (
+            SELECT date_trunc('week', o_orderdate) AS week,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+            FROM orders GROUP BY 1
+        )
+        SELECT week, rev_e2,
+               LAG(rev_e2) OVER w AS prev_e2,
+               rev_e2 - LAG(rev_e2) OVER w AS delta_e2,
+               CAST(SUM(rev_e2) OVER (ORDER BY week ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS mov4_e2
+        FROM weekly
+        WINDOW w AS (ORDER BY week)
+    """,
+    description="Period-over-period revenue: weekly totals (exact cents) with week-over-week delta and a 4-week moving sum — the global window is over the post-aggregation weekly frame (calendar-bounded), never the fact table",
+)
+def orders_weekly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    weekly = o.groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("week")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_e2")
+    )
+    w = Window.orderBy("week")
+    return weekly.select(
+        "week",
+        "rev_e2",
+        F.lag("rev_e2").over(w).alias("prev_e2"),
+        (F.col("rev_e2") - F.lag("rev_e2").over(w)).alias("delta_e2"),
+        F.sum("rev_e2").over(w.rowsBetween(-3, Window.currentRow)).alias("mov4_e2"),
+    )

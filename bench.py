@@ -128,6 +128,9 @@ HEADLINE = [
     "dedup_containment_pairs",
     "events_value_histogram",
     "search_retrieval_eval",
+    "lineitem_bloom_pruned_join",
+    "orders_weekly_revenue_delta",
+    "events_type_run_lengths",
 ]
 
 

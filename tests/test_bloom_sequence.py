@@ -1,0 +1,112 @@
+"""Unit tests for Bloom-filter join pruning (operators/bloomjoin.py) and
+run-length encoding (operators/sequence.py run_length_encode): exactness
+properties, pruning effectiveness, and the plan shapes the docstrings claim.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from analyzing_big_data_in_scala_spark.operators.bloomjoin import (
+    bloom_build,
+    bloom_prune,
+    bloom_pruned_join,
+)
+from analyzing_big_data_in_scala_spark.operators.sequence import run_length_encode
+
+
+def test_bloom_join_equals_plain_join(spark):
+    # 1000 fact rows keyed 0..199 (5x multiplicity), build side = 37 keys
+    # (some with duplicate build rows, some matching nothing).
+    big = spark.range(1000).select((F.col("id") % 200).alias("k"), F.col("id").alias("payload"))
+    build = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(0, 74, 2)] + [(4, "dup"), (9999, "nomatch")],
+        ["k", "tag"],
+    )
+    got = bloom_pruned_join(big, build, "k", m_bits=1 << 10, k=3)
+    want = big.join(build, on="k", how="inner")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_prune_is_superset_and_selective(spark):
+    # No false negatives: every true match survives the prune. And with a
+    # selective build side the prune actually removes most rows (fpp is
+    # tiny at 1<<16 bits for 5 keys).
+    big = spark.range(20000).select(F.col("id").alias("k"))
+    keys = spark.createDataFrame([(i,) for i in (3, 7, 11, 13, 19999)], ["k"])
+    bloom = bloom_build(keys, "k", m_bits=1 << 16, k=3)
+    pruned = bloom_prune(big, "k", bloom, m_bits=1 << 16, k=3)
+    kept = {r.k for r in pruned.collect()}
+    assert {3, 7, 11, 13, 19999} <= kept
+    assert len(kept) < 200  # 20000 rows cut to matches + a few false positives
+
+
+def test_bloom_key_col_must_be_plain_identifier(spark):
+    keys = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="identifier"):
+        bloom_build(keys, "t.k")
+
+
+def test_bloom_prune_stays_codegen_native(spark):
+    # The probe is pure builtin expressions: no Python eval nodes anywhere.
+    big = spark.range(100).select(F.col("id").alias("k"))
+    keys = spark.range(5).select(F.col("id").alias("k"))
+    pruned = bloom_prune(big, "k", bloom_build(keys, "k"))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (eid, dt.datetime(2024, 1, 1, 0, 0, sec), uid, typ)
+            for eid, sec, uid, typ in rows
+        ],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+
+
+def test_run_length_encode_hand_computed(spark):
+    # user 1: A A B A A A  -> runs (A,2)(B,1)(A,3); user 2: C -> (C,1)
+    ev = _ev(
+        spark,
+        [
+            (1, 1, 1, "A"),
+            (2, 2, 1, "A"),
+            (3, 3, 1, "B"),
+            (4, 4, 1, "A"),
+            (5, 5, 1, "A"),
+            (6, 6, 1, "A"),
+            (7, 1, 2, "C"),
+        ],
+    )
+    got = {
+        (r.user_id, r.run_id): (r.event_type, r.run_len, r.first_event_id)
+        for r in run_length_encode(ev).collect()
+    }
+    assert got == {
+        (1, 1): ("A", 2, 1),
+        (1, 2): ("B", 1, 3),
+        (1, 3): ("A", 3, 4),
+        (2, 1): ("C", 1, 7),
+    }
+
+
+def test_run_length_encode_ts_ties_broken_by_event_id(spark):
+    # Same ts for all three rows: order must fall back to event_id, so the
+    # sequence is A(1) B(2) A(3) -> 3 runs, never 2.
+    ev = _ev(spark, [(1, 5, 1, "A"), (2, 5, 1, "B"), (3, 5, 1, "A")])
+    assert run_length_encode(ev).count() == 3
+
+
+def test_run_length_encode_single_shuffle(spark):
+    # The closing (user, run_id) aggregate must reuse the window's hash
+    # partitioning on user_id (superset-key distribution): exactly ONE
+    # shuffle in the whole plan.
+    ev = _ev(spark, [(1, 1, 1, "A"), (2, 2, 1, "B")])
+    plan = run_length_encode(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
