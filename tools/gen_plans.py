@@ -64,6 +64,8 @@ PICKS = {
     "events_hll_daily_rollup": "Mergeable-sketch rollup: per-(type, day) HLL partials combine map-side, the per-type union aggregates kilobyte sketch rows (types x days), and the exact judge columns ride the same scan.",
     "events_value_mad_outliers": "Two exact-percentile hash aggregates over per-row integerized values with types-sized broadcast joins between them — group-local sorts, never a global sort; the threshold comparison evaluates in the final aggregate's projection.",
     "dedup_containment_pairs": "Same inverted-index shape as the Jaccard path (8-byte shingle-hash self-join, intersection aggregate); the checkpointed pair+sizes frame feeds BOTH direction filters without re-running the join.",
+    "lineitem_bloom_pruned_join": "Bloom semi-join pruning: the 1-row word-array frame BROADCASTs; the fact scan's very next stage is the k-bit-test Filter (rows cut map-side BEFORE the join exchange); the exact join then sees only matches + false positives.",
+    "events_type_run_lengths": "Run-length encoding in ONE Exchange: lag flag and running-sum ordinal share the (key) hash partitioning and (ts,id) sort; the closing (key,run) hash aggregate's clustered distribution is satisfied by the window's partitioning — no second shuffle.",
 }
 
 

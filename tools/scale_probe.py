@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import anomaly as AN  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import asof as A  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import association as AR  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import bloomjoin as BJ  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import bm25 as B  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import dedup as D  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import kmeans as KM  # noqa: E402
@@ -262,6 +263,21 @@ def main() -> None:
             # map-side partial aggregation does the heavy lifting; expect
             # ~linear scan cost with events.
             "hll_daily_rollup": lambda: noop(K.hll_daily_rollup(ev)),
+            # Build cost ~ build keys (one explode + word aggregate over a
+            # FIXED 16384-word spine); probe cost ~ fact rows (k O(1) bit
+            # tests map-side) — expect ~linear with the fact side.
+            "bloom_pruned_join": lambda: noop(
+                BJ.bloom_pruned_join(
+                    li,
+                    orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                    .select(F.col("o_orderkey").alias("l_orderkey")),
+                    "l_orderkey",
+                )
+            ),
+            # ONE window shuffle on the sequence key; the closing
+            # (key, run) aggregate reuses the window's partitioning —
+            # expect ~linear with events.
+            "run_length_encode": lambda: noop(SEQ.run_length_encode(ev)),
         }
         for name, fn in cases.items():
             # Exact all-pairs cosine is quadratic by definition (16x data =
