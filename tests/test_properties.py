@@ -434,3 +434,63 @@ def test_label_propagation_equals_python_simulation(spark, edges, rounds):
     df = spark.createDataFrame(list(edges), "src long, dst long")
     got = {r.id: r.label for r in label_propagation(df, rounds=rounds).collect()}
     assert got == labels
+
+
+BLOOM_KEYS = st.lists(
+    st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=30
+)
+
+
+@PROP_SETTINGS
+@given(build_keys=BLOOM_KEYS, probe_keys=BLOOM_KEYS)
+def test_bloom_pruned_join_equals_plain_join_property(spark, build_keys, probe_keys):
+    """For ANY build/probe key sets (negative keys, duplicates, disjoint
+    sets), the Bloom-pruned join is row-for-row the plain inner join — the
+    no-false-negative law."""
+    from analyzing_big_data_in_scala_spark.operators.bloomjoin import bloom_pruned_join
+
+    big = spark.createDataFrame([(k, i) for i, k in enumerate(probe_keys)], "k long, pid long")
+    build = spark.createDataFrame([(k, i) for i, k in enumerate(build_keys)], "k long, bid long")
+    got = sorted(map(tuple, bloom_pruned_join(big, build, "k", m_bits=1 << 10).collect()))
+    want = sorted(map(tuple, big.join(build, "k").collect()))
+    assert got == want
+
+
+RLE_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.sampled_from("ABC"),  # type
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@PROP_SETTINGS
+@given(rows=RLE_EVENTS)
+def test_run_length_encode_matches_python_rle(spark, rows):
+    """RLE over any sequence equals the obvious per-user Python fold, and
+    run lengths per user always sum back to the user's row count."""
+    import datetime as dt
+    import itertools
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import run_length_encode
+
+    ev = spark.createDataFrame(
+        [
+            (eid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=eid), uid, typ)
+            for eid, (uid, typ) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = sorted(
+        (r.user_id, r.run_id, r.event_type, r.run_len) for r in run_length_encode(ev).collect()
+    )
+    want = []
+    by_user: dict[int, list[str]] = {}
+    for uid, typ in rows:
+        by_user.setdefault(uid, []).append(typ)
+    for uid, seq in by_user.items():
+        for rid, (typ, grp) in enumerate(itertools.groupby(seq), start=1):
+            want.append((uid, rid, typ, len(list(grp))))
+    assert got == sorted(want)
