@@ -167,3 +167,134 @@ def hll_daily_rollup(
         .cast("int")
         .alias("hll_merge_ok"),
     )
+
+
+def kll_value_rollup(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    k: int = 400,
+    rank_tol: float = 0.03,
+) -> DataFrame:
+    """Mergeable QUANTILE rollup — the percentile twin of
+    `hll_daily_rollup`: per-(group, epoch-day) Apache DataSketches KLL
+    partials (`kll_sketch_agg_bigint`) merged per group
+    (`kll_merge_agg_bigint`). At 100 TB this is how "p50/p95/p99 over ANY
+    day range" stays interactive: kilobyte sketches merge in
+    milliseconds, where exact percentiles re-sort the fact table per
+    query (and exact per-day percentiles are NOT mergeable — a median of
+    daily medians is not the median).
+
+    Values integerize per row (1e-4 units, the repo recipe) so the
+    sketch ingests exact BIGINTs. Sketch internals are implementation-
+    specific, so (lineitem_approx_profile pattern) the output carries
+    exact judge columns plus integer assertions computed IN-PLAN:
+
+    - n_match: the merged sketch saw EXACTLY every row once (stream
+      length == exact count — the mergeability witness: days partition
+      the stream);
+    - pXX_rank_ok: the merged sketch's quantile ESTIMATE lands between
+      the exact discrete quantiles at p-rank_tol and p+rank_tol — the
+      KLL rank-error guarantee restated in value space (the rank lookup
+      itself needs a foldable argument, so the check runs this
+      direction). k=400 gives ~0.8% one-sided normalized rank error at
+      99% confidence, so 3% is a stable contract.
+
+    Output: (group_col, n_events, n_match, p50_rank_ok, p95_rank_ok,
+    p99_rank_ok) — all BIGINT, flags pinned 1 in the oracle."""
+    ve4 = F.round(F.col(value_col) * 10000).cast("long")
+    day = F.floor(F.unix_timestamp(ts_col) / F.lit(86400)).cast("long")
+    base = events.select(group_col, day.alias("_day"), ve4.alias("_ve4"))
+    daily = base.groupBy(group_col, "_day").agg(
+        F.expr(f"kll_sketch_agg_bigint(_ve4, {k})").alias("_sk")
+    )
+    merged = daily.groupBy(group_col).agg(F.expr("kll_merge_agg_bigint(_sk)").alias("_mg"))
+    targets = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    bound_cols = []
+    for label, p in targets.items():
+        lo, hi = max(p - rank_tol, 0.0), min(p + rank_tol, 1.0)
+        bound_cols += [
+            F.expr(f"percentile_disc({lo}) WITHIN GROUP (ORDER BY _ve4)").alias(f"_{label}_lo"),
+            F.expr(f"percentile_disc({hi}) WITHIN GROUP (ORDER BY _ve4)").alias(f"_{label}_hi"),
+        ]
+    exact = base.groupBy(group_col).agg(F.count("*").alias("n_events"), *bound_cols)
+    flags = [
+        F.expr(f"kll_sketch_get_quantile_bigint(_mg, CAST({p} AS DOUBLE))")
+        .between(F.col(f"_{label}_lo"), F.col(f"_{label}_hi"))
+        .cast("long")
+        .alias(f"{label}_rank_ok")
+        for label, p in targets.items()
+    ]
+    return exact.join(merged, group_col).select(
+        group_col,
+        "n_events",
+        (F.expr("kll_sketch_get_n_bigint(_mg)") == F.col("n_events")).cast("long").alias("n_match"),
+        *flags,
+    )
+
+
+def theta_audience_overlap(
+    events: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    rel_err_bound_pct: int = 5,
+) -> DataFrame:
+    """Audience set algebra via Theta sketches: per-group distinct-key
+    sketches (`theta_sketch_agg`), pairwise |A∩B| and |A∪B| estimated by
+    `theta_intersection`/`theta_union` — the 100 TB answer to "how many
+    users do segments A and B share?" across ANY segment combination
+    without re-shuffling raw ids per pair (HLL can union but cannot
+    intersect; exact pairwise COUNT(DISTINCT) is a per-pair shuffle).
+
+    The pair table is the GROUP catalog squared (tiny); each cell is a
+    kilobyte-sketch set operation. Judge columns (exact overlap/union
+    from one distinct + one bounded self-join) ride along with integer
+    in-plan assertions that both estimates land within
+    `rel_err_bound_pct` (default nominal entries 4096 -> sketches are in
+    EXACT mode until ~4k keys per group, so 5% is conservative).
+
+    Output: (type_a, type_b, exact_overlap, exact_union, overlap_ok,
+    union_ok) for every unordered group pair, zero-overlap pairs
+    included."""
+    per_group = events.groupBy(group_col).agg(
+        F.expr(f"theta_sketch_agg({key_col})").alias("_tsk"),
+        F.count_distinct(key_col).alias("_dk"),
+    )
+    pairs = (
+        per_group.alias("a")
+        .crossJoin(F.broadcast(per_group.alias("b")))
+        .filter(F.expr(f"a.{group_col} < b.{group_col}"))
+        .select(
+            F.expr(f"a.{group_col}").alias("type_a"),
+            F.expr(f"b.{group_col}").alias("type_b"),
+            F.expr("a._dk").alias("_da"),
+            F.expr("b._dk").alias("_db"),
+            F.expr("CAST(ROUND(theta_sketch_estimate(theta_intersection(a._tsk, b._tsk))) AS BIGINT)").alias("_est_i"),
+            F.expr("CAST(ROUND(theta_sketch_estimate(theta_union(a._tsk, b._tsk))) AS BIGINT)").alias("_est_u"),
+        )
+    )
+    bi = events.select(group_col, key_col).distinct()
+    overlap = (
+        bi.alias("x")
+        .join(bi.alias("y"), F.expr(f"x.{key_col} = y.{key_col} AND x.{group_col} < y.{group_col}"))
+        .groupBy(
+            F.expr(f"x.{group_col}").alias("type_a"),
+            F.expr(f"y.{group_col}").alias("type_b"),
+        )
+        .agg(F.count("*").alias("_ov"))
+    )
+    slack = lambda exact: F.greatest(F.lit(1).cast("long"), (exact * rel_err_bound_pct / 100).cast("long"))  # noqa: E731
+    return (
+        pairs.join(F.broadcast(overlap), ["type_a", "type_b"], "left")
+        .withColumn("exact_overlap", F.coalesce(F.col("_ov"), F.lit(0).cast("long")))
+        .withColumn("exact_union", F.col("_da") + F.col("_db") - F.col("exact_overlap"))
+        .select(
+            "type_a",
+            "type_b",
+            "exact_overlap",
+            "exact_union",
+            (F.abs(F.col("_est_i") - F.col("exact_overlap")) <= slack(F.col("exact_overlap"))).cast("long").alias("overlap_ok"),
+            (F.abs(F.col("_est_u") - F.col("exact_union")) <= slack(F.col("exact_union"))).cast("long").alias("union_ok"),
+        )
+    )

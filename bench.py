@@ -131,6 +131,8 @@ HEADLINE = [
     "lineitem_bloom_pruned_join",
     "orders_weekly_revenue_delta",
     "events_type_run_lengths",
+    "events_kll_value_rollup",
+    "events_theta_audience_overlap",
 ]
 
 

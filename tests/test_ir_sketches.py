@@ -499,3 +499,50 @@ def test_retrieval_label_eval_hand_computed(spark):
     # rrf fuses both -> 1 ranks first (both lists), 3 present via dense
     r = got["rrf"]
     assert r.n_rel_at_k == 2 and r.mrr_e6 == 1_000_000 and r.recall_ppm == 1_000_000
+
+
+def test_kll_value_rollup_merge_and_quantile_bounds(spark):
+    from datetime import datetime
+
+    from analyzing_big_data_in_scala_spark.operators.sketches import kll_value_rollup
+
+    d1, d2 = datetime(2024, 1, 1, 10), datetime(2024, 1, 2, 10)
+    # type A: values 0..199 split across two days -> merged sketch must see
+    # all 200 exactly once (n_match) and hit the quantiles of the WHOLE
+    # stream, not of either day (day1 holds the low half, day2 the high).
+    rows = [(i, d1 if i < 100 else d2, 1, "A", float(i)) for i in range(200)]
+    rows += [(1000 + i, d1, 1, "B", 42.0) for i in range(10)]  # constant group
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.event_type: r for r in kll_value_rollup(ev).collect()}
+    assert got["A"].n_events == 200 and got["A"].n_match == 1
+    assert (got["A"].p50_rank_ok, got["A"].p95_rank_ok, got["A"].p99_rank_ok) == (1, 1, 1)
+    # all-equal group: every quantile is 42.0, bounds degenerate to a point
+    assert (got["B"].n_match, got["B"].p50_rank_ok, got["B"].p99_rank_ok) == (1, 1, 1)
+
+
+def test_theta_audience_overlap_hand_computed(spark):
+    from datetime import datetime
+
+    from analyzing_big_data_in_scala_spark.operators.sketches import (
+        theta_audience_overlap,
+    )
+
+    d = datetime(2024, 1, 1, 10)
+    # A users {1,2,3}, B users {2,3,4,5}, C users {9} ->
+    # A∩B=2, A∪B=5; A∩C=0, A∪C=4; B∩C=0, B∪C=5. Zero-overlap pairs must
+    # still appear (C shares nobody).
+    rows = [(1, d, 1, "A"), (2, d, 2, "A"), (3, d, 3, "A"),
+            (4, d, 2, "B"), (5, d, 3, "B"), (6, d, 4, "B"), (7, d, 5, "B"),
+            (8, d, 9, "C"), (9, d, 9, "C")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r.type_a, r.type_b): r for r in theta_audience_overlap(ev).collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert (got[("A", "B")].exact_overlap, got[("A", "B")].exact_union) == (2, 5)
+    assert (got[("A", "C")].exact_overlap, got[("A", "C")].exact_union) == (0, 4)
+    assert (got[("B", "C")].exact_overlap, got[("B", "C")].exact_union) == (0, 5)
+    for r in got.values():
+        assert r.overlap_ok == 1 and r.union_ok == 1  # exact-mode sketches
