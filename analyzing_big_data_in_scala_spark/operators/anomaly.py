@@ -157,3 +157,83 @@ def mad_outliers(
             "n_outliers",
         )
     )
+
+
+# --- Trailing EWMA smoother (exact-integer truncated exponential weights) --
+
+# Decay ratio r = 3/4 over a 16-row trailing window (current row included).
+# Scaling every weight (3/4)^j by 4^(W-1) makes them exact BIGINTs
+# (COEF_j = 3^j * 4^(W-1-j)), so the weighted numerator and the constant
+# denominator are pure integer arithmetic — bit-identical cross-engine with
+# no float summation and no ln/exp. The truncation error vs the infinite
+# EWMA is (3/4)^16 ≈ 1% of the weight mass, absorbed by the definition:
+# this operator IS the 16-term smoother, both engines compute exactly it.
+EWMA_WINDOW = 16
+EWMA_COEFS = [3**j * 4 ** (EWMA_WINDOW - 1 - j) for j in range(EWMA_WINDOW)]
+EWMA_DEN = sum(EWMA_COEFS)  # = 4^16 - 3^16
+# Shift the weighted sum non-negative before the integer division: Spark's
+# `div` truncates toward zero while DuckDB's `//` floors, so a NEGATIVE
+# numerator (values may be negative) would diverge by one on non-exact
+# quotients. |num| <= 5e7 (value envelope, 1e-4 units) * EWMA_DEN, so an
+# offset of 6e7 value-units makes the shifted numerator strictly positive
+# on both engines; positive // == positive div. Overflow stays < 2^63
+# (audit in ewma_smooth's docstring).
+EWMA_OFFSET_E4 = 60_000_000
+
+
+def ewma_expr_sql(div_op: str, lag_prefix: str = "_x") -> str:
+    """The Spark/DuckDB expression for the exact-integer EWMA: identical
+    term tree on both engines, differing ONLY in the integer-division
+    token (`div_op` = 'DIV' for Spark, '//' for DuckDB). `_x0` is the
+    current row's integerized value, `_xj` the j-th lag."""
+    num = " + ".join(f"{c} * {lag_prefix}{j}" for j, c in enumerate(EWMA_COEFS))
+    shifted = f"({num}) + {EWMA_OFFSET_E4 * EWMA_DEN}"
+    return f"(({shifted}) * 2 + {EWMA_DEN}) {div_op} (2 * {EWMA_DEN}) - {EWMA_OFFSET_E4}"
+
+
+def ewma_smooth(
+    events: DataFrame,
+    partition_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(partition_col, id_col, ve4, ewma_e4) for every event with a full
+    16-row trailing window in its series: the truncated exponential moving
+    average (decay 3/4) of the per-row integerized values, as an exact
+    BIGINT in 1e-4 units.
+
+    Scale shape: ONE window pass partitioned by the series key — 15 lags +
+    the weighted sum all evaluate inside the same Window/Project stages;
+    partial windows are filtered (a renormalized partial weight mass would
+    make early rows engine-dependent on count semantics for no analytical
+    gain).
+
+    Overflow audit: |ve4| <= 5e7 (the rolling_zscore value envelope),
+    COEF_j <= 4^15 ~ 1.07e9, 16 terms -> |num| <= 8.6e17; the
+    round-half-up form doubles it to 1.7e18 < 2^63. ANSI mode still fails
+    loudly beyond the envelope, never silently."""
+    w = Window.partitionBy(partition_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    ve4 = F.round(F.col(value_col) * 10000).cast("long")
+    base = events.select(
+        partition_col,
+        id_col,
+        ts_col,
+        ve4.alias("_x0"),
+    )
+    lagged = base.select(
+        partition_col,
+        id_col,
+        "_x0",
+        *[F.lag("_x0", j).over(w).alias(f"_x{j}") for j in range(1, EWMA_WINDOW)],
+        F.row_number().over(w).alias("_rn"),
+    )
+    return (
+        lagged.filter(F.col("_rn") >= EWMA_WINDOW)
+        .select(
+            partition_col,
+            id_col,
+            F.col("_x0").alias("ve4"),
+            F.expr(ewma_expr_sql("DIV")).alias("ewma_e4"),
+        )
+    )

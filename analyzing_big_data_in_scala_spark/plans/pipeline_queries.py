@@ -2915,3 +2915,45 @@ def events_type_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sequence import run_length_encode
 
     return run_length_encode(load_table(spark, sf_dir, "events"))
+
+
+def _ewma_oracle() -> str:
+    from ..operators.anomaly import EWMA_WINDOW, ewma_expr_sql
+
+    lags = ",\n                   ".join(
+        f"LAG(_x0, {j}) OVER w AS _x{j}" for j in range(1, EWMA_WINDOW)
+    )
+    return f"""
+        WITH base AS (
+            SELECT event_type, event_id, ts,
+                   CAST(ROUND(value * 10000) AS BIGINT) AS _x0
+            FROM events
+        ),
+        lagged AS (
+            SELECT event_type, event_id, _x0,
+                   {lags},
+                   ROW_NUMBER() OVER w AS _rn
+            FROM base
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        )
+        SELECT event_type, event_id, _x0 AS ve4,
+               {ewma_expr_sql("//")} AS ewma_e4
+        FROM lagged WHERE _rn >= {EWMA_WINDOW}
+    """
+
+
+@query(
+    "events_value_ewma",
+    # The weighted sum and round-half-up division are pure BIGINT on both
+    # engines (weights (3/4)^j scaled by 4^15 to exact integers; numerator
+    # offset-shifted positive so Spark's truncating `div` and DuckDB's
+    # flooring `//` agree); the expression tree is generated by ONE
+    # builder (operators/anomaly.py ewma_expr_sql) differing only in the
+    # division token.
+    oracle=_ewma_oracle(),
+    description="Trailing EWMA smoother (decay 3/4, 16-row truncated window): exact-integer exponential weights over per-row integerized values — ONE window pass per series key, 15 lags + the weighted sum in the same stage; partial windows filtered (operators/anomaly.py ewma_smooth)",
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anomaly import ewma_smooth
+
+    return ewma_smooth(load_table(spark, sf_dir, "events"))

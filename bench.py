@@ -133,6 +133,7 @@ HEADLINE = [
     "events_type_run_lengths",
     "events_kll_value_rollup",
     "events_theta_audience_overlap",
+    "events_value_ewma",
 ]
 
 

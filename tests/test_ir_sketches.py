@@ -546,3 +546,36 @@ def test_theta_audience_overlap_hand_computed(spark):
     assert (got[("B", "C")].exact_overlap, got[("B", "C")].exact_union) == (0, 5)
     for r in got.values():
         assert r.overlap_ok == 1 and r.union_ok == 1  # exact-mode sketches
+
+
+def test_ewma_smooth_matches_python_and_is_exact(spark):
+    from datetime import datetime, timedelta
+
+    from analyzing_big_data_in_scala_spark.operators.anomaly import (
+        EWMA_COEFS,
+        EWMA_DEN,
+        EWMA_WINDOW,
+        ewma_smooth,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    # series A: a ramp crossing zero (negative values exercise the
+    # offset-shifted division); series B: constant -> ewma == value.
+    vals = [float(i - 10) for i in range(30)]
+    rows = [(i, t0 + timedelta(seconds=i), 1, "A", vals[i]) for i in range(30)]
+    rows += [(100 + i, t0 + timedelta(seconds=i), 1, "B", 7.5) for i in range(20)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {(r.event_type, r.event_id): r.ewma_e4 for r in ewma_smooth(ev).collect()}
+    # full windows only: A emits ids 15..29, B ids 115..119
+    assert len(got) == 15 + 5
+
+    def py_ewma(xs):  # round-half-up of the exact integer weighted mean
+        num = sum(c * x for c, x in zip(EWMA_COEFS, xs))
+        return (num * 2 + EWMA_DEN) // (2 * EWMA_DEN)
+
+    for t in range(EWMA_WINDOW - 1, 30):
+        xs = [round(vals[t - j] * 10000) for j in range(EWMA_WINDOW)]
+        assert got[("A", t)] == py_ewma(xs), t
+    assert all(got[("B", 100 + i)] == 75000 for i in range(15, 20))
