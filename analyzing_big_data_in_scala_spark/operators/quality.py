@@ -18,7 +18,7 @@ cross-engine value checks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -172,4 +172,45 @@ def value_histogram(
             F.round(F.col("_mn") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
             F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         )
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram per group (the dual of `value_histogram`'s
+    equi-width bins: equal POPULATION per bucket, data-driven boundaries —
+    what quantile-aware partitioning, salting decisions, and skew reports
+    actually need, since equi-width collapses under heavy tails):
+
+        (key_col, bucket, n, lo_ve4, hi_ve4)
+
+    via NTILE(n_buckets) over the per-group total order (integerized
+    value, id_col tiebreak — NTILE's extra-row placement is deterministic
+    only under a total order, and both engines implement the standard
+    first-(n mod b)-buckets-get-one-extra rule). Bounds are exact BIGINTs
+    in 1e-4 units.
+
+    Scale shape: ONE shuffle — the closing (key, bucket) aggregate's
+    clustered distribution is satisfied by the window's hash partitioning
+    on key (the run_length_encode superset-key pattern), so Catalyst
+    plans it exchange-free."""
+    w = Window.partitionBy(key_col).orderBy(F.asc("_ve4"), F.asc(id_col))
+    ranked = df.select(
+        key_col,
+        id_col,
+        F.round(F.col(value_col) * 10000).cast("long").alias("_ve4"),
+    ).select(
+        key_col,
+        "_ve4",
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+    return ranked.groupBy(key_col, "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("_ve4").alias("lo_ve4"),
+        F.max("_ve4").alias("hi_ve4"),
     )

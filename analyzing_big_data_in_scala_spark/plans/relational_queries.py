@@ -1198,3 +1198,34 @@ def orders_weekly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_e2") - F.lag("rev_e2").over(w)).alias("delta_e2"),
         F.sum("rev_e2").over(w.rowsBetween(-3, Window.currentRow)).alias("mov4_e2"),
     )
+
+
+@query(
+    "events_value_deciles",
+    # NTILE over a TOTAL order (integerized value, event_id tiebreak) is
+    # deterministic and both engines implement the standard
+    # first-(n mod b)-buckets-get-one-extra rule; counts and BIGINT
+    # bounds are exact.
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 10000) AS BIGINT) AS _ve4,
+                   NTILE(10) OVER (PARTITION BY event_type
+                                   ORDER BY CAST(ROUND(value * 10000) AS BIGINT), event_id) AS bucket
+            FROM events
+        )
+        SELECT event_type, bucket,
+               COUNT(*) AS n,
+               MIN(_ve4) AS lo_ve4,
+               MAX(_ve4) AS hi_ve4
+        FROM ranked
+        GROUP BY event_type, bucket
+    """,
+    description="Equi-DEPTH decile histogram per event type (equal population, data-driven boundaries — the skew-report dual of the equi-width histogram): NTILE over the per-group total order, then a (type, bucket) aggregate that reuses the window's hash partitioning — one shuffle total (operators/quality.py equi_depth_histogram)",
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import equi_depth_histogram
+
+    return equi_depth_histogram(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id", n_buckets=10
+    )

@@ -134,6 +134,7 @@ HEADLINE = [
     "events_kll_value_rollup",
     "events_theta_audience_overlap",
     "events_value_ewma",
+    "events_value_deciles",
 ]
 
 

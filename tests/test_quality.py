@@ -138,3 +138,38 @@ def test_value_histogram_bins_and_spine(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         value_histogram(df, "k", "v", n_bins=0)
+
+
+def test_equi_depth_histogram_hand_computed(spark):
+    from analyzing_big_data_in_scala_spark.operators.quality import (
+        equi_depth_histogram,
+    )
+
+    # 7 rows, 3 buckets: NTILE puts 3,2,2 (first n mod b buckets get the
+    # extra row); values chosen so bucket boundaries are obvious.
+    rows = [(i, "A", float(v)) for i, v in enumerate([5, 1, 3, 2, 4, 7, 6])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {
+        r.bucket: (r.n, r.lo_ve4, r.hi_ve4)
+        for r in equi_depth_histogram(df, "event_type", "value", "event_id", n_buckets=3).collect()
+    }
+    assert got == {
+        1: (3, 10000, 30000),
+        2: (2, 40000, 50000),
+        3: (2, 60000, 70000),
+    }
+
+
+def test_equi_depth_histogram_single_shuffle(spark):
+    from analyzing_big_data_in_scala_spark.operators.quality import (
+        equi_depth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", 2.0)], "event_id long, event_type string, value double"
+    )
+    plan = (
+        equi_depth_histogram(df, "event_type", "value", "event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
