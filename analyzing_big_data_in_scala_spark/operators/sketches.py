@@ -298,3 +298,57 @@ def theta_audience_overlap(
             (F.abs(F.col("_est_u") - F.col("exact_union")) <= slack(F.col("exact_union"))).cast("long").alias("union_ok"),
         )
     )
+
+
+def theta_join_key_profile(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    rel_err_bound_pct: int = 5,
+) -> DataFrame:
+    """Pre-join key profiling from two 1-row Theta sketches — the
+    query-planning use of sketch set algebra: before shuffling two fact
+    tables, estimate how many DISTINCT join keys they share (and each
+    side's key count) from kilobyte summaries. |shared| ~ 0 means the
+    join is a filter (bloom-prune it); |shared| ~ |left keys| means it
+    is an enrichment; either way the decision costs two scans' worth of
+    map-side sketching and no shuffle of the keys themselves.
+
+    Output (1 row): (left_keys, right_keys, exact_shared, shared_ok) —
+    exact judge columns plus the in-plan flag that the theta
+    intersection estimate lands within `rel_err_bound_pct` (sketches are
+    exact below ~4k keys/side at default nominal entries).
+
+    Scale shape: each side is ONE aggregate to a single sketch row
+    (map-side partials merge sketches); the exact judge column is a
+    distinct-project + broadcast-able self-contained count used only to
+    grade the estimate."""
+    ls = left.agg(
+        F.expr(f"theta_sketch_agg({left_key})").alias("_lsk"),
+        F.count_distinct(left_key).alias("left_keys"),
+    )
+    rs = right.agg(
+        F.expr(f"theta_sketch_agg({right_key})").alias("_rsk"),
+        F.count_distinct(right_key).alias("right_keys"),
+    )
+    exact = (
+        left.select(F.col(left_key).alias("_k"))
+        .distinct()
+        .join(right.select(F.col(right_key).alias("_k")).distinct(), "_k")
+        .agg(F.count("*").alias("exact_shared"))
+    )
+    est = F.expr("CAST(ROUND(theta_sketch_estimate(theta_intersection(_lsk, _rsk))) AS BIGINT)")
+    slack = F.greatest(
+        F.lit(1).cast("long"), (F.col("exact_shared") * rel_err_bound_pct / 100).cast("long")
+    )
+    return (
+        ls.crossJoin(rs)
+        .crossJoin(exact)
+        .select(
+            "left_keys",
+            "right_keys",
+            "exact_shared",
+            (F.abs(est - F.col("exact_shared")) <= slack).cast("long").alias("shared_ok"),
+        )
+    )

@@ -549,3 +549,31 @@ def events_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..sources.catalog import load_events
 
     return theta_audience_overlap(load_events(spark, sf_dir))
+
+
+@query(
+    "orders_lineitem_join_cardinality",
+    # Exact judge columns (per-side distinct keys + exact shared-key
+    # count) are SQL; the theta-intersection estimate asserts within 5%
+    # in-plan (both sides' key sets exceed the 4k exact-mode bound at
+    # sf0.1 but the estimator's rse is ~1.6% at lgK 12 -> stable 1).
+    oracle="""
+        SELECT (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS left_keys,
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS right_keys,
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT o_orderkey FROM orders) o
+                   JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+                     ON o.o_orderkey = l.l_orderkey) AS exact_shared,
+               1 AS shared_ok
+    """,
+    description="Pre-join key profiling from two 1-row Theta sketches: estimate the DISTINCT join keys orders and lineitem share before shuffling either (join-vs-filter planning from KB summaries); exact judge columns + 5% in-plan flag (operators/sketches.py theta_join_key_profile)",
+)
+def orders_lineitem_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import theta_join_key_profile
+
+    return theta_join_key_profile(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderkey",
+        load_table(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+    )

@@ -135,6 +135,7 @@ HEADLINE = [
     "events_theta_audience_overlap",
     "events_value_ewma",
     "events_value_deciles",
+    "orders_lineitem_join_cardinality",
 ]
 
 

@@ -579,3 +579,29 @@ def test_ewma_smooth_matches_python_and_is_exact(spark):
         xs = [round(vals[t - j] * 10000) for j in range(EWMA_WINDOW)]
         assert got[("A", t)] == py_ewma(xs), t
     assert all(got[("B", 100 + i)] == 75000 for i in range(15, 20))
+
+
+def test_theta_join_key_profile_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.sketches import (
+        theta_join_key_profile,
+    )
+
+    left = spark.range(100).select(F.col("id").alias("k"))          # keys 0..99
+    right = spark.range(50, 200).select((F.col("id")).alias("j"))   # keys 50..199
+    r = theta_join_key_profile(left, "k", right, "j").collect()[0]
+    assert (r.left_keys, r.right_keys, r.exact_shared, r.shared_ok) == (100, 150, 50, 1)
+
+
+def test_theta_join_key_profile_disjoint_sides(spark):
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.sketches import (
+        theta_join_key_profile,
+    )
+
+    left = spark.range(40).select(F.col("id").alias("k"))
+    right = spark.range(1000, 1040).select(F.col("id").alias("k"))
+    r = theta_join_key_profile(left, "k", right, "k").collect()[0]
+    assert (r.exact_shared, r.shared_ok) == (0, 1)  # slack floor of 1 covers est 0
