@@ -136,6 +136,7 @@ HEADLINE = [
     "events_value_ewma",
     "events_value_deciles",
     "orders_lineitem_join_cardinality",
+    "streaming_hll_sketch_maintenance",
 ]
 
 
