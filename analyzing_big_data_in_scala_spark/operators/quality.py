@@ -198,7 +198,13 @@ def equi_depth_histogram(
     Scale shape: ONE shuffle — the closing (key, bucket) aggregate's
     clustered distribution is satisfied by the window's hash partitioning
     on key (the run_length_encode superset-key pattern), so Catalyst
-    plans it exchange-free."""
+    plans it exchange-free. Scale caveat (shared with every exact
+    per-group percentile here — MAD, quartiles): NTILE sorts each group
+    inside one partition, so this exact form is for group cardinalities
+    that fit a partition; when single groups outgrow that, derive the
+    boundaries from the mergeable KLL sketch
+    (`sketches.kll_value_rollup`) instead — approximate, but
+    shuffle-free per group."""
     w = Window.partitionBy(key_col).orderBy(F.asc("_ve4"), F.asc(id_col))
     ranked = df.select(
         key_col,

@@ -27,6 +27,7 @@ from analyzing_big_data_in_scala_spark.operators import bm25 as B  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import dedup as D  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import kmeans as KM  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import projection as P  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import quality as Q  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import sketches as K  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import bpe as BP  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import chunking as CH  # noqa: E402
@@ -278,6 +279,27 @@ def main() -> None:
             # (key, run) aggregate reuses the window's partitioning —
             # expect ~linear with events.
             "run_length_encode": lambda: noop(SEQ.run_length_encode(ev)),
+            # Map-side sketch partials merge into per-(type, day) rows,
+            # then a types-sized union; the exact judge aggregate is the
+            # only other corpus pass — expect ~linear scan cost.
+            "kll_value_rollup": lambda: noop(K.kll_value_rollup(ev)),
+            # Per-side 1-row sketch aggregates + a catalog-bounded pair
+            # table; the exact-overlap self-join is distinct-user-sized —
+            # expect ~linear with events.
+            "theta_audience_overlap": lambda: noop(K.theta_audience_overlap(ev)),
+            # One window pass per series key (15 lags + weighted sum in
+            # the same stage) — expect ~linear with events.
+            "ewma_smooth": lambda: noop(AN.ewma_smooth(ev)),
+            # NTILE + closing aggregate share one hash partitioning —
+            # expect ~linear with events (group-local sorts).
+            "equi_depth_histogram": lambda: noop(
+                Q.equi_depth_histogram(ev, "event_type", "value", "event_id")
+            ),
+            # Two 1-row sketch aggregates + a distinct-key equi-join for
+            # the judge column — expect ~linear with the fact sides.
+            "theta_join_cardinality": lambda: noop(
+                K.theta_join_key_profile(orders, "o_orderkey", li, "l_orderkey")
+            ),
         }
         for name, fn in cases.items():
             # Exact all-pairs cosine is quadratic by definition (16x data =
