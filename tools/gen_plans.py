@@ -66,6 +66,9 @@ PICKS = {
     "dedup_containment_pairs": "Same inverted-index shape as the Jaccard path (8-byte shingle-hash self-join, intersection aggregate); the checkpointed pair+sizes frame feeds BOTH direction filters without re-running the join.",
     "lineitem_bloom_pruned_join": "Bloom semi-join pruning: the 1-row word-array frame BROADCASTs; the fact scan's very next stage is the k-bit-test Filter (rows cut map-side BEFORE the join exchange); the exact join then sees only matches + false positives.",
     "events_type_run_lengths": "Run-length encoding in ONE Exchange: lag flag and running-sum ordinal share the (key) hash partitioning and (ts,id) sort; the closing (key,run) hash aggregate's clustered distribution is satisfied by the window's partitioning — no second shuffle.",
+    "events_kll_value_rollup": "Mergeable quantile rollup: per-(type, day) KLL partials combine map-side (ObjectHashAggregate), the per-type merge aggregates KB sketch rows, and the exact judge aggregate (percentile_disc bounds) is the only other corpus pass — joined types-sized.",
+    "events_value_deciles": "Equi-depth deciles in ONE Exchange: NTILE's window sort and the closing (type,bucket) hash aggregate share the type hash partitioning (superset-key distribution) — no second shuffle; integerized values keep the bucket bounds exact BIGINTs.",
+    "orders_lineitem_join_cardinality": "Pre-join profiling: each fact side collapses to ONE sketch row via map-side-combined theta aggregates; the only joins are 1-row cross joins plus the distinct-key equi-join that exists solely to grade the estimate.",
 }
 
 
