@@ -45,3 +45,45 @@ def blocked_fuzzy_pairs(
         )
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def entity_clusters(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    block: Column,
+    max_distance: int = 1,
+) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy pairs -> connected
+    components over the match graph -> one canonical entity per record:
+
+        (id, entity_id, cluster_size)
+
+    entity_id is the minimum record id reachable through match edges
+    (matching is symmetric but not transitive — A~B and B~C can hold with
+    A~C failing the distance cut, and the business meaning of "same
+    entity" IS the transitive closure, so components are the right
+    semantics). Unmatched records are their own singleton entity.
+
+    Scale shape: the pair join is block-bounded (never all-pairs); CC
+    runs on the MATCH SUBGRAPH only — pairs are a small fraction of the
+    record table, so the O(log n)-round star contraction touches almost
+    nothing; the final assignment is one left join + one entity-keyed
+    count aggregate."""
+    from .graph import connected_components_two_phase
+
+    pairs = blocked_fuzzy_pairs(df, key_col, name_col, block, max_distance)
+    comps = connected_components_two_phase(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assigned = (
+        df.select(F.col(key_col).alias("id"))
+        .join(comps, "id", "left")
+        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("entity_id"))
+        # Two consumers below (the size aggregate and the final join):
+        # without the lineage cut each re-runs the whole pair-gen + CC
+        # chain (the multi-consumer recompute trap).
+        .localCheckpoint(eager=False)
+    )
+    sizes = assigned.groupBy("entity_id").agg(F.count("*").alias("cluster_size"))
+    return assigned.join(sizes, "entity_id").select("id", "entity_id", "cluster_size")

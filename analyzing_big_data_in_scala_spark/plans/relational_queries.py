@@ -1229,3 +1229,61 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(
         _t(spark, sf_dir, "events"), "event_type", "value", "event_id", n_buckets=10
     )
+
+
+@query(
+    "customer_entity_clusters",
+    # The match graph is re-derived in SQL (same blocked Levenshtein
+    # pairs as customer_fuzzy_name_matches) and closed transitively with
+    # the proven recursive-CTE min-label form; singletons fall out of the
+    # left join. Matching is symmetric but NOT transitive, so the
+    # closure IS the entity semantics being checked.
+    oracle="""
+        WITH RECURSIVE b AS (
+            SELECT c_custkey AS id, c_name AS name, substr(c_name, 1, 17) AS blk
+            FROM customer
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b2.id AS id_b
+            FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+            WHERE levenshtein(a.name, b2.name) <= 1
+        ),
+        sym AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        walk(id, label) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.id
+        ),
+        comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id),
+        assigned AS (
+            SELECT c.c_custkey AS id,
+                   COALESCE(cp.component, c.c_custkey) AS entity_id
+            FROM customer c LEFT JOIN comp cp ON cp.id = c.c_custkey
+        )
+        SELECT a.id, a.entity_id, s.cluster_size
+        FROM assigned a
+        JOIN (SELECT entity_id, COUNT(*) AS cluster_size
+              FROM assigned GROUP BY entity_id) s USING (entity_id)
+    """,
+    description="End-to-end entity resolution (operators/linkage.py entity_clusters): blocked fuzzy pairs -> connected components over the match subgraph (matching is symmetric but not transitive; the closure IS the entity semantics) -> canonical min-id entity + cluster size per record, singletons included",
+)
+def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import entity_clusters
+
+    # Block on the 17-char prefix (vs 16 in customer_fuzzy_name_matches):
+    # the fixture's sequential names put EVERY record within distance 1 of
+    # ~9 others at prefix-16 (135k edges on 15k records at sf0.1 — an
+    # adversarial density no real entity table has); prefix-17 models
+    # realistic duplicate density (67k pairs, clique-shaped components)
+    # and keeps the CC loop's round count flat.
+    return entity_clusters(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_name",
+        block=F.substring("c_name", 1, 17),
+        max_distance=1,
+    )

@@ -137,6 +137,7 @@ HEADLINE = [
     "events_value_deciles",
     "orders_lineitem_join_cardinality",
     "streaming_hll_sketch_maintenance",
+    "customer_entity_clusters",
 ]
 
 

@@ -445,3 +445,21 @@ def test_ml_pinned_constants(spark):
     con = duckdb_conn(SF_ORACLE)
     result = compare(spec.fn(spark, SF_ORACLE), con, spec.oracle)
     assert result["values_match"], result
+
+
+def test_entity_clusters_transitive_and_singletons(spark):
+    """A~B and B~C (distance 1 each) must land in ONE entity even when
+    A~C is distance 2; unmatched records are singleton entities."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.linkage import entity_clusters
+
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "smithy"), (3, "smithys"), (9, "unrelated")],
+        "id long, name string",
+    )
+    got = {
+        r.id: (r.entity_id, r.cluster_size)
+        for r in entity_clusters(df, "id", "name", block=F.substring("name", 1, 3)).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 9: (9, 1)}
