@@ -577,3 +577,99 @@ def orders_lineitem_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFr
         load_table(spark, sf_dir, "lineitem"),
         "l_orderkey",
     )
+
+
+@query(
+    "streaming_cms_heavy_hitters",
+    # SAME value-checked oracle as the batch query: CMS cells are pure
+    # integers under cell-wise addition, which is commutative and
+    # associative, so the drained per-batch fold must reproduce the batch
+    # grid BIT-FOR-BIT regardless of micro-batch order — a stronger
+    # contract than the HLL/KLL accuracy flags.
+    oracle=_cms_oracle(),
+    description="Streaming count-min maintenance: each micro-batch tokenizes and aggregates its own cells, folded into the standing 4x256 integer grid by cell-wise addition via the exactly-once foreachBatch wrapper; the drained grid is value-identical to the batch sketch (order-independent integer merge), probed with the exact top-20 terms",
+)
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import idempotent_foreach_batch
+    from ..operators.sketches import cms_build, cms_estimate
+    from ..operators.tfidf import token_table
+
+    stage = tempfile.mkdtemp(prefix="stream_cms_")
+    ckpt = tempfile.mkdtemp(prefix="stream_cms_ckpt_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+        state: dict = {"grid": None, "batches": 0}
+
+        def fold(batch_df, batch_id: int) -> None:
+            delta = cms_build(token_table(batch_df))
+            if state["grid"] is None:
+                state["grid"] = delta.localCheckpoint()
+            else:
+                merged = (
+                    state["grid"]
+                    .withColumnRenamed("cnt", "_a")
+                    .join(
+                        delta.withColumnRenamed("cnt", "_b"),
+                        ["row", "bucket"],
+                        "full_outer",
+                    )
+                    .select(
+                        "row",
+                        "bucket",
+                        (
+                            F.coalesce(F.col("_a"), F.lit(0).cast("long"))
+                            + F.coalesce(F.col("_b"), F.lit(0).cast("long"))
+                        ).alias("cnt"),
+                    )
+                )
+                state["grid"] = merged.localCheckpoint()
+            state["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(idempotent_foreach_batch(fold))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(
+                "streaming_cms_heavy_hitters: availableNow drain did not "
+                "terminate within 120s"
+            )
+        if state["grid"] is None:
+            raise RuntimeError("streaming_cms_heavy_hitters: no batches arrived")
+        from ..plans import streaming_queries as SQ
+
+        SQ.LAST_FOLD_BATCHES = state["batches"]
+        exact = (
+            token_table(docs)
+            .groupBy("term")
+            .agg(F.count("*").alias("exact_cnt"))
+            .orderBy(F.desc("exact_cnt"), F.asc("term"))
+            .limit(20)
+        )
+        est = cms_estimate(state["grid"], exact.select("term"))
+        out = exact.join(est, "term").select(
+            "term",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

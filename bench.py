@@ -138,6 +138,7 @@ HEADLINE = [
     "orders_lineitem_join_cardinality",
     "streaming_hll_sketch_maintenance",
     "customer_entity_clusters",
+    "streaming_cms_heavy_hitters",
 ]
 
 

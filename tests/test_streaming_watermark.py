@@ -251,3 +251,25 @@ def test_streaming_hll_sketch_maintenance_incremental_and_accurate(spark):
     assert SQ.LAST_FOLD_BATCHES is not None and SQ.LAST_FOLD_BATCHES >= 2
     assert rows and all(r.hll_stream_ok == 1 for r in rows)
     assert all(r.n_days >= 1 and r.exact_users >= 1 for r in rows)
+
+
+def test_streaming_cms_fold_value_identical_to_batch(spark):
+    """The drained per-batch CMS fold must reproduce the one-shot batch
+    sketch BIT-FOR-BIT (integer cell addition is order-independent), and
+    it must have run over >= 2 real micro-batches."""
+    import analyzing_big_data_in_scala_spark.plans.streaming_queries as SQ
+    from analyzing_big_data_in_scala_spark.plans.registry import QUERIES
+
+    from .conftest import SF_SMALL
+
+    streamed = {
+        r.term: (r.exact_cnt, r.cms_est, r.overcount)
+        for r in QUERIES["streaming_cms_heavy_hitters"].fn(spark, SF_SMALL).collect()
+    }
+    assert SQ.LAST_FOLD_BATCHES is not None and SQ.LAST_FOLD_BATCHES >= 2
+    batch = {
+        r.term: (r.exact_cnt, r.cms_est, r.overcount)
+        for r in QUERIES["terms_cms_heavy_hitters"].fn(spark, SF_SMALL).collect()
+    }
+    assert streamed == batch
+    assert all(over >= 0 for (_, _, over) in streamed.values())
