@@ -2957,3 +2957,53 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.anomaly import ewma_smooth
 
     return ewma_smooth(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "corpus_shard_manifest",
+    # The manifest is derived from the READ-BACK of the partitioned
+    # write, so this value-checks the sink path end-to-end: per-shard doc
+    # counts, token totals and id ranges must survive the round trip, and
+    # the shard-clustered repartition must yield exactly ONE file per
+    # shard (each shard lives wholly in one task).
+    oracle=f"""
+        SELECT shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id,
+               1 AS one_file
+        FROM ({{shards}}) GROUP BY shard
+    """.format(shards=_training_shards_oracle()),
+    description="Training-export manifest: the packed shards are WRITTEN to a shard-partitioned parquet sink (repartitioned by shard -> exactly one file per shard, asserted) and the manifest (docs/tokens/id-range per shard) is derived from the read-back — the artifact a training job consumes, value-checking the sink round trip",
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.packing import pack_token_shards
+
+    out = tempfile.mkdtemp(prefix="shard_export_")
+    try:
+        curated = corpus_curation_pipeline(spark, sf_dir)
+        packed = pack_token_shards(curated, "n_tokens", shard_tokens=2000).select(
+            "doc_id", "n_tokens", "quality", "shard"
+        )
+        # Cluster each shard into one task before the partitioned write:
+        # every shard then materializes as exactly one file under its
+        # partition directory — the layout a sequential trainer reads.
+        packed.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(out)
+        back = spark.read.parquet(out).withColumn("_file", F.input_file_name())
+        manifest = (
+            back.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+                (F.count_distinct("_file") == 1).cast("int").alias("one_file"),
+            )
+        )
+        return manifest.localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -139,6 +139,7 @@ HEADLINE = [
     "streaming_hll_sketch_maintenance",
     "customer_entity_clusters",
     "streaming_cms_heavy_hitters",
+    "corpus_shard_manifest",
 ]
 
 
