@@ -90,3 +90,53 @@ def multires_rollup(
         prev_secs = secs
         out = out.unionByName(emit(cur, secs, label))
     return out
+
+
+def rollup_backfill(
+    on_time: DataFrame,
+    late: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    bucket_secs: int = 600,
+) -> DataFrame:
+    """Late-data RESTATEMENT of a non-mergeable rollup: the standing
+    per-(bucket, key) aggregate carries COUNT(DISTINCT user) — which,
+    unlike the sums the incremental fold handles, cannot absorb a late
+    delta (per-batch distinct partials are not mergeable). The correct
+    and scale-sane move is per-bucket recompute limited to the AFFECTED
+    buckets:
+
+      1. affected = distinct (bucket, key) of the late batch — small,
+         broadcast;
+      2. restated = recompute those buckets from (on_time ∪ late),
+         semi-joined down BEFORE the aggregate — at 100 TB the bucket
+         predicate prunes a time-partitioned history to the touched
+         partitions, so the recompute cost tracks the affected buckets'
+         raw rows, never the history;
+      3. untouched standing rows pass through via an anti join.
+
+    Output: (bucket, key_col, n, distinct_users) — row-identical to a
+    full recompute over (on_time ∪ late), which is the oracle."""
+    bucket = F.floor(F.unix_timestamp(ts_col) / bucket_secs).cast("long").alias("bucket")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(bucket, key_col).agg(
+            F.count("*").alias("n"),
+            F.count_distinct(user_col).alias("distinct_users"),
+        )
+
+    standing = agg(on_time)
+    affected = late.select(bucket, key_col).distinct()
+    cols = [c for c in on_time.columns]
+    combined = on_time.select(*cols).unionByName(late.select(*cols))
+    touched_raw = combined.join(
+        F.broadcast(affected),
+        on=[F.floor(F.unix_timestamp(combined[ts_col]) / bucket_secs).cast("long")
+            == affected["bucket"],
+            combined[key_col] == affected[key_col]],
+        how="leftsemi",
+    )
+    restated = agg(touched_raw)
+    untouched = standing.join(F.broadcast(affected), ["bucket", key_col], "left_anti")
+    return untouched.unionByName(restated)

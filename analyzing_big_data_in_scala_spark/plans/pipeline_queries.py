@@ -3007,3 +3007,34 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return manifest.localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "events_rollup_backfill",
+    # Full-recompute equality oracle: the stitched (untouched ∪ restated)
+    # rollup must be row-identical to a one-shot GROUP BY over ALL events
+    # — proving the affected-bucket restatement semantics. The on-time /
+    # late split is a pure function of event_id (deterministic on both
+    # engines, though only Spark needs it: the oracle aggregates the
+    # union, which IS all events).
+    oracle="""
+        SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket,
+               event_type,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS distinct_users
+        FROM events
+        GROUP BY bucket, event_type
+    """,
+    description="Late-data restatement of a NON-mergeable rollup (count-distinct per bucket — sums fold incrementally, distincts cannot): affected (bucket, type) keys from the late batch broadcast-semi-join the history BEFORE the aggregate, so recompute cost tracks the touched buckets' raw rows (partition-pruned at scale), and untouched standing rows pass through an anti join; result row-identical to a full recompute (operators/rollup.py rollup_backfill)",
+)
+def events_rollup_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import rollup_backfill
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    # Deterministic ~10% "late" slice: arrival order is a pure function
+    # of the unique event_id on both engines.
+    late = ev.filter(F.col("event_id") % 10 == 7)
+    on_time = ev.filter(F.col("event_id") % 10 != 7)
+    return rollup_backfill(on_time, late)

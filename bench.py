@@ -140,6 +140,7 @@ HEADLINE = [
     "customer_entity_clusters",
     "streaming_cms_heavy_hitters",
     "corpus_shard_manifest",
+    "events_rollup_backfill",
 ]
 
 

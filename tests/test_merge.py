@@ -287,3 +287,42 @@ def test_idempotent_foreach_batch_skips_redelivered_batches(spark):
     guarded(b, 1)
     guarded(b, 2)
     assert applied == [(0, 5), (1, 5), (2, 5)]
+
+
+def test_rollup_backfill_touches_only_affected_buckets(spark):
+    """The restated output equals a full recompute, AND untouched standing
+    rows survive the anti join unchanged (bucket 0 has no late rows; its
+    distinct count must come from the standing aggregate, not a
+    recompute)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.rollup import rollup_backfill
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # bucket 0 (minute 0-9), type A: users 1,2 — never touched by late
+        (1, t0, "A", 1), (2, t0 + dt.timedelta(seconds=5), "A", 2),
+        # bucket 1 (minute 10+), type A: on-time user 3
+        (3, t0 + dt.timedelta(seconds=700), "A", 3),
+        # bucket 1, type B on-time
+        (4, t0 + dt.timedelta(seconds=710), "B", 9),
+    ]
+    late_rows = [
+        # late row lands in bucket 1 type A with user 3 AGAIN (distinct
+        # must stay 3-and-4's dedup: users {3, 4} -> 2) and a new user 4
+        (5, t0 + dt.timedelta(seconds=720), "A", 3),
+        (6, t0 + dt.timedelta(seconds=730), "A", 4),
+    ]
+    schema = "event_id long, ts timestamp, event_type string, user_id long"
+    on_time = spark.createDataFrame(rows, schema)
+    late = spark.createDataFrame(late_rows, schema)
+    got = {
+        (r.bucket % 1000, r.event_type): (r.n, r.distinct_users)
+        for r in rollup_backfill(on_time, late).collect()
+    }
+    b0 = min(b for b, _ in got)
+    assert got[(b0, "A")] == (2, 2)      # untouched bucket: standing row as-is
+    assert got[(b0 + 1, "A")] == (3, 2)  # restated: rows {3, late-3, late-4}, users {3,4}
+    assert got[(b0 + 1, "B")] == (1, 1)  # same bucket, different key: untouched
