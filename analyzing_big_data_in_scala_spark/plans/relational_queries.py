@@ -1287,3 +1287,81 @@ def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         block=F.substring("c_name", 1, 17),
         max_distance=1,
     )
+
+
+@query(
+    "orders_merge_change_feed",
+    # Same deterministic CDC batch as orders_merge_upsert; the feed types
+    # each row by what ACTUALLY happened against the snapshot (a claimed
+    # U on an unmatched key is an insert; a D on an unmatched key emits
+    # nothing). To exercise those reclassification branches the batch
+    # adds a U and a D under never-existing keys.
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ),
+        changes AS (
+            SELECT o_orderkey, 'U' AS op, o_totalprice + 1.0 AS o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, 'D', o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'I', o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 13 = 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, 'U', o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 17 = 0
+            UNION ALL
+            SELECT o_orderkey + 30000000, 'D', o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 19 = 0
+        ),
+        feed AS (
+            SELECT c.o_orderkey,
+                   CASE WHEN b.o_orderkey IS NOT NULL AND c.op = 'D' THEN 'delete'
+                        WHEN b.o_orderkey IS NOT NULL THEN 'update'
+                        WHEN c.op <> 'D' THEN 'insert'
+                   END AS change_type,
+                   b.o_totalprice AS b_price, b.o_orderpriority AS b_prio,
+                   c.o_totalprice AS c_price, c.o_orderpriority AS c_prio
+            FROM changes c LEFT JOIN base b ON c.o_orderkey = b.o_orderkey
+        )
+        SELECT o_orderkey, change_type,
+               CASE WHEN change_type <> 'insert' THEN b_price END AS before_o_totalprice,
+               CASE WHEN change_type <> 'insert' THEN b_prio END AS before_o_orderpriority,
+               CASE WHEN change_type <> 'delete' THEN c_price END AS after_o_totalprice,
+               CASE WHEN change_type <> 'delete' THEN c_prio END AS after_o_orderpriority
+        FROM feed WHERE change_type IS NOT NULL
+    """,
+    description="MERGE change data feed (operators/merge.py merge_change_feed): one batch-against-snapshot join emits effect-typed change rows (insert/update/delete with before/after values, unmatched deletes dropped, unmatched updates reclassified as inserts) — the change-batch-sized artifact downstream incremental consumers fold instead of diffing corpus-sized snapshots",
+)
+def orders_merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_change_feed
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"), "o_orderpriority",
+    )
+    deletes = base.filter(
+        (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 11 == 0)
+    ).select("o_orderkey", F.lit("D").alias("op"), "o_totalprice", "o_orderpriority")
+    inserts = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"), "o_totalprice", "o_orderpriority",
+    )
+    phantom_updates = base.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        F.lit("U").alias("op"), "o_totalprice", "o_orderpriority",
+    )
+    phantom_deletes = base.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
+        F.lit("D").alias("op"), "o_totalprice", "o_orderpriority",
+    )
+    changes = (
+        updates.unionByName(deletes).unionByName(inserts)
+        .unionByName(phantom_updates).unionByName(phantom_deletes)
+    )
+    return merge_change_feed(base, changes, key="o_orderkey")

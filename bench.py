@@ -141,6 +141,7 @@ HEADLINE = [
     "streaming_cms_heavy_hitters",
     "corpus_shard_manifest",
     "events_rollup_backfill",
+    "orders_merge_change_feed",
 ]
 
 

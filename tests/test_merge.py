@@ -326,3 +326,58 @@ def test_rollup_backfill_touches_only_affected_buckets(spark):
     assert got[(b0, "A")] == (2, 2)      # untouched bucket: standing row as-is
     assert got[(b0 + 1, "A")] == (3, 2)  # restated: rows {3, late-3, late-4}, users {3,4}
     assert got[(b0 + 1, "B")] == (1, 1)  # same bucket, different key: untouched
+
+
+def test_merge_change_feed_effect_typing(spark):
+    """Claimed ops are reclassified by what actually happened: U on a
+    missing key -> insert; D on a missing key -> no row; before/after
+    NULLing follows the type."""
+    from analyzing_big_data_in_scala_spark.operators.merge import merge_change_feed
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 11.0),   # matched update
+            (2, "D", 20.0),   # matched delete
+            (4, "U", 40.0),   # unmatched update -> insert
+            (5, "I", 50.0),   # plain insert
+            (6, "D", 60.0),   # unmatched delete -> no row
+        ],
+        "k long, op string, v double",
+    )
+    got = {r.k: (r.change_type, r.before_v, r.after_v)
+           for r in merge_change_feed(base, changes, key="k").collect()}
+    assert got == {
+        1: ("update", 10.0, 11.0),
+        2: ("delete", 20.0, None),
+        4: ("insert", None, 40.0),
+        5: ("insert", None, 50.0),
+    }
+
+
+def test_merge_change_feed_consistent_with_merge_upsert(spark):
+    """Folding the feed into the base must equal merge_upsert's snapshot:
+    the feed and the merge are two views of the same batch."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.merge import (
+        merge_change_feed,
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 8)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [(2, "U", 21.0), (3, "D", 0.0), (9, "U", 90.0), (10, "I", 100.0)],
+        "k long, op string, v double",
+    )
+    feed = merge_change_feed(base, changes, key="k")
+    # apply the feed: delete removes, update/insert set after-values
+    applied = (
+        base.join(feed, "k", "full_outer")
+        .filter((F.col("change_type").isNull()) | (F.col("change_type") != "delete"))
+        .select("k", F.coalesce(F.col("after_v"), F.col("v")).alias("v"))
+    )
+    want = merge_upsert(base, changes, key="k")
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, want.collect()))
