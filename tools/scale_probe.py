@@ -300,6 +300,15 @@ def main() -> None:
             "theta_join_cardinality": lambda: noop(
                 K.theta_join_key_profile(orders, "o_orderkey", li, "l_orderkey")
             ),
+            # Affected-bucket restatement: standing agg + one broadcast
+            # semi-join + recompute over the touched slice — expect
+            # ~linear with events (late fraction fixed at 10%).
+            "rollup_backfill": lambda: noop(
+                RU.rollup_backfill(
+                    ev.filter(F.col("event_id") % 10 != 7),
+                    ev.filter(F.col("event_id") % 10 == 7),
+                )
+            ),
         }
         for name, fn in cases.items():
             # Exact all-pairs cosine is quadratic by definition (16x data =
