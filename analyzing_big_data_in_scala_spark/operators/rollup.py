@@ -140,3 +140,57 @@ def rollup_backfill(
     restated = agg(touched_raw)
     untouched = standing.join(F.broadcast(affected), ["bucket", key_col], "left_anti")
     return untouched.unionByName(restated)
+
+
+def rollup_user_erasure(
+    events: DataFrame,
+    erase_users: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    bucket_secs: int = 600,
+) -> DataFrame:
+    """Right-to-be-forgotten propagation into a NON-mergeable rollup: the
+    standing per-(bucket, key) aggregate carries COUNT(DISTINCT user), so
+    a user's deletion cannot be folded as a negative delta — their
+    buckets must be recomputed. Same affected-bucket discipline as
+    `rollup_backfill`, driven by deletes instead of late arrivals:
+
+      1. affected = distinct (bucket, key) the erased users ever touched
+         (from an anti-joined? no — from THEIR rows, a broadcast-scale
+         frame when the erasure list is bounded);
+      2. restated = recompute those buckets from the history WITHOUT the
+         erased users (one semi-join down to touched buckets, one
+         anti-join out of erased users — both before the aggregate);
+      3. untouched standing rows pass through an anti join.
+
+    Output: (bucket, key_col, n, distinct_users) — row-identical to a
+    full recompute over events minus the erased users, which is the
+    oracle. Empty buckets (every row was the erased user's) disappear,
+    matching the full recompute."""
+    bucket = F.floor(F.unix_timestamp(ts_col) / bucket_secs).cast("long").alias("bucket")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(bucket, key_col).agg(
+            F.count("*").alias("n"),
+            F.count_distinct(user_col).alias("distinct_users"),
+        )
+
+    standing = agg(events)
+    erased_rows = events.join(
+        F.broadcast(erase_users.select(user_col).distinct()), user_col, "leftsemi"
+    )
+    affected = erased_rows.select(bucket, key_col).distinct()
+    kept = events.join(
+        F.broadcast(erase_users.select(user_col).distinct()), user_col, "left_anti"
+    )
+    touched_kept = kept.join(
+        F.broadcast(affected),
+        on=[F.floor(F.unix_timestamp(kept[ts_col]) / bucket_secs).cast("long")
+            == affected["bucket"],
+            kept[key_col] == affected[key_col]],
+        how="leftsemi",
+    )
+    restated = agg(touched_kept)
+    untouched = standing.join(F.broadcast(affected), ["bucket", key_col], "left_anti")
+    return untouched.unionByName(restated)

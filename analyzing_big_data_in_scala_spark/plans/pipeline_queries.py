@@ -3038,3 +3038,30 @@ def events_rollup_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = ev.filter(F.col("event_id") % 10 == 7)
     on_time = ev.filter(F.col("event_id") % 10 != 7)
     return rollup_backfill(on_time, late)
+
+
+@query(
+    "events_rollup_user_erasure",
+    # Oracle = full recompute over events WITHOUT the erased users (the
+    # deterministic %13 slice). Buckets whose every row belonged to an
+    # erased user must disappear — the left-anti + restated union gets
+    # that for free because the recompute simply emits nothing for them.
+    oracle="""
+        SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket,
+               event_type,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS distinct_users
+        FROM events
+        WHERE user_id % 13 <> 3
+        GROUP BY bucket, event_type
+    """,
+    description="Right-to-be-forgotten propagation into a non-mergeable rollup (operators/rollup.py rollup_user_erasure): the erased users' (bucket, type) footprint drives a targeted recompute — erased rows anti-joined out, only touched buckets re-aggregated (partition-prunable at scale), untouched standing rows pass through; result row-identical to a full recompute without those users",
+)
+def events_rollup_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import rollup_user_erasure
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    erase = ev.select("user_id").distinct().filter(F.col("user_id") % 13 == 3)
+    return rollup_user_erasure(ev, erase)

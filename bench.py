@@ -142,6 +142,7 @@ HEADLINE = [
     "corpus_shard_manifest",
     "events_rollup_backfill",
     "orders_merge_change_feed",
+    "events_rollup_user_erasure",
 ]
 
 

@@ -381,3 +381,31 @@ def test_merge_change_feed_consistent_with_merge_upsert(spark):
     )
     want = merge_upsert(base, changes, key="k")
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_rollup_user_erasure_removes_users_and_empty_buckets(spark):
+    """Erased users vanish from counts AND distinct counts; a bucket whose
+    only rows were the erased user's disappears entirely (matching a full
+    recompute); untouched buckets pass through."""
+    import datetime as dt
+
+    from analyzing_big_data_in_scala_spark.operators.rollup import rollup_user_erasure
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "A", 1), (2, t0 + dt.timedelta(seconds=5), "A", 2),   # bucket0: users 1,2
+        (3, t0 + dt.timedelta(seconds=700), "A", 2),                  # bucket1: ONLY user 2
+        (4, t0 + dt.timedelta(seconds=1300), "B", 5),                 # bucket2: untouched
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long"
+    )
+    erase = spark.createDataFrame([(2,)], "user_id long")
+    got = {
+        (r.bucket % 1000, r.event_type): (r.n, r.distinct_users)
+        for r in rollup_user_erasure(ev, erase).collect()
+    }
+    b0 = min(b for b, _ in got)
+    assert got[(b0, "A")] == (1, 1)          # user 2 removed from bucket 0
+    assert (b0 + 1, "A") not in got          # bucket 1 had only user 2 -> gone
+    assert got[(b0 + 2, "B")] == (1, 1)      # untouched passthrough
