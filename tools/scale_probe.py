@@ -309,6 +309,14 @@ def main() -> None:
                     ev.filter(F.col("event_id") % 10 == 7),
                 )
             ),
+            # Same affected-bucket restatement driven by deletes — expect
+            # ~linear with events (erased fraction fixed by the %13 rule).
+            "rollup_user_erasure": lambda: noop(
+                RU.rollup_user_erasure(
+                    ev,
+                    ev.select("user_id").distinct().filter(F.col("user_id") % 13 == 3),
+                )
+            ),
         }
         for name, fn in cases.items():
             # Exact all-pairs cosine is quadratic by definition (16x data =
