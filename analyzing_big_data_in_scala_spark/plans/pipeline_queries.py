@@ -3065,3 +3065,75 @@ def events_rollup_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     erase = ev.select("user_id").distinct().filter(F.col("user_id") % 13 == 3)
     return rollup_user_erasure(ev, erase)
+
+
+@query(
+    "events_pit_state_lookback",
+    # Point-in-time correctness, feature-engineering form: each event
+    # joins the SCD2 version that was valid ONE HOUR BEFORE it — the
+    # no-label-leakage rule ("features as of prediction time") made a
+    # join. Intervals are [valid_from, valid_to); zero-width versions
+    # (two changes at one timestamp) are valid at no instant and are
+    # excluded on both engines; the survivors still tile, so the
+    # backward as-of pick on valid_from IS the containing interval —
+    # LINEAR, never an interval range join.
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type AS state, ts, event_id,
+                   LAG(event_type) OVER w AS prev,
+                   ROW_NUMBER() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id, state, ts AS valid_from, event_id
+            FROM ordered
+            WHERE rn = 1 OR state IS DISTINCT FROM prev
+        ),
+        hist AS (
+            SELECT user_id, state, valid_from,
+                   LEAD(valid_from) OVER w2 AS valid_to
+            FROM runs
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+        ),
+        live AS (
+            SELECT * FROM hist WHERE valid_to IS NULL OR valid_to > valid_from
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               h.state AS state_1h_before
+        FROM events e JOIN live h
+          ON h.user_id = e.user_id
+         AND h.valid_from <= e.ts - INTERVAL 1 HOUR
+         AND (h.valid_to IS NULL OR e.ts - INTERVAL 1 HOUR < h.valid_to)
+    """,
+    description="Point-in-time (temporal) join against the SCD2 dimension, lookback form: each event attaches the state version valid one hour BEFORE it (features-as-of-prediction-time, no label leakage) — the tiling-interval backward as-of on valid_from, linear, never an interval range join (operators/asof.py + merge.scd2_history); events in a user's first hour have no valid version and drop (inner PIT)",
+)
+def events_pit_state_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+    from ..operators.merge import scd2_history
+
+    ev = load_events(spark, sf_dir)
+    hist = scd2_history(ev, key="user_id", state_col="event_type", ts_col="ts", tie_col="event_id")
+    live = hist.filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+    facts = ev.select(
+        "event_id", "user_id", "ts", (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("_lb_ts")
+    )
+    # Carry the version as ONE struct: the as-of carry is per-column
+    # last(ignorenulls), so carrying (state, valid_to) separately would
+    # splice fields from DIFFERENT versions whenever one field is NULL
+    # (the open version's valid_to, a legitimate NULL state). The struct
+    # is non-null as a whole, and tiling makes the latest-start version
+    # the containing one — no valid_to check needed at all.
+    joined = asof_join_backward(
+        facts,
+        live.select("user_id", "valid_from", F.struct(F.col("state")).alias("_pit")),
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="_lb_ts",
+        right_ts="valid_from",
+        right_vals=["_pit"],
+    )
+    return (
+        joined.filter(F.col("_pit").isNotNull())
+        .select("event_id", "user_id", "ts", F.col("_pit.state").alias("state_1h_before"))
+    )

@@ -143,6 +143,7 @@ HEADLINE = [
     "events_rollup_backfill",
     "orders_merge_change_feed",
     "events_rollup_user_erasure",
+    "events_pit_state_lookback",
 ]
 
 

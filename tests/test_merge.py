@@ -409,3 +409,41 @@ def test_rollup_user_erasure_removes_users_and_empty_buckets(spark):
     assert got[(b0, "A")] == (1, 1)          # user 2 removed from bucket 0
     assert (b0 + 1, "A") not in got          # bucket 1 had only user 2 -> gone
     assert got[(b0 + 2, "B")] == (1, 1)      # untouched passthrough
+
+
+def test_pit_lookback_handles_open_version_and_null_state(spark):
+    """Regression for the as-of field-splice bug: the carried version is
+    ONE struct, so an event whose valid version is the OPEN one (NULL
+    valid_to) must match, and a legitimate NULL state must come through
+    as NULL rather than the previous version's state."""
+    import datetime as dt
+
+    from analyzing_big_data_in_scala_spark.plans.registry import QUERIES
+    from analyzing_big_data_in_scala_spark.plans import pipeline_queries as PQ  # noqa: F401
+
+    import tempfile, shutil, os
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: version a [00:00, 02:00), NULL [02:00, 04:00), b [04:00, open)
+        (1, t0, 1, "a", 0.0, "{}"),
+        (2, t0 + dt.timedelta(hours=2), 1, None, 0.0, "{}"),
+        (3, t0 + dt.timedelta(hours=4), 1, "b", 0.0, "{}"),
+        # probe events (their own rows also extend the history — same-state
+        # repeats collapse, so append same-state markers late in each window)
+        (10, t0 + dt.timedelta(hours=3, minutes=30), 1, None, 0.0, "{}"),   # lb=02:30 -> NULL state version
+        (11, t0 + dt.timedelta(hours=23), 1, "b", 0.0, "{}"),               # lb=22:00 -> open version 'b'
+    ]
+    stage = tempfile.mkdtemp(prefix="pit_unit_")
+    try:
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        df.write.mode("overwrite").parquet(os.path.join(stage, "events.parquet"))
+        out = {r.event_id: r.state_1h_before
+               for r in QUERIES["events_pit_state_lookback"].fn(spark, stage).collect()}
+        assert out[11] == "b"       # open version matched (NULL valid_to)
+        assert out[10] is None      # NULL state carried as NULL, not spliced
+        assert 1 not in out         # event in the first hour has no version
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

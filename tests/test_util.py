@@ -139,7 +139,7 @@ def test_driver_window_covers_oracle_backed_queries():
         "streaming_hll_sketch_maintenance", "customer_entity_clusters",
         "streaming_cms_heavy_hitters", "corpus_shard_manifest",
         "events_rollup_backfill", "orders_merge_change_feed",
-        "events_rollup_user_erasure",
+        "events_rollup_user_erasure", "events_pit_state_lookback",
         # --- r3-GREEN remainder (CORRECTNESS_r03 rows stand; r7 queue):
         "embeddings_random_projection", "entity_cooccurrence_edges",
         "events_value_quartiles_by_type", "graph_bfs_hops",
