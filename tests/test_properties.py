@@ -494,3 +494,91 @@ def test_run_length_encode_matches_python_rle(spark, rows):
         for rid, (typ, grp) in enumerate(itertools.groupby(seq), start=1):
             want.append((uid, rid, typ, len(list(grp))))
     assert got == sorted(want)
+
+
+EV_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=5000),   # seconds offset
+        st.sampled_from("ABC"),                     # type
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@PROP_SETTINGS
+@given(rows=EV_ROWS, late_mod=st.integers(min_value=2, max_value=5))
+def test_rollup_backfill_equals_full_recompute_property(spark, rows, late_mod):
+    """For ANY event set and any deterministic late split, the stitched
+    (untouched ∪ restated) rollup equals the one-shot recompute."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.rollup import rollup_backfill
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, t0 + dt.timedelta(seconds=sec), typ, uid)
+            for i, (uid, sec, typ) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, event_type string, user_id long",
+    )
+    on_time = ev.filter(F.col("event_id") % late_mod != 1)
+    late = ev.filter(F.col("event_id") % late_mod == 1)
+    got = sorted(map(tuple, rollup_backfill(on_time, late).collect()))
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy(
+                F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("bucket"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"), F.count_distinct("user_id").alias("distinct_users"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+MERGE_CHANGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),  # key (0-7 exist in base)
+        st.sampled_from("IUD"),                  # claimed op
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],                    # one change per key (no seq)
+)
+
+
+@PROP_SETTINGS
+@given(changes=MERGE_CHANGES)
+def test_change_feed_fold_equals_merge_upsert_property(spark, changes):
+    """Folding the change feed into the base reproduces merge_upsert for
+    ANY single-change-per-key batch (including phantom keys and claimed
+    ops that get reclassified)."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.merge import (
+        merge_change_feed,
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(k, float(k * 10)) for k in range(8)], "k long, v double"
+    )
+    ch_rows = [(k, op, float(k * 100 + 1)) for k, op in changes]
+    changes_df = spark.createDataFrame(
+        ch_rows, "k long, op string, v double"
+    ) if ch_rows else spark.createDataFrame([], "k long, op string, v double")
+    feed = merge_change_feed(base, changes_df, key="k")
+    applied = (
+        base.join(feed, "k", "full_outer")
+        .filter((F.col("change_type").isNull()) | (F.col("change_type") != "delete"))
+        .select("k", F.coalesce(F.col("after_v"), F.col("v")).alias("v"))
+    )
+    want = merge_upsert(base, changes_df, key="k")
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, want.collect()))
