@@ -582,3 +582,62 @@ def test_change_feed_fold_equals_merge_upsert_property(spark, changes):
     )
     want = merge_upsert(base, changes_df, key="k")
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, want.collect()))
+
+
+@PROP_SETTINGS
+@given(rows=EV_ROWS)
+def test_pit_lookback_matches_python_bruteforce(spark, rows):
+    """For ANY event set, the PIT lookback join equals the brute-force
+    per-event scan of the user's SCD2 versions (collapse runs, then find
+    the version containing ts - 1h)."""
+    import datetime as dt
+    import itertools
+    import os
+    import shutil
+    import tempfile
+
+    from analyzing_big_data_in_scala_spark.plans.registry import QUERIES
+    import analyzing_big_data_in_scala_spark.plans  # noqa: F401
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + dt.timedelta(seconds=sec), uid, typ, 0.0, "{}")
+        for i, (uid, sec, typ) in enumerate(rows)
+    ]
+    stage = tempfile.mkdtemp(prefix="pit_prop_")
+    try:
+        spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(os.path.join(stage, "events.parquet"))
+        got = {
+            r.event_id: r.state_1h_before
+            for r in QUERIES["events_pit_state_lookback"].fn(spark, stage).collect()
+        }
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    # Python reference: versions per user from (ts, event_id)-ordered
+    # events with consecutive-duplicate collapse; zero-width versions
+    # (same valid_from) keep only the last.
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, typ, _, _ in data:
+        by_user.setdefault(uid, []).append((ts, eid, typ))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        versions = []  # (valid_from, state)
+        prev = object()
+        for ts, eid, typ in evs:
+            if typ != prev or (typ is None) != (prev is None):
+                if versions and versions[-1][0] == ts:
+                    versions[-1] = (ts, typ)  # zero-width predecessor dies
+                else:
+                    versions.append((ts, typ))
+            prev = typ
+        for ts, eid, typ in evs:
+            lb = ts - dt.timedelta(hours=1)
+            valid = [v for v in versions if v[0] <= lb]
+            if valid:
+                want[eid] = valid[-1][1]
+    assert got == want
