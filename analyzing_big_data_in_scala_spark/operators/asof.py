@@ -17,6 +17,13 @@ before" — because right rows sort before left rows at equal timestamps.
 Right-side rows must be unique per (key, ts); pre-aggregate (e.g.
 `max_by`) to pick a deterministic survivor, or the carried value depends
 on sort tiebreaks.
+
+The right values ride the window as ONE struct, not one `last(...)`
+per column: per-column carry would pull a NULL field from an OLDER
+right row, splicing fields across right versions whenever any carried
+field is NULLable. The struct is non-null for every right row, so
+`last(ignorenulls=True)` always selects the latest right row wholesale
+and NULL fields stay NULL.
 """
 
 from __future__ import annotations
@@ -43,7 +50,7 @@ def asof_join_backward(
     scratch columns, or a right value column already present on the left
     (either would silently corrupt the carried values)."""
     left_cols = left.columns
-    reserved = {"_k", "_t", "_side"} | {f"_asof_{c}" for c in right_vals}
+    reserved = {"_k", "_t", "_side", "_rv"}
     clashes = reserved.intersection(left_cols)
     if clashes:
         raise ValueError(
@@ -57,19 +64,23 @@ def asof_join_backward(
     missing = [c for c in right_vals if c not in right.columns]
     if missing:
         raise ValueError(f"asof_join_backward: right_vals not in right frame: {missing}")
+    # One struct per right row: non-null for every right row regardless of
+    # NULL fields inside, so the running last(ignorenulls) below carries the
+    # latest right row WHOLE — never a field-spliced mix of right versions.
+    rv_type = right.select(F.struct(*right_vals).alias("_rv")).schema["_rv"].dataType
     lt = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         *left_cols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_vals],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     rt = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *right_vals,
+        F.struct(*right_vals).alias("_rv"),
     )
     u = lt.unionByName(rt)
     w = (
@@ -80,10 +91,10 @@ def asof_join_backward(
     carried = u.select(
         "_side",
         *left_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in right_vals],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
     return carried.filter(F.col("_side") == 1).select(
-        *left_cols, *[F.col(f"_asof_{c}").alias(c) for c in right_vals]
+        *left_cols, *[F.col("_rv").getField(c).alias(c) for c in right_vals]
     )
 
 

@@ -3118,22 +3118,21 @@ def events_pit_state_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = ev.select(
         "event_id", "user_id", "ts", (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("_lb_ts")
     )
-    # Carry the version as ONE struct: the as-of carry is per-column
-    # last(ignorenulls), so carrying (state, valid_to) separately would
-    # splice fields from DIFFERENT versions whenever one field is NULL
-    # (the open version's valid_to, a legitimate NULL state). The struct
-    # is non-null as a whole, and tiling makes the latest-start version
-    # the containing one — no valid_to check needed at all.
+    # asof_join_backward carries the right row as one struct internally, so
+    # NULLable carried fields can't splice across versions; carrying
+    # valid_from alongside state gives a NULL-proof "no version yet" marker
+    # (valid_from is non-null on every real version). Tiling makes the
+    # latest-start version the containing one — no valid_to check needed.
     joined = asof_join_backward(
         facts,
-        live.select("user_id", "valid_from", F.struct(F.col("state")).alias("_pit")),
+        live.select("user_id", "valid_from", "state"),
         left_key="user_id",
         right_key="user_id",
         left_ts="_lb_ts",
         right_ts="valid_from",
-        right_vals=["_pit"],
+        right_vals=["state", "valid_from"],
     )
     return (
-        joined.filter(F.col("_pit").isNotNull())
-        .select("event_id", "user_id", "ts", F.col("_pit.state").alias("state_1h_before"))
+        joined.filter(F.col("valid_from").isNotNull())
+        .select("event_id", "user_id", "ts", F.col("state").alias("state_1h_before"))
     )
