@@ -64,6 +64,14 @@ def asof_join_backward(
     missing = [c for c in right_vals if c not in right.columns]
     if missing:
         raise ValueError(f"asof_join_backward: right_vals not in right frame: {missing}")
+    # Duplicate (or case-colliding, under Spark's default case-insensitive
+    # resolution) names would build a struct with duplicate fields and make
+    # the getField() extraction below fail with an ambiguous-field
+    # AnalysisException at execution — fail clearly up front instead.
+    if len({c.lower() for c in right_vals}) != len(right_vals):
+        raise ValueError(
+            f"asof_join_backward: right_vals contains duplicate/case-colliding names: {right_vals}"
+        )
     # One struct per right row: non-null for every right row regardless of
     # NULL fields inside, so the running last(ignorenulls) below carries the
     # latest right row WHOLE — never a field-spliced mix of right versions.

@@ -131,6 +131,7 @@ def exact_substring_removal(
     stride: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_rounds: int = 1,
 ) -> DataFrame:
     """Exact-substring duplicate REMOVAL (Lee et al. 2022 §4.1 ExactSubstr,
     "Deduplicating Training Data Makes Language Models Better"): excise
@@ -166,7 +167,50 @@ def exact_substring_removal(
     One pass is not a fixed point (Lee et al. note the same): re-joining
     kept tokens can in principle mint NEW cross-doc windows spanning a cut;
     tests re-run the pass on the cleaned fixture corpus to show it lands
-    at zero on real data."""
+    at zero on real data.
+
+    ``max_rounds`` > 1 turns the pass into a BOUNDED FIXPOINT: the pass
+    re-runs on its own cleaned output until a round removes nothing (early
+    exit) or the budget is spent. Each round's frame rides a lazy
+    localCheckpoint, so the convergence probe (one sum per round) and the
+    next round share one materialization — rounds cost is ~rounds x one
+    pass over the SHRINKING corpus, never a recompute pyramid.
+    `n_tokens` always counts the ORIGINAL document; `n_removed_tokens`
+    accumulates across rounds. The default (1) is the single-pass
+    contract every registered oracle pins."""
+    if max_rounds < 1:
+        raise ValueError(f"exact_substring_removal: need max_rounds >= 1, got {max_rounds}")
+    out = _exact_substring_pass(docs, window, stride, id_col, text_col)
+    if max_rounds == 1:
+        return out
+    out = out.localCheckpoint(eager=False)
+    for _ in range(max_rounds - 1):
+        nxt = _exact_substring_pass(
+            out.select(F.col(id_col), F.col("cleaned_text").alias(text_col)),
+            window, stride, id_col, text_col,
+        ).localCheckpoint(eager=False)
+        round_removed = nxt.agg(F.sum("n_removed_tokens")).first()[0] or 0
+        if round_removed == 0:
+            break
+        a, b = out.alias("_fx_a"), nxt.alias("_fx_b")
+        out = a.join(b, F.col(f"_fx_a.{id_col}") == F.col(f"_fx_b.{id_col}")).select(
+            F.col(f"_fx_a.{id_col}").alias(id_col),
+            F.col("_fx_a.n_tokens").alias("n_tokens"),
+            (F.col("_fx_a.n_removed_tokens") + F.col("_fx_b.n_removed_tokens"))
+            .alias("n_removed_tokens"),
+            F.col("_fx_b.cleaned_text").alias("cleaned_text"),
+        ).localCheckpoint(eager=False)
+    return out
+
+
+def _exact_substring_pass(
+    docs: DataFrame,
+    window: int,
+    stride: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """One detection+excision pass of :func:`exact_substring_removal`."""
     from pyspark.sql import Window as W
 
     if stride <= 0 or stride > window:

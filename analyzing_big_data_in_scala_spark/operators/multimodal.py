@@ -6,11 +6,14 @@ feature-extract, frame-sample) runs as Arrow-batched `mapInPandas` — one
 Python worker invocation per batch, never per row, and the surrounding
 plan (partitioning, pruning, joins on metadata) stays in Catalyst.
 
-The decode stage itself is STUBBED: the container has no image/audio
-libraries, so `decode_image`/`decode_audio` raise NotImplementedError and
-`fake_payload_features` provides a deterministic md5-based stand-in. The
-Spark-side plumbing — schema, batch iteration, output contract — is real
-and oracle-tested (the fake features are reproducible in SQL).
+Gating is asymmetric by stdlib reach: `decode_audio` is REAL — PCM WAV
+parses with stdlib `wave` + `array`, no external deps (duration,
+channels, integer energy/peak). Image decode stays gated — Python ships
+no stdlib image codec — so `decode_image`/`resize_stub` raise
+NotImplementedError and `payload_features` provides a deterministic
+md5-based stand-in. The Spark-side plumbing — schema, batch iteration,
+output contract — is real and oracle-tested either way (the audio
+features and the fake image features are both reproducible in SQL).
 """
 
 from __future__ import annotations
@@ -29,9 +32,128 @@ def decode_image(payload: bytes):
     raise NotImplementedError("image decoding requires an imaging library not present in this environment")
 
 
-def decode_audio(payload: bytes):
-    """Real audio decode would go here (soundfile/ffmpeg not in this container)."""
-    raise NotImplementedError("audio decoding requires an audio library not present in this environment")
+def decode_audio(payload: bytes) -> dict:
+    """REAL PCM WAV decode via stdlib `wave` (un-gated in r8 — VERDICT r7
+    item 4): parses the RIFF container, returns channel count, sample
+    rate, frame count, and integer signal stats over the 16-bit samples
+    (`sum_sq` = total energy, `peak` = max |sample|). Integer stats keep
+    the features bit-exact across engines — an RMS float would drag
+    summation-order noise into the oracle contract; callers derive
+    rms = sqrt(sum_sq / n_frames) when they want it.
+
+    Only 16-bit PCM is supported (the overwhelmingly common case and the
+    only one the synthesizer below emits); other sample widths raise
+    ValueError rather than mis-parse."""
+    import array as _array
+    import io as _io
+    import sys as _sys
+    import wave as _wave
+
+    with _wave.open(_io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        framerate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if sampwidth != 2:
+        raise ValueError(f"decode_audio: only 16-bit PCM supported, got sampwidth={sampwidth}")
+    samples = _array.array("h")
+    samples.frombytes(raw)
+    if _sys.byteorder == "big":  # WAV is little-endian; array('h') is native
+        samples.byteswap()
+    return {
+        "n_channels": nch,
+        "sample_rate": framerate,
+        "n_frames": n_frames,
+        "sum_sq": sum(int(s) * int(s) for s in samples),
+        "peak": max((abs(int(s)) for s in samples), default=0),
+    }
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, n_frames long, sum_sq long, peak int"
+)
+
+
+def synth_wav_payloads(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mono 16-bit 8 kHz WAV payload per id — the binary
+    test corpus for the REAL audio decode path. Sample i of doc d is
+    ((d*31 + i*7) % 2001) - 1000 over 64 + d%64 frames: pure integer
+    arithmetic, so an oracle can regenerate the decoded features exactly
+    without ever seeing the bytes. Arrow-batched like every payload op."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import array as _array
+        import io as _io
+        import sys as _sys
+        import wave as _wave
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 64
+                samples = _array.array(
+                    "h", [((d * 31 + i * 7) % 2001) - 1000 for i in range(n)]
+                )
+                if _sys.byteorder == "big":
+                    samples.byteswap()
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return ids_df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+def audio_features(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas REAL-decode feature extraction over (doc_id, payload
+    binary) WAV rows: stdlib `wave` parses each container executor-side,
+    one Python invocation per Arrow batch. Self-contained closure (local
+    imports only), same worker-deployment contract as payload_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import array as _array
+        import io as _io
+        import sys as _sys
+        import wave as _wave
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {k: [] for k in ("doc_id", "n_channels", "sample_rate", "n_frames", "sum_sq", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with _wave.open(_io.BytesIO(bytes(payload)), "rb") as w:
+                    nch, sw = w.getnchannels(), w.getsampwidth()
+                    fr, nf = w.getframerate(), w.getnframes()
+                    raw = w.readframes(nf)
+                if sw != 2:
+                    raise ValueError(f"audio_features: only 16-bit PCM supported, got {sw}")
+                samples = _array.array("h")
+                samples.frombytes(raw)
+                if _sys.byteorder == "big":
+                    samples.byteswap()
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(nch)
+                rows["sample_rate"].append(fr)
+                rows["n_frames"].append(nf)
+                rows["sum_sq"].append(sum(int(s) * int(s) for s in samples))
+                rows["peak"].append(max((abs(int(s)) for s in samples), default=0))
+            yield _pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def payload_features(binary_df: DataFrame) -> DataFrame:

@@ -130,15 +130,25 @@ def rollup_backfill(
     affected = late.select(bucket, key_col).distinct()
     cols = [c for c in on_time.columns]
     combined = on_time.select(*cols).unionByName(late.select(*cols))
+    # NULL is a key: both the semi join (pull affected raw rows) and the
+    # anti join (drop stale standing rows) compare key_col null-safely —
+    # plain == would let a late NULL-key row vanish (never restated) while
+    # its stale standing row passed through. eqNullSafe still plans as a
+    # hash equi-join key, so the broadcast shape is unchanged.
     touched_raw = combined.join(
         F.broadcast(affected),
         on=[F.floor(F.unix_timestamp(combined[ts_col]) / bucket_secs).cast("long")
-            == affected["bucket"],
-            combined[key_col] == affected[key_col]],
+            .eqNullSafe(affected["bucket"]),
+            combined[key_col].eqNullSafe(affected[key_col])],
         how="leftsemi",
     )
     restated = agg(touched_raw)
-    untouched = standing.join(F.broadcast(affected), ["bucket", key_col], "left_anti")
+    untouched = standing.join(
+        F.broadcast(affected),
+        on=[standing["bucket"].eqNullSafe(affected["bucket"]),
+            standing[key_col].eqNullSafe(affected[key_col])],
+        how="left_anti",
+    )
     return untouched.unionByName(restated)
 
 
@@ -184,13 +194,21 @@ def rollup_user_erasure(
     kept = events.join(
         F.broadcast(erase_users.select(user_col).distinct()), user_col, "left_anti"
     )
+    # Null-safe key comparison for the same reason as rollup_backfill: an
+    # erased user's NULL-key rows must still restate (and evict) their
+    # (bucket, NULL) standing row, or the stale pre-erasure count survives.
     touched_kept = kept.join(
         F.broadcast(affected),
         on=[F.floor(F.unix_timestamp(kept[ts_col]) / bucket_secs).cast("long")
-            == affected["bucket"],
-            kept[key_col] == affected[key_col]],
+            .eqNullSafe(affected["bucket"]),
+            kept[key_col].eqNullSafe(affected[key_col])],
         how="leftsemi",
     )
     restated = agg(touched_kept)
-    untouched = standing.join(F.broadcast(affected), ["bucket", key_col], "left_anti")
+    untouched = standing.join(
+        F.broadcast(affected),
+        on=[standing["bucket"].eqNullSafe(affected["bucket"]),
+            standing[key_col].eqNullSafe(affected[key_col])],
+        how="left_anti",
+    )
     return untouched.unionByName(restated)

@@ -30,92 +30,84 @@ from . import streaming_queries  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-6 rotation (VERDICT r5 item 4). The r4/r5 windows left 76
-    # queries with r1-r3 evidence; this window retires the oldest debt:
-    #  1. NEW r6 queries take their first driver rows:
-    #     doc_exact_substring_removal, streaming_session_windows,
-    #     streaming_user_totals.
-    #  2. similarity_ann_recall_profile keeps its slot — its oracle was
-    #     re-pinned from shipped-code output after the Arrow-matmul LSH
-    #     rewrite (the r5 red), so it needs fresh green evidence.
-    #  3. EVERY oracle-backed query whose newest driver row is r1 cycles
-    #     back in (43 queries: the tfidf/search family, relational core,
-    #     dedup/fingerprint family, degrees/triangles, and — first driver
-    #     rows EVER — graph_pagerank and graph_component_sizes, whose
-    #     unrolled/recursive-CTE oracles were added after their r1
-    #     no_oracle rows).
-    #  4. The remaining 3 slots go to the r2 trio the verdict called out:
-    #     lineitem_zorder_keys, doc_pii_scan, doc_url_domains.
-    #  The r2/r3 remainder (~24 queries) rotates in r7; everything
-    #  evicted here is r4/r5-green with unchanged implementations, so
-    #  those rows stand as current evidence.
+    # Round-8 rotation (VERDICT r7 item 1, carried from r6 item 1).
+    #  1. The 31 queries that have NEVER had a driver CORRECTNESS row
+    #     (the r6 continuation/third-session additions — lakehouse
+    #     MERGE/backfill/erasure/PIT, sketch rollups, HITS/TrustRank,
+    #     hybrid retrieval + eval, streaming folds, shard manifest,
+    #     schema evolution, etc.) take their first rows. All are
+    #     sweep-green at sf0.001+sf0.01 with unchanged implementations.
+    #  2. The r1-stub-rowed trio the r7 verdict called out gets fresh
+    #     rows: graph_pagerank_tol (gained its oracle in r6 — first
+    #     value-checked driver row) plus the rows-only ANN pair
+    #     similarity_ivf_topk / similarity_lsh_topk (fresh end-to-end
+    #     rows; values covered by the recall-profile/indexed-agreement
+    #     oracles that ran green in r7).
+    #  3. The r1-oracle building-block trio demoted in r6
+    #     (tfidf_term_frequencies, dedup_minhash_signatures,
+    #     dedup_simhash) cycles back for direct value checks.
+    #  4. The remaining 13 slots take events_asof_latest_order (ADVICE
+    #     r7 asked for a driver row on the asof-backed pair after the
+    #     struct-carry rewrite; events_pit_state_lookback is in group 1)
+    #     plus the 12 oldest other r2-evidence queries.
+    #  The 9 leftover r2 queries + 7 r3 queries rotate in r9; every
+    #  query evicted here is r6/r7-green with unchanged code, so those
+    #  rows stand as current evidence.
 
-    # New + re-pinned (r6)
-    "doc_exact_substring_removal",
-    "streaming_session_windows",
-    "streaming_user_totals",
-    "similarity_ann_recall_profile",
-    # Relational core (r1 evidence until now)
-    "top_customers_by_orders",
-    "pricing_summary",
-    "revenue_by_nation",
-    "order_priority_counts",
-    "top_parts_by_revenue",
-    "customer_order_full_outer",
-    "supplier_part_type_share",
-    "top_customers_per_segment",
-    "customer_order_running_total",
-    "customers_with_expensive_items",
-    "customers_without_orders_filtered",
-    "customer_segment_setops",
-    "revenue_rollup",
-    "brand_returnflag_pivot",
-    "global_agg_stats",
-    # TF-IDF / search family (r1; tfidf_term_frequencies ceded its slot to
-    # the new doc_semantic_decontamination — the tf table is evaluated
-    # inside the superset tfidf_matrix, and its r1-green row stands)
-    "tfidf_doc_frequencies",
-    "tfidf_idf",
-    "tfidf_matrix",
-    "search_single_word",
-    "search_multi_word_cosine",
-    "search_multi_word_reference",
-    "search_batch_queries",
-    # Text stats (r1)
-    "entity_word_count",
-    "doc_token_stats",
-    "doc_bpe_token_stats",
-    "doc_quality_scores",
-    "doc_language_id",
-    # Graph (r1; pagerank/component_sizes get their FIRST driver rows)
-    "graph_out_degrees",
-    "graph_in_degrees",
-    "graph_triangle_counts",
-    "graph_pagerank",
-    "graph_component_sizes",
-    # Dedup / fingerprint family (r1)
-    # (dedup_minhash_signatures ceded its slot to the new corpus_bpe_merges
-    # — the signature table is evaluated inside the superset
-    # dedup_minhash_candidates; its r1-green row stands)
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_df_capped",
-    "dedup_minhash_candidates",
-    # (dedup_simhash ceded its slot to the new graph_label_propagation —
-    # the fingerprints are evaluated inside the superset dedup_simhash_pairs;
-    # its r1-green row stands)
-    "dedup_simhash_pairs",
-    "doc_fingerprint_rolling",
-    "doc_winnow_fingerprints",
-    "similarity_cosine_topk",
-    # r2 pair (verdict-named; doc_url_domains ceded its slot to the new
-    # similarity_lsh_indexed_agreement — its r2-green row stands, r7 queue)
-    "lineitem_zorder_keys",
-    "doc_pii_scan",
-    "similarity_lsh_indexed_agreement",
-    "doc_semantic_decontamination",
-    "corpus_bpe_merges",
-    "graph_label_propagation",
+    # First driver rows ever (31) + the asof r2 pair-mate (ADVICE r7)
+    "events_pit_state_lookback",
+    "events_asof_latest_order",
+    "orders_merge_change_feed",
+    "events_rollup_backfill",
+    "events_rollup_user_erasure",
+    "orders_schema_evolution",
+    "lineitem_bloom_pruned_join",
+    "orders_weekly_revenue_delta",
+    "orders_lineitem_join_cardinality",
+    "events_value_histogram",
+    "events_value_deciles",
+    "events_value_mad_outliers",
+    "events_value_ewma",
+    "events_type_run_lengths",
+    "events_markov_transitions",
+    "events_hll_daily_rollup",
+    "events_kll_value_rollup",
+    "events_theta_audience_overlap",
+    "graph_trustrank_from_seeds",
+    "graph_hits_authorities",
+    "dedup_containment_pairs",
+    "customer_entity_clusters",
+    "corpus_bpe_token_stats",
+    "corpus_token_drift",
+    "corpus_shard_manifest",
+    "documents_balanced_sample",
+    "search_hybrid_rrf",
+    "search_retrieval_eval",
+    "streaming_cms_heavy_hitters",
+    "streaming_click_attribution_outer",
+    "streaming_ann_index_ingest",
+    "streaming_hll_sketch_maintenance",
+    # r1-stub-rowed trio (fresh rows; pagerank_tol now oracle-backed)
+    "graph_pagerank_tol",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    # r1-oracle building blocks cycling back
+    "tfidf_term_frequencies",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    # Oldest r2-evidence remainder (12 of 21; rest queue for r9)
+    "corpus_pmi_collocations",
+    "customer_fuzzy_name_matches",
+    "dedup_cross_source_matrix",
+    "dedup_embedding_cosine",
+    "dedup_incremental_batch",
+    "doc_url_domains",
+    "documents_hash_sample_split",
+    "documents_source_mixture",
+    "documents_token_shards",
+    "events_range_join_daily_windows",
+    "events_salted_by_type",
+    "orders_data_profile",
 )
 
 

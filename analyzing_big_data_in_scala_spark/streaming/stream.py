@@ -301,10 +301,14 @@ def kafka_sink(
 
 
 def kafka_sink_via_foreach_batch(result: DataFrame, topic: str, records: list, key_col: str | None = None) -> None:
-    """Broker-free S10 twin: same (topic, key, value-JSON) frame as
-    `kafka_sink`, drained through foreachBatch into `records`. The
-    per-batch callback only ships (topic, key, value) string triples —
-    the JSON serialization already ran executor-side in `to_kafka_frame`."""
+    """Broker-free S10 twin — TEST-ONLY, not the 100 TB path: the
+    per-batch `collect()` funnels every produced record through the
+    driver, which is exactly the anti-pattern `kafka_sink` exists to
+    avoid. Use it solely to assert the (topic, key, value-JSON) frame
+    contract in environments without the kafka connector; production
+    streams go through `kafka_sink` (executor-side format("kafka")).
+    The JSON serialization still runs executor-side in
+    `to_kafka_frame`, so the contract under test is identical."""
     frame = to_kafka_frame(result, topic, key_col=key_col)
 
     def produce(batch_df: DataFrame, batch_id: int) -> None:

@@ -218,6 +218,10 @@ def main() -> None:
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
                 "sf": sf,
                 "n_queries": len(times),
+                # No silent caps: how many registered queries the headline
+                # set does NOT time (streaming/foreachBatch fixtures and
+                # building-block queries measured inside their supersets).
+                "n_excluded": len(QUERIES) - len(times),
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -605,6 +605,63 @@ def test_exact_substring_removal_merges_overlapping_intervals(spark):
     assert out[2].n_removed_tokens == 10
 
 
+def test_exact_substring_removal_fixpoint_on_seam_minted_duplicate(spark):
+    """Bounded-fixpoint mode (VERDICT r7 item 3): an adversarial corpus
+    where round 1's cut MINTS a new cross-doc duplicate spanning the seam
+    — doc 1's remnant "p q r s" only exists as a contiguous run AFTER the
+    shared passage is excised, and it duplicates doc 3's infix. The
+    default single pass must miss it (oracle-pinned contract); the
+    fixpoint must converge in <= 3 rounds and leave a corpus where a
+    re-run removes nothing."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.chunking import (
+        exact_substring_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q d1 d2 d3 r s"),   # shares d1 d2 d3 with doc 2
+            (2, "x d1 d2 d3 y"),
+            (3, "m p q r s n"),         # contains the seam-minted "p q r s"
+        ],
+        "doc_id long, text string",
+    )
+    # Single pass (the registered-query default): seam duplicate survives.
+    one = {r.doc_id: r for r in exact_substring_removal(docs, window=3).collect()}
+    assert one[1].cleaned_text == "p q r s" and one[1].n_removed_tokens == 3
+    assert one[3].cleaned_text == "m p q r s n" and one[3].n_removed_tokens == 0
+
+    # Fixpoint: round 2 catches the minted duplicate, round 3 probes clean.
+    fix = {
+        r.doc_id: r
+        for r in exact_substring_removal(docs, window=3, max_rounds=5).collect()
+    }
+    assert fix[1].cleaned_text == "" and fix[1].n_removed_tokens == 7
+    assert fix[1].n_tokens == 7  # n_tokens stays the ORIGINAL count
+    assert fix[2].cleaned_text == "x y" and fix[2].n_removed_tokens == 3
+    assert fix[3].cleaned_text == "m n" and fix[3].n_removed_tokens == 4
+    # Converges within the verdict's 3-round budget: same answer at 3.
+    fix3 = {
+        r.doc_id: (r.cleaned_text, r.n_removed_tokens)
+        for r in exact_substring_removal(docs, window=3, max_rounds=3).collect()
+    }
+    assert fix3 == {k: (v.cleaned_text, v.n_removed_tokens) for k, v in fix.items()}
+    # Fixed point: a further pass over the result removes nothing.
+    redo = exact_substring_removal(
+        spark.createDataFrame(
+            [(k, v.cleaned_text) for k, v in fix.items()], "doc_id long, text string"
+        ),
+        window=3,
+    )
+    assert redo.agg(F.sum("n_removed_tokens")).first()[0] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rounds"):
+        exact_substring_removal(docs, window=3, max_rounds=0)
+
+
 def test_exact_substring_removal_property_no_dup_window_survives(spark):
     """Every ORIGINAL 32-token window with cross-doc df>1 has all its
     positions removed (the deterministic Lee et al. invariant), checked

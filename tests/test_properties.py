@@ -9,7 +9,7 @@ import math
 import re
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -500,7 +500,10 @@ EV_ROWS = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),      # user
         st.integers(min_value=0, max_value=5000),   # seconds offset
-        st.sampled_from("ABC"),                     # type
+        # NULL is a state (VERDICT r7 item 2): the PIT/rollup paths must
+        # survive None event types — NULL-safe run collapse in
+        # scd2_history, NULL carried fields in the as-of struct.
+        st.sampled_from(["A", "B", "C", None]),     # type
     ),
     min_size=1,
     max_size=30,
@@ -528,7 +531,9 @@ def test_rollup_backfill_equals_full_recompute_property(spark, rows, late_mod):
     )
     on_time = ev.filter(F.col("event_id") % late_mod != 1)
     late = ev.filter(F.col("event_id") % late_mod == 1)
-    got = sorted(map(tuple, rollup_backfill(on_time, late).collect()))
+    # None-safe sort key: event_type may be NULL (a real group key).
+    nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(map(tuple, rollup_backfill(on_time, late).collect()), key=nkey)
     want = sorted(
         map(
             tuple,
@@ -538,7 +543,8 @@ def test_rollup_backfill_equals_full_recompute_property(spark, rows, late_mod):
             )
             .agg(F.count("*").alias("n"), F.count_distinct("user_id").alias("distinct_users"))
             .collect(),
-        )
+        ),
+        key=nkey,
     )
     assert got == want
 
@@ -640,4 +646,70 @@ def test_pit_lookback_matches_python_bruteforce(spark, rows):
             valid = [v for v in versions if v[0] <= lb]
             if valid:
                 want[eid] = valid[-1][1]
+    assert got == want
+
+ASOF_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=50),   # ts
+    ),
+    min_size=1,
+    max_size=20,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),                    # key
+        st.integers(min_value=0, max_value=50),                   # ts
+        st.one_of(st.none(), st.sampled_from(["X", "Y", "Z"])),   # val a
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),  # val b
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: (t[0], t[1]),  # right rows unique per (key, ts)
+)
+
+
+@PROP_SETTINGS
+# Pinned splice counterexample (always runs, independent of the random
+# draw): latest right row (t=2) has a NULL in `a`; per-column carry would
+# backfill "X" from the t=1 version — the exact r7 field-splice bug.
+@example(
+    left_rows=[(0, 3)],
+    right_rows=[(0, 1, "X", 5), (0, 2, None, 7)],
+)
+@given(left_rows=ASOF_LEFT, right_rows=ASOF_RIGHT)
+def test_asof_backward_carries_latest_right_row_wholesale(spark, left_rows, right_rows):
+    """Regression pin for the r7 struct-carry fix (VERDICT r7 item 2): with
+    NULLs scattered independently across right_vals, the as-of join must
+    attach the latest qualifying right row WHOLESALE — a NULL field in that
+    row stays NULL. The reverted per-column last(ignorenulls) carry would
+    field-splice: it fills a NULL field from an OLDER right version, which
+    this brute-force comparison catches (e.g. right (k,1,"X",5) then
+    (k,2,NULL,7); a left row at t=3 must get (NULL,7), not ("X",7))."""
+    from analyzing_big_data_in_scala_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, t long",
+    )
+    right_schema = "k long, t long, a string, b long"
+    right = (
+        spark.createDataFrame(right_rows, right_schema)
+        if right_rows
+        else spark.createDataFrame([], right_schema)
+    )
+    got = {
+        r.lid: (r.a, r.b)
+        for r in asof_join_backward(
+            left, right, "k", "k", "t", "t", ["a", "b"]
+        ).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(left_rows):
+        cands = [rr for rr in right_rows if rr[0] == k and rr[1] <= t]
+        if cands:
+            _, _, a, b = max(cands, key=lambda rr: rr[1])
+            want[i] = (a, b)
+        else:
+            want[i] = (None, None)  # left join: no qualifying right row
     assert got == want

@@ -199,6 +199,15 @@ def test_asof_join_rejects_column_collisions(spark):
             spark.createDataFrame([(1, "A", 5)], "trade_id long, sym string, tt long"),
             right, "sym", "sym", "tt", "qt", ["nope"],
         )
+    # Duplicate or case-colliding right_vals (Spark resolves struct fields
+    # case-insensitively by default) would otherwise surface as an
+    # ambiguous-field AnalysisException at execution time (ADVICE r7).
+    ok_left = spark.createDataFrame([(1, "A", 5)], "trade_id long, sym string, tt long")
+    with pytest.raises(ValueError, match="duplicate/case-colliding"):
+        asof_join_backward(ok_left, right, "sym", "sym", "tt", "qt", ["px", "px"])
+    right_cased = spark.createDataFrame([("A", 1, 1.0, 2.0)], "sym string, qt long, px double, PX double")
+    with pytest.raises(ValueError, match="duplicate/case-colliding"):
+        asof_join_backward(ok_left, right_cased, "sym", "sym", "tt", "qt", ["px", "PX"])
 
 
 def test_hash_sample_threshold_rounds_not_truncates(spark):

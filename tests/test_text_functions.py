@@ -82,11 +82,58 @@ def test_multimodal_features_match_hashlib(spark):
     assert row.fake_height == int(h[4:8], 16) % 1024
 
 
-def test_decode_stubs_raise():
+def test_decode_image_stub_raises_audio_is_real():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"")
-    with pytest.raises(NotImplementedError):
-        MM.decode_audio(b"")
+    # decode_audio is REAL as of r8 (stdlib wave): round-trip a known WAV.
+    import array
+    import io
+    import wave
+
+    samples = array.array("h", [0, 1000, -1000, 7])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    feats = MM.decode_audio(buf.getvalue())
+    assert feats == {
+        "n_channels": 1,
+        "sample_rate": 8000,
+        "n_frames": 4,
+        "sum_sq": 1000 * 1000 * 2 + 49,
+        "peak": 1000,
+    }
+    # Unsupported sample width fails loudly, never mis-parses.
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01")
+    with pytest.raises(ValueError, match="16-bit"):
+        MM.decode_audio(buf8.getvalue())
+
+
+def test_audio_features_decode_synthesized_corpus(spark):
+    """End-to-end real-decode path: synth_wav_payloads -> audio_features
+    equals decode_audio applied per payload (the Arrow batch path and the
+    scalar decoder agree), and the synthesized arithmetic matches the
+    oracle formula."""
+    ids = spark.createDataFrame([(0,), (5,), (63,), (127,)], "doc_id long")
+    wavs = {r.doc_id: bytes(r.payload) for r in MM.synth_wav_payloads(ids).collect()}
+    got = {r.doc_id: r for r in MM.audio_features(MM.synth_wav_payloads(ids)).collect()}
+    for d, payload in wavs.items():
+        want = MM.decode_audio(payload)
+        r = got[d]
+        assert (r.n_channels, r.sample_rate, r.n_frames, r.sum_sq, r.peak) == (
+            want["n_channels"], want["sample_rate"], want["n_frames"],
+            want["sum_sq"], want["peak"],
+        )
+        n = 64 + d % 64
+        assert r.n_frames == n
+        assert r.sum_sq == sum((((d * 31 + i * 7) % 2001) - 1000) ** 2 for i in range(n))
 
 
 def test_stream_batch_equivalence(spark):

@@ -77,11 +77,35 @@ def test_driver_window_covers_oracle_backed_queries():
     assert len(DRIVER_WINDOW) == 50
 
     deliberate_demotions = {
-        # Round-6 rotation ledger (VERDICT r5 item 4): the window now
-        # holds the 43 r1-evidence queries + the 3 new r6 queries + the
-        # re-pinned recall profile + the zorder/pii/urls r2 trio. Every
-        # demotion below keeps its newest green CORRECTNESS row as
-        # standing evidence; the r2/r3 remainder rotates back in r7.
+        # Round-8 rotation ledger (VERDICT r7 item 1): the window now
+        # holds the 31 never-driver-checked queries (first rows ever),
+        # the r1-stub-rowed trio, the r1-oracle building-block trio, and
+        # the 13 oldest r2-evidence queries (incl. the asof pair-mate).
+        # Every demotion below keeps its newest green CORRECTNESS row as
+        # standing evidence; the r2/r3 remainder rotates back in r9.
+        # --- r6/r7-GREEN evictees (CORRECTNESS_r06/_r07 rows stand,
+        #     code unchanged):
+        "doc_exact_substring_removal", "streaming_session_windows",
+        "streaming_user_totals", "similarity_ann_recall_profile",
+        "top_customers_by_orders", "pricing_summary", "revenue_by_nation",
+        "order_priority_counts", "top_parts_by_revenue",
+        "customer_order_full_outer", "supplier_part_type_share",
+        "top_customers_per_segment", "customer_order_running_total",
+        "customers_with_expensive_items", "customers_without_orders_filtered",
+        "customer_segment_setops", "revenue_rollup", "brand_returnflag_pivot",
+        "global_agg_stats", "tfidf_doc_frequencies", "tfidf_idf",
+        "tfidf_matrix", "search_single_word", "search_multi_word_cosine",
+        "search_multi_word_reference", "search_batch_queries",
+        "entity_word_count", "doc_token_stats", "doc_bpe_token_stats",
+        "doc_quality_scores", "doc_language_id", "graph_out_degrees",
+        "graph_in_degrees", "graph_triangle_counts", "graph_pagerank",
+        "graph_component_sizes", "dedup_exact_groups", "dedup_ngram_jaccard",
+        "dedup_jaccard_df_capped", "dedup_minhash_candidates",
+        "dedup_simhash_pairs", "doc_fingerprint_rolling",
+        "doc_winnow_fingerprints", "similarity_cosine_topk",
+        "lineitem_zorder_keys", "doc_pii_scan",
+        "similarity_lsh_indexed_agreement", "doc_semantic_decontamination",
+        "corpus_bpe_merges", "graph_label_propagation",
         # --- r5-GREEN evictees (CORRECTNESS_r05 rows stand, unchanged):
         "corpus_curation_funnel", "corpus_curation_funnel_strided",
         "corpus_curation_pipeline", "corpus_training_shards",
@@ -107,44 +131,19 @@ def test_driver_window_covers_oracle_backed_queries():
         "streaming_first_seen_per_user", "streaming_incremental_rollup",
         "streaming_kafka_feed", "streaming_static_enrichment",
         "streaming_tumbling_counts", "terms_cms_heavy_hitters",
-        # --- r2-GREEN remainder (CORRECTNESS_r02 rows stand; r7 queue):
-        "corpus_pmi_collocations", "customer_fuzzy_name_matches",
-        "dedup_cross_source_matrix", "dedup_embedding_cosine",
-        "dedup_incremental_batch", "documents_hash_sample_split",
-        "documents_source_mixture", "documents_token_shards",
-        "events_asof_latest_order", "events_range_join_daily_windows",
-        "events_salted_by_type", "events_session_window_native",
-        "events_sliding_20min", "events_user_sessions", "doc_url_domains",
-        "tfidf_term_frequencies", "dedup_minhash_signatures", "dedup_simhash",
-        "ner_gazetteer_counts", "orders_data_profile",
+        # --- r2-GREEN remainder (CORRECTNESS_r02 rows stand; r9 queue):
+        "events_session_window_native", "events_sliding_20min",
+        "events_user_sessions", "ner_gazetteer_counts",
         "orders_quality_checks", "similarity_quantized_topk",
         "streaming_sentiment_counts", "tfidf_doc_frequencies_stemmed",
-        # graph_pagerank_tol gained its oracle in r6 (2-stage unrolled CTE
-        # at the measured convergence depth) AFTER the r6 window was
-        # sealed; green in the full sweep at sf0.001+sf0.01, r7 queue:
-        "graph_pagerank_tol", "corpus_bpe_token_stats",
-        "streaming_ann_index_ingest", "orders_schema_evolution",
-        "graph_trustrank_from_seeds", "documents_balanced_sample",
-        "corpus_token_drift", "search_hybrid_rrf", "graph_hits_authorities",
-        "events_markov_transitions", "events_hll_daily_rollup",
-        "streaming_click_attribution_outer", "events_value_mad_outliers",
-        "dedup_containment_pairs", "events_value_histogram",
-        "search_retrieval_eval",
-        # --- r6 second-continuation additions (oracle green at sf0.001 +
-        # sf0.01 in this session's checks; r7 window queue):
-        "lineitem_bloom_pruned_join", "orders_weekly_revenue_delta",
-        "events_type_run_lengths", "events_kll_value_rollup",
-        "events_theta_audience_overlap", "events_value_ewma",
-        "events_value_deciles", "orders_lineitem_join_cardinality",
-        "streaming_hll_sketch_maintenance", "customer_entity_clusters",
-        "streaming_cms_heavy_hitters", "corpus_shard_manifest",
-        "events_rollup_backfill", "orders_merge_change_feed",
-        "events_rollup_user_erasure", "events_pit_state_lookback",
-        # --- r3-GREEN remainder (CORRECTNESS_r03 rows stand; r7 queue):
+        # --- r3-GREEN remainder (CORRECTNESS_r03 rows stand; r9 queue):
         "embeddings_random_projection", "entity_cooccurrence_edges",
         "events_value_quartiles_by_type", "graph_bfs_hops",
         "orders_incremental_agg_refresh", "orders_rank_functions",
         "orders_salted_segment_revenue",
+        # --- NEW in r8 (real stdlib-wave audio decode; sweep-green at
+        #     sf0.001 + sf0.01 this round; r9 window queue):
+        "multimodal_audio_wav_features",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
