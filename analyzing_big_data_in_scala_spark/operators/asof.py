@@ -18,6 +18,11 @@ Right-side rows must be unique per (key, ts); pre-aggregate (e.g.
 `max_by`) to pick a deterministic survivor, or the carried value depends
 on sort tiebreaks.
 
+Both directions ship: backward ("latest state at-or-before", the feature
+join) and forward ("earliest outcome at-or-after", the label join), each
+with an optional `tolerance` bounding the match distance (staleness for
+features, horizon for labels).
+
 The right values ride the window as ONE struct, not one `last(...)`
 per column: per-column carry would pull a NULL field from an OLDER
 right row, splicing fields across right versions whenever any carried
@@ -40,42 +45,100 @@ def asof_join_backward(
     left_ts: str,
     right_ts: str,
     right_vals: list[str],
+    tolerance=None,
 ) -> DataFrame:
     """For every left row, attach `right_vals` from the latest right row of
     the same key with right_ts <= left_ts (NULLs when no such row — left
     join semantics). Returns all left columns + right_vals.
 
+    `tolerance` bounds the STALENESS of the match (the feature-store
+    freshness rule): a right row further than `tolerance` before the left
+    timestamp is treated as no match (all right_vals NULL). Pass a value
+    comparable to `left_ts - right_ts` in the columns' type — a number for
+    numeric timestamps, `F.expr("INTERVAL 7 DAYS")` for real ones.
+
     Raises ValueError on column collisions the union-with-shared-names
     construction can't survive: a left column named like the internal
     scratch columns, or a right value column already present on the left
     (either would silently corrupt the carried values)."""
+    return _asof_join(
+        left, right, left_key, right_key, left_ts, right_ts, right_vals,
+        forward=False, tolerance=tolerance, opname="asof_join_backward",
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tolerance=None,
+) -> DataFrame:
+    """Mirror of :func:`asof_join_backward` looking FORWARD: for every left
+    row, attach `right_vals` from the EARLIEST right row of the same key
+    with right_ts >= left_ts (ties match; NULLs when no such row). The
+    label-join form of the operator — "the next outcome at-or-after this
+    event" (next order, next churn signal) — with `tolerance` bounding how
+    far ahead a match may be (the label horizon, which is also the
+    leakage guard: an unbounded forward join would let one terminal
+    outcome label arbitrarily old events).
+
+    Same union+window construction run time-reversed: one shuffle on the
+    key, one sort descending on time, linear in |L| + |R|."""
+    return _asof_join(
+        left, right, left_key, right_key, left_ts, right_ts, right_vals,
+        forward=True, tolerance=tolerance, opname="asof_join_forward",
+    )
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    forward: bool,
+    tolerance,
+    opname: str,
+) -> DataFrame:
     left_cols = left.columns
     reserved = {"_k", "_t", "_side", "_rv"}
     clashes = reserved.intersection(left_cols)
     if clashes:
         raise ValueError(
-            f"asof_join_backward: left columns collide with internal names: {sorted(clashes)}"
+            f"{opname}: left columns collide with internal names: {sorted(clashes)}"
         )
     overlap = set(right_vals).intersection(left_cols)
     if overlap:
         raise ValueError(
-            f"asof_join_backward: right_vals already exist on the left side: {sorted(overlap)}"
+            f"{opname}: right_vals already exist on the left side: {sorted(overlap)}"
         )
     missing = [c for c in right_vals if c not in right.columns]
     if missing:
-        raise ValueError(f"asof_join_backward: right_vals not in right frame: {missing}")
+        raise ValueError(f"{opname}: right_vals not in right frame: {missing}")
     # Duplicate (or case-colliding, under Spark's default case-insensitive
     # resolution) names would build a struct with duplicate fields and make
     # the getField() extraction below fail with an ambiguous-field
     # AnalysisException at execution — fail clearly up front instead.
     if len({c.lower() for c in right_vals}) != len(right_vals):
         raise ValueError(
-            f"asof_join_backward: right_vals contains duplicate/case-colliding names: {right_vals}"
+            f"{opname}: right_vals contains duplicate/case-colliding names: {right_vals}"
         )
     # One struct per right row: non-null for every right row regardless of
     # NULL fields inside, so the running last(ignorenulls) below carries the
     # latest right row WHOLE — never a field-spliced mix of right versions.
-    rv_type = right.select(F.struct(*right_vals).alias("_rv")).schema["_rv"].dataType
+    # The matched right timestamp rides along as `t` (needed for the
+    # tolerance check); the value payload nests under `v` so right_vals can
+    # never collide with the internal field name.
+    rv_expr = F.struct(
+        F.col(right_ts).alias("t"), F.struct(*right_vals).alias("v")
+    )
+    rv_type = right.select(rv_expr.alias("_rv")).schema["_rv"].dataType
     lt = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_t"),
@@ -88,21 +151,37 @@ def asof_join_backward(
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        F.struct(*right_vals).alias("_rv"),
+        rv_expr.alias("_rv"),
     )
     u = lt.unionByName(rt)
+    # Backward: ascending time, right rows (side 0) before left at equal
+    # timestamps so "at or before" ties match. Forward is the same scan
+    # time-REVERSED — descending time, right rows still first at equal
+    # timestamps, so the running carry holds the nearest right row with
+    # right_ts >= left_ts.
+    order_t = F.col("_t").desc() if forward else F.col("_t").asc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy(order_t, "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(
         "_side",
+        F.col("_t"),
         *left_cols,
         F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
+    matched = F.col("_rv").isNotNull()
+    if tolerance is not None:
+        gap = (
+            (F.col("_rv").getField("t") - F.col("_t"))
+            if forward
+            else (F.col("_t") - F.col("_rv").getField("t"))
+        )
+        matched = matched & (gap <= tolerance)
+    payload = F.when(matched, F.col("_rv").getField("v"))
     return carried.filter(F.col("_side") == 1).select(
-        *left_cols, *[F.col("_rv").getField(c).alias(c) for c in right_vals]
+        *left_cols, *[payload.getField(c).alias(c) for c in right_vals]
     )
 
 

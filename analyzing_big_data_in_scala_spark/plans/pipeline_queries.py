@@ -1742,6 +1742,114 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_next_purchase_2h",
+    # FORWARD as-of with a horizon (r8): the label join. Each view event
+    # attaches the user's EARLIEST purchase at-or-after it, but only
+    # within 2 hours — the attribution window that doubles as the leakage
+    # guard (unbounded forward would label arbitrarily old views with one
+    # terminal purchase). Oracle = DuckDB's native ASOF (independent
+    # implementation) + the identical raw-timestamp horizon predicate.
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts AS p_ts, MAX(event_id) AS p_event_id
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ),
+        j AS (
+            SELECT v.event_id, v.user_id, v.ts, p.p_ts, p.p_event_id
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.p_ts
+        )
+        SELECT event_id, user_id,
+               CASE WHEN p_ts IS NOT NULL AND p_ts - ts <= INTERVAL 2 HOUR
+                    THEN p_event_id END AS next_purchase_id,
+               CASE WHEN p_ts IS NOT NULL AND p_ts - ts <= INTERVAL 2 HOUR
+                    THEN CAST(FLOOR(epoch(p_ts)) - FLOOR(epoch(ts)) AS BIGINT)
+               END AS secs_to_purchase
+        FROM j
+    """,
+    description="Forward as-of (label) join with horizon: each view event attaches the user's earliest purchase at-or-after it within 2h (attribution window = leakage guard) — same union+window linear scan as the backward as-of, time-reversed (operators/asof.asof_join_forward)",
+)
+def events_asof_next_purchase_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_forward
+
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    joined = asof_join_forward(
+        views,
+        purchases.select("user_id", "p_ts", "p_event_id"),
+        left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="p_ts",
+        right_vals=["p_event_id", "p_ts"],
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("p_event_id").alias("next_purchase_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("ts")).alias("secs_to_purchase"),
+    )
+
+
+@query(
+    "events_asof_last_signup_7d",
+    # Backward as-of with a STALENESS bound (r8): the feature-freshness
+    # rule. Each event attaches the user's latest signup at-or-before it
+    # only if that signup is at most 7 days old; staler state is treated
+    # as missing rather than silently served (the feature-store TTL).
+    oracle="""
+        WITH s AS (
+            SELECT user_id, ts AS s_ts, MAX(event_id) AS s_event_id
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, ts
+        ),
+        j AS (
+            SELECT e.event_id, e.user_id, e.ts, s.s_ts, s.s_event_id
+            FROM (SELECT event_id, user_id, ts FROM events) e
+            ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.s_ts
+        )
+        SELECT event_id, user_id,
+               CASE WHEN s_ts IS NOT NULL AND ts - s_ts <= INTERVAL 7 DAY
+                    THEN s_event_id END AS last_signup_id,
+               CASE WHEN s_ts IS NOT NULL AND ts - s_ts <= INTERVAL 7 DAY
+                    THEN CAST(FLOOR(epoch(ts)) - FLOOR(epoch(s_ts)) AS BIGINT)
+               END AS secs_since_signup
+        FROM j
+    """,
+    description="Backward as-of join with staleness tolerance: each event attaches the user's latest signup at-or-before it only within a 7-day TTL (feature-store freshness rule; stale state is missing, not silently served)",
+)
+def events_asof_last_signup_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    ev = load_events(spark, sf_dir)
+    facts = ev.select("event_id", "user_id", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("s_ts"))
+        .agg(F.max("event_id").alias("s_event_id"))
+    )
+    joined = asof_join_backward(
+        facts,
+        signups.select("user_id", "s_ts", "s_event_id"),
+        left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="s_ts",
+        right_vals=["s_event_id", "s_ts"],
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("s_event_id").alias("last_signup_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("s_ts")).alias("secs_since_signup"),
+    )
+
+
+@query(
     "events_range_join_daily_windows",
     # Intervals = each user's first 4h of activity per day; points = all
     # that user's events. Same key on both sides with many points AND many

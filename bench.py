@@ -204,6 +204,20 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "samples": {k: [round(t, 3) for t in v] for k, v in samples.items()},
+                "notes": {
+                    # r8 isolated re-measure (VERDICT r7 item 6): the
+                    # corpus_curation_funnel r5->r7 drift (5.1 -> 6.5 s) does
+                    # NOT survive isolation as a plan change. Clean-session
+                    # solo runs at sf0.1 measured 8.2-10.6 s (median 9.4,
+                    # n=5) while the same round's in-bench median was 5.8 s
+                    # (FASTER than r7): the query's cost is the lazily
+                    # checkpointed key-table materialization job, whose time
+                    # tracks JVM warm state (codegen compile + GC), not the
+                    # plan — which is unchanged (single corpus scan, one
+                    # corpus-sized shuffle, 4 exchanges). Expected
+                    # run-to-run envelope for this query: ~4.7-10.6 s.
+                    "corpus_curation_funnel": "jvm-state variance, plan unchanged; see r8 isolated re-measure"
+                },
             },
             f,
             indent=1,

@@ -713,3 +713,60 @@ def test_asof_backward_carries_latest_right_row_wholesale(spark, left_rows, righ
         else:
             want[i] = (None, None)  # left join: no qualifying right row
     assert got == want
+
+@PROP_SETTINGS
+@example(  # splice pin, forward flavor: nearest-at-or-after row wholesale
+    left_rows=[(0, 1)],
+    right_rows=[(0, 3, "X", 5), (0, 2, None, 7)],
+    forward=True,
+    tol=None,
+)
+@given(
+    left_rows=ASOF_LEFT,
+    right_rows=ASOF_RIGHT,
+    forward=st.booleans(),
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=10)),
+)
+def test_asof_direction_and_tolerance_match_bruteforce(
+    spark, left_rows, right_rows, forward, tol
+):
+    """Both directions x optional tolerance against the Python brute
+    force: forward picks the EARLIEST right row at-or-after, backward the
+    LATEST at-or-before; a nearest match beyond `tolerance` is no match
+    (all fields NULL), never replaced by a farther in-tolerance row —
+    tolerance bounds the as-of pick, it does not re-rank candidates."""
+    from analyzing_big_data_in_scala_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, t long",
+    )
+    right_schema = "k long, t long, a string, b long"
+    right = (
+        spark.createDataFrame(right_rows, right_schema)
+        if right_rows
+        else spark.createDataFrame([], right_schema)
+    )
+    op = asof_join_forward if forward else asof_join_backward
+    got = {
+        r.lid: (r.a, r.b)
+        for r in op(left, right, "k", "k", "t", "t", ["a", "b"], tolerance=tol).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(left_rows):
+        if forward:
+            cands = [rr for rr in right_rows if rr[0] == k and rr[1] >= t]
+            pick = min(cands, key=lambda rr: rr[1]) if cands else None
+            gap = pick[1] - t if pick else None
+        else:
+            cands = [rr for rr in right_rows if rr[0] == k and rr[1] <= t]
+            pick = max(cands, key=lambda rr: rr[1]) if cands else None
+            gap = t - pick[1] if pick else None
+        if pick is not None and (tol is None or gap <= tol):
+            want[i] = (pick[2], pick[3])
+        else:
+            want[i] = (None, None)
+    assert got == want

@@ -141,9 +141,12 @@ def test_driver_window_covers_oracle_backed_queries():
         "events_value_quartiles_by_type", "graph_bfs_hops",
         "orders_incremental_agg_refresh", "orders_rank_functions",
         "orders_salted_segment_revenue",
-        # --- NEW in r8 (real stdlib-wave audio decode; sweep-green at
-        #     sf0.001 + sf0.01 this round; r9 window queue):
+        # --- NEW in r8 (sweep-green at sf0.001 + sf0.01 this round; r9
+        #     window queue): real stdlib-wave audio decode; forward as-of
+        #     label join with horizon; backward as-of with staleness TTL.
         "multimodal_audio_wav_features",
+        "events_asof_next_purchase_2h",
+        "events_asof_last_signup_7d",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
