@@ -166,6 +166,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_split_leakage_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    test_fraction: float = 0.1,
+    buckets: int = 10_000,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs that STRADDLE the
+    deterministic hash split — a test document with an in-tolerance
+    near-dup on the train side is contamination the split itself cannot
+    prevent (splits partition documents, not content). Returns
+    (train_doc, test_doc, jaccard), one row per leaking pair.
+
+    Scale shape: the pair table is :func:`ngram_jaccard_pairs` (inverted
+    index, df-cappable); split membership is a PURE FUNCTION of the id
+    (sampling.split_by_hash's bucket arithmetic), so the split labels and
+    the cross-split filter are a projection over the pair rows — no join
+    against a membership table, no extra shuffle, and the audit composes
+    with the banded MinHash path the same way at 100 TB."""
+    from .sampling import hash_bucket
+
+    pairs = ngram_jaccard_pairs(
+        docs, k=k, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    thr = round(test_fraction * buckets)
+
+    def is_test(col: str):
+        return hash_bucket(F.col(col), buckets, salt) < F.lit(thr)
+
+    return (
+        pairs.filter(is_test("id_a") != is_test("id_b"))
+        .select(
+            F.when(is_test("id_a"), F.col("id_b")).otherwise(F.col("id_a")).alias("train_doc"),
+            F.when(is_test("id_a"), F.col("id_a")).otherwise(F.col("id_b")).alias("test_doc"),
+            "jaccard",
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_perm: int = 16,

@@ -93,6 +93,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_split_leakage_audit",
+    # Leakage audit (r8): near-dup pairs straddling the deterministic
+    # train/test hash split. Same inverted-index pair SQL as
+    # dedup_ngram_jaccard; split membership is the identical md5 bucket
+    # arithmetic documents_hash_sample_split pins, applied as a pure
+    # projection over the pair rows.
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        hshingles AS (
+            SELECT DISTINCT id, {_HASH64.format(x='shingle')} AS h FROM shingles
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM hshingles GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM hshingles a JOIN hshingles b USING (h)
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        pairs AS (
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard,
+                   {_HASH64.format(x="CAST(id_a AS VARCHAR) || 'split'")} % 10000 < 1000 AS a_test,
+                   {_HASH64.format(x="CAST(id_b AS VARCHAR) || 'split'")} % 10000 < 1000 AS b_test
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        )
+        SELECT CASE WHEN a_test THEN id_b ELSE id_a END AS train_doc,
+               CASE WHEN a_test THEN id_a ELSE id_b END AS test_doc,
+               jaccard
+        FROM pairs
+        WHERE a_test <> b_test
+    """,
+    description="Train/test leakage audit: near-dup pairs (3-shingle Jaccard >= 0.2) that straddle the deterministic hash split — contamination the split cannot prevent; split labels are a pure hash projection over the pair table, no membership join (dedup.cross_split_leakage_pairs)",
+)
+def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.cross_split_leakage_pairs(_docs(spark, sf_dir), k=3, threshold=0.2)
+
+
+@query(
     "dedup_containment_pairs",
     # Same hash-join shape as dedup_ngram_jaccard; the intersection is
     # computed once per unordered pair and emitted in each direction

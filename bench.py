@@ -144,6 +144,10 @@ HEADLINE = [
     "orders_merge_change_feed",
     "events_rollup_user_erasure",
     "events_pit_state_lookback",
+    # r8 additions: directional as-of with bounds; real WAV decode path
+    "events_asof_next_purchase_2h",
+    "events_asof_last_signup_7d",
+    "multimodal_audio_wav_features",
 ]
 
 

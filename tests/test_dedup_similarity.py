@@ -840,3 +840,33 @@ def test_containment_pairs_asymmetric(spark):
     # the reverse direction is well below threshold (doc 2 is much longer)
     assert (2, 1) not in got
     assert not any(3 in p for p in got)
+
+
+def test_cross_split_leakage_pairs_matches_join_composition(spark):
+    """The projection-based audit (split labels as pure hash arithmetic
+    over the pair rows) equals the naive composition: jaccard pairs
+    joined against split_by_hash labels, cross-split only, train/test
+    columns oriented. Run on the fixture corpus so real near-dup pairs
+    exist on both sides of the filter."""
+    from analyzing_big_data_in_scala_spark.operators.dedup import (
+        cross_split_leakage_pairs,
+        ngram_jaccard_pairs,
+    )
+    from analyzing_big_data_in_scala_spark.operators.sampling import split_by_hash
+    from analyzing_big_data_in_scala_spark.plans.pipeline_queries import _docs
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    got = sorted(
+        map(tuple, cross_split_leakage_pairs(docs, k=3, threshold=0.2).collect())
+    )
+    assert got, "fixture corpus must produce at least one leaking pair"
+
+    split = split_by_hash(docs.select("doc_id"), "doc_id", test_fraction=0.1)
+    labels = {r.doc_id: r.split for r in split.collect()}
+    want = []
+    for r in ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect():
+        sa, sb = labels[r.id_a], labels[r.id_b]
+        if sa != sb:
+            train, test = (r.id_a, r.id_b) if sa == "train" else (r.id_b, r.id_a)
+            want.append((train, test, r.jaccard))
+    assert got == sorted(want)

@@ -69,6 +69,8 @@ PICKS = {
     "events_kll_value_rollup": "Mergeable quantile rollup: per-(type, day) KLL partials combine map-side (ObjectHashAggregate), the per-type merge aggregates KB sketch rows, and the exact judge aggregate (percentile_disc bounds) is the only other corpus pass — joined types-sized.",
     "events_value_deciles": "Equi-depth deciles in ONE Exchange: NTILE's window sort and the closing (type,bucket) hash aggregate share the type hash partitioning (superset-key distribution) — no second shuffle; integerized values keep the bucket bounds exact BIGINTs.",
     "orders_lineitem_join_cardinality": "Pre-join profiling: each fact side collapses to ONE sketch row via map-side-combined theta aggregates; the only joins are 1-row cross joins plus the distinct-key equi-join that exists solely to grade the estimate.",
+    "events_asof_next_purchase_2h": "Forward as-of with horizon: views and deduped purchases UNION (no join node at all); two exchanges total — the purchase (user,ts) dedup aggregate and the key-partitioned descending-time window that carries the nearest future purchase as a single struct; the 2h horizon evaluates in the final projection — linear in |L|+|R|, never a range-join fan-out.",
+    "multimodal_audio_wav_features": "Real WAV decode path: scan -> synth MapInPandas -> decode MapInPandas, ZERO exchanges end-to-end — per-partition Arrow batches through Python twice, the shape a production decode (payloads already on disk) keeps with one stage.",
 }
 
 
