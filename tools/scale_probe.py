@@ -34,6 +34,7 @@ from analyzing_big_data_in_scala_spark.operators import chunking as CH  # noqa: 
 from analyzing_big_data_in_scala_spark.operators import graph as G  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import repetition as R  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import similarity as S  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import multimodal as MM  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import rollup as RU  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import sequence as SEQ  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import fusion as FU  # noqa: E402
@@ -316,6 +317,32 @@ def main() -> None:
                     ev,
                     ev.select("user_id").distinct().filter(F.col("user_id") % 13 == 3),
                 )
+            ),
+            # r8: the backward scan time-reversed plus the tolerance
+            # projection — identical shape to asof_join, expect the same
+            # ~linear curve (one dedup aggregate + one key window).
+            "asof_forward_tol": lambda: noop(
+                A.asof_join_forward(
+                    evp, iv, "user_id", "user_id", "t", "s", ["e"], tolerance=86400
+                )
+            ),
+            # r8: bounded fixpoint — each extra round re-runs detection on
+            # the SHRINKING cleaned corpus behind a checkpoint, plus one
+            # convergence probe; expect ~rounds x the single-pass curve,
+            # still linear in the token stream.
+            "exact_substring_fixpoint2": lambda: noop(
+                CH.exact_substring_removal(docs, max_rounds=2)
+            ),
+            # r8: real WAV synth + stdlib-wave decode, two Arrow stages,
+            # ZERO exchanges — expect pure map linear.
+            "audio_wav_decode": lambda: noop(
+                MM.audio_features(MM.synth_wav_payloads(docs.select("doc_id")))
+            ),
+            # r8: the jaccard pair table + a pure-hash split projection —
+            # expect the minhash/jaccard family's curve (inverted-index
+            # join), no extra shuffle for the split labels.
+            "split_leakage_audit": lambda: noop(
+                D.cross_split_leakage_pairs(docs, k=3, threshold=0.2)
             ),
         }
         for name, fn in cases.items():
