@@ -699,6 +699,50 @@ def near_dedup_clusters(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    test_fraction: float = 0.1,
+    buckets: int = 10_000,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Train/test split that CANNOT leak near-duplicates across the
+    boundary — the fix for what :func:`cross_split_leakage_pairs` detects.
+    A per-document hash split partitions documents, not content: two
+    near-identical documents hash independently and can land on opposite
+    sides. Here the unit of assignment is the near-dup CLUSTER
+    (:func:`near_dedup_clusters`: Jaccard pairs -> connected components),
+    and the split hashes the cluster REPRESENTATIVE — every document in a
+    cluster moves together, so no pair at-or-above the threshold (nor any
+    transitive chain of such pairs) can ever straddle. Singleton docs are
+    their own cluster and split exactly like the plain hash split.
+
+    Returns (id_col, cluster, split). Determinism: cluster reps are min
+    reachable ids (stable), the bucket arithmetic is the same pure hash
+    `sampling.split_by_hash` pins — rerun-, engine- and
+    partitioning-stable. Scale shape: the cluster table is the
+    inverted-index pair join + subgraph CC (both df-cappable/bounded);
+    the split itself adds one projection."""
+    from .sampling import hash_bucket
+
+    clusters = near_dedup_clusters(
+        docs, k=k, threshold=threshold, id_col=id_col, text_col=text_col,
+        max_shingle_df=max_shingle_df,
+    )
+    thr = round(test_fraction * buckets)
+    return clusters.select(
+        F.col(id_col),
+        "cluster",
+        F.when(
+            hash_bucket(F.col("cluster"), buckets, salt) < F.lit(thr), F.lit("test")
+        ).otherwise(F.lit("train")).alias("split"),
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     k: int = 3,

@@ -258,6 +258,57 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dedup_clusters(_docs(spark, sf_dir), k=3, threshold=0.2)
 
 
+@query(
+    "corpus_leakage_safe_split",
+    # The FIX for corpus_split_leakage_audit (r8): split by near-dup
+    # CLUSTER, not by document — the recursive-CTE closure is the same
+    # fragment dedup_near_clusters pins, the bucket arithmetic the same
+    # one documents_hash_sample_split pins, composed.
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SHINGLES},
+        hshingles AS (
+            SELECT DISTINCT id, {_HASH64.format(x='shingle')} AS h FROM shingles
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM hshingles GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM hshingles a JOIN hshingles b USING (h)
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        ),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        walk(id, label) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.id
+        ),
+        comp AS (SELECT id, MIN(label) AS cluster FROM walk GROUP BY id),
+        assigned AS (
+            SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        )
+        SELECT doc_id, cluster,
+               CASE WHEN {_HASH64.format(x="CAST(cluster AS VARCHAR) || 'split'")} % 10000 < 1000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM assigned
+    """,
+    description="Leakage-safe train/test split: assignment unit is the near-dup cluster (Jaccard pairs -> CC), split hashes the cluster representative — no near-dup pair or transitive chain can straddle the boundary (dedup.leakage_safe_split; the prevention twin of corpus_split_leakage_audit)",
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.leakage_safe_split(_docs(spark, sf_dir), k=3, threshold=0.2)
+
+
 def _minhash_sql(num_perm: int = 16) -> str:
     params = ", ".join(f"({i + 1}, {a}, {b})" for i, (a, b) in enumerate(_perm_params(num_perm)))
     return f"""

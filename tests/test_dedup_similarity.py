@@ -870,3 +870,31 @@ def test_cross_split_leakage_pairs_matches_join_composition(spark):
             train, test = (r.id_a, r.id_b) if sa == "train" else (r.id_b, r.id_a)
             want.append((train, test, r.jaccard))
     assert got == sorted(want)
+
+
+def test_leakage_safe_split_admits_no_cross_split_near_dups(spark):
+    """The prevention twin of the audit: under leakage_safe_split, NO
+    near-dup pair (at the same k/threshold) straddles the boundary —
+    including transitive chains, because whole clusters move together —
+    while singleton docs split exactly like the plain per-doc hash split."""
+    from analyzing_big_data_in_scala_spark.operators.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+    from analyzing_big_data_in_scala_spark.operators.sampling import split_by_hash
+    from analyzing_big_data_in_scala_spark.plans.pipeline_queries import _docs
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    safe = {r.doc_id: (r.cluster, r.split) for r in leakage_safe_split(docs, k=3, threshold=0.2).collect()}
+    assert len(safe) == docs.count()
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    assert pairs, "fixture corpus must have near-dup pairs"
+    for r in pairs:
+        assert safe[r.id_a][1] == safe[r.id_b][1], (r.id_a, r.id_b)
+        assert safe[r.id_a][0] == safe[r.id_b][0]  # same cluster too
+    # Singletons (cluster == own id) match the per-doc hash split exactly.
+    plain = {r.doc_id: r.split for r in split_by_hash(docs.select("doc_id"), "doc_id", test_fraction=0.1).collect()}
+    singles = [d for d, (c, _) in safe.items() if c == d]
+    assert singles and all(safe[d][1] == plain[d] for d in singles)
+    # Both splits are populated on the fixture.
+    assert {s for _, s in safe.values()} == {"train", "test"}
