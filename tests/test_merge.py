@@ -375,6 +375,77 @@ def test_exactly_once_fold_survives_mid_drain_crash(spark, tmp_path):
     assert all(v > 0 for v in over.values())
 
 
+def test_incremental_rollup_fold_exactly_once_under_crash(spark, tmp_path):
+    """Failure injection over the REAL registered fold logic
+    (streaming_incremental_rollup's apply_agg_delta accumulator, not a
+    toy): crash the query after batch 1's fold commits but before its
+    offset commit, restart from the checkpoint, and the guarded standing
+    aggregate must equal the one-shot batch aggregate over all files."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators.merge import (
+        apply_agg_delta,
+        idempotent_foreach_batch,
+    )
+
+    stage = str(tmp_path / "stage")
+    for i in range(4):
+        spark.createDataFrame(
+            [(j % 3, (i * 12 + j) * 10) for j in range(12)], "k long, v long"
+        ).coalesce(1).write.mode("append").parquet(stage)
+
+    state: dict = {"agg": None}
+
+    def fold(batch_df, batch_id: int) -> None:
+        delta = batch_df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        )
+        if state["agg"] is None:
+            state["agg"] = delta.localCheckpoint()
+        else:
+            state["agg"] = apply_agg_delta(
+                state["agg"], delta, keys=["k"], measures=["n", "s"], count_col="n"
+            ).localCheckpoint()
+
+    crash = {"armed": True}
+    guarded = idempotent_foreach_batch(fold)
+
+    def crashing(batch_df, batch_id: int) -> None:
+        guarded(batch_df, batch_id)
+        if crash["armed"] and batch_id == 1:
+            crash["armed"] = False
+            raise RuntimeError("injected crash: fold committed, offset commit pending")
+
+    def run_drain() -> None:
+        q = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with _pytest.raises(Exception, match="injected crash"):
+        run_drain()
+    run_drain()  # restart: batch 1 redelivers under its original id, skipped
+
+    got = sorted(map(tuple, state["agg"].collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(stage)
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_rollup_backfill_touches_only_affected_buckets(spark):
     """The restated output equals a full recompute, AND untouched standing
     rows survive the anti join unchanged (bucket 0 has no late rows; its
