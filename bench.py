@@ -144,10 +144,14 @@ HEADLINE = [
     "orders_merge_change_feed",
     "events_rollup_user_erasure",
     "events_pit_state_lookback",
-    # r8 additions: directional as-of with bounds; real WAV decode path
+    # r8 additions: directional as-of with bounds; real WAV decode path;
+    # leakage audit/safe-split pair; PQ ANN profile
     "events_asof_next_purchase_2h",
     "events_asof_last_signup_7d",
     "multimodal_audio_wav_features",
+    "corpus_split_leakage_audit",
+    "corpus_leakage_safe_split",
+    "similarity_pq_recall_profile",
 ]
 
 

@@ -898,3 +898,76 @@ def test_leakage_safe_split_admits_no_cross_split_near_dups(spark):
     assert singles and all(safe[d][1] == plain[d] for d in singles)
     # Both splits are populated on the fixture.
     assert {s for _, s in safe.values()} == {"train", "test"}
+
+
+def test_pq_codes_and_adc_match_numpy_exactly(spark):
+    """The whole PQ pipeline is deterministic, so numpy re-derives it
+    EXACTLY: every (vector, subspace) code matches a brute-force argmin
+    over the trained codebook, and the ADC top-5 (score and membership)
+    matches a Python fold over the same codes and lookup parts."""
+    import numpy as np
+
+    from analyzing_big_data_in_scala_spark.operators import pq as PQ
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    m, dsub = 8, 8
+    cents = PQ.pq_train(emb, m=m, k=16, rounds=2)
+    codes = PQ.pq_encode(emb, cents, m=m)
+
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def qvec(v):
+        n = v / np.sqrt((v * v).sum())
+        amax = np.abs(n).max()
+        return np.floor(n / (amax / 127.0) + 0.5) if amax > 0 else np.zeros_like(n)
+
+    q = {i: qvec(v) for i, v in raw.items()}
+    C = {(r.sub, r.centroid_id): np.array(r.centroid) for r in cents.collect()}
+    got_codes = {(r.vec_id, r.sub): r.code for r in codes.collect()}
+    assert len(got_codes) == m * len(raw)
+    for (i, s), code in got_codes.items():
+        sv = q[i][s * dsub : (s + 1) * dsub]
+        want = min(
+            (round(float(((sv - C[(s, c)]) ** 2).sum()), 6), c) for c in range(16)
+        )[1]
+        assert code == want, (i, s)
+
+    probes = emb.filter(F.col("vec_id") < 2)
+    got_top = {}
+    for r in PQ.pq_topk(codes, cents, probes, k=5, m=m).collect():
+        got_top.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.adc_score))
+    for qid in (0, 1):
+        qs = q[qid]
+        scores = {}
+        for i in q:
+            t = 0.0
+            for s in range(m):
+                t += round(float(np.dot(qs[s * dsub : (s + 1) * dsub], C[(s, got_codes[(i, s)])])), 6)
+            scores[i] = round(t, 6)
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = sorted(got_top[qid])
+        assert [(vid, sc) for _, vid, sc in got] == want
+
+
+def test_pq_rerank_recall_and_code_compression(spark):
+    """The two-stage search (codes-only ADC pool-50 shortlist -> exact
+    quantized-cosine rerank) recovers >= 90% of the exact cosine top-10 on
+    the fixture; codes are m small ints in [0, 16)."""
+    import pytest as _pytest
+
+    from analyzing_big_data_in_scala_spark.operators import pq as PQ
+    from analyzing_big_data_in_scala_spark.operators import similarity as S
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cents = PQ.pq_train(emb, m=16, k=16, rounds=2)
+    codes = PQ.pq_encode(emb, cents, m=16)
+    assert codes.filter((F.col("code") < 0) | (F.col("code") >= 16)).count() == 0
+    rr = PQ.pq_topk_reranked(emb, codes, cents, probes, k=10, m=16)
+    a = {(r.query_id, r.vec_id) for r in rr.collect()}
+    e = {(r.query_id, r.vec_id) for r in S.cosine_topk(emb, probes, k=10).collect()}
+    assert len(a & e) / len(e) >= 0.9
+    with _pytest.raises(ValueError, match="divisible"):
+        PQ.pq_train(emb, m=7)

@@ -35,6 +35,7 @@ from analyzing_big_data_in_scala_spark.operators import graph as G  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import repetition as R  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import similarity as S  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import multimodal as MM  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import pq as PQ  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import rollup as RU  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import sequence as SEQ  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import fusion as FU  # noqa: E402
@@ -343,6 +344,16 @@ def main() -> None:
             # join), no extra shuffle for the split labels.
             "split_leakage_audit": lambda: noop(
                 D.cross_split_leakage_pairs(docs, k=3, threshold=0.2)
+            ),
+            # r8: PQ train (2 Lloyd rounds over m x corpus subvector rows)
+            # + encode + ADC scan for 3 probes — every stage is a
+            # broadcast-join + aggregate over ~m x corpus rows; expect
+            # ~linear with vectors.
+            "pq_train_encode_search": lambda: noop(
+                (lambda c: PQ.pq_topk(
+                    PQ.pq_encode(emb, c, m=16), c,
+                    emb0.filter(F.col("vec_id") < 3), k=10, m=16,
+                ))(PQ.pq_train(emb, m=16, k=16, rounds=2))
             ),
         }
         for name, fn in cases.items():
