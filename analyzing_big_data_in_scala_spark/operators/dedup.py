@@ -175,6 +175,7 @@ def cross_split_leakage_pairs(
     salt: str = "split",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Train/test LEAKAGE audit: near-duplicate pairs that STRADDLE the
     deterministic hash split — a test document with an in-tolerance
@@ -187,11 +188,16 @@ def cross_split_leakage_pairs(
     (sampling.split_by_hash's bucket arithmetic), so the split labels and
     the cross-split filter are a projection over the pair rows — no join
     against a membership table, no extra shuffle, and the audit composes
-    with the banded MinHash path the same way at 100 TB."""
+    with the banded MinHash path the same way at 100 TB. At scale pass
+    `max_shingle_df`: a shingle shared by f docs emits f^2/2 pair rows,
+    so boilerplate-heavy corpora need the hot-shingle cap (measured in
+    SCALING.md — the uncapped probe is quadratic in duplicate density by
+    construction, the capped one tracks the minhash family)."""
     from .sampling import hash_bucket
 
     pairs = ngram_jaccard_pairs(
-        docs, k=k, threshold=threshold, id_col=id_col, text_col=text_col
+        docs, k=k, threshold=threshold, id_col=id_col, text_col=text_col,
+        max_shingle_df=max_shingle_df,
     )
     thr = round(test_fraction * buckets)
 

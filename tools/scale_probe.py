@@ -345,6 +345,15 @@ def main() -> None:
             "split_leakage_audit": lambda: noop(
                 D.cross_split_leakage_pairs(docs, k=3, threshold=0.2)
             ),
+            # Same audit with the hot-shingle cap — the 100 TB form. The
+            # uncapped case above is deliberately kept: replica inflation
+            # makes every doc a `copies`-way near-dup, so its superlinear
+            # curve MEASURES the f^2 fan-out the cap exists to kill.
+            "split_leakage_audit_dfcap": lambda: noop(
+                D.cross_split_leakage_pairs(
+                    docs, k=3, threshold=0.2, max_shingle_df=8 * copies
+                )
+            ),
             # r8: PQ train (2 Lloyd rounds over m x corpus subvector rows)
             # + encode + ADC scan for 3 probes — every stage is a
             # broadcast-join + aggregate over ~m x corpus rows; expect
