@@ -280,3 +280,123 @@ def pq_topk_reranked(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    k_codebook: int = 16,
+    coarse_rounds: int = 2,
+    pool: int | None = None,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full FAISS-style composition — IVF routing x PQ codes x exact
+    rerank: a deterministic coarse quantizer (hash-seeded spherical
+    k-means, the `kmeans.py` recipe) assigns every corpus vector to one
+    of `n_cells` cells; each query routes to its `nprobe` nearest cells
+    and runs the ADC code scan ONLY there (~nprobe/n_cells of the code
+    table, which is itself 32x smaller than the raw vectors); the ADC
+    shortlist is exact-reranked from raw vectors. Returns
+    (query_id, vec_id, cosine, rank) — `cosine_topk`'s contract.
+
+    This variant encodes RAW vectors, not cell residuals (classic IVFADC
+    encodes x - centroid(x); raw-vector codes trade a little quantization
+    error for one shared codebook and a fully SQL-rederivable pipeline —
+    the repo's oracle discipline). Every stage is deterministic, so
+    recall profiles pin as constants.
+
+    Scale: index build is one corpus pass per Lloyd round (coarse) + the
+    PQ stages; query cost is nprobe/n_cells x the ADC scan + `pool`
+    raw-vector fetches per query. At 100 TB the cell column partitions
+    the code table, so probing reads only the probed cells' partitions."""
+    from .kmeans import _update_centroids, hash_seed_centroids
+    from .similarity import quantize_int8 as _q, spherical_assign
+
+    # Coarse quantizer: deterministic Lloyd over full vectors.
+    cents = hash_seed_centroids(emb, n_cells, id_col, vec_col).localCheckpoint()
+    assigned = spherical_assign(emb, cents, id_col, vec_col)
+    for _ in range(coarse_rounds):
+        cents = _update_centroids(assigned, emb, cents, id_col, vec_col).localCheckpoint()
+        assigned = spherical_assign(emb, cents, id_col, vec_col)
+    cells = assigned.select(id_col, F.col("centroid_id").alias("cell"))
+
+    # PQ codebooks + codes, tagged with the owning cell.
+    cb = pq_train(emb, m=m, k=k_codebook, rounds=2, in_dim=in_dim,
+                  id_col=id_col, vec_col=vec_col).localCheckpoint(eager=False)
+    codes = (
+        pq_encode(emb, cb, m=m, in_dim=in_dim, id_col=id_col, vec_col=vec_col)
+        .join(cells, id_col)
+        .localCheckpoint(eager=False)
+    )
+
+    # Route each query to its nprobe nearest cells (quantized cosine,
+    # 6-rounded, cell-id tie-break — same arithmetic as the assignment).
+    qq = _q(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.transform("qvec", lambda x: x.cast("double")).alias("_qv"),
+    )
+    cq = _q(cents, "centroid_id", vec_col).select(
+        F.col("centroid_id").alias("cell"),
+        F.transform("qvec", lambda x: x.cast("double")).alias("_cv"),
+    )
+    dot = F.aggregate(F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda s, d: s + d)
+    nrm = lambda c: F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(F.try_divide(dot, nrm("_qv") * nrm("_cv")), 6).desc(), F.col("cell").asc()
+    )
+    probed = (
+        qq.crossJoin(F.broadcast(cq))
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+    # ADC restricted to the probed cells, then exact rerank.
+    pool = pool if pool is not None else 5 * k
+    dsub = in_dim // m
+    qsub = _subvectors(
+        _normalized_qvec(queries, id_col, vec_col), id_col, m, dsub
+    ).withColumnRenamed(id_col, "query_id")
+    lookup = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", F.col("centroid_id").alias("code"),
+        F.round(
+            F.aggregate(F.zip_with("subv", "centroid", lambda x, y: x * y), F.lit(0.0), lambda s, d: s + d),
+            6,
+        ).alias("part"),
+    )
+    cand = codes.join(F.broadcast(probed), "cell")
+    scored = (
+        cand.join(F.broadcast(lookup), ["query_id", "sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("part"), 6).alias("adc_score"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+    short = (
+        scored.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= pool)
+        .select("query_id", id_col)
+    )
+    qc = _q(emb, id_col, vec_col).select(
+        F.col(id_col), F.transform("qvec", lambda x: x.cast("double")).alias("_cv")
+    )
+    rdot = F.aggregate(F.zip_with("_cv", "_qv", lambda x, y: x * y), F.lit(0.0), lambda s, d: s + d)
+    rescored = (
+        short.filter(F.col(id_col) != F.col("query_id"))
+        .join(qc, id_col)
+        .join(F.broadcast(qq), "query_id")
+        .select(
+            "query_id", id_col,
+            F.round(F.try_divide(rdot, nrm("_cv") * nrm("_qv")), 6).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

@@ -2806,6 +2806,58 @@ def similarity_pq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ivfpq_recall_profile",
+    # PINNED CONSTANTS oracle (same discipline as the PQ/ANN profiles;
+    # sf0.01-only via PINNED_SF). Grades the full FAISS-style composition
+    # at two routing budgets: nprobe=4 (scan 1/4 of the code table) and
+    # nprobe=8 (1/2) — the driver verifies the recall/pruning tradeoff as
+    # exact integers. r8 pin from the shipped code under the driver's
+    # local[32]/32 shape, reproduced bit-identically under local[4]/64.
+    oracle="""
+        SELECT method, CAST(query_id AS BIGINT) AS query_id,
+               CAST(n_results AS BIGINT) AS n_results,
+               CAST(n_brute_hits AS BIGINT) AS n_brute_hits
+        FROM (VALUES
+            ('ivfpq_np4', 0, 10, 6), ('ivfpq_np4', 1, 10, 6), ('ivfpq_np4', 2, 10, 6),
+            ('ivfpq_np8', 0, 10, 7), ('ivfpq_np8', 1, 10, 8), ('ivfpq_np8', 2, 10, 6)
+        ) t(method, query_id, n_results, n_brute_hits)
+    """,
+    description="IVF-PQ ANN profile: exact-top-10 overlap of the full FAISS-style composition (deterministic coarse router -> cell-restricted 32x-compressed ADC scan -> exact rerank) at nprobe=4 and 8 of 16 cells — the recall/pruning tradeoff graded as integers (pinned-constants oracle at sf0.01)",
+)
+def similarity_ivfpq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    brute = (
+        S.cosine_topk(emb, probes, k=10)
+        .select("query_id", F.col("vec_id").alias("hit"))
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for method, nprobe in (("ivfpq_np4", 4), ("ivfpq_np8", 8)):
+        approx = (
+            PQ.ivfpq_topk(emb, probes, k=10, nprobe=nprobe)
+            .select("query_id", F.col("vec_id").alias("hit"))
+            .localCheckpoint(eager=False)
+        )
+        n = approx.groupBy("query_id").agg(F.count("*").alias("n_results"))
+        hits = (
+            approx.join(brute, ["query_id", "hit"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_brute_hits"))
+        )
+        prof = n.join(hits, "query_id", "left").select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.col("n_results").cast("long").alias("n_results"),
+            F.coalesce("n_brute_hits", F.lit(0)).cast("long").alias("n_brute_hits"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+@query(
     "similarity_ann_recall_profile",
     # PINNED CONSTANTS oracle (ml_sentiment_metrics precedent), valid at
     # the driver's sf0.01 only (tests/oracle_check.py PINNED_SF gates the

@@ -152,6 +152,7 @@ HEADLINE = [
     "corpus_split_leakage_audit",
     "corpus_leakage_safe_split",
     "similarity_pq_recall_profile",
+    "similarity_ivfpq_recall_profile",
 ]
 
 

@@ -21,6 +21,7 @@ PINNED_SF: dict[str, str] = {
     "ml_sentiment_metrics_full_grid": "sf0.01",
     "similarity_ann_recall_profile": "sf0.01",
     "similarity_pq_recall_profile": "sf0.01",
+    "similarity_ivfpq_recall_profile": "sf0.01",
 }
 
 TABLES = (

@@ -971,3 +971,34 @@ def test_pq_rerank_recall_and_code_compression(spark):
     assert len(a & e) / len(e) >= 0.9
     with _pytest.raises(ValueError, match="divisible"):
         PQ.pq_train(emb, m=7)
+
+
+def test_ivfpq_routing_bounds_and_determinism(spark):
+    """IVF-PQ invariants: <= k results per query, deterministic across
+    reruns (pure function of the data), and widening nprobe can only
+    grow (never shrink) the exact-top-10 overlap — routing prunes cells,
+    it does not re-rank survivors."""
+    from analyzing_big_data_in_scala_spark.operators import pq as PQ
+    from analyzing_big_data_in_scala_spark.operators import similarity as S
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    e = {(r.query_id, r.vec_id) for r in S.cosine_topk(emb, probes, k=10).collect()}
+
+    got4a = sorted(map(tuple, PQ.ivfpq_topk(emb, probes, k=10, nprobe=4).collect()))
+    got4b = sorted(map(tuple, PQ.ivfpq_topk(emb, probes, k=10, nprobe=4).collect()))
+    assert got4a == got4b  # deterministic end to end
+    per_q = {}
+    for qid, vid, cos, rank in got4a:
+        per_q.setdefault(qid, []).append(rank)
+    assert all(len(rs) <= 10 and sorted(rs) == list(range(1, len(rs) + 1)) for rs in per_q.values())
+
+    a4 = {(t[0], t[1]) for t in got4a}
+    a16 = {
+        (r.query_id, r.vec_id)
+        for r in PQ.ivfpq_topk(emb, probes, k=10, nprobe=16).collect()
+    }
+    # nprobe = n_cells scans everything: equals the PQ rerank path's
+    # quality, and strictly >= the pruned run's overlap with exact.
+    assert len(a16 & e) >= len(a4 & e)

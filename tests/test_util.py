@@ -150,6 +150,7 @@ def test_driver_window_covers_oracle_backed_queries():
         "corpus_split_leakage_audit",
         "corpus_leakage_safe_split",
         "similarity_pq_recall_profile",
+        "similarity_ivfpq_recall_profile",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
