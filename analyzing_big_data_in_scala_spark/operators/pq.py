@@ -281,6 +281,45 @@ def pq_topk_reranked(
         .select("query_id", id_col, "cosine", "rank")
     )
 
+def ivfpq_build(
+    emb: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    k_codebook: int = 16,
+    coarse_rounds: int = 2,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build the IVF-PQ index ONCE: deterministic coarse quantizer
+    (hash-seeded spherical k-means) + PQ sub-codebooks + cell-tagged code
+    table. Returns {"centroids", "codebook", "codes"} — every frame
+    lineage-cut (localCheckpoint), so N searches at different nprobe/k
+    budgets share ONE build instead of re-training per call (the
+    bench-measured trap: two searches with inline builds cost 30 s at
+    sf0.1; one build + two searches ~halves it). At 100 TB these frames
+    are the tables you persist (bucket `codes` by cell — the
+    build_ivf_index/build_lsh_index pattern)."""
+    from .kmeans import _update_centroids, hash_seed_centroids
+    from .similarity import spherical_assign
+
+    cents = hash_seed_centroids(emb, n_cells, id_col, vec_col).localCheckpoint()
+    assigned = spherical_assign(emb, cents, id_col, vec_col)
+    for _ in range(coarse_rounds):
+        cents = _update_centroids(assigned, emb, cents, id_col, vec_col).localCheckpoint()
+        assigned = spherical_assign(emb, cents, id_col, vec_col)
+    cells = assigned.select(id_col, F.col("centroid_id").alias("cell"))
+
+    cb = pq_train(emb, m=m, k=k_codebook, rounds=2, in_dim=in_dim,
+                  id_col=id_col, vec_col=vec_col).localCheckpoint(eager=False)
+    codes = (
+        pq_encode(emb, cb, m=m, in_dim=in_dim, id_col=id_col, vec_col=vec_col)
+        .join(cells, id_col)
+        .localCheckpoint(eager=False)
+    )
+    return {"centroids": cents, "codebook": cb, "codes": codes}
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -294,6 +333,7 @@ def ivfpq_topk(
     in_dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: dict | None = None,
 ) -> DataFrame:
     """The full FAISS-style composition — IVF routing x PQ codes x exact
     rerank: a deterministic coarse quantizer (hash-seeded spherical
@@ -303,6 +343,10 @@ def ivfpq_topk(
     table, which is itself 32x smaller than the raw vectors); the ADC
     shortlist is exact-reranked from raw vectors. Returns
     (query_id, vec_id, cosine, rank) — `cosine_topk`'s contract.
+
+    Pass `index` (from :func:`ivfpq_build`) to reuse one build across
+    searches — repeat callers MUST: the build is the expensive stage and
+    re-training it per search is the measured anti-pattern.
 
     This variant encodes RAW vectors, not cell residuals (classic IVFADC
     encodes x - centroid(x); raw-vector codes trade a little quantization
@@ -314,25 +358,15 @@ def ivfpq_topk(
     PQ stages; query cost is nprobe/n_cells x the ADC scan + `pool`
     raw-vector fetches per query. At 100 TB the cell column partitions
     the code table, so probing reads only the probed cells' partitions."""
-    from .kmeans import _update_centroids, hash_seed_centroids
-    from .similarity import quantize_int8 as _q, spherical_assign
+    from .similarity import quantize_int8 as _q
 
-    # Coarse quantizer: deterministic Lloyd over full vectors.
-    cents = hash_seed_centroids(emb, n_cells, id_col, vec_col).localCheckpoint()
-    assigned = spherical_assign(emb, cents, id_col, vec_col)
-    for _ in range(coarse_rounds):
-        cents = _update_centroids(assigned, emb, cents, id_col, vec_col).localCheckpoint()
-        assigned = spherical_assign(emb, cents, id_col, vec_col)
-    cells = assigned.select(id_col, F.col("centroid_id").alias("cell"))
-
-    # PQ codebooks + codes, tagged with the owning cell.
-    cb = pq_train(emb, m=m, k=k_codebook, rounds=2, in_dim=in_dim,
-                  id_col=id_col, vec_col=vec_col).localCheckpoint(eager=False)
-    codes = (
-        pq_encode(emb, cb, m=m, in_dim=in_dim, id_col=id_col, vec_col=vec_col)
-        .join(cells, id_col)
-        .localCheckpoint(eager=False)
-    )
+    if index is None:
+        index = ivfpq_build(
+            emb, n_cells=n_cells, m=m, k_codebook=k_codebook,
+            coarse_rounds=coarse_rounds, in_dim=in_dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    cents, cb, codes = index["centroids"], index["codebook"], index["codes"]
 
     # Route each query to its nprobe nearest cells (quantized cosine,
     # 6-rounded, cell-id tie-break — same arithmetic as the assignment).

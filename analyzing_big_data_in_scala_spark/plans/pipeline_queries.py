@@ -2834,10 +2834,13 @@ def similarity_ivfpq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFra
         .select("query_id", F.col("vec_id").alias("hit"))
         .localCheckpoint(eager=False)
     )
+    # ONE index build shared by both routing budgets (ivfpq_build), not a
+    # re-train per nprobe — the bench-measured 2x trap.
+    index = PQ.ivfpq_build(emb)
     out = None
     for method, nprobe in (("ivfpq_np4", 4), ("ivfpq_np8", 8)):
         approx = (
-            PQ.ivfpq_topk(emb, probes, k=10, nprobe=nprobe)
+            PQ.ivfpq_topk(emb, probes, k=10, nprobe=nprobe, index=index)
             .select("query_id", F.col("vec_id").alias("hit"))
             .localCheckpoint(eager=False)
         )
