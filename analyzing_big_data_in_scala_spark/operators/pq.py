@@ -434,3 +434,101 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    prefix: str = "ivfpq_index",
+    n_cells: int = 16,
+    m: int = 16,
+    k_codebook: int = 16,
+    coarse_rounds: int = 2,
+    num_buckets: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ index (the `build_ivf_index`/`build_lsh_index`
+    pattern, completing index parity for the ANN family):
+
+      {prefix}_codes      (id, sub, code, cell)      BUCKETED by cell
+      {prefix}_centroids  (centroid_id, vec_col)     n_cells rows
+      {prefix}_codebook   (sub, centroid_id, centroid) m*k rows
+
+    Bucketing the code table by cell makes the probe join exchange-free
+    on the big side: a query's nprobe cells map to whole buckets, so
+    :func:`ivfpq_topk_indexed` scans only the probed buckets' files and
+    never re-trains, re-encodes, or shuffles the corpus. At 100 TB the
+    code table is the ~8-byte-per-vector artifact you keep hot; the raw
+    vectors stay cold except for the per-query `pool` rerank fetches."""
+    from ..sources.bucketing import drop_table_and_location, write_bucketed
+
+    idx = ivfpq_build(
+        corpus, n_cells=n_cells, m=m, k_codebook=k_codebook,
+        coarse_rounds=coarse_rounds, in_dim=in_dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    spark = corpus.sparkSession
+    write_bucketed(idx["codes"], f"{prefix}_codes", bucket_col="cell", num_buckets=num_buckets)
+    drop_table_and_location(spark, f"{prefix}_centroids")
+    idx["centroids"].write.mode("overwrite").saveAsTable(f"{prefix}_centroids")
+    drop_table_and_location(spark, f"{prefix}_codebook")
+    idx["codebook"].write.mode("overwrite").saveAsTable(f"{prefix}_codebook")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    emb: DataFrame,
+    queries: DataFrame,
+    prefix: str = "ivfpq_index",
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 16,
+    pool: int | None = None,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against a :func:`build_ivfpq_index` index: the three
+    stored tables ARE the index — no coarse refit, no codebook re-train,
+    no corpus re-encode (tests poison `pq_train` to prove it). `emb` is
+    the raw-vector table the exact rerank fetches its `pool` candidates
+    from; the ADC stage touches only `{prefix}_codes`."""
+    index = {
+        "centroids": spark.table(f"{prefix}_centroids"),
+        "codebook": spark.table(f"{prefix}_codebook"),
+        "codes": spark.table(f"{prefix}_codes"),
+    }
+    return ivfpq_topk(
+        emb, queries, k=k, nprobe=nprobe, m=m, pool=pool, in_dim=in_dim,
+        id_col=id_col, vec_col=vec_col, index=index,
+    )
+
+
+def ivfpq_index_append(
+    batch: DataFrame,
+    prefix: str = "ivfpq_index",
+    m: int = 16,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a NEW vector batch into a persisted IVF-PQ index without
+    retraining: batch vectors are routed with the STORED coarse centroids
+    (the same spherical-assign arithmetic the build used) and encoded
+    with the STORED codebook, then appended to `{prefix}_codes` under the
+    matching bucket spec — per-batch cost tracks the batch, never the
+    indexed corpus. Coarse centroids and codebooks intentionally do NOT
+    move (classic IVF/PQ maintenance: re-fitting would silently change
+    what every PAST code means — rebuild when drift warrants it)."""
+    from .similarity import _append_bucketed, spherical_assign
+
+    spark = batch.sparkSession
+    cents = spark.table(f"{prefix}_centroids")
+    cb = spark.table(f"{prefix}_codebook")
+    cells = spherical_assign(batch, cents, id_col, vec_col).select(
+        id_col, F.col("centroid_id").alias("cell")
+    )
+    codes = pq_encode(
+        batch, cb, m=m, in_dim=in_dim, id_col=id_col, vec_col=vec_col
+    ).join(cells, id_col)
+    _append_bucketed(codes, f"{prefix}_codes", bucket_col="cell")

@@ -2861,6 +2861,43 @@ def similarity_ivfpq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "similarity_ivfpq_indexed_agreement",
+    # Constant oracle (the lsh_indexed_agreement pattern): the persisted
+    # IVF-PQ index — bucketed cell-tagged code table + stored coarse
+    # centroids + stored codebook — must reproduce the on-the-fly path
+    # EXACTLY: same routing, same ADC scores, same rerank, all 10 rows
+    # per probe. Any drift between the stored tables and the live build
+    # (stale codebook, bucket corruption, routing mismatch) reds this row.
+    oracle="""
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(n_indexed AS BIGINT) AS n_indexed,
+               CAST(n_agree AS BIGINT) AS n_agree
+        FROM (VALUES (0, 10, 10), (1, 10, 10), (2, 10, 10))
+             t(query_id, n_indexed, n_agree)
+    """,
+    description="Persisted IVF-PQ index (bucketed cell-tagged codes + coarse centroids + codebook tables) queried without retraining or re-encoding — per-probe full-row agreement with the on-the-fly IVF-PQ search, value-checked as exact integers",
+)
+def similarity_ivfpq_indexed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    PQ.build_ivfpq_index(emb, prefix="ivfpqq_index")
+    indexed = PQ.ivfpq_topk_indexed(
+        spark, emb, probes, prefix="ivfpqq_index", k=10, nprobe=4
+    )
+    live = PQ.ivfpq_topk(emb, probes, k=10, nprobe=4)
+    both = indexed.join(live, ["query_id", "vec_id", "cosine", "rank"], "left_semi")
+    n_idx = indexed.groupBy("query_id").agg(F.count("*").alias("n_indexed"))
+    n_agr = both.groupBy("query_id").agg(F.count("*").alias("n_agree"))
+    return n_idx.join(n_agr, "query_id", "left").select(
+        "query_id",
+        F.col("n_indexed").cast("long").alias("n_indexed"),
+        F.coalesce("n_agree", F.lit(0)).cast("long").alias("n_agree"),
+    )
+
+
+@query(
     "similarity_ann_recall_profile",
     # PINNED CONSTANTS oracle (ml_sentiment_metrics precedent), valid at
     # the driver's sf0.01 only (tests/oracle_check.py PINNED_SF gates the

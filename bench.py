@@ -153,6 +153,7 @@ HEADLINE = [
     "corpus_leakage_safe_split",
     "similarity_pq_recall_profile",
     "similarity_ivfpq_recall_profile",
+    "similarity_ivfpq_indexed_agreement",
 ]
 
 

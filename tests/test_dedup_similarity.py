@@ -1002,3 +1002,55 @@ def test_ivfpq_routing_bounds_and_determinism(spark):
     # nprobe = n_cells scans everything: equals the PQ rerank path's
     # quality, and strictly >= the pruned run's overlap with exact.
     assert len(a16 & e) >= len(a4 & e)
+
+
+def test_ivfpq_index_persists_appends_and_never_retrains(spark, monkeypatch):
+    """Persisted IVF-PQ maintenance contract: the indexed search and the
+    append path touch ONLY the stored tables (pq_train poisoned to prove
+    no codebook retrain), appended vectors are routed/encoded with the
+    STORED geometry (row-identical to an inline recompute against the
+    stored tables), and post-append searches see old and new vectors."""
+    from analyzing_big_data_in_scala_spark.operators import pq as PQ
+    from analyzing_big_data_in_scala_spark.operators.similarity import spherical_assign
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    probes = emb.filter(F.col("vec_id") < 2)
+    PQ.build_ivfpq_index(base, prefix="t_ivfpq_app")
+
+    def _boom(*a, **kw):  # pragma: no cover - must not run
+        raise AssertionError("indexed path retrained the PQ codebook")
+
+    monkeypatch.setattr(PQ, "pq_train", _boom)
+    first = sorted(map(tuple, PQ.ivfpq_topk_indexed(
+        spark, base, probes, prefix="t_ivfpq_app", k=5, nprobe=4).collect()))
+    assert len(first) == 10  # 2 probes x top-5
+    PQ.ivfpq_index_append(batch, prefix="t_ivfpq_app")
+    monkeypatch.undo()
+
+    # Appended rows == inline recompute with the STORED geometry.
+    cents = spark.table("t_ivfpq_app_centroids")
+    cb = spark.table("t_ivfpq_app_codebook")
+    want_cells = {
+        r.vec_id: r.centroid_id for r in spherical_assign(batch, cents).collect()
+    }
+    want_codes = {
+        (r.vec_id, r.sub): r.code for r in PQ.pq_encode(batch, cb, m=16).collect()
+    }
+    stored = spark.table("t_ivfpq_app_codes").join(
+        batch.select("vec_id"), "vec_id", "left_semi"
+    ).collect()
+    assert len(stored) == 16 * batch.count()
+    for r in stored:
+        assert r.cell == want_cells[r.vec_id]
+        assert r.code == want_codes[(r.vec_id, r.sub)]
+
+    # Post-append search runs end-to-end over the unioned code table
+    # (nprobe=16 scans every cell, so appended vectors are candidates) and
+    # the stored table now covers the full corpus.
+    assert spark.table("t_ivfpq_app_codes").count() == 16 * emb.count()
+    after = sorted(map(tuple, PQ.ivfpq_topk_indexed(
+        spark, emb, probes, prefix="t_ivfpq_app", k=5, nprobe=16).collect()))
+    assert len(after) == 10

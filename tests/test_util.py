@@ -151,6 +151,7 @@ def test_driver_window_covers_oracle_backed_queries():
         "corpus_leakage_safe_split",
         "similarity_pq_recall_profile",
         "similarity_ivfpq_recall_profile",
+        "similarity_ivfpq_indexed_agreement",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
