@@ -667,6 +667,110 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_ivfpq_index_ingest",
+    # Constant oracle. IVF-PQ has FITTED state (codebooks, coarse cells),
+    # so — unlike the LSH ingest above — a geometry trained on whichever
+    # micro-batch arrived first would make the drained index depend on
+    # the file source's nondeterministic delivery order. The
+    # deterministic (and production-standard) shape: train the geometry
+    # OFFLINE on a fixed sample (vec_id < 400), persist it with the
+    # sample's codes, then the stream only APPENDS the remaining vectors
+    # — every append encodes with the STORED geometry, so appends commute
+    # and the drained index is a pure function of the corpus. Agreement:
+    # the post-drain indexed search must match an on-the-fly search whose
+    # codes are recomputed inline over the FULL corpus with the same
+    # stored geometry.
+    oracle="""
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(n_indexed AS BIGINT) AS n_indexed,
+               CAST(n_agree AS BIGINT) AS n_agree
+        FROM (VALUES (0, 10, 10), (1, 10, 10), (2, 10, 10))
+             t(query_id, n_indexed, n_agree)
+    """,
+    description="Streaming IVF-PQ index ingest: geometry trained offline on a fixed sample (fitted-state indexes cannot train on a nondeterministically-ordered stream — documented), embedding micro-batches appended with the STORED codebooks/centroids via exactly-once foreachBatch; drained index agrees row-for-row with an on-the-fly search over inline-recomputed full-corpus codes",
+)
+def streaming_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators import pq as PQ
+    from ..operators.merge import idempotent_foreach_batch
+    from ..sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    prefix = "ivfpqs_index"
+    PQ.build_ivfpq_index(sample, prefix=prefix)
+
+    stage = tempfile.mkdtemp(prefix="stream_ivfpq_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ivfpq_ckpt_")
+    try:
+        rest.select("vec_id", "embedding").repartitionByRange(4, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            batch = batch_df.localCheckpoint()
+            if not batch.take(1):
+                return
+            PQ.ivfpq_index_append(batch, prefix=prefix)
+
+        q = (
+            stream.writeStream.foreachBatch(idempotent_foreach_batch(fold))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(
+                "streaming_ivfpq_index_ingest: availableNow drain did not "
+                "terminate within 120s"
+            )
+        # Same cloned-session relation-cache hazard as the LSH ingest:
+        # refresh the appended/stored tables in THIS session.
+        for t in ("codes", "centroids", "codebook"):
+            spark.catalog.refreshTable(f"{prefix}_{t}")
+        probes = emb.filter(F.col("vec_id") < 3)
+        indexed = PQ.ivfpq_topk_indexed(
+            spark, emb, probes, prefix=prefix, k=10, nprobe=4
+        )
+        # On-the-fly twin: SAME stored geometry, codes recomputed inline
+        # over the full corpus — agreement proves the streamed appends
+        # encoded exactly what a batch encode would have.
+        cents = spark.table(f"{prefix}_centroids")
+        cb = spark.table(f"{prefix}_codebook")
+        from ..operators.similarity import spherical_assign
+
+        cells = spherical_assign(emb, cents).select(
+            "vec_id", F.col("centroid_id").alias("cell")
+        )
+        live_codes = PQ.pq_encode(emb, cb, m=16).join(cells, "vec_id")
+        live = PQ.ivfpq_topk(
+            emb, probes, k=10, nprobe=4,
+            index={"centroids": cents, "codebook": cb, "codes": live_codes},
+        )
+        both = indexed.join(live, ["query_id", "vec_id", "cosine", "rank"], "left_semi")
+        n_idx = indexed.groupBy("query_id").agg(F.count("*").alias("n_indexed"))
+        n_agr = both.groupBy("query_id").agg(F.count("*").alias("n_agree"))
+        return n_idx.join(n_agr, "query_id", "left").select(
+            "query_id",
+            F.col("n_indexed").cast("long").alias("n_indexed"),
+            F.coalesce("n_agree", F.lit(0)).cast("long").alias("n_agree"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
     "streaming_hll_sketch_maintenance",
     # Batch-equivalence contract: after draining every micro-batch, the
     # per-type union of the incrementally-maintained per-(type, day)

@@ -154,6 +154,7 @@ HEADLINE = [
     "similarity_pq_recall_profile",
     "similarity_ivfpq_recall_profile",
     "similarity_ivfpq_indexed_agreement",
+    "streaming_ivfpq_index_ingest",
 ]
 
 
@@ -215,6 +216,16 @@ def main() -> None:
                 "sf": sf,
                 "samples": {k: [round(t, 3) for t in v] for k, v in samples.items()},
                 "notes": {
+                    # The three r8 ANN index queries each BUILD their
+                    # index from scratch inside the measured region
+                    # (persisted bucketed-table writes, Lloyd rounds,
+                    # streamed appends) — that build is the tested
+                    # contract, and at fixture scale the time is
+                    # JOB-COUNT bound (dozens of small Spark jobs), not
+                    # data bound: the scale probe measured the PQ
+                    # train+encode+search chain FLAT at 16x data (1.4x).
+                    "similarity_ivfpq_indexed_agreement": "cost = full persisted-index build per sample; job-count bound, flat at 16x in SCALING.md",
+                    "streaming_ivfpq_index_ingest": "cost = offline geometry build + per-file micro-batch appends; the drain is the tested contract",
                     # r8 isolated re-measure (VERDICT r7 item 6): the
                     # corpus_curation_funnel r5->r7 drift (5.1 -> 6.5 s) does
                     # NOT survive isolation as a plan change. Clean-session

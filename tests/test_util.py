@@ -152,6 +152,7 @@ def test_driver_window_covers_oracle_backed_queries():
         "similarity_pq_recall_profile",
         "similarity_ivfpq_recall_profile",
         "similarity_ivfpq_indexed_agreement",
+        "streaming_ivfpq_index_ingest",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
