@@ -192,7 +192,14 @@ def pq_topk(
     Ranking is deterministic: 6-rounded score, vec_id tie-break. Scores
     approximate cosine * 127^2 (both sides normalized+quantized); rerank
     the returned candidates with `similarity.cosine_topk` when exact final
-    order matters (standard PQ practice)."""
+    order matters (standard PQ practice).
+
+    Self-matches are NOT excluded here (the code table is opaque — a
+    query id is not known to denote the same vector as a corpus id);
+    the rerank stages (`pq_topk_reranked`, `ivfpq_topk`) drop them,
+    matching `cosine_topk`'s contract. In the pinned ADC profile this
+    makes `n_brute_hits` read one lower per in-corpus probe than a
+    self-excluding scan would — a deliberate, documented semantics."""
     dsub = in_dim // m
     qq = _normalized_qvec(queries, id_col, vec_col)
     qsub = _subvectors(qq, id_col, m, dsub).withColumnRenamed(id_col, "query_id")
