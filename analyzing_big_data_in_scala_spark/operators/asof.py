@@ -135,6 +135,14 @@ def _asof_join(
     # The matched right timestamp rides along as `t` (needed for the
     # tolerance check); the value payload nests under `v` so right_vals can
     # never collide with the internal field name.
+    # A right row with a NULL timestamp can never satisfy "at-or-before" /
+    # "at-or-after" — drop it before the union. Without this the two
+    # directions diverged: backward's ascending sort put NULL _t rows FIRST
+    # (so a NULL-ts right row could be carried as a 'match' when tolerance
+    # is None), while forward's descending sort put them LAST (never
+    # carried). Filtering makes both directions consistent regardless of
+    # tolerance.
+    right = right.filter(F.col(right_ts).isNotNull())
     rv_expr = F.struct(
         F.col(right_ts).alias("t"), F.struct(*right_vals).alias("v")
     )
@@ -171,7 +179,10 @@ def _asof_join(
         *left_cols,
         F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
-    matched = F.col("_rv").isNotNull()
+    # A LEFT row with a NULL timestamp never matches either (same
+    # asymmetry, mirrored: forward's NULLS-LAST descending sort would have
+    # carried the earliest right row into it when tolerance is None).
+    matched = F.col("_rv").isNotNull() & F.col("_t").isNotNull()
     if tolerance is not None:
         gap = (
             (F.col("_rv").getField("t") - F.col("_t"))

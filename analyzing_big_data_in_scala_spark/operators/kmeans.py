@@ -45,19 +45,31 @@ def hash_seed_centroids(
     """(centroid_id, vec_col): deterministic k-seed pick — smallest
     portable hash of the id wins, ids break ties. centroid_id = 0..k-1 in
     that order."""
-    ranked = (
+    # Bounded collect (k rows): orderBy + limit plans as
+    # TakeOrderedAndProject, so the rows arrive in (hash, id) order and
+    # enumerate directly into centroid ids. (The previous unpartitioned
+    # row_number window over the same k-row frame was value-identical but
+    # fired `WindowExec: No Partition Defined` on every seed, masking real
+    # single-partition regressions.)
+    seed_rows = (
         emb.select(
             portable_hash64(F.col(id_col)).alias("_h"), F.col(id_col).alias("_id"), vec_col
         )
         .orderBy("_h", "_id")
         .limit(k)
+        .collect()
     )
-    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    w = Window.orderBy("_h", "_id")
-    return ranked.withColumn(
-        "centroid_id", (F.row_number().over(w) - 1).cast("long")
-    ).select("centroid_id", vec_col)
+    schema = StructType(
+        [
+            StructField("centroid_id", LongType(), False),
+            StructField(vec_col, emb.schema[vec_col].dataType, True),
+        ]
+    )
+    return emb.sparkSession.createDataFrame(
+        [(i, r[vec_col]) for i, r in enumerate(seed_rows)], schema=schema
+    )
 
 
 def _update_centroids(

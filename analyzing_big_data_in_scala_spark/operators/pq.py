@@ -73,6 +73,29 @@ def _l2(a, b):
     )
 
 
+def _validate_codebook(centroids: DataFrame, m: int, in_dim: int, opname: str) -> None:
+    """Fail LOUDLY when the caller's (m, in_dim) geometry doesn't match the
+    trained codebook. Without this, a mismatched m mis-slices the query
+    subvectors and `zip_with` pads the shorter array with NULLs — every ADC
+    part becomes NULL and the shortlist silently degenerates to a vec_id
+    tie-break instead of erroring. The check is one tiny job over the
+    (m x k)-row codebook frame (<= a few hundred rows by construction)."""
+    row = centroids.agg(
+        F.countDistinct("sub").alias("n_sub"),
+        F.min(F.size("centroid")).alias("min_len"),
+        F.max(F.size("centroid")).alias("max_len"),
+    ).first()
+    dsub = in_dim // m
+    if row.n_sub != m or row.min_len != dsub or row.max_len != dsub:
+        raise ValueError(
+            f"{opname}: codebook geometry mismatch — caller passed m={m}, "
+            f"in_dim={in_dim} (expects {m} subspaces of dim {dsub}) but the "
+            f"codebook has {row.n_sub} subspaces with centroid lengths "
+            f"[{row.min_len}, {row.max_len}]. Pass the m/in_dim the codebook "
+            f"was trained with."
+        )
+
+
 def _assign(subv_df: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     """(id, sub, code): nearest centroid per (vector, subspace) — broadcast
     (m x k)-row codebook join + map-side-combined min_by argmin (6-rounded
@@ -89,7 +112,7 @@ def _assign(subv_df: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
 
 def pq_train(
     emb: DataFrame,
-    m: int = 8,
+    m: int = 16,
     k: int = 16,
     rounds: int = 2,
     in_dim: int = 64,
@@ -110,14 +133,21 @@ def pq_train(
     qdf = _normalized_qvec(emb, id_col, vec_col).localCheckpoint(eager=False)
     subv = _subvectors(qdf, id_col, m, dsub).localCheckpoint(eager=False)
 
-    seed_ids = (
+    # The k seed ids are a bounded collect (k rows, default 16): orderBy +
+    # limit is a TakeOrderedAndProject, so the collected rows arrive in
+    # hash order and enumerate directly into centroid ids. (An unpartitioned
+    # row_number window here was value-identical but fired a
+    # `WindowExec: No Partition Defined` warning on every train, drowning
+    # out real single-partition regressions elsewhere.)
+    seed_rows = (
         qdf.select(F.col(id_col), portable_hash64(F.col(id_col)).alias("_h"))
         .orderBy("_h", id_col)
         .limit(k)
+        .collect()
     )
-    w = Window.orderBy("_h", id_col)
-    seeds = seed_ids.withColumn("centroid_id", (F.row_number().over(w) - 1).cast("int")).select(
-        id_col, "centroid_id"
+    seeds = emb.sparkSession.createDataFrame(
+        [(r[0], i) for i, r in enumerate(seed_rows)],
+        schema=f"{id_col} {emb.schema[id_col].dataType.simpleString()}, centroid_id int",
     )
     centroids = (
         subv.join(F.broadcast(seeds), id_col)
@@ -138,17 +168,23 @@ def pq_train(
                 F.array_sort(F.collect_list(F.struct("j", "mean_x"))), lambda s: s["mean_x"]
             ).alias("_new")
         )
+        # Alias both frames: `updated` shares lineage with `centroids` (via
+        # the assignment), and the unaliased equality was resolved as the
+        # trivially-true `sub == sub` self-reference — value-correct here
+        # only by accident of the left join, and noisy (Spark warns on every
+        # round). Explicit aliases make the join keys unambiguous.
+        c, u = centroids.alias("_cb"), updated.alias("_up")
         centroids = (
-            centroids.join(
-                updated,
-                (centroids["sub"] == updated["sub"])
-                & (centroids["centroid_id"] == updated["code"]),
+            c.join(
+                u,
+                (F.col("_cb.sub") == F.col("_up.sub"))
+                & (F.col("_cb.centroid_id") == F.col("_up.code")),
                 "left",
             )
             .select(
-                centroids["sub"],
-                "centroid_id",
-                F.coalesce("_new", F.col("centroid")).alias("centroid"),
+                F.col("_cb.sub").alias("sub"),
+                F.col("_cb.centroid_id").alias("centroid_id"),
+                F.coalesce(F.col("_up._new"), F.col("_cb.centroid")).alias("centroid"),
             )
             .localCheckpoint(eager=False)
         )
@@ -158,7 +194,7 @@ def pq_train(
 def pq_encode(
     emb: DataFrame,
     centroids: DataFrame,
-    m: int = 8,
+    m: int = 16,
     in_dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -168,6 +204,9 @@ def pq_encode(
     Kept tall (one row per (vector, subspace)) because that is exactly the
     shape the ADC join consumes; callers wanting packed rows can
     collect_list over the id."""
+    if in_dim % m != 0:
+        raise ValueError(f"pq_encode: in_dim {in_dim} not divisible by m {m}")
+    _validate_codebook(centroids, m, in_dim, "pq_encode")
     dsub = in_dim // m
     qdf = _normalized_qvec(emb, id_col, vec_col)
     return _assign(_subvectors(qdf, id_col, m, dsub), centroids, id_col)
@@ -178,7 +217,7 @@ def pq_topk(
     centroids: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    m: int = 8,
+    m: int = 16,
     in_dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -200,6 +239,9 @@ def pq_topk(
     matching `cosine_topk`'s contract. In the pinned ADC profile this
     makes `n_brute_hits` read one lower per in-corpus probe than a
     self-excluding scan would — a deliberate, documented semantics."""
+    if in_dim % m != 0:
+        raise ValueError(f"pq_topk: in_dim {in_dim} not divisible by m {m}")
+    _validate_codebook(centroids, m, in_dim, "pq_topk")
     dsub = in_dim // m
     qq = _normalized_qvec(queries, id_col, vec_col)
     qsub = _subvectors(qq, id_col, m, dsub).withColumnRenamed(id_col, "query_id")
@@ -526,12 +568,22 @@ def ivfpq_index_append(
     matching bucket spec — per-batch cost tracks the batch, never the
     indexed corpus. Coarse centroids and codebooks intentionally do NOT
     move (classic IVF/PQ maintenance: re-fitting would silently change
-    what every PAST code means — rebuild when drift warrants it)."""
+    what every PAST code means — rebuild when drift warrants it).
+
+    Already-indexed ids are anti-joined out of the batch before encoding:
+    a duplicate (vec_id, sub, code) row would DOUBLE that vector's summed
+    adc_score in every later search, silently promoting it up the
+    shortlist. The streaming path was already protected by its foreachBatch
+    batch-id guard; this makes direct callers (replays, at-least-once
+    feeds) safe too. The anti-join probe side is the batch (small); the
+    stored side is pruned to the id column of the bucketed code table."""
     from .similarity import _append_bucketed, spherical_assign
 
     spark = batch.sparkSession
     cents = spark.table(f"{prefix}_centroids")
     cb = spark.table(f"{prefix}_codebook")
+    existing_ids = spark.table(f"{prefix}_codes").select(id_col).distinct()
+    batch = batch.join(existing_ids, id_col, "left_anti")
     cells = spherical_assign(batch, cents, id_col, vec_col).select(
         id_col, F.col("centroid_id").alias("cell")
     )

@@ -1054,3 +1054,35 @@ def test_ivfpq_index_persists_appends_and_never_retrains(spark, monkeypatch):
     after = sorted(map(tuple, PQ.ivfpq_topk_indexed(
         spark, emb, probes, prefix="t_ivfpq_app", k=5, nprobe=16).collect()))
     assert len(after) == 10
+
+    # Replay guard (r8 ADVICE): re-appending an already-indexed batch is a
+    # no-op — duplicate (vec_id, sub, code) rows would DOUBLE those
+    # vectors' summed adc_score in every later search. The anti-join
+    # inside ivfpq_index_append drops the whole replayed batch.
+    PQ.ivfpq_index_append(batch, prefix="t_ivfpq_app")
+    assert spark.table("t_ivfpq_app_codes").count() == 16 * emb.count()
+    replayed = sorted(map(tuple, PQ.ivfpq_topk_indexed(
+        spark, emb, probes, prefix="t_ivfpq_app", k=5, nprobe=16).collect()))
+    assert replayed == after
+
+
+def test_pq_codebook_geometry_mismatch_fails_loudly(spark):
+    """r8 ADVICE: a caller m that doesn't match the trained codebook must
+    raise, not silently degenerate (mis-sliced query subvectors make
+    zip_with NULL-pad every ADC part, turning the shortlist into a vec_id
+    tie-break). Both the encode and search entry points validate."""
+    import pytest as _pytest
+
+    from analyzing_big_data_in_scala_spark.operators import pq as PQ
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(64)
+    cents = PQ.pq_train(emb, m=8, k=16, rounds=1)
+    probes = emb.limit(2)
+    codes = PQ.pq_encode(emb, cents, m=8)
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        PQ.pq_encode(emb, cents, m=16)
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        PQ.pq_topk(codes, cents, probes, k=5, m=16)
+    # Matching geometry passes the same gate.
+    assert PQ.pq_topk(codes, cents, probes, k=5, m=8).count() == 10

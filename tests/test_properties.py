@@ -648,10 +648,15 @@ def test_pit_lookback_matches_python_bruteforce(spark, rows):
                 want[eid] = valid[-1][1]
     assert got == want
 
+# Timestamps include None (r8 ADVICE): a NULL ts on either side must mean
+# "never matches" in BOTH directions — before the r9 fix, backward's
+# NULLS-FIRST ascending sort could carry a NULL-ts right row as a match
+# when tolerance was None, and forward's NULLS-LAST descending sort could
+# hand a NULL-ts LEFT row the earliest right row.
 ASOF_LEFT = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),    # key
-        st.integers(min_value=0, max_value=50),   # ts
+        st.one_of(st.none(), st.integers(min_value=0, max_value=50)),  # ts
     ),
     min_size=1,
     max_size=20,
@@ -659,7 +664,7 @@ ASOF_LEFT = st.lists(
 ASOF_RIGHT = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),                    # key
-        st.integers(min_value=0, max_value=50),                   # ts
+        st.one_of(st.none(), st.integers(min_value=0, max_value=50)),  # ts
         st.one_of(st.none(), st.sampled_from(["X", "Y", "Z"])),   # val a
         st.one_of(st.none(), st.integers(min_value=0, max_value=9)),  # val b
     ),
@@ -669,6 +674,32 @@ ASOF_RIGHT = st.lists(
 )
 
 
+def _asof_bruteforce(left_rows, right_rows, forward, tol):
+    """Reference semantics shared by both property tests: NULL ts on
+    either side never matches; otherwise forward picks the EARLIEST right
+    row at-or-after, backward the LATEST at-or-before; a nearest match
+    beyond `tolerance` is no match."""
+    want = {}
+    for i, (k, t) in enumerate(left_rows):
+        if t is None:
+            want[i] = (None, None)
+            continue
+        usable = [rr for rr in right_rows if rr[0] == k and rr[1] is not None]
+        if forward:
+            cands = [rr for rr in usable if rr[1] >= t]
+            pick = min(cands, key=lambda rr: rr[1]) if cands else None
+            gap = pick[1] - t if pick else None
+        else:
+            cands = [rr for rr in usable if rr[1] <= t]
+            pick = max(cands, key=lambda rr: rr[1]) if cands else None
+            gap = t - pick[1] if pick else None
+        if pick is not None and (tol is None or gap <= tol):
+            want[i] = (pick[2], pick[3])
+        else:
+            want[i] = (None, None)
+    return want
+
+
 @PROP_SETTINGS
 # Pinned splice counterexample (always runs, independent of the random
 # draw): latest right row (t=2) has a NULL in `a`; per-column carry would
@@ -676,6 +707,12 @@ ASOF_RIGHT = st.lists(
 @example(
     left_rows=[(0, 3)],
     right_rows=[(0, 1, "X", 5), (0, 2, None, 7)],
+)
+# Pinned NULL-ts counterexample (r9 fix): a right row with NULL ts sorts
+# NULLS FIRST in the backward scan and must NOT be carried as a match.
+@example(
+    left_rows=[(0, 3)],
+    right_rows=[(0, None, "X", 5)],
 )
 @given(left_rows=ASOF_LEFT, right_rows=ASOF_RIGHT)
 def test_asof_backward_carries_latest_right_row_wholesale(spark, left_rows, right_rows):
@@ -704,21 +741,26 @@ def test_asof_backward_carries_latest_right_row_wholesale(spark, left_rows, righ
             left, right, "k", "k", "t", "t", ["a", "b"]
         ).collect()
     }
-    want = {}
-    for i, (k, t) in enumerate(left_rows):
-        cands = [rr for rr in right_rows if rr[0] == k and rr[1] <= t]
-        if cands:
-            _, _, a, b = max(cands, key=lambda rr: rr[1])
-            want[i] = (a, b)
-        else:
-            want[i] = (None, None)  # left join: no qualifying right row
-    assert got == want
+    assert got == _asof_bruteforce(left_rows, right_rows, forward=False, tol=None)
 
 @PROP_SETTINGS
 @example(  # splice pin, forward flavor: nearest-at-or-after row wholesale
     left_rows=[(0, 1)],
     right_rows=[(0, 3, "X", 5), (0, 2, None, 7)],
     forward=True,
+    tol=None,
+)
+@example(  # NULL-ts LEFT row pin (r9 fix): forward's NULLS-LAST descending
+    # sort would otherwise carry the earliest right row into it.
+    left_rows=[(0, None)],
+    right_rows=[(0, 2, "X", 5)],
+    forward=True,
+    tol=None,
+)
+@example(  # NULL-ts RIGHT row pin, backward, tolerance=None.
+    left_rows=[(0, 3)],
+    right_rows=[(0, None, "X", 5)],
+    forward=False,
     tol=None,
 )
 @given(
@@ -755,18 +797,4 @@ def test_asof_direction_and_tolerance_match_bruteforce(
         r.lid: (r.a, r.b)
         for r in op(left, right, "k", "k", "t", "t", ["a", "b"], tolerance=tol).collect()
     }
-    want = {}
-    for i, (k, t) in enumerate(left_rows):
-        if forward:
-            cands = [rr for rr in right_rows if rr[0] == k and rr[1] >= t]
-            pick = min(cands, key=lambda rr: rr[1]) if cands else None
-            gap = pick[1] - t if pick else None
-        else:
-            cands = [rr for rr in right_rows if rr[0] == k and rr[1] <= t]
-            pick = max(cands, key=lambda rr: rr[1]) if cands else None
-            gap = t - pick[1] if pick else None
-        if pick is not None and (tol is None or gap <= tol):
-            want[i] = (pick[2], pick[3])
-        else:
-            want[i] = (None, None)
-    assert got == want
+    assert got == _asof_bruteforce(left_rows, right_rows, forward=forward, tol=tol)
