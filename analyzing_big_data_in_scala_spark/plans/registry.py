@@ -23,18 +23,36 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None -> driver runs rows-only check
     description: str
+    # Scale the oracle's constants were pinned at (e.g. "sf0.01"), or None
+    # when the oracle is scale-generic SQL. Pinned oracles are only valid
+    # at exactly that sf — the local self-check and the pytest parity sweep
+    # skip them elsewhere (a pinned-constants table compared at any other
+    # scale is a guaranteed false red). The driver runs at sf0.01, which is
+    # why every pin in the repo is an sf0.01 pin.
+    pinned_sf: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, description: str = "") -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    pinned_sf: str | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Register a query. Used as a decorator in the plans modules."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, description=description or (fn.__doc__ or "").strip())
+        QUERIES[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            description=description or (fn.__doc__ or "").strip(),
+            pinned_sf=pinned_sf,
+        )
         return fn
 
     return deco

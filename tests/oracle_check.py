@@ -15,13 +15,18 @@ import pandas as pd
 
 # Queries whose oracle is a constants table pinned at one specific scale:
 # checking them at any other sf is a guaranteed false red, so the
-# self-check (and the pytest parity sweep) skip them elsewhere.
+# self-check (and the pytest parity sweep) skip them elsewhere. Derived
+# from the registry (QuerySpec.pinned_sf) — the @query registration is the
+# single source of truth for where an oracle's constants were measured.
+import sys as _sys  # noqa: E402
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:  # `python tests/oracle_check.py` has tests/ first
+    _sys.path.insert(0, _REPO_ROOT)
+from analyzing_big_data_in_scala_spark.plans import QUERIES as _QUERIES  # noqa: E402
+
 PINNED_SF: dict[str, str] = {
-    "ml_sentiment_metrics": "sf0.01",
-    "ml_sentiment_metrics_full_grid": "sf0.01",
-    "similarity_ann_recall_profile": "sf0.01",
-    "similarity_pq_recall_profile": "sf0.01",
-    "similarity_ivfpq_recall_profile": "sf0.01",
+    name: spec.pinned_sf for name, spec in _QUERIES.items() if spec.pinned_sf
 }
 
 TABLES = (
