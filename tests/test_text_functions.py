@@ -82,9 +82,53 @@ def test_multimodal_features_match_hashlib(spark):
     assert row.fake_height == int(h[4:8], 16) % 1024
 
 
-def test_decode_image_stub_raises_audio_is_real():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"")
+def test_decode_image_is_real_ppm_parser():
+    """decode_image is REAL as of r9 (hand-rolled binary-PPM parser): a
+    known 2x2 image decodes to exact integer stats, header comments are
+    skipped, and malformed payloads fail loudly (wrong magic, 2-byte
+    maxval, truncated raster) rather than mis-parsing."""
+    # 2x2 RGB: pixels (R,G,B) = (10,20,30) (40,50,60) (70,80,90) (200,0,255)
+    raster = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 0, 255])
+    ppm = b"P6\n# comment in header\n2 2\n255\n" + raster
+    assert MM.decode_image(ppm) == {
+        "width": 2,
+        "height": 2,
+        "n_pixels": 4,
+        "sum_r": 10 + 40 + 70 + 200,
+        "sum_g": 20 + 50 + 80 + 0,
+        "sum_b": 30 + 60 + 90 + 255,
+        "peak": 255,
+    }
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        MM.decode_image(b"P5\n2 2\n255\n" + raster)
+    with pytest.raises(ValueError, match="1-byte samples"):
+        MM.decode_image(b"P6\n2 2\n65535\n" + raster * 2)
+    with pytest.raises(ValueError, match="raster truncated"):
+        MM.decode_image(b"P6\n2 2\n255\n" + raster[:-1])
+
+
+def test_resize_ppm_nearest_neighbor_round_trips():
+    """resize_ppm is REAL (r9): nearest-neighbor downscale/upscale matches
+    the integer source-index map, and the output is a well-formed P6 that
+    round-trips through decode_image."""
+    # 2x1 source: left pixel (1,2,3), right pixel (9,8,7).
+    src = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 9, 8, 7])
+    up = MM.resize_ppm(src, 4, 2)
+    feats = MM.decode_image(up)
+    assert (feats["width"], feats["height"]) == (4, 2)
+    # sx for x in 0..3 over src_w=2: x*2//4 -> 0,0,1,1; both rows identical.
+    want_row = bytes([1, 2, 3, 1, 2, 3, 9, 8, 7, 9, 8, 7])
+    assert up.endswith(want_row + want_row)
+    down = MM.resize_ppm(src, 1, 1)  # sx = 0 -> left pixel survives
+    assert MM.decode_image(down) == {
+        "width": 1, "height": 1, "n_pixels": 1,
+        "sum_r": 1, "sum_g": 2, "sum_b": 3, "peak": 3,
+    }
+    with pytest.raises(ValueError, match="positive"):
+        MM.resize_ppm(src, 0, 1)
+
+
+def test_decode_audio_is_real():
     # decode_audio is REAL as of r8 (stdlib wave): round-trip a known WAV.
     import array
     import io
@@ -134,6 +178,30 @@ def test_audio_features_decode_synthesized_corpus(spark):
         n = 64 + d % 64
         assert r.n_frames == n
         assert r.sum_sq == sum((((d * 31 + i * 7) % 2001) - 1000) ** 2 for i in range(n))
+
+
+def test_image_features_decode_synthesized_corpus(spark):
+    """End-to-end real image decode (the audio test's twin): the Arrow
+    batch path (synth_ppm_payloads -> image_features) equals the scalar
+    decode_image per payload, and the synthesized arithmetic matches the
+    oracle formula (channel-c sample at flat pixel p of doc d is
+    (d*31 + p*7 + c*5) % 256 over a (4 + d%13) x (3 + d%11) raster)."""
+    ids = spark.createDataFrame([(0,), (5,), (12,), (142,)], "doc_id long")
+    ppms = {r.doc_id: bytes(r.payload) for r in MM.synth_ppm_payloads(ids).collect()}
+    got = {r.doc_id: r for r in MM.image_features(MM.synth_ppm_payloads(ids)).collect()}
+    for d, payload in ppms.items():
+        want = MM.decode_image(payload)
+        r = got[d]
+        assert (r.width, r.height, r.n_pixels, r.sum_r, r.sum_g, r.sum_b, r.peak) == (
+            want["width"], want["height"], want["n_pixels"],
+            want["sum_r"], want["sum_g"], want["sum_b"], want["peak"],
+        )
+        w, h = 4 + d % 13, 3 + d % 11
+        assert (r.width, r.height) == (w, h)
+        assert r.sum_g == sum((d * 31 + p * 7 + 5) % 256 for p in range(w * h))
+        # resize round-trip on real corpus bytes: 1x1 keeps pixel p=0.
+        one = MM.decode_image(MM.resize_ppm(payload, 1, 1))
+        assert one["sum_r"] == (d * 31) % 256
 
 
 def test_stream_batch_equivalence(spark):
