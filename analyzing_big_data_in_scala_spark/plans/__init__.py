@@ -23,92 +23,87 @@ from . import streaming_queries  # noqa: F401,E402
 #   inside tfidf_matrix, minhash signatures inside minhash candidates), the
 #   SUPERSET query holds the slot and the building-block query is demoted
 #   past 50 (still registered, still unit-tested, still runnable).
-# - Rows-only queries (iterative PageRank/CC, approximate ANN) sit after
-#   the window except ml_sentiment_metrics and lineitem_approx_profile,
-#   whose rows-only driver records are themselves the evidence that the
-#   ML pipeline / sketch profiling run end to end.
+# - As of r9 every registered query is oracle-backed (174/174 — the last
+#   rows-only pair gained pinned full-top-10 VALUES oracles), so every
+#   window slot yields a full rows+schema+hash driver row.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-8 rotation (VERDICT r7 item 1, carried from r6 item 1).
-    #  1. The 31 queries that have NEVER had a driver CORRECTNESS row
-    #     (the r6 continuation/third-session additions — lakehouse
-    #     MERGE/backfill/erasure/PIT, sketch rollups, HITS/TrustRank,
-    #     hybrid retrieval + eval, streaming folds, shard manifest,
-    #     schema evolution, etc.) take their first rows. All are
-    #     sweep-green at sf0.001+sf0.01 with unchanged implementations.
-    #  2. The r1-stub-rowed trio the r7 verdict called out gets fresh
-    #     rows: graph_pagerank_tol (gained its oracle in r6 — first
-    #     value-checked driver row) plus the rows-only ANN pair
-    #     similarity_ivf_topk / similarity_lsh_topk (fresh end-to-end
-    #     rows; values covered by the recall-profile/indexed-agreement
-    #     oracles that ran green in r7).
-    #  3. The r1-oracle building-block trio demoted in r6
-    #     (tfidf_term_frequencies, dedup_minhash_signatures,
-    #     dedup_simhash) cycles back for direct value checks.
-    #  4. The remaining 13 slots take events_asof_latest_order (ADVICE
-    #     r7 asked for a driver row on the asof-backed pair after the
-    #     struct-carry rewrite; events_pit_state_lookback is in group 1)
-    #     plus the 12 oldest other r2-evidence queries.
-    #  The 9 leftover r2 queries + 7 r3 queries rotate in r9; every
-    #  query evicted here is r6/r7-green with unchanged code, so those
-    #  rows stand as current evidence.
+    # Round-9 rotation (VERDICT r8 items 1+2):
+    #  1. The 9 r8-new queries that have never had a driver CORRECTNESS
+    #     row (PQ / IVF-PQ profile+agreement family, streaming IVF-PQ
+    #     ingest, the forward/tolerance as-of pair, the real WAV decode,
+    #     both leakage queries) take their first rows, plus the r9-new
+    #     real PPM image decode query.
+    #  2. The retired rows-only pair similarity_ivf_topk /
+    #     similarity_lsh_topk takes its first HASH-checked rows (their
+    #     new pinned full-top-10 VALUES oracles land this round — the
+    #     registry is now 174/174 oracle-backed, `err:"no_oracle"` gone).
+    #  3. The 8 r2-evidence + 7 r3-evidence stragglers (the oldest
+    #     standing driver rows in the repo) cycle back for fresh rows.
+    #  4. The remaining 23 slots take the oldest r5-evidence queries
+    #     (alphabetical prefix of the 49-query r5 cohort); the other 26
+    #     r5 queries queue for r10. Every query evicted from the r8
+    #     window is r7/r8-green with unchanged code, so those rows stand
+    #     as current evidence.
 
-    # First driver rows ever (31) + the asof r2 pair-mate (ADVICE r7)
-    "events_pit_state_lookback",
-    "events_asof_latest_order",
-    "orders_merge_change_feed",
-    "events_rollup_backfill",
-    "events_rollup_user_erasure",
-    "orders_schema_evolution",
-    "lineitem_bloom_pruned_join",
-    "orders_weekly_revenue_delta",
-    "orders_lineitem_join_cardinality",
-    "events_value_histogram",
-    "events_value_deciles",
-    "events_value_mad_outliers",
-    "events_value_ewma",
-    "events_type_run_lengths",
-    "events_markov_transitions",
-    "events_hll_daily_rollup",
-    "events_kll_value_rollup",
-    "events_theta_audience_overlap",
-    "graph_trustrank_from_seeds",
-    "graph_hits_authorities",
-    "dedup_containment_pairs",
-    "customer_entity_clusters",
-    "corpus_bpe_token_stats",
-    "corpus_token_drift",
-    "corpus_shard_manifest",
-    "documents_balanced_sample",
-    "search_hybrid_rrf",
-    "search_retrieval_eval",
-    "streaming_cms_heavy_hitters",
-    "streaming_click_attribution_outer",
-    "streaming_ann_index_ingest",
-    "streaming_hll_sketch_maintenance",
-    # r1-stub-rowed trio (fresh rows; pagerank_tol now oracle-backed)
-    "graph_pagerank_tol",
+    # r8-new first rows + the r9 image decode query (10)
+    "similarity_pq_recall_profile",
+    "similarity_ivfpq_recall_profile",
+    "similarity_ivfpq_indexed_agreement",
+    "streaming_ivfpq_index_ingest",
+    "events_asof_next_purchase_2h",
+    "events_asof_last_signup_7d",
+    "multimodal_audio_wav_features",
+    "corpus_split_leakage_audit",
+    "corpus_leakage_safe_split",
+    "multimodal_image_ppm_features",
+    # retired rows-only pair: first hash rows on the new pinned oracles
     "similarity_ivf_topk",
     "similarity_lsh_topk",
-    # r1-oracle building blocks cycling back
-    "tfidf_term_frequencies",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    # Oldest r2-evidence remainder (12 of 21; rest queue for r9)
-    "corpus_pmi_collocations",
-    "customer_fuzzy_name_matches",
-    "dedup_cross_source_matrix",
-    "dedup_embedding_cosine",
-    "dedup_incremental_batch",
-    "doc_url_domains",
-    "documents_hash_sample_split",
-    "documents_source_mixture",
-    "documents_token_shards",
-    "events_range_join_daily_windows",
-    "events_salted_by_type",
-    "orders_data_profile",
+    # r2-evidence remainder (8)
+    "events_session_window_native",
+    "events_sliding_20min",
+    "events_user_sessions",
+    "ner_gazetteer_counts",
+    "orders_quality_checks",
+    "similarity_quantized_topk",
+    "streaming_sentiment_counts",
+    "tfidf_doc_frequencies_stemmed",
+    # r3-evidence remainder (7)
+    "embeddings_random_projection",
+    "entity_cooccurrence_edges",
+    "events_value_quartiles_by_type",
+    "graph_bfs_hops",
+    "orders_incremental_agg_refresh",
+    "orders_rank_functions",
+    "orders_salted_segment_revenue",
+    # oldest r5-evidence cohort (23 of 49; the rest queue for r10)
+    "corpus_curation_funnel",
+    "corpus_curation_funnel_strided",
+    "corpus_curation_pipeline",
+    "corpus_training_shards",
+    "dedup_near_clusters",
+    "dedup_semantic",
+    "doc_chunk_dedup",
+    "doc_decontamination",
+    "doc_perplexity_proxy",
+    "doc_repetition_filters",
+    "documents_quality_topfrac",
+    "documents_quality_weighted_sample",
+    "embeddings_centroid_outliers",
+    "embeddings_dimension_profile",
+    "embeddings_kmeans_lloyd",
+    "events_approx_group_profile",
+    "events_conversion_funnel",
+    "events_json_by_type",
+    "events_late_arrival_profile",
+    "events_multires_rollup",
+    "events_resample_10min_gapfill",
+    "events_rolling_zscore_anomalies",
+    "events_scd2_incremental",
 )
+
 
 
 def _reorder_registry() -> None:

@@ -77,47 +77,16 @@ def test_driver_window_covers_oracle_backed_queries():
     assert len(DRIVER_WINDOW) == 50
 
     deliberate_demotions = {
-        # Round-8 rotation ledger (VERDICT r7 item 1): the window now
-        # holds the 31 never-driver-checked queries (first rows ever),
-        # the r1-stub-rowed trio, the r1-oracle building-block trio, and
-        # the 13 oldest r2-evidence queries (incl. the asof pair-mate).
-        # Every demotion below keeps its newest green CORRECTNESS row as
-        # standing evidence; the r2/r3 remainder rotates back in r9.
-        # --- r6/r7-GREEN evictees (CORRECTNESS_r06/_r07 rows stand,
-        #     code unchanged):
-        "doc_exact_substring_removal", "streaming_session_windows",
-        "streaming_user_totals", "similarity_ann_recall_profile",
-        "top_customers_by_orders", "pricing_summary", "revenue_by_nation",
-        "order_priority_counts", "top_parts_by_revenue",
-        "customer_order_full_outer", "supplier_part_type_share",
-        "top_customers_per_segment", "customer_order_running_total",
-        "customers_with_expensive_items", "customers_without_orders_filtered",
-        "customer_segment_setops", "revenue_rollup", "brand_returnflag_pivot",
-        "global_agg_stats", "tfidf_doc_frequencies", "tfidf_idf",
-        "tfidf_matrix", "search_single_word", "search_multi_word_cosine",
-        "search_multi_word_reference", "search_batch_queries",
-        "entity_word_count", "doc_token_stats", "doc_bpe_token_stats",
-        "doc_quality_scores", "doc_language_id", "graph_out_degrees",
-        "graph_in_degrees", "graph_triangle_counts", "graph_pagerank",
-        "graph_component_sizes", "dedup_exact_groups", "dedup_ngram_jaccard",
-        "dedup_jaccard_df_capped", "dedup_minhash_candidates",
-        "dedup_simhash_pairs", "doc_fingerprint_rolling",
-        "doc_winnow_fingerprints", "similarity_cosine_topk",
-        "lineitem_zorder_keys", "doc_pii_scan",
-        "similarity_lsh_indexed_agreement", "doc_semantic_decontamination",
-        "corpus_bpe_merges", "graph_label_propagation",
-        # --- r5-GREEN evictees (CORRECTNESS_r05 rows stand, unchanged):
-        "corpus_curation_funnel", "corpus_curation_funnel_strided",
-        "corpus_curation_pipeline", "corpus_training_shards",
-        "dedup_near_clusters", "dedup_semantic", "doc_chunk_dedup",
-        "doc_decontamination", "doc_perplexity_proxy",
-        "doc_repetition_filters", "documents_quality_topfrac",
-        "documents_quality_weighted_sample", "embeddings_centroid_outliers",
-        "embeddings_dimension_profile", "embeddings_kmeans_lloyd",
-        "events_approx_group_profile", "events_conversion_funnel",
-        "events_json_by_type", "events_late_arrival_profile",
-        "events_multires_rollup", "events_resample_10min_gapfill",
-        "events_rolling_zscore_anomalies", "events_scd2_incremental",
+        # Round-9 rotation ledger (VERDICT r8 items 1+2): the window now
+        # holds the 9 r8-new queries + the r9 image decode query (first
+        # rows ever), the retired rows-only pair (first HASH rows on
+        # their new pinned oracles), the r2/r3-evidence stragglers, and
+        # the 23 alphabetically-first r5-evidence queries. Every demotion
+        # below keeps its newest green CORRECTNESS row (r5/r7/r8) as
+        # standing evidence; as of r9 ALL registered queries are
+        # oracle-backed, so this set is exactly registry-minus-window.
+        # --- r5-GREEN (CORRECTNESS_r05 rows stand; r10 queue — the 26
+        #     r5-cohort queries the 23 window slots didn't fit):
         "events_scd2_user_state", "events_seasonal_naive_eval",
         "events_tumbling_10min", "events_type_association_rules",
         "events_weekly_retention", "graph_components_two_phase",
@@ -127,32 +96,61 @@ def test_driver_window_covers_oracle_backed_queries():
         "multimodal_payload_features", "orders_merge_upsert",
         "search_bm25_topk", "similarity_cluster_assign",
         "similarity_projected_topk", "streaming_click_purchase_join",
-        "streaming_dedup_distinct_users", "streaming_first_seen_custom_state",
+        "streaming_dedup_distinct_users",
+        "streaming_first_seen_custom_state",
         "streaming_first_seen_per_user", "streaming_incremental_rollup",
         "streaming_kafka_feed", "streaming_static_enrichment",
         "streaming_tumbling_counts", "terms_cms_heavy_hitters",
-        # --- r2-GREEN remainder (CORRECTNESS_r02 rows stand; r9 queue):
-        "events_session_window_native", "events_sliding_20min",
-        "events_user_sessions", "ner_gazetteer_counts",
-        "orders_quality_checks", "similarity_quantized_topk",
-        "streaming_sentiment_counts", "tfidf_doc_frequencies_stemmed",
-        # --- r3-GREEN remainder (CORRECTNESS_r03 rows stand; r9 queue):
-        "embeddings_random_projection", "entity_cooccurrence_edges",
-        "events_value_quartiles_by_type", "graph_bfs_hops",
-        "orders_incremental_agg_refresh", "orders_rank_functions",
-        "orders_salted_segment_revenue",
-        # --- NEW in r8 (sweep-green at sf0.001 + sf0.01 this round; r9
-        #     window queue): real stdlib-wave audio decode; forward as-of
-        #     label join with horizon; backward as-of with staleness TTL.
-        "multimodal_audio_wav_features",
-        "events_asof_next_purchase_2h",
-        "events_asof_last_signup_7d",
-        "corpus_split_leakage_audit",
-        "corpus_leakage_safe_split",
-        "similarity_pq_recall_profile",
-        "similarity_ivfpq_recall_profile",
-        "similarity_ivfpq_indexed_agreement",
-        "streaming_ivfpq_index_ingest",
+        # --- r7-GREEN evictees (CORRECTNESS_r07 rows stand, unchanged):
+        "brand_returnflag_pivot", "corpus_bpe_merges",
+        "customer_order_full_outer", "customer_order_running_total",
+        "customer_segment_setops", "customers_with_expensive_items",
+        "customers_without_orders_filtered", "dedup_exact_groups",
+        "dedup_jaccard_df_capped", "dedup_minhash_candidates",
+        "dedup_ngram_jaccard", "dedup_simhash_pairs",
+        "doc_bpe_token_stats", "doc_exact_substring_removal",
+        "doc_fingerprint_rolling", "doc_language_id", "doc_pii_scan",
+        "doc_quality_scores", "doc_semantic_decontamination",
+        "doc_token_stats", "doc_winnow_fingerprints",
+        "entity_word_count", "global_agg_stats", "graph_component_sizes",
+        "graph_in_degrees", "graph_label_propagation",
+        "graph_out_degrees", "graph_pagerank", "graph_triangle_counts",
+        "lineitem_zorder_keys", "order_priority_counts",
+        "pricing_summary", "revenue_by_nation", "revenue_rollup",
+        "search_batch_queries", "search_multi_word_cosine",
+        "search_multi_word_reference", "search_single_word",
+        "similarity_ann_recall_profile", "similarity_cosine_topk",
+        "similarity_lsh_indexed_agreement", "streaming_session_windows",
+        "streaming_user_totals", "supplier_part_type_share",
+        "tfidf_doc_frequencies", "tfidf_idf", "tfidf_matrix",
+        "top_customers_by_orders", "top_customers_per_segment",
+        "top_parts_by_revenue",
+        # --- r8-GREEN evictees (CORRECTNESS_r08 rows stand, unchanged):
+        "corpus_bpe_token_stats", "corpus_pmi_collocations",
+        "corpus_shard_manifest", "corpus_token_drift",
+        "customer_entity_clusters", "customer_fuzzy_name_matches",
+        "dedup_containment_pairs", "dedup_cross_source_matrix",
+        "dedup_embedding_cosine", "dedup_incremental_batch",
+        "dedup_minhash_signatures", "dedup_simhash", "doc_url_domains",
+        "documents_balanced_sample", "documents_hash_sample_split",
+        "documents_source_mixture", "documents_token_shards",
+        "events_asof_latest_order", "events_hll_daily_rollup",
+        "events_kll_value_rollup", "events_markov_transitions",
+        "events_pit_state_lookback", "events_range_join_daily_windows",
+        "events_rollup_backfill", "events_rollup_user_erasure",
+        "events_salted_by_type", "events_theta_audience_overlap",
+        "events_type_run_lengths", "events_value_deciles",
+        "events_value_ewma", "events_value_histogram",
+        "events_value_mad_outliers", "graph_hits_authorities",
+        "graph_pagerank_tol", "graph_trustrank_from_seeds",
+        "lineitem_bloom_pruned_join", "orders_data_profile",
+        "orders_lineitem_join_cardinality", "orders_merge_change_feed",
+        "orders_schema_evolution", "orders_weekly_revenue_delta",
+        "search_hybrid_rrf", "search_retrieval_eval",
+        "streaming_ann_index_ingest",
+        "streaming_click_attribution_outer",
+        "streaming_cms_heavy_hitters",
+        "streaming_hll_sketch_maintenance", "tfidf_term_frequencies",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
