@@ -155,7 +155,59 @@ HEADLINE = [
     "similarity_ivfpq_recall_profile",
     "similarity_ivfpq_indexed_agreement",
     "streaming_ivfpq_index_ingest",
+    # r9: real PPM image decode path (the WAV twin)
+    "multimodal_image_ppm_features",
 ]
+
+
+def _prepare_ivfpq_agreement(spark, sf_dir: str):
+    """Build-once/search-many split for the persisted-index agreement
+    query (VERDICT r8 item 4): rebuilding BOTH indexes (persisted tables +
+    live in-memory) inside every bench sample cost 22 s/sample at sf0.1 —
+    10% of the r8 headline — while the operator's real usage amortizes one
+    build across every search. Returns (build_sec, run_thunk): the build
+    is timed ONCE and reported as its own `similarity_ivfpq_index_build`
+    entry; the thunk produces the agreement frame over the prebuilt
+    indexes and is what the median-of-3 loop measures. The REGISTRY query
+    stays self-contained (build + search) for the correctness driver —
+    this split changes only what bench times, not any query's semantics."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators import pq as PQ
+    from analyzing_big_data_in_scala_spark.plans.pipeline_queries import (
+        ivfpq_agreement_frame,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    t0 = time.perf_counter()
+    PQ.build_ivfpq_index(emb, prefix="bench_ivfpq_idx")
+    live_index = PQ.ivfpq_build(emb)
+    # Force the live index's lazy localCheckpoints so the build pays its
+    # own cost here, not inside the first timed search sample.
+    for frame in live_index.values():
+        frame.write.mode("overwrite").format("noop").save()
+    build_sec = time.perf_counter() - t0
+
+    def run():
+        return ivfpq_agreement_frame(
+            spark, emb, probes, prefix="bench_ivfpq_idx", live_index=live_index
+        )
+
+    return build_sec, run
+
+
+# Bench entries measured over a one-shot prepared state instead of the
+# registry fn. Key = the headline name whose per-sample measurement becomes
+# search-only; value = (build_entry_name, factory). The build time lands in
+# the results under build_entry_name (single-shot, annotated in notes).
+PREPARED = {
+    "similarity_ivfpq_indexed_agreement": (
+        "similarity_ivfpq_index_build",
+        _prepare_ivfpq_agreement,
+    ),
+}
 
 
 def main() -> None:
@@ -171,11 +223,26 @@ def main() -> None:
     # first-touch file listing don't pollute the measured steady state.
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
+        if name in PREPARED:
+            continue  # warmed by its own prepare below
         try:
             QUERIES[name].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception:
             pass
 
+    spark.catalog.clearCache()
+
+    # Build-once state for PREPARED entries: the one-shot build is timed
+    # and reported under its own *_build name; the per-sample loop then
+    # measures search-only cost over the prebuilt state (the operator's
+    # real usage shape). Warm the search path once before the timed passes.
+    build_times: dict[str, float] = {}
+    prepared_runs: dict[str, object] = {}
+    for name, (build_name, factory) in PREPARED.items():
+        build_sec, run = factory(spark, sf_dir)
+        build_times[build_name] = round(build_sec, 3)
+        prepared_runs[name] = run
+        run().write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
 
     # Median-of-3 per query (VERDICT r2 item 7): single runs drifted ~1.5x
@@ -186,9 +253,12 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
         for name in HEADLINE:
-            fn = QUERIES[name].fn
+            if name in prepared_runs:
+                frame_fn = lambda: prepared_runs[name]()  # noqa: B023
+            else:
+                frame_fn = lambda: QUERIES[name].fn(spark, sf_dir)  # noqa: B023
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            frame_fn().write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
             # Intra-query caches (jaccard/triangle/etc.) are scoped to their
             # own query; dropping them between measurements keeps later
@@ -196,6 +266,7 @@ def main() -> None:
             spark.catalog.clearCache()
 
     times = {name: round(sorted(ts)[1], 3) for name, ts in samples.items()}
+    times.update(build_times)  # one-shot index builds, timed once
     total = round(sum(times.values()), 3)
 
     # Full per-query map goes to a side file; the printed line stays compact.
@@ -224,7 +295,8 @@ def main() -> None:
                     # JOB-COUNT bound (dozens of small Spark jobs), not
                     # data bound: the scale probe measured the PQ
                     # train+encode+search chain FLAT at 16x data (1.4x).
-                    "similarity_ivfpq_indexed_agreement": "cost = full persisted-index build per sample; job-count bound, flat at 16x in SCALING.md",
+                    "similarity_ivfpq_index_build": "one-shot build (timed once, not median-of-3): persisted bucketed code/centroid/codebook tables + the live in-memory index the agreement query compares against; job-count bound at fixture scale, flat at 16x in SCALING.md",
+                    "similarity_ivfpq_indexed_agreement": "search-only per sample as of r9 (VERDICT r8 item 4): agreement frame over the prebuilt indexes — the build cost moved to similarity_ivfpq_index_build; the registry query is unchanged (still self-contained build+search for the driver)",
                     "streaming_ivfpq_index_ingest": "cost = offline geometry build + per-file micro-batch appends; the drain is the tested contract",
                     # r8 isolated re-measure (VERDICT r7 item 6): the
                     # corpus_curation_funnel r5->r7 drift (5.1 -> 6.5 s) does
@@ -256,7 +328,10 @@ def main() -> None:
                 # No silent caps: how many registered queries the headline
                 # set does NOT time (streaming/foreachBatch fixtures and
                 # building-block queries measured inside their supersets).
-                "n_excluded": len(QUERIES) - len(times),
+                # Counted against registry entries only — the one-shot
+                # *_build entries in `times` are bench-local, not registry
+                # queries.
+                "n_excluded": len(QUERIES) - len([n for n in times if n in QUERIES]),
                 "detail": "BENCH_DETAIL.json",
             }
         )
