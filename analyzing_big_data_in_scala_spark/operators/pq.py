@@ -46,9 +46,12 @@ def _normalized_qvec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return quantize_int8(normed, id_col, "_nv").select(id_col, "qvec")
 
 
-def _subvectors(qdf: DataFrame, id_col: str, m: int, dsub: int) -> DataFrame:
-    """(id, sub, subv): explode each quantized vector into its m
-    subvectors (integer-valued doubles, length dsub each)."""
+def _subvectors(qdf: DataFrame, id_col, m: int, dsub: int) -> DataFrame:
+    """(id..., sub, subv): explode each quantized vector into its m
+    subvectors (integer-valued doubles, length dsub each). `id_col` may be
+    a single name or a list of carry columns (the residual path keys query
+    subvectors by (query_id, cell))."""
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     subs = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
@@ -61,8 +64,8 @@ def _subvectors(qdf: DataFrame, id_col: str, m: int, dsub: int) -> DataFrame:
             ),
         )
     )
-    return qdf.select(id_col, subs.alias("_s")).select(
-        id_col, F.col("_s.sub").alias("sub"), F.col("_s.subv").alias("subv")
+    return qdf.select(*id_cols, subs.alias("_s")).select(
+        *id_cols, F.col("_s.sub").alias("sub"), F.col("_s.subv").alias("subv")
     )
 
 
@@ -130,7 +133,18 @@ def pq_train(
     if in_dim % m != 0:
         raise ValueError(f"pq_train: in_dim {in_dim} not divisible by m {m}")
     dsub = in_dim // m
-    qdf = _normalized_qvec(emb, id_col, vec_col).localCheckpoint(eager=False)
+    qdf = _normalized_qvec(emb, id_col, vec_col)
+    return _train_on_qvec(qdf, m=m, k=k, rounds=rounds, dsub=dsub, id_col=id_col)
+
+
+def _train_on_qvec(
+    qdf: DataFrame, m: int, k: int, rounds: int, dsub: int, id_col: str
+) -> DataFrame:
+    """Codebook training over an ALREADY-quantized (id, qvec) frame —
+    shared by pq_train (qvec = normalized+int8-quantized vector) and the
+    residual IVF-PQ path (qvec = quantized vector minus quantized coarse
+    centroid, still integer-valued so every downstream sum stays exact)."""
+    qdf = qdf.localCheckpoint(eager=False)
     subv = _subvectors(qdf, id_col, m, dsub).localCheckpoint(eager=False)
 
     # The k seed ids are a bounded collect (k rows, default 16): orderBy +
@@ -145,9 +159,9 @@ def pq_train(
         .limit(k)
         .collect()
     )
-    seeds = emb.sparkSession.createDataFrame(
+    seeds = qdf.sparkSession.createDataFrame(
         [(r[0], i) for i, r in enumerate(seed_rows)],
-        schema=f"{id_col} {emb.schema[id_col].dataType.simpleString()}, centroid_id int",
+        schema=f"{id_col} {qdf.schema[id_col].dataType.simpleString()}, centroid_id int",
     )
     centroids = (
         subv.join(F.broadcast(seeds), id_col)
@@ -330,6 +344,65 @@ def pq_topk_reranked(
         .select("query_id", id_col, "cosine", "rank")
     )
 
+def _cell_reference_vectors(
+    emb: DataFrame, cells: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(cell, refvec): the per-cell MEAN of members in the PQ quantized
+    space — the residual reference classic IVFADC subtracts (Jégou et al.
+    2011 §IV). This must be the mean of the members' quantized vectors,
+    NOT a re-quantization of the coarse centroid: `quantize_int8` rescales
+    every vector to the full int8 range, which INFLATES a small-norm
+    cluster mean to |x_q| magnitude and makes the 'residual' BIGGER than
+    the vector itself (measured on the fixture: mean |x_q - requantized
+    centroid|^2 = 1.33x mean |x_q|^2, destroying recall; the member mean
+    guarantees mean |residual|^2 <= mean |x_q|^2 by variance
+    decomposition). Means are exact integer sums / counts — one
+    correctly-rounded division, deterministic everywhere."""
+    dims = (
+        _normalized_qvec(emb, id_col, vec_col)
+        .join(cells, id_col)
+        .select(
+            "cell",
+            F.posexplode(F.transform("qvec", lambda x: x.cast("double"))).alias("j", "x"),
+        )
+    )
+    return (
+        dims.groupBy("cell", "j")
+        .agg((F.sum("x") / F.count("*")).alias("_m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "_m"))), lambda s: s["_m"]
+            ).alias("refvec")
+        )
+    )
+
+
+def _residual_qvecs(
+    emb: DataFrame,
+    cell_ref: DataFrame,
+    cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell, qvec): per-vector RESIDUAL in quantized space — the
+    vector's normalized int8 quantization minus its cell's member-mean
+    reference vector (see :func:`_cell_reference_vectors`). Components are
+    exact integer-minus-mean doubles, so downstream Lloyd means / ADC sums
+    stay deterministic."""
+    qx = _normalized_qvec(emb, id_col, vec_col)
+    dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    return (
+        qx.join(cells, id_col)
+        .join(F.broadcast(cell_ref), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(dbl("qvec"), F.col("refvec"), lambda x, y: x - y).alias("qvec"),
+        )
+    )
+
+
 def ivfpq_build(
     emb: DataFrame,
     n_cells: int = 16,
@@ -339,6 +412,7 @@ def ivfpq_build(
     in_dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> dict:
     """Build the IVF-PQ index ONCE: deterministic coarse quantizer
     (hash-seeded spherical k-means) + PQ sub-codebooks + cell-tagged code
@@ -348,7 +422,16 @@ def ivfpq_build(
     bench-measured trap: two searches with inline builds cost 30 s at
     sf0.1; one build + two searches ~halves it). At 100 TB these frames
     are the tables you persist (bucket `codes` by cell — the
-    build_ivf_index/build_lsh_index pattern)."""
+    build_ivf_index/build_lsh_index pattern).
+
+    `residual=True` switches to classic IVFADC geometry: codes quantize
+    the RESIDUAL (vector minus its coarse cell centroid) instead of the
+    raw vector — better recall at equal bits because each sub-codebook
+    only has to cover the spread WITHIN cells, not the whole space. Raw
+    codes stay the default: they keep the pipeline fully SQL-rederivable
+    (the oracle-backed path) and one codebook independent of the router.
+    The returned dict carries the flag; :func:`ivfpq_topk` adds the
+    per-cell inner-product term residual scoring needs."""
     from .kmeans import _update_centroids, hash_seed_centroids
     from .similarity import spherical_assign
 
@@ -359,14 +442,34 @@ def ivfpq_build(
         assigned = spherical_assign(emb, cents, id_col, vec_col)
     cells = assigned.select(id_col, F.col("centroid_id").alias("cell"))
 
-    cb = pq_train(emb, m=m, k=k_codebook, rounds=2, in_dim=in_dim,
-                  id_col=id_col, vec_col=vec_col).localCheckpoint(eager=False)
-    codes = (
-        pq_encode(emb, cb, m=m, in_dim=in_dim, id_col=id_col, vec_col=vec_col)
-        .join(cells, id_col)
-        .localCheckpoint(eager=False)
-    )
-    return {"centroids": cents, "codebook": cb, "codes": codes}
+    dsub = in_dim // m
+    if residual:
+        cell_ref = _cell_reference_vectors(emb, cells, id_col, vec_col).localCheckpoint()
+        rdf = _residual_qvecs(emb, cell_ref, cells, id_col, vec_col).localCheckpoint(
+            eager=False
+        )
+        cb = _train_on_qvec(
+            rdf.select(id_col, "qvec"), m=m, k=k_codebook, rounds=2,
+            dsub=dsub, id_col=id_col,
+        ).localCheckpoint(eager=False)
+        codes = (
+            _assign(_subvectors(rdf.select(id_col, "qvec"), id_col, m, dsub), cb, id_col)
+            .join(cells, id_col)
+            .localCheckpoint(eager=False)
+        )
+        return {
+            "centroids": cents, "codebook": cb, "codes": codes,
+            "residual": True, "cell_ref": cell_ref,
+        }
+    else:
+        cb = pq_train(emb, m=m, k=k_codebook, rounds=2, in_dim=in_dim,
+                      id_col=id_col, vec_col=vec_col).localCheckpoint(eager=False)
+        codes = (
+            pq_encode(emb, cb, m=m, in_dim=in_dim, id_col=id_col, vec_col=vec_col)
+            .join(cells, id_col)
+            .localCheckpoint(eager=False)
+        )
+    return {"centroids": cents, "codebook": cb, "codes": codes, "residual": False}
 
 
 def ivfpq_topk(
@@ -383,6 +486,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: dict | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """The full FAISS-style composition — IVF routing x PQ codes x exact
     rerank: a deterministic coarse quantizer (hash-seeded spherical
@@ -397,9 +501,13 @@ def ivfpq_topk(
     searches — repeat callers MUST: the build is the expensive stage and
     re-training it per search is the measured anti-pattern.
 
-    This variant encodes RAW vectors, not cell residuals (classic IVFADC
-    encodes x - centroid(x); raw-vector codes trade a little quantization
-    error for one shared codebook and a fully SQL-rederivable pipeline —
+    The default encodes RAW vectors; `residual=True` (or an index built
+    with `ivfpq_build(residual=True)`) switches to classic IVFADC codes
+    over x - centroid(x) — better recall at equal bits, at the cost of a
+    per-(query, probed-cell) residual lookup table and an extra q·c term
+    in the ADC sum. Raw-vector codes stay the oracle-backed default: they
+    trade a little quantization error for one shared codebook and a fully
+    SQL-rederivable pipeline —
     the repo's oracle discipline). Every stage is deterministic, so
     recall profiles pin as constants.
 
@@ -413,7 +521,7 @@ def ivfpq_topk(
         index = ivfpq_build(
             emb, n_cells=n_cells, m=m, k_codebook=k_codebook,
             coarse_rounds=coarse_rounds, in_dim=in_dim,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, residual=residual,
         )
     cents, cb, codes = index["centroids"], index["codebook"], index["codes"]
 
@@ -442,22 +550,62 @@ def ivfpq_topk(
     # ADC restricted to the probed cells, then exact rerank.
     pool = pool if pool is not None else 5 * k
     dsub = in_dim // m
-    qsub = _subvectors(
-        _normalized_qvec(queries, id_col, vec_col), id_col, m, dsub
-    ).withColumnRenamed(id_col, "query_id")
-    lookup = qsub.join(F.broadcast(cb), "sub").select(
-        "query_id", "sub", F.col("centroid_id").alias("code"),
-        F.round(
-            F.aggregate(F.zip_with("subv", "centroid", lambda x, y: x * y), F.lit(0.0), lambda s, d: s + d),
-            6,
-        ).alias("part"),
-    )
     cand = codes.join(F.broadcast(probed), "cell")
-    scored = (
-        cand.join(F.broadcast(lookup), ["query_id", "sub", "code"])
-        .groupBy("query_id", id_col)
-        .agg(F.round(F.sum("part"), 6).alias("adc_score"))
+    ipart = lambda a, b: F.round(  # noqa: E731 - rounded inner product
+        F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, d: s + d),
+        6,
     )
+    if index.get("residual"):
+        # IVFADC decomposition for inner-product scoring: q·x = q·c(x) +
+        # q·residual(x). The second term is the standard ADC sum over the
+        # RESIDUAL codebook, but the query subvectors must also be the
+        # query's residual AGAINST EACH PROBED CELL (so the lookup keys on
+        # (query_id, cell)); the first term is one inner product per
+        # (query, probed cell) — nprobe rows per query, broadcast.
+        rqq = _normalized_qvec(queries, id_col, vec_col).withColumnRenamed(
+            id_col, "query_id"
+        )
+        dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+        qcell = (
+            rqq.join(probed, "query_id")
+            .join(F.broadcast(index["cell_ref"]), "cell")
+            .select(
+                "query_id",
+                "cell",
+                ipart(dbl("qvec"), F.col("refvec")).alias("_cterm"),
+                F.zip_with(dbl("qvec"), F.col("refvec"), lambda x, y: x - y).alias("qvec"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        qsub = _subvectors(qcell, ["query_id", "cell"], m, dsub)
+        lookup = qsub.join(F.broadcast(cb), "sub").select(
+            "query_id", "cell", "sub", F.col("centroid_id").alias("code"),
+            ipart(F.col("subv"), F.col("centroid")).alias("part"),
+        )
+        cellterm = qcell.select("query_id", "cell", "_cterm")
+        scored = (
+            cand.join(F.broadcast(lookup), ["query_id", "cell", "sub", "code"])
+            .groupBy("query_id", id_col, "cell")
+            .agg(F.sum("part").alias("_rsum"))
+            .join(F.broadcast(cellterm), ["query_id", "cell"])
+            .select(
+                "query_id", id_col,
+                F.round(F.col("_rsum") + F.col("_cterm"), 6).alias("adc_score"),
+            )
+        )
+    else:
+        qsub = _subvectors(
+            _normalized_qvec(queries, id_col, vec_col), id_col, m, dsub
+        ).withColumnRenamed(id_col, "query_id")
+        lookup = qsub.join(F.broadcast(cb), "sub").select(
+            "query_id", "sub", F.col("centroid_id").alias("code"),
+            ipart(F.col("subv"), F.col("centroid")).alias("part"),
+        )
+        scored = (
+            cand.join(F.broadcast(lookup), ["query_id", "sub", "code"])
+            .groupBy("query_id", id_col)
+            .agg(F.round(F.sum("part"), 6).alias("adc_score"))
+        )
     ws = Window.partitionBy("query_id").orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
     short = (
         scored.withColumn("_r", F.row_number().over(ws))
