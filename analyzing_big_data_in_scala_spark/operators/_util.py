@@ -6,6 +6,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def single_partition_key(col: Column | str) -> Column:
+    """Constant-0 but NON-FOLDABLE partition key for windows that are
+    single-partition BY DESIGN over a bounded frame (bucket partials,
+    weeks of history, a post-limit top-k): `Window.partitionBy(
+    single_partition_key("_bkt"))` keeps the values and the physical
+    plan (one hash partition) identical to an unpartitioned window while
+    keeping WindowExec's no-partition warning channel clean for REAL
+    accidental full-data single-partition windows.
+
+    A literal `partitionBy(F.lit(0))` does NOT work: Spark 4's
+    `EliminateWindowPartitions` rule folds literal partition expressions
+    away, restoring the empty spec (and the warning). Hashing a real
+    column is non-foldable so it survives optimization, and xxhash64 is
+    never NULL (it hashes NULL to a value), so the key is 0 for every
+    row — NULL inputs cannot split the partition."""
+    return F.pmod(F.xxhash64(F.col(col) if isinstance(col, str) else col), F.lit(1))
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ONLY when the input has fewer partitions than the
     cluster has cores — e.g. a small parquet file read as one row group.

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import single_partition_key
 from .tfidf import token_table
 
 # Shared Spark/DuckDB expression: Lucene-variant idf quantized to an
@@ -121,5 +122,9 @@ def bm25_topk(
     row_number window then runs over k rows only."""
     scored = bm25_scores(docs, query_terms, k1, b, id_col, text_col)
     top = scored.orderBy(F.desc("score_ppm"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("score_ppm"), F.asc(id_col))
+    # k-row frame post-limit: the constant partition key only silences
+    # WindowExec's no-partition warning (r9; see _util.single_partition_key).
+    w = Window.partitionBy(single_partition_key(id_col)).orderBy(
+        F.desc("score_ppm"), F.asc(id_col)
+    )
     return top.withColumn("rank", F.row_number().over(w).cast("int"))

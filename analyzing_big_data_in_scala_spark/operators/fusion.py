@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import single_partition_key
+
 # Shared Spark/DuckDB integer RRF weight: {rank} is an integer rank column
 # (1-based), {k} the RRF smoothing constant. DIV/// is exact integer
 # division in both engines.
@@ -53,9 +55,12 @@ def rrf_fuse(
     fused = None
     for label, df in ranked_lists:
         side = df.select(id_col, F.col("rank").alias(f"{label}_rank"))
-        fused = side if fused is None else fused.join(
-            F.broadcast(side), id_col, "full_outer"
-        )
+        # No broadcast hint: Spark cannot broadcast the build side of a
+        # FULL OUTER join (each unmatched row of BOTH sides must surface
+        # exactly once), so the hint was ignored with a per-query warning.
+        # Both sides are <= k_each rows — the sort-merge join over two
+        # k-row frames is free, and the warning channel stays clean (r9).
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
     score = None
     for label, _ in ranked_lists:
         w = F.expr(RRF_E9_SPARK.format(k=rrf_k, rank=f"{label}_rank"))
@@ -63,7 +68,11 @@ def rrf_fuse(
         score = term if score is None else score + term
     fused = fused.withColumn("rrf_e9", score.cast("long"))
     top = fused.orderBy(F.desc("rrf_e9"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("rrf_e9"), F.asc(id_col))
+    # k-row frame post-limit: the constant partition key only silences
+    # WindowExec's no-partition warning (r9; see _util.single_partition_key).
+    w = Window.partitionBy(single_partition_key(id_col)).orderBy(
+        F.desc("rrf_e9"), F.asc(id_col)
+    )
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
@@ -121,7 +130,10 @@ def sparse_dense_ranked_lists(
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
     )
     dn_top = scores.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k_each)
-    dw = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # k_each-row frame post-limit (see rank window note above).
+    dw = Window.partitionBy(single_partition_key("vec_id")).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
     dn = dn_top.withColumn("rank", F.row_number().over(dw).cast("int")).select(
         F.col("vec_id").alias("doc_id"), "rank"
     )

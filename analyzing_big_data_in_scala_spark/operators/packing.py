@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import single_partition_key
+
 
 def distributed_running_sum(
     df: DataFrame,
@@ -53,8 +55,13 @@ def distributed_running_sum(
 
     totals = tagged.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
     # One row per bucket: this single-partition window is over a frame
-    # thousands of rows long, not the dataset — the whole point.
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    # thousands of rows long, not the dataset — the whole point. The
+    # constant partition key is semantics-free (see single_partition_key).
+    w_off = (
+        Window.partitionBy(single_partition_key("_bkt"))
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = totals.withColumn("_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)))
 
     return (

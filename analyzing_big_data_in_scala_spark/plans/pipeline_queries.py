@@ -2330,6 +2330,8 @@ def corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..operators._util import single_partition_key
+
     ev = load_events(spark, sf_dir)
     t = F.unix_timestamp("ts").cast("long")
     # Arrival order = event_id (the fixture's ingestion sequence). The
@@ -2354,8 +2356,14 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     within = tagged.withColumn("_in_max", F.max("t").over(w_in))
     totals = tagged.groupBy("_bkt").agg(F.max("t").alias("_tot"))
-    # One row per bucket: this window's frame is bucket-count-sized.
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    # One row per bucket: this window's frame is bucket-count-sized. The
+    # constant partition key only silences the no-partition warning (r9;
+    # see operators/_util.single_partition_key).
+    w_off = (
+        Window.partitionBy(single_partition_key("_bkt"))
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = totals.withColumn("_off", F.max("_tot").over(w_off))
     arr = (
         within.join(F.broadcast(offsets.select("_bkt", "_off")), "_bkt")

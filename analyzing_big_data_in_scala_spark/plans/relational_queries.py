@@ -1190,7 +1190,12 @@ def orders_weekly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = o.groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("week")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_e2")
     )
-    w = Window.orderBy("week")
+    # Weeks-of-history frame (hundreds of rows at any sf): deliberately
+    # one partition; the constant key only silences the warning (r9;
+    # see operators/_util.single_partition_key).
+    from ..operators._util import single_partition_key
+
+    w = Window.partitionBy(single_partition_key("week")).orderBy("week")
     return weekly.select(
         "week",
         "rev_e2",

@@ -412,13 +412,18 @@ def main() -> None:
         "  still dominate at this fixture size.",
     ]
     # Preserve sections other tools own (tools/skew_probe.py appends a
-    # "## Zipf-skew probe" section) across regeneration.
+    # "## Zipf-skew probe" section, tools/decomposition_probe.py a
+    # "## Decomposition probes" section) across regeneration.
     preserved = ""
     if os.path.exists(out_md):
         old = open(out_md).read()
-        idx = old.find("\n## Zipf-skew probe")
-        if idx >= 0:
-            preserved = old[idx:]
+        marks = [
+            i
+            for m in ("\n## Zipf-skew probe", "\n## Decomposition probes")
+            if (i := old.find(m)) >= 0
+        ]
+        if marks:
+            preserved = old[min(marks):]
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n" + preserved)
     print("\n".join(lines))
