@@ -115,3 +115,97 @@ def run_length_encode(
         F.count("*").alias("run_len"),
         F.min(id_col).alias("first_event_id"),
     )
+
+
+# Shared Spark/DuckDB expression for the pooled Pearson autocorrelation in
+# integer ppm, over EXACT BIGINT sufficient statistics (n, sx, sy, sxy,
+# sxx, syy). The integer SUMS are order-independent (exact), and every
+# double op downstream (*, -, /, sqrt) is IEEE correctly rounded — the
+# same expression tree therefore produces bit-identical doubles on both
+# engines, and the single ROUND site sees the same value. Zero-variance
+# groups (degenerate denominator) yield NULL, identically.
+ACF_PPM_SQL = (
+    "CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0"
+    "      AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0"
+    " THEN CAST(ROUND(1000000.0"
+    "   * (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    "   / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "      * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)"
+    " ELSE NULL END"
+)
+
+
+def pooled_acf(
+    events: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3),
+    group_col: str = "event_type",
+    series_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Pooled autocorrelation function: Pearson correlation between a
+    series value and its lag-L predecessor WITHIN each (group, series)
+    sequence, pooled into one coefficient per (group, lag):
+
+        (group_col, lag, n_pairs, acf_ppm)
+
+    The pooling unit is the per-`series_col` sequence (a user's own event
+    history), not a global per-group timeline — that is both the
+    statistically honest series (cross-user adjacency is arbitrary) and
+    the scale-correct partitioning: the ONE window shuffle partitions by
+    (group, series), so parallelism tracks series count and no partition
+    ever holds more than one user's history. A global per-group series
+    would serialize each group onto a single partition at 100 TB.
+
+    Determinism: values integerize to exact BIGINT cents (x100) before
+    any sum, `order_cols` ends with the unique event_id, and the one
+    float formula is the shared `ACF_PPM_SQL` tree over exact integer
+    sufficient statistics — see its comment. All `lags` come from ONE
+    window pass (stacked into rows before the single aggregate)."""
+    w = Window.partitionBy(group_col, series_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    x = F.round(F.col(value_col) * 100).cast("long")
+    lagged = events.select(
+        F.col(group_col),
+        x.alias("_x"),
+        *[F.lag(x, L).over(w).alias(f"_y{L}") for L in lags],
+    )
+    # Unpivot the lag columns into (lag, _y) rows: one explode instead of
+    # one aggregate branch per lag — a single (group, lag) hash aggregate
+    # with map-side partials follows.
+    stacked = lagged.select(
+        group_col,
+        "_x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(L).alias("lag"), F.col(f"_y{L}").alias("_y"))
+                    for L in lags
+                ]
+            )
+        ).alias("_p"),
+    ).select(group_col, "_x", F.col("_p.lag").alias("lag"), F.col("_p._y").alias("_y"))
+    stats = (
+        stacked.filter(F.col("_y").isNotNull())
+        .groupBy(group_col, "lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("_x").alias("sx"),
+            F.sum("_y").alias("sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        )
+    )
+    return stats.select(
+        group_col,
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.expr(ACF_PPM_SQL).alias("acf_ppm"),
+    )

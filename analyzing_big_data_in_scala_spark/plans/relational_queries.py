@@ -1370,3 +1370,44 @@ def orders_merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(phantom_updates).unionByName(phantom_deletes)
     )
     return merge_change_feed(base, changes, key="o_orderkey")
+
+
+@query(
+    "revenue_cube",
+    # CUBE = all four grouping sets over (nation, order year). NULL is
+    # ambiguous in cube output (a rolled-up level vs a NULL key), so both
+    # engines emit the per-column GROUPING flags and the comparator hashes
+    # them; revenue is an exact integer-cents SUM (BIGINT both sides).
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+               CAST(GROUPING(EXTRACT(year FROM o.o_orderdate)) AS INT) AS g_year,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2,
+               COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY CUBE (n.n_name, EXTRACT(year FROM o.o_orderdate))
+    """,
+    description="CUBE lattice (nation x order-year, all four grouping sets in one pass): Spark Expand + single hash aggregate with map-side partials, per-column GROUPING flags disambiguating rolled-up NULLs, broadcast dimension joins, exact integer-cents revenue — beyond-reference OLAP (SURVEY §2.4 note, the rollup/pivot family's third member)",
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pre = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("_e2"),
+        )
+    )
+    return pre.cube("nation", "o_year").agg(
+        F.grouping("nation").cast("int").alias("g_nation"),
+        F.grouping("o_year").cast("int").alias("g_year"),
+        F.sum("_e2").alias("rev_e2"),
+        F.count("*").alias("n_orders"),
+    ).select("nation", "o_year", "g_nation", "g_year", "rev_e2", "n_orders")

@@ -155,8 +155,11 @@ HEADLINE = [
     "similarity_ivfpq_recall_profile",
     "similarity_ivfpq_indexed_agreement",
     "streaming_ivfpq_index_ingest",
-    # r9: real PPM image decode path (the WAV twin)
+    # r9: real PPM image decode path (the WAV twin); pooled per-user ACF;
+    # CUBE lattice
     "multimodal_image_ppm_features",
+    "events_value_acf",
+    "revenue_cube",
 ]
 
 
@@ -185,15 +188,74 @@ def _prepare_ivfpq_agreement(spark, sf_dir: str):
     PQ.build_ivfpq_index(emb, prefix="bench_ivfpq_idx")
     live_index = PQ.ivfpq_build(emb)
     # Force the live index's lazy localCheckpoints so the build pays its
-    # own cost here, not inside the first timed search sample.
+    # own cost here, not inside the first timed search sample. The index
+    # dict also carries non-frame geometry flags (e.g. residual=False) —
+    # only force the DataFrame members.
     for frame in live_index.values():
-        frame.write.mode("overwrite").format("noop").save()
+        if hasattr(frame, "write"):
+            frame.write.mode("overwrite").format("noop").save()
     build_sec = time.perf_counter() - t0
 
     def run():
         return ivfpq_agreement_frame(
             spark, emb, probes, prefix="bench_ivfpq_idx", live_index=live_index
         )
+
+    return build_sec, run
+
+
+def _prepare_pq_profile(spark, sf_dir: str):
+    """Build-once/search-many split for the PQ recall profile: the m=16
+    codebook train (2 Lloyd rounds) + full-corpus encode is the one-shot
+    build; the per-sample measurement is the ADC + rerank searches plus
+    the exact brute-force baseline they are graded against."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators import pq as PQ
+    from analyzing_big_data_in_scala_spark.plans.pipeline_queries import (
+        pq_profile_frame,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    t0 = time.perf_counter()
+    cents = PQ.pq_train(emb, m=16, k=16, rounds=2).localCheckpoint(eager=False)
+    codes = PQ.pq_encode(emb, cents, m=16).localCheckpoint(eager=False)
+    # Force the lazy checkpoints so the build pays its own cost here.
+    for frame in (cents, codes):
+        frame.write.mode("overwrite").format("noop").save()
+    build_sec = time.perf_counter() - t0
+
+    def run():
+        return pq_profile_frame(emb, probes, cents, codes)
+
+    return build_sec, run
+
+
+def _prepare_ivfpq_profile(spark, sf_dir: str):
+    """Build-once/search-many split for the IVF-PQ recall profile: the
+    coarse-router + sub-codebook geometry build is one-shot; per-sample
+    cost is the nprobe=4/8 searches plus the exact baseline."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators import pq as PQ
+    from analyzing_big_data_in_scala_spark.plans.pipeline_queries import (
+        ivfpq_profile_frame,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    t0 = time.perf_counter()
+    index = PQ.ivfpq_build(emb)
+    for frame in index.values():
+        if hasattr(frame, "write"):
+            frame.write.mode("overwrite").format("noop").save()
+    build_sec = time.perf_counter() - t0
+
+    def run():
+        return ivfpq_profile_frame(emb, probes, index)
 
     return build_sec, run
 
@@ -206,6 +268,14 @@ PREPARED = {
     "similarity_ivfpq_indexed_agreement": (
         "similarity_ivfpq_index_build",
         _prepare_ivfpq_agreement,
+    ),
+    "similarity_pq_recall_profile": (
+        "similarity_pq_codebook_build",
+        _prepare_pq_profile,
+    ),
+    "similarity_ivfpq_recall_profile": (
+        "similarity_ivfpq_geometry_build",
+        _prepare_ivfpq_profile,
     ),
 }
 
@@ -297,6 +367,8 @@ def main() -> None:
                     # train+encode+search chain FLAT at 16x data (1.4x).
                     "similarity_ivfpq_index_build": "one-shot build (timed once, not median-of-3): persisted bucketed code/centroid/codebook tables + the live in-memory index the agreement query compares against; job-count bound at fixture scale, flat at 16x in SCALING.md",
                     "similarity_ivfpq_indexed_agreement": "search-only per sample as of r9 (VERDICT r8 item 4): agreement frame over the prebuilt indexes — the build cost moved to similarity_ivfpq_index_build; the registry query is unchanged (still self-contained build+search for the driver)",
+                    "similarity_pq_codebook_build": "one-shot PQ train (m=16 x 16 centroids, 2 Lloyd rounds) + full-corpus encode, timed once; similarity_pq_recall_profile then measures ADC+rerank search (plus the exact baseline it is graded against) per sample",
+                    "similarity_ivfpq_geometry_build": "one-shot IVF-PQ geometry build (coarse router + per-cell sub-codebooks + code table), timed once; similarity_ivfpq_recall_profile then measures the nprobe=4/8 searches (plus the exact baseline) per sample",
                     "streaming_ivfpq_index_ingest": "cost = offline geometry build + per-file micro-batch appends; the drain is the tested contract",
                     # r8 isolated re-measure (VERDICT r7 item 6): the
                     # corpus_curation_funnel r5->r7 drift (5.1 -> 6.5 s) does

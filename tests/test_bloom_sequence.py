@@ -110,3 +110,78 @@ def test_run_length_encode_single_shuffle(spark):
     ev = _ev(spark, [(1, 1, 1, "A"), (2, 2, 1, "B")])
     plan = run_length_encode(ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pooled_acf_matches_numpy(spark):
+    """Differential: pooled_acf's per-(group, lag) coefficient equals a
+    direct numpy Pearson over the same lag pairs (pooled across the two
+    users' series, never across the user boundary)."""
+    import numpy as np
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import pooled_acf
+
+    rows = []
+    series = {
+        ("a", 1): [3.0, 5.0, 4.0, 8.0, 6.0, 7.0],
+        ("a", 2): [1.0, 2.0, 4.0, 3.0],
+        ("b", 1): [10.0, 10.5, 9.0, 12.0, 11.0],
+    }
+    eid = 0
+    for (g, u), vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((eid, g, u, i, v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts long, value double"
+    )
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf_ppm"])
+        for r in pooled_acf(df, lags=(1, 2)).collect()
+    }
+
+    for g in ("a", "b"):
+        for lag in (1, 2):
+            xs, ys = [], []
+            for (gg, _u), vals in series.items():
+                if gg != g:
+                    continue
+                iv = [round(v * 100) for v in vals]
+                xs += iv[lag:]
+                ys += iv[:-lag]
+            if not xs:
+                assert (g, lag) not in got
+                continue
+            x, y = np.array(xs, dtype=float), np.array(ys, dtype=float)
+            n = len(x)
+            num = n * (x * y).sum() - x.sum() * y.sum()
+            den = np.sqrt(n * (x * x).sum() - x.sum() ** 2) * np.sqrt(
+                n * (y * y).sum() - y.sum() ** 2
+            )
+            want = int(np.round(1e6 * num / den))
+            assert got[(g, lag)][0] == n
+            assert abs(got[(g, lag)][1] - want) <= 1  # float assoc in numpy only
+
+
+def test_pooled_acf_zero_variance_is_null(spark):
+    from analyzing_big_data_in_scala_spark.operators.sequence import pooled_acf
+
+    df = spark.createDataFrame(
+        [(i, "c", 1, i, 5.0) for i in range(10)],
+        "event_id long, event_type string, user_id long, ts long, value double",
+    )
+    rows = pooled_acf(df, lags=(1,)).collect()
+    assert len(rows) == 1 and rows[0]["n_pairs"] == 9
+    assert rows[0]["acf_ppm"] is None  # degenerate denominator -> NULL, not a crash
+
+
+def test_pooled_acf_single_window_pass(spark):
+    """All lags must come from ONE (group, series) window shuffle: the
+    physical plan has exactly one Exchange hashpartitioning and one Window."""
+    from analyzing_big_data_in_scala_spark.operators.sequence import pooled_acf
+
+    df = spark.createDataFrame(
+        [(i, "t", i % 3, i, float(i % 7)) for i in range(60)],
+        "event_id long, event_type string, user_id long, ts long, value double",
+    )
+    plan = pooled_acf(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1

@@ -472,3 +472,26 @@ def test_entity_clusters_transitive_and_singletons(spark):
         for r in entity_clusters(df, "id", "name", block=F.substring("name", 1, 3)).collect()
     }
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 9: (9, 1)}
+
+
+def test_revenue_cube_lattice_consistency(spark):
+    """The CUBE's four grouping sets must be internally consistent: the
+    grand-total row equals the direct aggregate, and each rolled-up level
+    sums to the same total (additivity of the lattice)."""
+    from analyzing_big_data_in_scala_spark.plans.relational_queries import revenue_cube
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = revenue_cube(spark, sf_dir).collect()
+    flags = {(r["g_nation"], r["g_year"]) for r in out}
+    assert flags == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+    grand = [r for r in out if (r["g_nation"], r["g_year"]) == (1, 1)]
+    assert len(grand) == 1
+    base = [r for r in out if (r["g_nation"], r["g_year"]) == (0, 0)]
+    assert sum(r["rev_e2"] for r in base) == grand[0]["rev_e2"]
+    assert sum(r["n_orders"] for r in base) == grand[0]["n_orders"]
+    per_nation = [r for r in out if (r["g_nation"], r["g_year"]) == (0, 1)]
+    assert sum(r["rev_e2"] for r in per_nation) == grand[0]["rev_e2"]
+    # rolled-up level NULLs carry flag=1, real keys are non-null at flag=0
+    assert all(r["nation"] is not None for r in base)
+    assert all(r["o_year"] is None for r in per_nation)
