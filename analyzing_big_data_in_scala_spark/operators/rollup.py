@@ -135,18 +135,25 @@ def rollup_backfill(
     # plain == would let a late NULL-key row vanish (never restated) while
     # its stale standing row passed through. eqNullSafe still plans as a
     # hash equi-join key, so the broadcast shape is unchanged.
-    touched_raw = combined.join(
-        F.broadcast(affected),
-        on=[F.floor(F.unix_timestamp(combined[ts_col]) / bucket_secs).cast("long")
-            .eqNullSafe(affected["bucket"]),
-            combined[key_col].eqNullSafe(affected[key_col])],
+    # Alias every join input: `affected` shares scan lineage with both
+    # `combined` and `standing` (all derive from the same events source in
+    # the registered queries), so frame-qualified column access resolved
+    # both sides of each key to the SAME attribute — value-correct here,
+    # but Spark logged a trivially-true-predicate warning per join,
+    # polluting the channel that catches REAL accidental self-compares.
+    aff, cmb, st = affected.alias("_aff"), combined.alias("_cmb"), standing.alias("_st")
+    touched_raw = cmb.join(
+        F.broadcast(aff),
+        on=[F.floor(F.unix_timestamp(F.col(f"_cmb.{ts_col}")) / bucket_secs)
+            .cast("long").eqNullSafe(F.col("_aff.bucket")),
+            F.col(f"_cmb.{key_col}").eqNullSafe(F.col(f"_aff.{key_col}"))],
         how="leftsemi",
     )
     restated = agg(touched_raw)
-    untouched = standing.join(
-        F.broadcast(affected),
-        on=[standing["bucket"].eqNullSafe(affected["bucket"]),
-            standing[key_col].eqNullSafe(affected[key_col])],
+    untouched = st.join(
+        F.broadcast(aff),
+        on=[F.col("_st.bucket").eqNullSafe(F.col("_aff.bucket")),
+            F.col(f"_st.{key_col}").eqNullSafe(F.col(f"_aff.{key_col}"))],
         how="left_anti",
     )
     return untouched.unionByName(restated)
@@ -197,18 +204,20 @@ def rollup_user_erasure(
     # Null-safe key comparison for the same reason as rollup_backfill: an
     # erased user's NULL-key rows must still restate (and evict) their
     # (bucket, NULL) standing row, or the stale pre-erasure count survives.
-    touched_kept = kept.join(
-        F.broadcast(affected),
-        on=[F.floor(F.unix_timestamp(kept[ts_col]) / bucket_secs).cast("long")
-            .eqNullSafe(affected["bucket"]),
-            kept[key_col].eqNullSafe(affected[key_col])],
+    # Aliased for the same shared-lineage reason as rollup_backfill.
+    aff, kp, st = affected.alias("_aff"), kept.alias("_kp"), standing.alias("_st")
+    touched_kept = kp.join(
+        F.broadcast(aff),
+        on=[F.floor(F.unix_timestamp(F.col(f"_kp.{ts_col}")) / bucket_secs)
+            .cast("long").eqNullSafe(F.col("_aff.bucket")),
+            F.col(f"_kp.{key_col}").eqNullSafe(F.col(f"_aff.{key_col}"))],
         how="leftsemi",
     )
     restated = agg(touched_kept)
-    untouched = standing.join(
-        F.broadcast(affected),
-        on=[standing["bucket"].eqNullSafe(affected["bucket"]),
-            standing[key_col].eqNullSafe(affected[key_col])],
+    untouched = st.join(
+        F.broadcast(aff),
+        on=[F.col("_st.bucket").eqNullSafe(F.col("_aff.bucket")),
+            F.col(f"_st.{key_col}").eqNullSafe(F.col(f"_aff.{key_col}"))],
         how="left_anti",
     )
     return untouched.unionByName(restated)
