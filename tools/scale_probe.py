@@ -77,6 +77,11 @@ def main() -> None:
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
+    # Optional case filter (argv[3] = comma-separated case names): probe a
+    # few new operators without re-running the whole table. Filtered runs
+    # print their rows but do NOT rewrite SCALING.md (a partial table
+    # would clobber the full one).
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -364,7 +369,33 @@ def main() -> None:
                     emb0.filter(F.col("vec_id") < 3), k=10, m=16,
                 ))(PQ.pq_train(emb, m=16, k=16, rounds=2))
             ),
+            # r9: ONE (type,user)-partitioned window pass (all lags stacked
+            # before a single aggregate) — expect the ewma family's curve
+            # (~linear with events; inflation adds users, not run length).
+            "pooled_acf": lambda: noop(SEQ.pooled_acf(ev)),
+            # r9: Expand (4 grouping sets) + one hash aggregate with
+            # map-side partials over broadcast-joined dims — expect
+            # ~linear with the fact side, same as the rollup family.
+            "revenue_cube": lambda: noop(
+                orders.join(
+                    F.broadcast(load_table(spark, base, "customer")),
+                    orders.o_custkey == F.col("c_custkey"),
+                )
+                .join(
+                    F.broadcast(load_table(spark, base, "nation")),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+                .select(
+                    F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").cast("int").alias("o_year"),
+                    F.round(F.col("o_totalprice") * 100).cast("long").alias("_e2"),
+                )
+                .cube("nation", "o_year")
+                .agg(F.sum("_e2").alias("rev_e2"), F.count("*").alias("n_orders"))
+            ),
         }
+        if only:
+            cases = {k: v for k, v in cases.items() if k in only}
         for name, fn in cases.items():
             # Exact all-pairs cosine is quadratic by definition (16x data =
             # 256x FLOPs ≈ minutes of pure BLAS) — probe it to 4x, which
@@ -424,8 +455,9 @@ def main() -> None:
         ]
         if marks:
             preserved = old[min(marks):]
-    with open(out_md, "w") as f:
-        f.write("\n".join(lines) + "\n" + preserved)
+    if only is None:
+        with open(out_md, "w") as f:
+            f.write("\n".join(lines) + "\n" + preserved)
     print("\n".join(lines))
 
 
