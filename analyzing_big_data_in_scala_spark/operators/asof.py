@@ -261,3 +261,90 @@ def range_join_points_in_intervals(
         *[F.col(f"_p.{c}") for c in points.columns],
         *[F.col(f"_i.{c}") for c in intervals.columns if c not in points.columns],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_size: int,
+) -> DataFrame:
+    """Interval-interval OVERLAP join: every (left, right) pair of the
+    same key whose CLOSED intervals intersect — `ls <= re AND rs <= le`
+    (touching endpoints count; genomics/temporal-overlap convention).
+    Start/end columns must be numeric (callers convert timestamps to
+    epoch seconds first). Inverted intervals (end < start) are dropped
+    up front on both sides.
+
+    The two-sided sibling of :func:`range_join_points_in_intervals`,
+    with the same discretization: both sides explode into the coarse
+    value buckets they cover, and the match becomes an EQUI join on
+    (key, bucket) with the exact overlap predicate applied after.
+    Unlike the point case, a pair can share MANY buckets — instead of a
+    post-join `distinct` (a second corpus-sized shuffle), the join keeps
+    a pair only in the bucket containing `greatest(ls, rs)`: floor is
+    monotone, so that bucket is `greatest(floor(ls/B), floor(rs/B))`,
+    BOTH intervals cover `greatest(ls, rs)` whenever they overlap, and
+    exactly one bucket satisfies the equality — every overlapping pair
+    is emitted exactly once with no dedup pass.
+
+    Returns all left columns + all right columns (left wins on name
+    collision) + `overlap_start` / `overlap_end` / `overlap_len`
+    (exact integers when the inputs are integers). Pick bucket_size ≈
+    the typical interval span; residual per-key skew is AQE territory.
+    """
+    l = (
+        left.filter(F.col(left_end) >= F.col(left_start))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(left_start) / F.lit(bucket_size)).cast("long"),
+                    F.floor(F.col(left_end) / F.lit(bucket_size)).cast("long"),
+                )
+            ),
+        )
+        .alias("_l")
+    )
+    r = (
+        right.filter(F.col(right_end) >= F.col(right_start))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(right_start) / F.lit(bucket_size)).cast("long"),
+                    F.floor(F.col(right_end) / F.lit(bucket_size)).cast("long"),
+                )
+            ),
+        )
+        .alias("_r")
+    )
+    ls, le = F.col(f"_l.{left_start}"), F.col(f"_l.{left_end}")
+    rs, re_ = F.col(f"_r.{right_start}"), F.col(f"_r.{right_end}")
+    joined = l.join(
+        r,
+        (F.col(f"_l.{left_key}") == F.col(f"_r.{right_key}"))
+        & (F.col("_l._b") == F.col("_r._b"))
+        & (ls <= re_)
+        & (rs <= le)
+        # single-emission bucket: the one containing greatest(ls, rs)
+        & (
+            F.col("_l._b")
+            == F.greatest(
+                F.floor(ls / F.lit(bucket_size)).cast("long"),
+                F.floor(rs / F.lit(bucket_size)).cast("long"),
+            )
+        ),
+    )
+    return joined.select(
+        *[F.col(f"_l.{c}") for c in left.columns],
+        *[F.col(f"_r.{c}") for c in right.columns if c not in left.columns],
+        F.greatest(ls, rs).alias("overlap_start"),
+        F.least(le, re_).alias("overlap_end"),
+        (F.least(le, re_) - F.greatest(ls, rs)).alias("overlap_len"),
+    )

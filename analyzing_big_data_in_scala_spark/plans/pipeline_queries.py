@@ -3719,3 +3719,59 @@ def events_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sequence import pooled_acf
 
     return pooled_acf(load_events(spark, sf_dir))
+
+
+@query(
+    "events_interval_overlap",
+    # Both interval sets derive from exact FLOOR'd epoch seconds, so every
+    # boundary, overlap bound, and length is an exact BIGINT — raw pairs
+    # value-check the operator's emit-exactly-once guarantee directly (a
+    # double emission or a missed bucket is a row-count mismatch).
+    oracle="""
+        WITH base AS (
+            SELECT user_id, event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+            FROM events
+        ),
+        days AS (
+            SELECT user_id,
+                   CAST(FLOOR(t / 86400) AS BIGINT) AS day,
+                   MIN(t) AS ls, MAX(t) AS le
+            FROM base GROUP BY user_id, CAST(FLOOR(t / 86400) AS BIGINT)
+        ),
+        spans AS (
+            SELECT user_id, event_type, MIN(t) AS rs, MAX(t) AS re
+            FROM base GROUP BY user_id, event_type
+        )
+        SELECT d.user_id, d.day, s.event_type,
+               GREATEST(d.ls, s.rs) AS overlap_start,
+               LEAST(d.le, s.re) AS overlap_end,
+               LEAST(d.le, s.re) - GREATEST(d.ls, s.rs) AS overlap_len
+        FROM days d
+        JOIN spans s
+          ON d.user_id = s.user_id AND d.ls <= s.re AND s.rs <= d.le
+    """,
+    description="Interval-interval OVERLAP join (two-sided sibling of the bucketed range join): per-(user, day) activity spans x per-(user, event_type) lifetime spans, equi join on (key, value-bucket) with each overlapping pair emitted exactly once via the greatest-start bucket rule — no per-key quadratic fan-out, no dedup shuffle",
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import interval_overlap_join
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_timestamp("ts").cast("long").alias("t")
+    )
+    days = ev.groupBy(
+        "user_id", F.floor(F.col("t") / 86400).cast("long").alias("day")
+    ).agg(F.min("t").alias("ls"), F.max("t").alias("le"))
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("t").alias("rs"), F.max("t").alias("re")
+    )
+    pairs = interval_overlap_join(
+        days, spans,
+        left_key="user_id", right_key="user_id",
+        left_start="ls", left_end="le",
+        right_start="rs", right_end="re",
+        bucket_size=21600,
+    )
+    return pairs.select(
+        "user_id", "day", "event_type", "overlap_start", "overlap_end", "overlap_len"
+    )

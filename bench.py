@@ -160,6 +160,7 @@ HEADLINE = [
     "multimodal_image_ppm_features",
     "events_value_acf",
     "revenue_cube",
+    "events_interval_overlap",
 ]
 
 
