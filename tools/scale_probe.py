@@ -373,6 +373,21 @@ def main() -> None:
             # before a single aggregate) — expect the ewma family's curve
             # (~linear with events; inflation adds users, not run length).
             "pooled_acf": lambda: noop(SEQ.pooled_acf(ev)),
+            # r9: two grouping aggregates build the interval sets, then
+            # ONE equi join on (key, bucket) with the exactly-once
+            # greatest-start bucket rule — expect ~linear with events
+            # (inflation adds users; per-user interval counts are fixed).
+            "interval_overlap": lambda: noop(
+                (lambda e: A.interval_overlap_join(
+                    e.groupBy("user_id", F.floor(F.col("t") / 86400).cast("long").alias("day"))
+                    .agg(F.min("t").alias("ls"), F.max("t").alias("le")),
+                    e.groupBy("user_id", "event_type")
+                    .agg(F.min("t").alias("rs"), F.max("t").alias("re")),
+                    "user_id", "user_id", "ls", "le", "rs", "re",
+                    bucket_size=21600,
+                ))(ev.select("user_id", "event_type",
+                             F.unix_timestamp("ts").cast("long").alias("t")))
+            ),
             # r9: Expand (4 grouping sets) + one hash aggregate with
             # map-side partials over broadcast-joined dims — expect
             # ~linear with the fact side, same as the rollup family.
