@@ -209,3 +209,58 @@ def pooled_acf(
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.expr(ACF_PPM_SQL).alias("acf_ppm"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    group_col: str = "event_type",
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average (the TSDB `time_weight`/TWA aggregate,
+    last-observation-carried-forward form): each observation's value
+    holds until the NEXT observation in its own (group, series)
+    sequence, so its weight is that gap in seconds; the per-group TWA is
+    Σ(value·gap) / Σ(gap). A plain AVG over irregular samples
+    over-weights bursts — TWA is the correct mean for
+    unevenly-sampled series (sensor states, prices, feature values).
+
+    Returns (group_col, n_segments, total_span_sec, twa_e4): exact
+    BIGINTs — values integerize to cents before the multiply, gaps are
+    exact epoch-second differences, and the single division is the
+    repo's round-half-up pure-BIGINT formula, so the result
+    value-checks bit-for-bit cross-engine. twa_e4 is the TWA in 1e-4
+    units of the original value (e4, not ppm: the ppm numerator
+    Σ(v_cents·gap)·2e4 would pass 2^63 under ANSI mode at ~40x this
+    fixture; e4 keeps ~40x headroom at sf0.1 while still exceeding
+    float32 value precision). Each series' LAST observation has no
+    successor and is excluded (zero-width segment) — the standard
+    right-open LOCF convention.
+
+    Scale shape: ONE window shuffle partitioned by (group, series) —
+    the same partitioning as :func:`pooled_acf`/sessionization, never a
+    global per-group timeline — then one hash aggregate with map-side
+    partials."""
+    w = Window.partitionBy(group_col, series_col).orderBy(
+        F.asc(ts_col), F.asc(tie_col)
+    )
+    t = F.unix_timestamp(ts_col).cast("long")
+    seg = events.select(
+        F.col(group_col),
+        (F.round(F.col(value_col) * 100).cast("long")).alias("_v"),
+        (F.lead(t).over(w) - t).alias("_gap"),
+    ).filter(F.col("_gap").isNotNull())
+    # twa_e4 = round_half_up(1e4 · Σ(v_cents·gap)/(100·Σgap)) — the 100
+    # from cents and the 1e4 target scale fold into one ×100 on the
+    # numerator; round-half-up via the repo's (2·num + den) DIV (2·den)
+    # (both sides non-negative, so Spark's truncating DIV and DuckDB's
+    # flooring // agree).
+    return seg.groupBy(group_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum("_gap").alias("total_span_sec"),
+        F.expr(
+            "CAST((SUM(_v * _gap) * 200L + SUM(_gap)) DIV (2L * SUM(_gap)) AS BIGINT)"
+        ).alias("twa_e4"),
+    )

@@ -3775,3 +3775,33 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "user_id", "day", "event_type", "overlap_start", "overlap_end", "overlap_len"
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    # Pure-BIGINT arithmetic end to end: cents-integerized values x exact
+    # epoch-second gaps, one round-half-up division per group (truncating
+    # DIV == flooring // for the non-negative operands). LAG/LEAD over the
+    # same unique (ts, event_id) order on both engines.
+    oracle="""
+        WITH seg AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS _v,
+                   LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w
+                       - CAST(FLOOR(epoch(ts)) AS BIGINT) AS _gap
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type,
+               COUNT(*) AS n_segments,
+               CAST(SUM(_gap) AS BIGINT) AS total_span_sec,
+               CAST((SUM(_v * _gap) * 200 + SUM(_gap)) // (2 * SUM(_gap)) AS BIGINT) AS twa_e4
+        FROM seg WHERE _gap IS NOT NULL
+        GROUP BY event_type
+    """,
+    description="Time-weighted average (the TSDB time_weight aggregate, LOCF form): each value holds until the user's next observation, weight = gap seconds, TWA = sum(value x gap)/sum(gap) per type in exact 1e-4 units — the correct mean for unevenly-sampled series where plain AVG over-weights bursts; ONE (type,user)-partitioned window pass + one hash aggregate",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import time_weighted_avg
+
+    return time_weighted_avg(load_events(spark, sf_dir))

@@ -161,6 +161,7 @@ HEADLINE = [
     "events_value_acf",
     "revenue_cube",
     "events_interval_overlap",
+    "events_time_weighted_avg",
 ]
 
 

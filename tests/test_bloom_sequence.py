@@ -185,3 +185,60 @@ def test_pooled_acf_single_window_pass(spark):
     )
     plan = pooled_acf(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 1
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """Hand-computed LOCF weighting: value 10.0 holds 100s, then 20.0
+    holds 300s -> TWA = (1000*100 + 2000*300)/400 cents = 1750 cents
+    = 17.5 -> 175000 e4-units. A plain AVG of the three samples would be
+    (10+20+30)/3 = 20 -> the burst-proof property is the difference."""
+    from datetime import datetime, timezone
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        time_weighted_avg,
+    )
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 7, ts(0), 10.0),
+            (2, "a", 7, ts(100), 20.0),
+            (3, "a", 7, ts(400), 30.0),  # last obs: excluded (no successor)
+            # second user, constant series -> contributes its constant
+            (4, "a", 8, ts(0), 40.0),
+            (5, "a", 8, ts(50), 40.0),
+        ],
+        "event_id long, event_type string, user_id long, ts timestamp, value double",
+    )
+    rows = {r["event_type"]: r for r in time_weighted_avg(df).collect()}
+    a = rows["a"]
+    assert a["n_segments"] == 3
+    assert a["total_span_sec"] == 100 + 300 + 50
+    # (1000*100 + 2000*300 + 4000*50) * 200 + 450) // (2*450)
+    num = (1000 * 100 + 2000 * 300 + 4000 * 50) * 200
+    assert a["twa_e4"] == (num + 450) // (2 * 450)
+
+
+def test_time_weighted_avg_constant_series_equals_value(spark):
+    from datetime import datetime, timezone
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        time_weighted_avg,
+    )
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    df = spark.createDataFrame(
+        [(i, "c", 1, ts(i * 37), 12.34) for i in range(6)],
+        "event_id long, event_type string, user_id long, ts timestamp, value double",
+    )
+    rows = time_weighted_avg(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["twa_e4"] == 123400  # 12.34 in 1e-4 units, any weighting

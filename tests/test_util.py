@@ -154,6 +154,7 @@ def test_driver_window_covers_oracle_backed_queries():
         # --- NEW in r9 (oracle-green sf0.001+sf0.01 at creation; never
         #     driver-rowed yet — front of the r10 window queue):
         "events_value_acf", "revenue_cube", "events_interval_overlap",
+        "events_time_weighted_avg",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
