@@ -42,6 +42,8 @@ PICKS = {
     "orders_incremental_agg_refresh": "View refresh joins the standing aggregate with the delta aggregate on GROUP keys (5 rows each side here) — the base fact scan feeds only the delta derivation; at steady state the refresh cost is the change batch, never the corpus.",
     "corpus_training_shards": "Curation plan (shared scan, fused gates) feeding the two-phase distributed prefix sum: per-partition subtotals broadcast back as running offsets — a global running total with NO single-partition window over the data.",
     "events_value_acf": "ONE window Exchange on (event_type, user_id) computes all three lag columns; lags stack into rows in the same projection (no extra shuffle) and a single two-phase hash aggregate pools the exact-integer sufficient statistics.",
+    "events_interval_overlap": "Interval-interval overlap as a HASH EQUI join on (key, bucket) — never a nested loop: both interval sets explode into covered buckets, the exact predicate post-filters, and the greatest-start-bucket equality emits each pair exactly once (no dedup exchange).",
+    "events_time_weighted_avg": "ONE window Exchange on (event_type, user_id) for the LEAD gap; the TWA aggregate is a single two-phase hash aggregate over exact BIGINT (value x gap) partials.",
     "revenue_cube": "All four grouping sets from ONE pass: broadcast dimension joins, Expand (4 projections per row), then a single two-phase hash aggregate — no per-grouping-set re-scan.",
     "doc_chunk_dedup": "Chunk hashes from one tokenize + in-array slice + explode; per-hash document frequency joins back ON THE 8-BYTE HASH (reuses the aggregate's exchange); dup fraction emitted as integer ppm (pure BIGINT div — no float in the output).",
     "search_bm25_topk": "BM25: corpus stats (N, avgdl) and per-term df broadcast as 1-row / vocab-sized sides; per-(doc,term) contribution quantized to integer ppm in-projection; global top-20 compiles to TakeOrderedAndProject, never a full sort.",
