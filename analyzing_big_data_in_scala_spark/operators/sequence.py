@@ -256,11 +256,16 @@ def time_weighted_avg(
     # from cents and the 1e4 target scale fold into one ×100 on the
     # numerator; round-half-up via the repo's (2·num + den) DIV (2·den)
     # (both sides non-negative, so Spark's truncating DIV and DuckDB's
-    # flooring // agree).
+    # flooring // agree). A group whose observations all share timestamps
+    # has total span 0 — its time-weighted mean is undefined, emitted as
+    # NULL (the guard matters: ANSI-mode DIV-by-zero THROWS; caught by
+    # the hypothesis fold differential, not the fixture).
     return seg.groupBy(group_col).agg(
         F.count("*").alias("n_segments"),
         F.sum("_gap").alias("total_span_sec"),
         F.expr(
-            "CAST((SUM(_v * _gap) * 200L + SUM(_gap)) DIV (2L * SUM(_gap)) AS BIGINT)"
+            "CASE WHEN SUM(_gap) > 0 THEN "
+            "CAST((SUM(_v * _gap) * 200L + SUM(_gap)) DIV (2L * SUM(_gap)) AS BIGINT) "
+            "ELSE NULL END"
         ).alias("twa_e4"),
     )

@@ -3795,7 +3795,9 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(*) AS n_segments,
                CAST(SUM(_gap) AS BIGINT) AS total_span_sec,
-               CAST((SUM(_v * _gap) * 200 + SUM(_gap)) // (2 * SUM(_gap)) AS BIGINT) AS twa_e4
+               CASE WHEN SUM(_gap) > 0 THEN
+                   CAST((SUM(_v * _gap) * 200 + SUM(_gap)) // (2 * SUM(_gap)) AS BIGINT)
+               ELSE NULL END AS twa_e4
         FROM seg WHERE _gap IS NOT NULL
         GROUP BY event_type
     """,

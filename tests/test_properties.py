@@ -798,3 +798,126 @@ def test_asof_direction_and_tolerance_match_bruteforce(
         for r in op(left, right, "k", "k", "t", "t", ["a", "b"], tolerance=tol).collect()
     }
     assert got == _asof_bruteforce(left_rows, right_rows, forward=forward, tol=tol)
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=-25, max_value=25),   # start
+        st.integers(min_value=-3, max_value=30),    # span (negative -> inverted)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@PROP_SETTINGS
+@given(left=INTERVALS, right=INTERVALS, bucket=st.sampled_from([1, 3, 7, 10]))
+# Bucket-boundary pin: overlap point 10 sits exactly ON a bucket edge for
+# bucket=10 AND the pair shares buckets 1..1 only via greatest-start —
+# catches an off-by-one in either floor() of the single-emission rule.
+@example(left=[(1, 0, 10)], right=[(1, 10, 10)], bucket=10)
+# Many-shared-buckets pin: both intervals cover buckets 0..3; a dedup
+# regression (emitting once per shared bucket) quadruples this row.
+@example(left=[(1, 0, 30)], right=[(1, 0, 30)], bucket=10)
+def test_interval_overlap_join_matches_naive(spark, left, right, bucket):
+    """Differential vs the naive all-pairs overlap join, over random
+    interval sets with inverted spans, touching endpoints, degenerate
+    points, and bucket sizes both smaller and larger than the spans."""
+    from analyzing_big_data_in_scala_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    lrows = [(k, s, s + d) for k, s, d in left]
+    rrows = [(k, s, s + d) for k, s, d in right]
+    ldf = spark.createDataFrame(lrows, "k long, s long, e long")
+    rdf = spark.createDataFrame(rrows, "k long, rs long, re long")
+    got = sorted(
+        (r["k"], r["s"], r["e"], r["rs"], r["re"],
+         r["overlap_start"], r["overlap_end"], r["overlap_len"])
+        for r in interval_overlap_join(
+            ldf, rdf, "k", "k", "s", "e", "rs", "re", bucket_size=bucket
+        ).collect()
+    )
+    naive = sorted(
+        (lk, ls, le, rs_, re_, max(ls, rs_), min(le, re_),
+         min(le, re_) - max(ls, rs_))
+        for (lk, ls, le) in lrows if le >= ls
+        for (rk, rs_, re_) in rrows
+        if lk == rk and rs_ <= re_ and ls <= re_ and rs_ <= le
+    )
+    assert got == naive
+
+
+EVENT_SERIES = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                 # group
+        st.integers(min_value=0, max_value=2),       # series (user)
+        st.integers(min_value=0, max_value=500),     # offset seconds
+        st.integers(min_value=0, max_value=9999),    # value in cents
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@PROP_SETTINGS
+@given(rows=EVENT_SERIES)
+# Duplicate-timestamp pin: two observations at the same second in one
+# series — the event_id tie-break orders them, the first gets a 0-width
+# segment (weight 0), and the fold below must agree exactly.
+@example(rows=[("a", 0, 100, 1000), ("a", 0, 100, 2000), ("a", 0, 200, 3000)])
+# Zero-total-span pin (found by this property's first run): a group whose
+# only segments are 0-width (all observations share one timestamp) must
+# emit twa_e4 = NULL — the unguarded integer division THREW under ANSI.
+@example(rows=[("a", 0, 100, 1000), ("a", 0, 100, 2000)])
+def test_time_weighted_avg_matches_python_fold(spark, rows):
+    """Differential vs an exact-integer python fold of the LOCF weighting
+    (per-(group, series) sort by (ts, event_id), gap-weighted sum)."""
+    from collections import defaultdict
+    from datetime import datetime, timezone
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        time_weighted_avg,
+    )
+
+    base = 1_700_000_000
+
+    def ts(sec):
+        return datetime.fromtimestamp(base + sec, tz=timezone.utc).replace(tzinfo=None)
+
+    df = spark.createDataFrame(
+        [(i, g, u, ts(o), c / 100.0) for i, (g, u, o, c) in enumerate(rows)],
+        "event_id long, event_type string, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_type"]: (r["n_segments"], r["total_span_sec"], r["twa_e4"])
+        for r in time_weighted_avg(df).collect()
+    }
+
+    series = defaultdict(list)
+    for i, (g, u, o, c) in enumerate(rows):
+        series[(g, u)].append((o, i, c))
+    num = defaultdict(int)
+    den = defaultdict(int)
+    nseg = defaultdict(int)
+    for (g, _u), obs in series.items():
+        obs.sort()
+        for (o1, _i1, c1), (o2, _i2, _c2) in zip(obs, obs[1:]):
+            gap = o2 - o1
+            num[g] += c1 * gap
+            den[g] += gap
+            nseg[g] += 1
+    # zero total span (all duplicate timestamps) -> twa is NULL, not a
+    # DIV-by-zero crash (the property run caught the unguarded ANSI throw)
+    want = {
+        g: (
+            nseg[g],
+            den[g],
+            (num[g] * 200 + den[g]) // (2 * den[g]) if den[g] > 0 else None,
+        )
+        for g in den
+        if nseg[g] > 0
+    }
+    # groups whose every series has a single observation produce no rows
+    assert got == want
