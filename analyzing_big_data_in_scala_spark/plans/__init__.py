@@ -29,79 +29,71 @@ from . import streaming_queries  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-9 rotation (VERDICT r8 items 1+2):
-    #  1. The 9 r8-new queries that have never had a driver CORRECTNESS
-    #     row (PQ / IVF-PQ profile+agreement family, streaming IVF-PQ
-    #     ingest, the forward/tolerance as-of pair, the real WAV decode,
-    #     both leakage queries) take their first rows, plus the r9-new
-    #     real PPM image decode query.
-    #  2. The retired rows-only pair similarity_ivf_topk /
-    #     similarity_lsh_topk takes its first HASH-checked rows (their
-    #     new pinned full-top-10 VALUES oracles land this round — the
-    #     registry is now 174/174 oracle-backed, `err:"no_oracle"` gone).
-    #  3. The 8 r2-evidence + 7 r3-evidence stragglers (the oldest
-    #     standing driver rows in the repo) cycle back for fresh rows.
-    #  4. The remaining 23 slots take the oldest r5-evidence queries
-    #     (alphabetical prefix of the 49-query r5 cohort); the other 26
-    #     r5 queries queue for r10. Every query evicted from the r8
-    #     window is r7/r8-green with unchanged code, so those rows stand
-    #     as current evidence.
+    # Round-10 rotation (VERDICT r9 item 1):
+    #  1. The 4 r9-late queries (added after the r9 window rotation) are
+    #     the only registered queries with NO driver CORRECTNESS row —
+    #     they go first for their first rows.
+    #  2. The 26-query r5-evidence backlog documented in the r9 ledger
+    #     (the r5 cohort the 23 r9-window slots didn't fit) cycles in —
+    #     the oldest standing driver rows in the repo after this round.
+    #  3. The remaining 20 slots take the alphabetical prefix of the
+    #     50-query r7-evidence cohort; the other 30 queue for r11.
+    #     Every query evicted from the r9 window is r9-green with
+    #     unchanged code, so those rows stand as current evidence.
 
-    # r8-new first rows + the r9 image decode query (10)
-    "similarity_pq_recall_profile",
-    "similarity_ivfpq_recall_profile",
-    "similarity_ivfpq_indexed_agreement",
-    "streaming_ivfpq_index_ingest",
-    "events_asof_next_purchase_2h",
-    "events_asof_last_signup_7d",
-    "multimodal_audio_wav_features",
-    "corpus_split_leakage_audit",
-    "corpus_leakage_safe_split",
-    "multimodal_image_ppm_features",
-    # retired rows-only pair: first hash rows on the new pinned oracles
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    # r2-evidence remainder (8)
-    "events_session_window_native",
-    "events_sliding_20min",
-    "events_user_sessions",
-    "ner_gazetteer_counts",
-    "orders_quality_checks",
-    "similarity_quantized_topk",
-    "streaming_sentiment_counts",
-    "tfidf_doc_frequencies_stemmed",
-    # r3-evidence remainder (7)
-    "embeddings_random_projection",
-    "entity_cooccurrence_edges",
-    "events_value_quartiles_by_type",
-    "graph_bfs_hops",
-    "orders_incremental_agg_refresh",
-    "orders_rank_functions",
-    "orders_salted_segment_revenue",
-    # oldest r5-evidence cohort (23 of 49; the rest queue for r10)
-    "corpus_curation_funnel",
-    "corpus_curation_funnel_strided",
-    "corpus_curation_pipeline",
-    "corpus_training_shards",
-    "dedup_near_clusters",
-    "dedup_semantic",
-    "doc_chunk_dedup",
-    "doc_decontamination",
-    "doc_perplexity_proxy",
-    "doc_repetition_filters",
-    "documents_quality_topfrac",
-    "documents_quality_weighted_sample",
-    "embeddings_centroid_outliers",
-    "embeddings_dimension_profile",
-    "embeddings_kmeans_lloyd",
-    "events_approx_group_profile",
-    "events_conversion_funnel",
-    "events_json_by_type",
-    "events_late_arrival_profile",
-    "events_multires_rollup",
-    "events_resample_10min_gapfill",
-    "events_rolling_zscore_anomalies",
-    "events_scd2_incremental",
+    # r9-late first rows (4)
+    "events_interval_overlap",
+    "events_time_weighted_avg",
+    "events_value_acf",
+    "revenue_cube",
+    # r5-evidence backlog (26)
+    "events_scd2_user_state",
+    "events_seasonal_naive_eval",
+    "events_tumbling_10min",
+    "events_type_association_rules",
+    "events_weekly_retention",
+    "graph_components_two_phase",
+    "graph_kcore_membership",
+    "graph_pagerank_reference",
+    "graph_sssp_weighted",
+    "lineitem_approx_profile",
+    "ml_sentiment_metrics",
+    "ml_sentiment_metrics_full_grid",
+    "multimodal_payload_features",
+    "orders_merge_upsert",
+    "search_bm25_topk",
+    "similarity_cluster_assign",
+    "similarity_projected_topk",
+    "streaming_click_purchase_join",
+    "streaming_dedup_distinct_users",
+    "streaming_first_seen_custom_state",
+    "streaming_first_seen_per_user",
+    "streaming_incremental_rollup",
+    "streaming_kafka_feed",
+    "streaming_static_enrichment",
+    "streaming_tumbling_counts",
+    "terms_cms_heavy_hitters",
+    # oldest r7-evidence cohort (20 of 50; the rest queue for r11)
+    "brand_returnflag_pivot",
+    "corpus_bpe_merges",
+    "customer_order_full_outer",
+    "customer_order_running_total",
+    "customer_segment_setops",
+    "customers_with_expensive_items",
+    "customers_without_orders_filtered",
+    "dedup_exact_groups",
+    "dedup_jaccard_df_capped",
+    "dedup_minhash_candidates",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "doc_bpe_token_stats",
+    "doc_exact_substring_removal",
+    "doc_fingerprint_rolling",
+    "doc_language_id",
+    "doc_pii_scan",
+    "doc_quality_scores",
+    "doc_semantic_decontamination",
+    "doc_token_stats",
 )
 
 

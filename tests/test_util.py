@@ -77,54 +77,40 @@ def test_driver_window_covers_oracle_backed_queries():
     assert len(DRIVER_WINDOW) == 50
 
     deliberate_demotions = {
-        # Round-9 rotation ledger (VERDICT r8 items 1+2): the window now
-        # holds the 9 r8-new queries + the r9 image decode query (first
-        # rows ever), the retired rows-only pair (first HASH rows on
-        # their new pinned oracles), the r2/r3-evidence stragglers, and
-        # the 23 alphabetically-first r5-evidence queries. Every demotion
-        # below keeps its newest green CORRECTNESS row (r5/r7/r8) as
-        # standing evidence; as of r9 ALL registered queries are
-        # oracle-backed, so this set is exactly registry-minus-window.
-        # --- r5-GREEN (CORRECTNESS_r05 rows stand; r10 queue — the 26
-        #     r5-cohort queries the 23 window slots didn't fit):
-        "events_scd2_user_state", "events_seasonal_naive_eval",
-        "events_tumbling_10min", "events_type_association_rules",
-        "events_weekly_retention", "graph_components_two_phase",
-        "graph_kcore_membership", "graph_pagerank_reference",
-        "graph_sssp_weighted", "lineitem_approx_profile",
-        "ml_sentiment_metrics", "ml_sentiment_metrics_full_grid",
-        "multimodal_payload_features", "orders_merge_upsert",
-        "search_bm25_topk", "similarity_cluster_assign",
-        "similarity_projected_topk", "streaming_click_purchase_join",
-        "streaming_dedup_distinct_users",
-        "streaming_first_seen_custom_state",
-        "streaming_first_seen_per_user", "streaming_incremental_rollup",
-        "streaming_kafka_feed", "streaming_static_enrichment",
-        "streaming_tumbling_counts", "terms_cms_heavy_hitters",
-        # --- r7-GREEN evictees (CORRECTNESS_r07 rows stand, unchanged):
-        "brand_returnflag_pivot", "corpus_bpe_merges",
-        "customer_order_full_outer", "customer_order_running_total",
-        "customer_segment_setops", "customers_with_expensive_items",
-        "customers_without_orders_filtered", "dedup_exact_groups",
-        "dedup_jaccard_df_capped", "dedup_minhash_candidates",
-        "dedup_ngram_jaccard", "dedup_simhash_pairs",
-        "doc_bpe_token_stats", "doc_exact_substring_removal",
-        "doc_fingerprint_rolling", "doc_language_id", "doc_pii_scan",
-        "doc_quality_scores", "doc_semantic_decontamination",
-        "doc_token_stats", "doc_winnow_fingerprints",
-        "entity_word_count", "global_agg_stats", "graph_component_sizes",
-        "graph_in_degrees", "graph_label_propagation",
-        "graph_out_degrees", "graph_pagerank", "graph_triangle_counts",
-        "lineitem_zorder_keys", "order_priority_counts",
-        "pricing_summary", "revenue_by_nation", "revenue_rollup",
-        "search_batch_queries", "search_multi_word_cosine",
-        "search_multi_word_reference", "search_single_word",
-        "similarity_ann_recall_profile", "similarity_cosine_topk",
-        "similarity_lsh_indexed_agreement", "streaming_session_windows",
-        "streaming_user_totals", "supplier_part_type_share",
-        "tfidf_doc_frequencies", "tfidf_idf", "tfidf_matrix",
-        "top_customers_by_orders", "top_customers_per_segment",
-        "top_parts_by_revenue",
+        # Round-10 rotation ledger (VERDICT r9 item 1): the window now
+        # holds the 4 r9-late queries (first rows ever — the only
+        # registered queries without a driver CORRECTNESS row), the full
+        # 26-query r5-evidence backlog from the r9 ledger, and the 20
+        # alphabetically-first r7-evidence queries. Every demotion below
+        # keeps its newest green CORRECTNESS row (r7/r8/r9) as standing
+        # evidence; ALL registered queries are oracle-backed, so this
+        # set is exactly registry-minus-window.
+        # --- r9-GREEN evictees (CORRECTNESS_r09 rows stand, unchanged):
+        "corpus_curation_funnel", "corpus_curation_funnel_strided",
+        "corpus_curation_pipeline", "corpus_leakage_safe_split",
+        "corpus_split_leakage_audit", "corpus_training_shards",
+        "dedup_near_clusters", "dedup_semantic", "doc_chunk_dedup",
+        "doc_decontamination", "doc_perplexity_proxy",
+        "doc_repetition_filters", "documents_quality_topfrac",
+        "documents_quality_weighted_sample", "embeddings_centroid_outliers",
+        "embeddings_dimension_profile", "embeddings_kmeans_lloyd",
+        "embeddings_random_projection", "entity_cooccurrence_edges",
+        "events_approx_group_profile", "events_asof_last_signup_7d",
+        "events_asof_next_purchase_2h", "events_conversion_funnel",
+        "events_json_by_type", "events_late_arrival_profile",
+        "events_multires_rollup", "events_resample_10min_gapfill",
+        "events_rolling_zscore_anomalies", "events_scd2_incremental",
+        "events_session_window_native", "events_sliding_20min",
+        "events_user_sessions", "events_value_quartiles_by_type",
+        "graph_bfs_hops", "multimodal_audio_wav_features",
+        "multimodal_image_ppm_features", "ner_gazetteer_counts",
+        "orders_incremental_agg_refresh", "orders_quality_checks",
+        "orders_rank_functions", "orders_salted_segment_revenue",
+        "similarity_ivf_topk", "similarity_ivfpq_indexed_agreement",
+        "similarity_ivfpq_recall_profile", "similarity_lsh_topk",
+        "similarity_pq_recall_profile", "similarity_quantized_topk",
+        "streaming_ivfpq_index_ingest", "streaming_sentiment_counts",
+        "tfidf_doc_frequencies_stemmed",
         # --- r8-GREEN evictees (CORRECTNESS_r08 rows stand, unchanged):
         "corpus_bpe_token_stats", "corpus_pmi_collocations",
         "corpus_shard_manifest", "corpus_token_drift",
@@ -147,14 +133,24 @@ def test_driver_window_covers_oracle_backed_queries():
         "orders_lineitem_join_cardinality", "orders_merge_change_feed",
         "orders_schema_evolution", "orders_weekly_revenue_delta",
         "search_hybrid_rrf", "search_retrieval_eval",
-        "streaming_ann_index_ingest",
-        "streaming_click_attribution_outer",
-        "streaming_cms_heavy_hitters",
-        "streaming_hll_sketch_maintenance", "tfidf_term_frequencies",
-        # --- NEW in r9 (oracle-green sf0.001+sf0.01 at creation; never
-        #     driver-rowed yet — front of the r10 window queue):
-        "events_value_acf", "revenue_cube", "events_interval_overlap",
-        "events_time_weighted_avg",
+        "streaming_ann_index_ingest", "streaming_click_attribution_outer",
+        "streaming_cms_heavy_hitters", "streaming_hll_sketch_maintenance",
+        "tfidf_term_frequencies",
+        # --- r7-GREEN remainder (CORRECTNESS_r07 rows stand; r11 queue —
+        #     the 30 r7-cohort queries the 20 window slots didn't fit):
+        "doc_winnow_fingerprints", "entity_word_count", "global_agg_stats",
+        "graph_component_sizes", "graph_in_degrees",
+        "graph_label_propagation", "graph_out_degrees", "graph_pagerank",
+        "graph_triangle_counts", "lineitem_zorder_keys",
+        "order_priority_counts", "pricing_summary", "revenue_by_nation",
+        "revenue_rollup", "search_batch_queries", "search_multi_word_cosine",
+        "search_multi_word_reference", "search_single_word",
+        "similarity_ann_recall_profile", "similarity_cosine_topk",
+        "similarity_lsh_indexed_agreement", "streaming_session_windows",
+        "streaming_user_totals", "supplier_part_type_share",
+        "tfidf_doc_frequencies", "tfidf_idf", "tfidf_matrix",
+        "top_customers_by_orders", "top_customers_per_segment",
+        "top_parts_by_revenue",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
