@@ -192,7 +192,13 @@ def pooled_acf(
         ).alias("_p"),
     ).select(group_col, "_x", F.col("_p.lag").alias("lag"), F.col("_p._y").alias("_y"))
     stats = (
-        stacked.filter(F.col("_y").isNotNull())
+        # BOTH ends of a pair must be observed: filtering on the lagged
+        # end alone counted a NULL-value row in n_pairs while its sums
+        # silently dropped the NULL side — inconsistent sufficient
+        # statistics (r9 ADVICE). A NULL value still occupies its series
+        # position (the lag partner of its neighbors), matching the
+        # oracle's LAG semantics.
+        stacked.filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
         .groupBy(group_col, "lag")
         .agg(
             F.count("*").alias("n_pairs"),
@@ -254,18 +260,31 @@ def time_weighted_avg(
     ).filter(F.col("_gap").isNotNull())
     # twa_e4 = round_half_up(1e4 · Σ(v_cents·gap)/(100·Σgap)) — the 100
     # from cents and the 1e4 target scale fold into one ×100 on the
-    # numerator; round-half-up via the repo's (2·num + den) DIV (2·den)
-    # (both sides non-negative, so Spark's truncating DIV and DuckDB's
-    # flooring // agree). A group whose observations all share timestamps
-    # has total span 0 — its time-weighted mean is undefined, emitted as
-    # NULL (the guard matters: ANSI-mode DIV-by-zero THROWS; caught by
-    # the hypothesis fold differential, not the fixture).
-    return seg.groupBy(group_col).agg(
+    # numerator; round-half-up (toward +∞) as floor((2·num + den)/(2·den)).
+    # The floor must be SIGN-SAFE: Spark's DIV truncates toward zero while
+    # DuckDB's // floors, so a negative numerator (negative series —
+    # temperature, PnL) diverged by one under the bare-DIV form (r9 ADVICE;
+    # pinned counterexample in test_properties.py). The divisor is > 0 by
+    # the guard, so flooring = DIV minus one when the remainder is nonzero
+    # and the numerator negative — pure BIGINT, no float floor ulp traps.
+    # A group whose observations all share timestamps has total span 0 —
+    # its time-weighted mean is undefined, emitted as NULL (the guard
+    # matters: ANSI-mode DIV-by-zero THROWS; caught by the hypothesis fold
+    # differential, not the fixture).
+    agg = seg.groupBy(group_col).agg(
         F.count("*").alias("n_segments"),
         F.sum("_gap").alias("total_span_sec"),
+        F.sum(F.col("_v") * F.col("_gap")).alias("_wsum"),
+    )
+    return agg.select(
+        group_col,
+        "n_segments",
+        "total_span_sec",
         F.expr(
-            "CASE WHEN SUM(_gap) > 0 THEN "
-            "CAST((SUM(_v * _gap) * 200L + SUM(_gap)) DIV (2L * SUM(_gap)) AS BIGINT) "
-            "ELSE NULL END"
+            "CASE WHEN total_span_sec > 0 THEN CAST("
+            "(_wsum * 200L + total_span_sec) DIV (2L * total_span_sec)"
+            " - (CASE WHEN (_wsum * 200L + total_span_sec) % (2L * total_span_sec) != 0"
+            "         AND (_wsum * 200L + total_span_sec) < 0 THEN 1L ELSE 0L END)"
+            " AS BIGINT) ELSE NULL END"
         ).alias("twa_e4"),
     )

@@ -3695,7 +3695,7 @@ def _acf_oracle() -> str:
                    CAST(SUM(_x * _y) AS BIGINT) AS sxy,
                    CAST(SUM(_x * _x) AS BIGINT) AS sxx,
                    CAST(SUM(_y * _y) AS BIGINT) AS syy
-            FROM stacked WHERE _y IS NOT NULL
+            FROM stacked WHERE _x IS NOT NULL AND _y IS NOT NULL
             GROUP BY event_type, lag
         )
         SELECT event_type, CAST(lag AS INT) AS lag,
@@ -3780,9 +3780,11 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_time_weighted_avg",
     # Pure-BIGINT arithmetic end to end: cents-integerized values x exact
-    # epoch-second gaps, one round-half-up division per group (truncating
-    # DIV == flooring // for the non-negative operands). LAG/LEAD over the
-    # same unique (ts, event_id) order on both engines.
+    # epoch-second gaps, one round-half-up (toward +∞) FLOOR division per
+    # group — DuckDB's // already floors; the Spark side applies the
+    # sign-safe DIV correction (operators/sequence.py), so the two agree
+    # for negative series too. LAG/LEAD over the same unique
+    # (ts, event_id) order on both engines.
     oracle="""
         WITH seg AS (
             SELECT event_type,

@@ -854,7 +854,7 @@ EVENT_SERIES = st.lists(
         st.sampled_from(["a", "b"]),                 # group
         st.integers(min_value=0, max_value=2),       # series (user)
         st.integers(min_value=0, max_value=500),     # offset seconds
-        st.integers(min_value=0, max_value=9999),    # value in cents
+        st.integers(min_value=-9999, max_value=9999),  # value in cents (signed)
     ),
     min_size=2,
     max_size=16,
@@ -871,6 +871,12 @@ EVENT_SERIES = st.lists(
 # only segments are 0-width (all observations share one timestamp) must
 # emit twa_e4 = NULL — the unguarded integer division THREW under ANSI.
 @example(rows=[("a", 0, 100, 1000), ("a", 0, 100, 2000)])
+# Negative-numerator half pin (r9 ADVICE): -5 cents held 3 s -> numerator
+# -2997 over divisor 6 = -499.5; the flooring fold (and DuckDB's //) give
+# -500 while Spark's bare truncating DIV gave -499 — the sign-safe floor
+# correction in time_weighted_avg must match the fold. (Verified: this
+# example FAILS with the correction reverted.)
+@example(rows=[("a", 0, 0, -5), ("a", 0, 3, 0)])
 def test_time_weighted_avg_matches_python_fold(spark, rows):
     """Differential vs an exact-integer python fold of the LOCF weighting
     (per-(group, series) sort by (ts, event_id), gap-weighted sum)."""
