@@ -263,6 +263,81 @@ def range_join_points_in_intervals(
     )
 
 
+def interval_coalesce(
+    intervals: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key union of CLOSED intervals (the missing third member of the
+    range-join family, next to the point-in-interval and overlap joins):
+    merge every chain of overlapping-or-touching intervals into one
+    maximal segment —
+
+        (key, segment_id, seg_start, seg_end, seg_len, n_merged)
+
+    segment_id is the 1-based segment ordinal within the key (ascending
+    start time); per-key total covered time is SUM(seg_len) over the
+    key's segments. Touching endpoints coalesce (closed-interval
+    convention, same as :func:`interval_overlap_join`); inverted
+    intervals (end < start) are dropped up front.
+
+    Scale shape: classic gaps-and-islands over ONE (key)-partitioned
+    window (the `run_length_encode` recipe): a running max of prior ends
+    flags island openers (an interval starting past every earlier end),
+    a running sum turns flags into island ids, and the closing
+    (key, island) aggregate reuses the window's hash partitioning — one
+    exchange total, linear in |intervals|, never a per-key quadratic
+    pass. Deterministic under duplicate (start, end) rows: ties order by
+    (start, end) and identical rows produce identical flags in either
+    tie order, so segment ids are well-defined cross-engine.
+    """
+    reserved = {"_mx", "_new", "segment_id", "seg_start", "seg_end", "seg_len", "n_merged"}
+    clashes = reserved.intersection(intervals.columns)
+    if clashes:
+        raise ValueError(
+            f"interval_coalesce: input columns collide with output/internal "
+            f"names: {sorted(clashes)}"
+        )
+    w = Window.partitionBy(key_col).orderBy(F.asc(start_col), F.asc(end_col))
+    flagged = (
+        intervals.filter(F.col(end_col) >= F.col(start_col))
+        .select(
+            key_col,
+            start_col,
+            end_col,
+            # Max end over STRICTLY PRECEDING rows: NULL on the key's first
+            # row, so `start <= NULL` is NULL and the otherwise-branch
+            # opens island 1 — exactly DuckDB's empty-frame MAX semantics.
+            F.max(end_col)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("_mx"),
+        )
+        .select(
+            key_col,
+            start_col,
+            end_col,
+            F.when(F.col(start_col) <= F.col("_mx"), F.lit(0).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("_new"),
+        )
+    )
+    islands = flagged.select(
+        key_col,
+        start_col,
+        end_col,
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("segment_id"),
+    )
+    return islands.groupBy(key_col, "segment_id").agg(
+        F.min(start_col).alias("seg_start"),
+        F.max(end_col).alias("seg_end"),
+        (F.max(end_col) - F.min(start_col)).alias("seg_len"),
+        F.count("*").alias("n_merged"),
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

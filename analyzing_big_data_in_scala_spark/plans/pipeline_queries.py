@@ -3809,3 +3809,58 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sequence import time_weighted_avg
 
     return time_weighted_avg(load_events(spark, sf_dir))
+
+
+@query(
+    "events_interval_coverage",
+    # Exact BIGINT epoch-second bounds end to end; the oracle replays the
+    # same gaps-and-islands construction (strictly-preceding running MAX
+    # opens islands, running SUM numbers them) — island flags are
+    # order-independent under duplicate (start, end) ties, so segment ids
+    # and bounds hash identically cross-engine.
+    oracle="""
+        WITH base AS (
+            SELECT user_id, event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+            FROM events
+        ),
+        iv AS (
+            SELECT user_id, MIN(t) AS s, MAX(t) AS e
+            FROM base
+            GROUP BY user_id, event_type, CAST(FLOOR(t / 86400) AS BIGINT)
+        ),
+        flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN s <= MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 0 ELSE 1 END AS _new
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   SUM(_new) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS segment_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(segment_id AS BIGINT) AS segment_id,
+               MIN(s) AS seg_start, MAX(e) AS seg_end,
+               MAX(e) - MIN(s) AS seg_len,
+               CAST(COUNT(*) AS BIGINT) AS n_merged
+        FROM islands GROUP BY user_id, segment_id
+    """,
+    description="Interval coalescing/coverage (the union member of the range-join family): per-(user, event_type, day) activity spans merged into maximal per-user covered segments via gaps-and-islands over ONE (user)-partitioned window — running max of prior ends flags island openers, the closing (user, island) aggregate reuses the window's partitioning (one exchange, linear, never per-key quadratic); per-user covered seconds = SUM(seg_len)",
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import interval_coalesce
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_timestamp("ts").cast("long").alias("t")
+    )
+    spans = ev.groupBy(
+        "user_id", "event_type", F.floor(F.col("t") / 86400).cast("long").alias("_d")
+    ).agg(F.min("t").alias("s"), F.max("t").alias("e"))
+    return interval_coalesce(
+        spans.select("user_id", "s", "e"), "user_id", "s", "e"
+    )

@@ -162,6 +162,9 @@ HEADLINE = [
     "revenue_cube",
     "events_interval_overlap",
     "events_time_weighted_avg",
+    # r10: interval coalescing/coverage (the union member of the range-join
+    # family)
+    "events_interval_coverage",
 ]
 
 

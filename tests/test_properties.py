@@ -849,6 +849,54 @@ def test_interval_overlap_join_matches_naive(spark, left, right, bucket):
     assert got == naive
 
 
+@PROP_SETTINGS
+@given(intervals=INTERVALS)
+# Touching-endpoint pin: [0,5] and [5,9] share exactly one point — the
+# closed-interval convention must coalesce them into ONE [0,9] segment.
+@example(intervals=[(1, 0, 5), (1, 5, 4)])
+# Containment + duplicate pin: a duplicate pair and a contained interval
+# must count in n_merged without extending the segment.
+@example(intervals=[(1, 0, 10), (1, 0, 10), (1, 2, 3)])
+def test_interval_coalesce_matches_naive(spark, intervals):
+    """Differential vs a naive python sweep-merge over random interval
+    sets with inverted spans, duplicates, touching endpoints, and
+    degenerate points."""
+    from collections import defaultdict
+
+    from analyzing_big_data_in_scala_spark.operators.asof import interval_coalesce
+
+    rows = [(k, s, s + d) for k, s, d in intervals]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = sorted(
+        (r["k"], r["segment_id"], r["seg_start"], r["seg_end"],
+         r["seg_len"], r["n_merged"])
+        for r in interval_coalesce(df, "k", "s", "e").collect()
+    )
+
+    by_key = defaultdict(list)
+    for k, s, e in rows:
+        if e >= s:
+            by_key[k].append((s, e))
+    want = []
+    for k, ivs in by_key.items():
+        ivs.sort()
+        seg_id = 0
+        cur_s = cur_e = None
+        n = 0
+        for s, e in ivs:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    want.append((k, seg_id, cur_s, cur_e, cur_e - cur_s, n))
+                seg_id += 1
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        if cur_s is not None:
+            want.append((k, seg_id, cur_s, cur_e, cur_e - cur_s, n))
+    assert got == sorted(want)
+
+
 EVENT_SERIES = st.lists(
     st.tuples(
         st.sampled_from(["a", "b"]),                 # group

@@ -554,6 +554,56 @@ def test_interval_overlap_join_matches_naive_join(spark):
     assert not any(row[0] == 3 for row in got)
 
 
+def test_interval_coalesce_hand_computed(spark):
+    """[0,10]+[5,20]+[20,25] chain into one [0,25] segment (touching
+    endpoints coalesce); [40,50] opens segment 2 after the gap; the
+    inverted [9,3] is dropped; key 2's lone point [7,7] is a
+    zero-length segment."""
+    from analyzing_big_data_in_scala_spark.operators.asof import interval_coalesce
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 5, 20), (1, 20, 25), (1, 40, 50), (1, 9, 3), (2, 7, 7)],
+        "k long, s long, e long",
+    )
+    got = sorted(
+        (r["k"], r["segment_id"], r["seg_start"], r["seg_end"],
+         r["seg_len"], r["n_merged"])
+        for r in interval_coalesce(df, "k", "s", "e").collect()
+    )
+    assert got == [
+        (1, 1, 0, 25, 25, 3),
+        (1, 2, 40, 50, 10, 1),
+        (2, 1, 7, 7, 0, 1),
+    ]
+
+
+def test_interval_coalesce_single_exchange(spark):
+    """Gaps-and-islands must plan as ONE hash exchange: both window
+    passes and the closing (key, island) aggregate share the key
+    partitioning (the run_length_encode shape)."""
+    from analyzing_big_data_in_scala_spark.operators.asof import interval_coalesce
+
+    df = spark.createDataFrame(
+        [(i % 5, i * 3 % 97, i * 3 % 97 + i % 11) for i in range(200)],
+        "k long, s long, e long",
+    )
+    plan = (
+        interval_coalesce(df, "k", "s", "e")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_coalesce_rejects_reserved_names(spark):
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.asof import interval_coalesce
+
+    df = spark.createDataFrame([(1, 0, 1, 9)], "k long, s long, e long, seg_len long")
+    with pytest.raises(ValueError, match="seg_len"):
+        interval_coalesce(df, "k", "s", "e")
+
+
 def test_interval_overlap_join_exactly_once_across_many_buckets(spark):
     """A pair overlapping across MANY shared buckets must still emit one
     row (the greatest-start bucket rule, not a dedup pass)."""

@@ -388,6 +388,22 @@ def main() -> None:
                 ))(ev.select("user_id", "event_type",
                              F.unix_timestamp("ts").cast("long").alias("t")))
             ),
+            # r10: gaps-and-islands union of per-(user, type, day) spans —
+            # ONE key-partitioned exchange shared by both window passes
+            # and the closing aggregate; expect ~linear with events
+            # (inflation adds users, per-user interval counts are fixed).
+            "interval_coverage": lambda: noop(
+                (lambda e: A.interval_coalesce(
+                    e.groupBy(
+                        "user_id", "event_type",
+                        F.floor(F.col("t") / 86400).cast("long").alias("_d"),
+                    )
+                    .agg(F.min("t").alias("s"), F.max("t").alias("e"))
+                    .select("user_id", "s", "e"),
+                    "user_id", "s", "e",
+                ))(ev.select("user_id", "event_type",
+                             F.unix_timestamp("ts").cast("long").alias("t")))
+            ),
             # r9: Expand (4 grouping sets) + one hash aggregate with
             # map-side partials over broadcast-joined dims — expect
             # ~linear with the fact side, same as the rollup family.
