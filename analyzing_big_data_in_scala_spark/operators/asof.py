@@ -233,7 +233,16 @@ def range_join_points_in_intervals(
     the points side wins on name collision). Skewed keys: bucketing
     already splits a hot key's hash group by value; residual skew is
     AQE's skew-join territory.
+
+    Raises ValueError when either input already carries the internal
+    bucket column `_b` (withColumn would silently clobber it).
     """
+    for side, df in (("points", points), ("intervals", intervals)):
+        if "_b" in df.columns:
+            raise ValueError(
+                f"range_join_points_in_intervals: {side} frame already has a "
+                "'_b' column (internal bucket name) — rename it first"
+            )
     p = points.withColumn(
         "_b", F.floor(F.col(point_val) / F.lit(bucket_size)).cast("long")
     ).alias("_p")
@@ -372,7 +381,25 @@ def interval_overlap_join(
     collision) + `overlap_start` / `overlap_end` / `overlap_len`
     (exact integers when the inputs are integers). Pick bucket_size ≈
     the typical interval span; residual per-key skew is AQE territory.
+
+    Raises ValueError when either input already carries the internal
+    bucket column `_b` (withColumn would silently clobber it) or an
+    input column collides with the three overlap output names (the
+    output's select would silently shadow the input column).
     """
+    out_names = {"overlap_start", "overlap_end", "overlap_len"}
+    for side, df in (("left", left), ("right", right)):
+        if "_b" in df.columns:
+            raise ValueError(
+                f"interval_overlap_join: {side} frame already has a '_b' "
+                "column (internal bucket name) — rename it first"
+            )
+        clashes = out_names.intersection(df.columns)
+        if clashes:
+            raise ValueError(
+                f"interval_overlap_join: {side} columns collide with output "
+                f"names: {sorted(clashes)}"
+            )
     l = (
         left.filter(F.col(left_end) >= F.col(left_start))
         .withColumn(

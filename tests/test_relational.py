@@ -554,6 +554,38 @@ def test_interval_overlap_join_matches_naive_join(spark):
     assert not any(row[0] == 3 for row in got)
 
 
+def test_interval_join_reserved_name_guards(spark):
+    """`_b` (internal bucket) and the overlap output names must be
+    refused up front — withColumn/select would silently clobber or
+    shadow them (r9 ADVICE)."""
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.asof import (
+        interval_overlap_join,
+        range_join_points_in_intervals,
+    )
+
+    plain = spark.createDataFrame([(1, 0, 10)], "k long, s long, e long")
+    with_b = spark.createDataFrame([(1, 0, 10, 9)], "k long, s long, e long, _b long")
+    with_out = spark.createDataFrame(
+        [(1, 0, 10, 9)], "k long, s long, e long, overlap_len long"
+    )
+    for bad_left, bad_right in ((with_b, plain), (plain, with_b)):
+        with pytest.raises(ValueError, match="_b"):
+            interval_overlap_join(
+                bad_left, bad_right, "k", "k", "s", "e", "s", "e", bucket_size=10
+            )
+    with pytest.raises(ValueError, match="overlap_len"):
+        interval_overlap_join(
+            plain, with_out, "k", "k", "s", "e", "s", "e", bucket_size=10
+        )
+    pts = spark.createDataFrame([(1, 5, 7)], "k long, v long, _b long")
+    with pytest.raises(ValueError, match="_b"):
+        range_join_points_in_intervals(
+            pts, plain, "k", "k", "v", "s", "e", bucket_size=10
+        )
+
+
 def test_interval_coalesce_hand_computed(spark):
     """[0,10]+[5,20]+[20,25] chain into one [0,25] segment (touching
     endpoints coalesce); [40,50] opens segment 2 after the gap; the

@@ -426,6 +426,14 @@ def main() -> None:
             ),
         }
         if only:
+            # A typo'd case name must fail loudly, not probe nothing and
+            # look like a fast success (r9 ADVICE).
+            unknown = only - cases.keys()
+            if unknown:
+                raise SystemExit(
+                    f"scale_probe: unknown case names {sorted(unknown)}; "
+                    f"known: {sorted(cases)}"
+                )
             cases = {k: v for k, v in cases.items() if k in only}
         for name, fn in cases.items():
             # Exact all-pairs cosine is quadratic by definition (16x data =
