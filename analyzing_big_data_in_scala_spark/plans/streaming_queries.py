@@ -706,7 +706,16 @@ def streaming_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="stream_ivfpq_")
     ckpt = tempfile.mkdtemp(prefix="stream_ivfpq_ckpt_")
     try:
-        rest.select("vec_id", "embedding").repartitionByRange(4, "vec_id").write.mode(
+        # 2 staged files = 2 micro-batches: the minimum that still proves
+        # appends COMMUTE across batches (the contract), at half the
+        # drain's per-batch fixed cost — r9 bench decomposition measured
+        # ~1.8 s/batch of job overhead (localCheckpoint + anti-join +
+        # encode + bucketed append) against microseconds of actual
+        # compute, so batch COUNT, not batch size, was the wall
+        # (VERDICT r9 item 3: 23.3 s, the most expensive recurring bench
+        # entry). Single-batch would be cheaper still but degenerates
+        # the query to "build twice".
+        rest.select("vec_id", "embedding").repartitionByRange(2, "vec_id").write.mode(
             "overwrite"
         ).parquet(stage)
         schema = spark.read.parquet(stage).schema
@@ -739,9 +748,14 @@ def streaming_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("codes", "centroids", "codebook"):
             spark.catalog.refreshTable(f"{prefix}_{t}")
         probes = emb.filter(F.col("vec_id") < 3)
+        # The 30-row indexed result feeds TWO consumers (the left-semi
+        # agreement probe and the n_indexed aggregate): without the
+        # lineage cut the whole ADC-scan + rerank chain executes once per
+        # consumer (multi-consumer re-plan; r10 A/B measured the chain
+        # ~2 s warm per execution at sf0.1).
         indexed = PQ.ivfpq_topk_indexed(
             spark, emb, probes, prefix=prefix, k=10, nprobe=4
-        )
+        ).localCheckpoint(eager=False)
         # On-the-fly twin: SAME stored geometry, codes recomputed inline
         # over the full corpus — agreement proves the streamed appends
         # encoded exactly what a batch encode would have.
