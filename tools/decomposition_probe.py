@@ -21,6 +21,20 @@ SCALING.md watch items by measuring WHAT grows, not just how long it takes.
    table — the explode + one (id,kind,h) aggregate IS the funnel's only
    corpus-sized cost, so the biggest kind is the cost center.
 
+r10 additions (VERDICT r9 items 2 & 8):
+
+3. `interval_overlap` (4.6x wall at 16x in SCALING.md): report the
+   EMITTED pair count and the candidate (key, bucket) equi-join fan-out
+   (sum over shared buckets of |L_kb|*|R_kb| — exactly the rows the join
+   produces before the exact overlap predicates) alongside wall at
+   1/4/16/64x. If per-emitted-pair cost stays flat, the curve is output
+   growth, not operator degradation.
+
+4. 64x flat-curve confirmation for the r9/r10 window+aggregate
+   operators (pooled_acf, time_weighted_avg, revenue_cube-shape probed
+   via scale_probe at 16x already; here acf/twa/coalesce get the 64x
+   point the verdict asked for).
+
 Appends a `## Decomposition probes` section to SCALING.md (preserved by
 tools/scale_probe.py regeneration).
 """
@@ -114,6 +128,93 @@ def main() -> None:
             }
             print(f"kind volumes x{copies}: {kind_rows[copies]}", flush=True)
 
+    # ---- 3. interval_overlap: wall vs emitted pairs vs join fan-out ----
+    from analyzing_big_data_in_scala_spark.operators import asof as A
+    from analyzing_big_data_in_scala_spark.operators import sequence as SEQ
+
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_events
+
+    ev0 = load_events(spark, base)
+    BUCKET = 21600
+
+    def overlap_frames(ev):
+        e = ev.select(
+            "user_id", "event_type",
+            F.unix_timestamp("ts").cast("long").alias("t"),
+        )
+        days = e.groupBy(
+            "user_id", F.floor(F.col("t") / 86400).cast("long").alias("day")
+        ).agg(F.min("t").alias("ls"), F.max("t").alias("le"))
+        spans = e.groupBy("user_id", "event_type").agg(
+            F.min("t").alias("rs"), F.max("t").alias("re")
+        )
+        return days, spans
+
+    ov_rows = []
+    for copies in (1, 4, 16, 64):
+        ev = inflate(ev0, copies, ["event_id", "user_id"], 10_000_000).localCheckpoint()
+        days, spans = overlap_frames(ev)
+        fn = lambda: noop(  # noqa: E731
+            A.interval_overlap_join(
+                days, spans, "user_id", "user_id", "ls", "le", "rs", "re",
+                bucket_size=BUCKET,
+            )
+        )
+        fn()  # warm
+        t = timed(fn)
+        emitted = A.interval_overlap_join(
+            days, spans, "user_id", "user_id", "ls", "le", "rs", "re",
+            bucket_size=BUCKET,
+        ).count()
+        # Candidate fan-out of the (key, bucket) equi join: rows produced
+        # BEFORE the exact overlap + single-emission predicates.
+        lb = days.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("ls") / BUCKET).cast("long"),
+                    F.floor(F.col("le") / BUCKET).cast("long"),
+                )
+            ).alias("_b"),
+        ).groupBy("user_id", "_b").count()
+        rb = spans.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("rs") / BUCKET).cast("long"),
+                    F.floor(F.col("re") / BUCKET).cast("long"),
+                )
+            ).alias("_b"),
+        ).groupBy("user_id", "_b").count()
+        cand = (
+            lb.alias("_l")
+            .join(rb.alias("_r"), ["user_id", "_b"])
+            .agg(F.sum(F.col("_l.count") * F.col("_r.count")).alias("c"))
+            .first()["c"]
+        )
+        ov_rows.append((copies, t, int(emitted), int(cand)))
+        print(f"interval_overlap x{copies}: {ov_rows[-1]}", flush=True)
+
+    # ---- 4. 64x flat-curve confirmation: acf / twa / coalesce ----------
+    flat_rows = {}
+    for copies in (1, 64):
+        ev = inflate(ev0, copies, ["event_id", "user_id"], 10_000_000).localCheckpoint()
+        days, spans = overlap_frames(ev)
+        cases = {
+            "pooled_acf": lambda: noop(SEQ.pooled_acf(ev)),
+            "time_weighted_avg": lambda: noop(SEQ.time_weighted_avg(ev)),
+            "interval_coalesce": lambda: noop(
+                A.interval_coalesce(
+                    days.select("user_id", F.col("ls").alias("s"), F.col("le").alias("e")),
+                    "user_id", "s", "e",
+                )
+            ),
+        }
+        for name, fn in cases.items():
+            fn()  # warm
+            flat_rows.setdefault(name, {})[copies] = timed(fn)
+            print(f"{name} x{copies}: {flat_rows[name][copies]}s", flush=True)
+
     # ---- write the SCALING.md section ----------------------------------
     t1 = sem_rows[0][2]
     p1 = sem_rows[0][3]
@@ -199,6 +300,54 @@ def main() -> None:
         "per kind grows linearly with input by construction (fixed rows per",
         "token), so no df-cap or stride change is warranted — the curve is",
         "already the aggregate's key-volume curve.",
+        "",
+        "### interval_overlap — wall vs emitted pairs vs join fan-out (r10)",
+        "",
+        "Bucket size 21600 s; inflation adds USERS (disjoint keys), so",
+        "per-user interval counts are fixed and the true pair count grows",
+        "linearly with copies. `candidate rows` = Σ over shared",
+        "(user, bucket) cells of |L|·|R| — the equi join's output before",
+        "the exact overlap + single-emission predicates; the gap between",
+        "candidates and emitted is the discretization's waste.",
+        "",
+        "| copies | wall (s) | time/x1 | emitted pairs | pairs/x1 | candidate rows | s per 1M emitted |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    to1, po1 = ov_rows[0][1], ov_rows[0][2]
+    for copies, t, emitted, cand in ov_rows:
+        lines.append(
+            f"| {copies} | {t} | {round(t / to1, 1)} | {emitted:,} | "
+            f"{round(emitted / po1, 1)} | {cand:,} | "
+            f"{round(t / (emitted / 1e6), 2) if emitted else float('nan')} |"
+        )
+    tL, eL = ov_rows[-1][1], ov_rows[-1][2]
+    per_pair_ratio = round((tL / eL) / (to1 / po1), 2)
+    lines += [
+        "",
+        f"**Measured conclusion**: {ov_rows[-1][0]}x data -> "
+        f"{round(tL / to1, 1)}x wall against {round(eL / po1, 1)}x emitted",
+        f"pairs; per-emitted-pair cost at the top of the curve is "
+        f"{per_pair_ratio}x the 1x cost",
+        "(<1 = fixed job overhead amortizing over a linearly growing",
+        "output; >1 names a real superlinear term). Candidate rows vs",
+        "emitted pairs measures the discretization's waste at this",
+        "span/bucket ratio — if candidates outgrow emitted, retune",
+        "bucket_size.",
+        "",
+        "### 64x flat-curve confirmation — acf / twa / coalesce (r10)",
+        "",
+        "| operator | 1x (s) | 64x (s) | x64/x1 |",
+        "|---|---|---|---|",
+    ]
+    for name, t in flat_rows.items():
+        lines.append(
+            f"| {name} | {t[1]} | {t[64]} | {round(t[64] / t[1], 1)} |"
+        )
+    lines += [
+        "",
+        "All three are the ONE-(key)-window + one-hash-aggregate shape;",
+        "a x64/x1 far below 64 means fixed per-job overhead still",
+        "dominates and the per-row cost is flat — the scale-safe answer.",
     ]
     body = "\n".join(lines) + "\n"
 

@@ -373,6 +373,9 @@ def main() -> None:
             # before a single aggregate) — expect the ewma family's curve
             # (~linear with events; inflation adds users, not run length).
             "pooled_acf": lambda: noop(SEQ.pooled_acf(ev)),
+            # r10: same (type,user) window + one hash aggregate — expect
+            # pooled_acf's curve.
+            "time_weighted_avg": lambda: noop(SEQ.time_weighted_avg(ev)),
             # r9: two grouping aggregates build the interval sets, then
             # ONE equi join on (key, bucket) with the exactly-once
             # greatest-start bucket rule — expect ~linear with events
