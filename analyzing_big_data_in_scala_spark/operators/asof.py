@@ -94,7 +94,7 @@ def asof_join_forward(
     )
 
 
-def _asof_join(
+def asof_join_nearest(
     left: DataFrame,
     right: DataFrame,
     left_key: str,
@@ -102,10 +102,82 @@ def _asof_join(
     left_ts: str,
     right_ts: str,
     right_vals: list[str],
-    forward: bool,
-    tolerance,
-    opname: str,
+    tolerance=None,
 ) -> DataFrame:
+    """NEAREST as-of: for every left row, attach `right_vals` from the
+    right row of the same key whose timestamp is CLOSEST in either
+    direction (the "closest state" join — sensor reading nearest to an
+    inspection time, quote nearest to a trade). `tolerance` bounds the
+    distance symmetrically; ties (one right row `d` before and another
+    `d` after) resolve to the EARLIER right row — the backward match,
+    the at-the-time-known state.
+
+    The nearest right row is always one of: the latest right row
+    at-or-before the left timestamp, or the earliest at-or-after — so
+    ONE tagged union carries both: the same (key)-partitioned scan as
+    the directional joins, sorted twice (ascending for the backward
+    carry, descending for the forward carry). ONE exchange, two sorts,
+    linear in |L| + |R| — never the naive key-join + per-key |L|x|R|
+    distance argmin.
+
+    Same preconditions as the directional joins (right rows unique per
+    (key, ts); NULL timestamps never match)."""
+    u, left_cols = _asof_union(
+        left, right, left_key, right_key, left_ts, right_ts, right_vals,
+        opname="asof_join_nearest",
+    )
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "_side",
+        F.col("_t"),
+        *left_cols,
+        F.last("_rv", ignorenulls=True).over(wb).alias("_rvb"),
+        F.last("_rv", ignorenulls=True).over(wf).alias("_rvf"),
+    )
+    gap_b = F.col("_t") - F.col("_rvb").getField("t")
+    gap_f = F.col("_rvf").getField("t") - F.col("_t")
+    ok_b = F.col("_rvb").isNotNull() & F.col("_t").isNotNull()
+    ok_f = F.col("_rvf").isNotNull() & F.col("_t").isNotNull()
+    if tolerance is not None:
+        ok_b = ok_b & (gap_b <= tolerance)
+        ok_f = ok_f & (gap_f <= tolerance)
+    payload = (
+        # Both directions in range: the smaller gap wins; equal gaps go
+        # backward (the earlier right row).
+        F.when(ok_b & ok_f,
+               F.when(gap_b <= gap_f, F.col("_rvb").getField("v"))
+               .otherwise(F.col("_rvf").getField("v")))
+        .when(ok_b, F.col("_rvb").getField("v"))
+        .when(ok_f, F.col("_rvf").getField("v"))
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *left_cols, *[payload.getField(c).alias(c) for c in right_vals]
+    )
+
+
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    opname: str,
+) -> tuple[DataFrame, list[str]]:
+    """Shared validation + tagged-union construction for every as-of
+    variant: returns (union frame, left column list). The union carries
+    (_k, _t, _side, *left_cols, _rv) where _rv is the right row's
+    (t, v=struct(right_vals)) — NULL on left rows."""
     left_cols = left.columns
     reserved = {"_k", "_t", "_side", "_rv"}
     clashes = reserved.intersection(left_cols)
@@ -161,7 +233,24 @@ def _asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         rv_expr.alias("_rv"),
     )
-    u = lt.unionByName(rt)
+    return lt.unionByName(rt), left_cols
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    forward: bool,
+    tolerance,
+    opname: str,
+) -> DataFrame:
+    u, left_cols = _asof_union(
+        left, right, left_key, right_key, left_ts, right_ts, right_vals, opname
+    )
     # Backward: ascending time, right rows (side 0) before left at equal
     # timestamps so "at or before" ties match. Forward is the same scan
     # time-REVERSED — descending time, right rows still first at equal

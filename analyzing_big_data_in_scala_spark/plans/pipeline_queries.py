@@ -1978,6 +1978,67 @@ def events_asof_next_purchase_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_nearest_purchase_3h",
+    # NEAREST as-of (r10): the oracle is an INDEPENDENT naive
+    # implementation — key join bounded by the 3h band, then argmin by
+    # (distance, earlier-timestamp) via ROW_NUMBER — so it validates the
+    # two-directional-carry construction directly. Exact BIGINT second
+    # offsets; ties resolve to the earlier (backward) purchase on both
+    # engines by the shared (dist, p_ts) order.
+    oracle="""
+        WITH v AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, ts AS p_ts, MAX(event_id) AS p_event_id
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ),
+        cand AS (
+            SELECT v.event_id, v.user_id, v.ts, p.p_ts, p.p_event_id,
+                   ABS(CAST(FLOOR(epoch(p.p_ts)) - FLOOR(epoch(v.ts)) AS BIGINT)) AS dist
+            FROM v JOIN p ON v.user_id = p.user_id
+             AND p.p_ts BETWEEN v.ts - INTERVAL 3 HOUR AND v.ts + INTERVAL 3 HOUR
+        ),
+        best AS (
+            SELECT event_id, p_ts, p_event_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY dist, p_ts) AS rn
+            FROM cand
+        )
+        SELECT v.event_id, v.user_id,
+               b.p_event_id AS nearest_purchase_id,
+               CAST(FLOOR(epoch(b.p_ts)) - FLOOR(epoch(v.ts)) AS BIGINT) AS secs_offset
+        FROM v LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
+    """,
+    description="NEAREST as-of join (r10, completing the directional pair): each view event attaches the user's closest purchase within 3h in EITHER direction (signed offset; ties go to the earlier purchase) — one tagged union sorted twice over ONE key-partitioned exchange (backward + forward carries), never the naive per-key |L|x|R| distance argmin (operators/asof.asof_join_nearest)",
+)
+def events_asof_nearest_purchase_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_nearest
+
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    joined = asof_join_nearest(
+        views,
+        purchases.select("user_id", "p_ts", "p_event_id"),
+        left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="p_ts",
+        right_vals=["p_event_id", "p_ts"],
+        tolerance=F.expr("INTERVAL 3 HOURS"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("p_event_id").alias("nearest_purchase_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("ts")).alias("secs_offset"),
+    )
+
+
+@query(
     "events_asof_last_signup_7d",
     # Backward as-of with a STALENESS bound (r8): the feature-freshness
     # rule. Each event attaches the user's latest signup at-or-before it

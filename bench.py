@@ -163,8 +163,9 @@ HEADLINE = [
     "events_interval_overlap",
     "events_time_weighted_avg",
     # r10: interval coalescing/coverage (the union member of the range-join
-    # family)
+    # family); nearest as-of (the bidirectional member of the as-of family)
     "events_interval_coverage",
+    "events_asof_nearest_purchase_3h",
 ]
 
 

@@ -800,6 +800,66 @@ def test_asof_direction_and_tolerance_match_bruteforce(
     assert got == _asof_bruteforce(left_rows, right_rows, forward=forward, tol=tol)
 
 
+def _asof_nearest_bruteforce(left_rows, right_rows, tol):
+    """Reference semantics for the nearest as-of: smallest |gap| wins,
+    ties (d before vs d after) go to the EARLIER right row; NULL ts on
+    either side never matches; tolerance bounds |gap| symmetrically."""
+    want = {}
+    for i, (k, t) in enumerate(left_rows):
+        if t is None:
+            want[i] = (None, None)
+            continue
+        cands = [rr for rr in right_rows if rr[0] == k and rr[1] is not None]
+        if tol is not None:
+            cands = [rr for rr in cands if abs(rr[1] - t) <= tol]
+        pick = min(cands, key=lambda rr: (abs(rr[1] - t), rr[1])) if cands else None
+        want[i] = (pick[2], pick[3]) if pick is not None else (None, None)
+    return want
+
+
+@PROP_SETTINGS
+# Equidistant-tie pin: right rows at t=2 and t=6 are both 2 away from the
+# left row at t=4 — the EARLIER (t=2, backward) row must win.
+@example(
+    left_rows=[(0, 4)],
+    right_rows=[(0, 2, "X", 5), (0, 6, "Y", 7)],
+    tol=None,
+)
+# Tolerance-excludes-nearest pin: the only right row is 5 away with tol=3
+# — no match, never a farther row.
+@example(left_rows=[(0, 10)], right_rows=[(0, 5, "X", 1)], tol=3)
+# NULL-ts right row pin: must never match in either directional carry.
+@example(left_rows=[(0, 3)], right_rows=[(0, None, "X", 5)], tol=None)
+@given(
+    left_rows=ASOF_LEFT,
+    right_rows=ASOF_RIGHT,
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=10)),
+)
+def test_asof_nearest_matches_bruteforce(spark, left_rows, right_rows, tol):
+    """Nearest as-of vs the Python brute force: closest |gap| in either
+    direction, equidistant ties to the earlier right row, symmetric
+    tolerance, NULL timestamps never match."""
+    from analyzing_big_data_in_scala_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, t long",
+    )
+    right_schema = "k long, t long, a string, b long"
+    right = (
+        spark.createDataFrame(right_rows, right_schema)
+        if right_rows
+        else spark.createDataFrame([], right_schema)
+    )
+    got = {
+        r.lid: (r.a, r.b)
+        for r in asof_join_nearest(
+            left, right, "k", "k", "t", "t", ["a", "b"], tolerance=tol
+        ).collect()
+    }
+    assert got == _asof_nearest_bruteforce(left_rows, right_rows, tol)
+
+
 INTERVALS = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),      # key

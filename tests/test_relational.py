@@ -179,6 +179,46 @@ def test_approx_profile_within_tolerance_of_exact(spark):
         assert getattr(row, c) == 1, c
 
 
+def test_asof_nearest_semantics_and_plan(spark):
+    """Nearest as-of: closer side wins, equidistant ties go backward,
+    tolerance bounds both directions; the plan keeps ONE hash exchange
+    (the two direction carries are two sorts over the same key
+    partitioning, not two shuffles)."""
+    from analyzing_big_data_in_scala_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 14), (3, 1, 100), (4, 2, 5)],
+        "lid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 13, "b"), (1, 18, "c")], "k long, rt long, v string"
+    )
+    out = asof_join_nearest(left, right, "k", "k", "t", "rt", ["v", "rt"], tolerance=50)
+    # Plan asserted BEFORE execution: the post-collect AQE final-plan
+    # string renders the same logical exchange twice (initial + adaptive
+    # copy), which double-counts.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {r.lid: (r.v, r.rt) for r in out.collect()}
+    assert got == {
+        1: ("a", 8),      # |10-8|=2 beats |10-13|=3
+        2: ("b", 13),     # |14-13|=1
+        3: (None, None),  # nearest (18) is 82 away > tol 50
+        4: (None, None),  # key 2 has no right rows
+    }
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    from analyzing_big_data_in_scala_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(1, 1, 4)], "lid long, k long, t long")
+    right = spark.createDataFrame(
+        [(1, 2, "before"), (1, 6, "after")], "k long, rt long, v string"
+    )
+    rows = asof_join_nearest(left, right, "k", "k", "t", "rt", ["v"]).collect()
+    assert rows[0]["v"] == "before"
+
+
 def test_asof_join_rejects_column_collisions(spark):
     import pytest
 

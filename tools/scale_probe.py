@@ -332,6 +332,13 @@ def main() -> None:
                     evp, iv, "user_id", "user_id", "t", "s", ["e"], tolerance=86400
                 )
             ),
+            # r10: both directional carries over ONE key exchange (two
+            # sorts) — expect the asof_join family's ~linear curve.
+            "asof_nearest_tol": lambda: noop(
+                A.asof_join_nearest(
+                    evp, iv, "user_id", "user_id", "t", "s", ["e"], tolerance=86400
+                )
+            ),
             # r8: bounded fixpoint — each extra round re-runs detection on
             # the SHRINKING cleaned corpus behind a checkpoint, plus one
             # convergence probe; expect ~rounds x the single-pass curve,
