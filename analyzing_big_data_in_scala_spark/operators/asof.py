@@ -18,10 +18,11 @@ Right-side rows must be unique per (key, ts); pre-aggregate (e.g.
 `max_by`) to pick a deterministic survivor, or the carried value depends
 on sort tiebreaks.
 
-Both directions ship: backward ("latest state at-or-before", the feature
-join) and forward ("earliest outcome at-or-after", the label join), each
-with an optional `tolerance` bounding the match distance (staleness for
-features, horizon for labels).
+Three variants ship: backward ("latest state at-or-before", the feature
+join), forward ("earliest outcome at-or-after", the label join), and
+nearest ("closest state in either direction", ties to the backward row),
+each with an optional `tolerance` bounding the match distance (staleness
+for features, horizon for labels, symmetric radius for nearest).
 
 The right values ride the window as ONE struct, not one `last(...)`
 per column: per-column carry would pull a NULL field from an OLDER

@@ -37,6 +37,10 @@ r10 additions (VERDICT r9 items 2 & 8):
 
 Appends a `## Decomposition probes` section to SCALING.md (preserved by
 tools/scale_probe.py regeneration).
+
+NOTE: the 64x cases hold ~65M checkpointed key-table rows on the driver
+heap — run with SPARK_DRIVER_MEMORY=32g (the default 8g OOMs at the
+funnel's 64x flags checkpoint; measured r10).
 """
 
 from __future__ import annotations
