@@ -217,6 +217,91 @@ def pooled_acf(
     )
 
 
+# Shared Spark/DuckDB expression for the OLS slope in integer ppm over
+# exact BIGINT sufficient statistics (n, sx, sy, sxy, sxx): every product
+# happens in DOUBLE (no BIGINT overflow) and *, -, / are IEEE correctly
+# rounded, so the identical expression tree yields bit-identical doubles
+# on both engines before the single ROUND site. A zero-variance x
+# (degenerate denominator) yields NULL, identically.
+SLOPE_PPM_SQL = (
+    "CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0"
+    " THEN CAST(ROUND(1000000.0"
+    "   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    "   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)"
+    " ELSE NULL END"
+)
+
+# Pearson correlation over the same statistics (plus syy) — ACF_PPM_SQL's
+# formula with the trend operator's column names.
+CORR_PPM_SQL = (
+    ACF_PPM_SQL.replace("n_pairs", "n")
+)
+
+
+def grouped_trend(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group OLS time trend over exact integer sufficient statistics
+    (the drift detector / metric-regression pass — "is this series going
+    up, and how coherently?"):
+
+        (group_col, n, slope_ppm, corr_ppm)
+
+    slope_ppm = 1e6 x the least-squares slope of value-CENTS per MINUTE;
+    corr_ppm = 1e6 x the Pearson correlation between time and value
+    (the trend's coherence; slope alone can be huge on noise). Both NULL
+    for zero-variance inputs.
+
+    Exactness recipe (the :func:`pooled_acf` pattern): x = minutes since
+    the GROUP's earliest observation (exact BIGINT; centering per group
+    keeps Σx² far under 2^63 — raw epoch seconds squared would overflow
+    ANSI BIGINT at ~1e5 rows), y = cents. The five sums are exact
+    integer aggregates (order-independent); the only float math is the
+    shared `SLOPE_PPM_SQL` / `CORR_PPM_SQL` expression trees over those
+    sums, bit-identical cross-engine.
+
+    Scale shape: one map-side-partial MIN aggregate per group (tiny,
+    broadcast back) + ONE hash aggregate over the corpus — no window,
+    no per-group timeline sort, never a global sort. Σx² headroom: with
+    x in minutes, a 10-year-span group supports ~1.7e9 rows before the
+    BIGINT sum approaches 2^63."""
+    t = F.unix_timestamp(ts_col).cast("long")
+    base = events.select(
+        F.col(group_col),
+        t.alias("_t"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_y"),
+        # Both coordinates must be observed — counting a NULL row in n
+        # while the sums drop it would corrupt the sufficient statistics
+        # (the pooled_acf r9 ADVICE lesson, applied from the start).
+    ).filter(F.col("_t").isNotNull() & F.col("_y").isNotNull())
+    t0 = base.groupBy(group_col).agg(F.min("_t").alias("_t0"))
+    xy = base.join(F.broadcast(t0), group_col).select(
+        group_col,
+        F.call_function("div", F.col("_t") - F.col("_t0"), F.lit(60).cast("long")).alias("_x"),
+        "_y",
+    )
+    stats = xy.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    return stats.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.expr(SLOPE_PPM_SQL).alias("slope_ppm"),
+        F.expr(CORR_PPM_SQL).alias("corr_ppm"),
+    )
+
+
 def time_weighted_avg(
     events: DataFrame,
     group_col: str = "event_type",

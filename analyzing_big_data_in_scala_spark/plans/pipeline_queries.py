@@ -3872,6 +3872,54 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(load_events(spark, sf_dir))
 
 
+def _trend_oracle() -> str:
+    from ..operators.sequence import CORR_PPM_SQL, SLOPE_PPM_SQL
+
+    return """
+        WITH base AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS _t,
+                   CAST(ROUND(value * 100) AS BIGINT) AS _y
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        t0 AS (
+            SELECT event_type, MIN(_t) AS _t0 FROM base GROUP BY event_type
+        ),
+        xy AS (
+            SELECT b.event_type, (b._t - t._t0) // 60 AS _x, b._y
+            FROM base b JOIN t0 t USING (event_type)
+        ),
+        stats AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(_x) AS BIGINT) AS sx,
+                   CAST(SUM(_y) AS BIGINT) AS sy,
+                   CAST(SUM(_x * _y) AS BIGINT) AS sxy,
+                   CAST(SUM(_x * _x) AS BIGINT) AS sxx,
+                   CAST(SUM(_y * _y) AS BIGINT) AS syy
+            FROM xy GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               {slope} AS slope_ppm, {corr} AS corr_ppm
+        FROM stats
+    """.format(slope=SLOPE_PPM_SQL, corr=CORR_PPM_SQL)
+
+
+@query(
+    "events_value_trend",
+    # Exact BIGINT sufficient statistics (per-group-centered minutes x
+    # cents; centering keeps sum(x^2) far under 2^63 under ANSI), then
+    # the shared SLOPE_PPM_SQL / CORR_PPM_SQL double trees — identical
+    # IEEE expression graphs on both engines before the single ROUND.
+    oracle=_trend_oracle(),
+    description="Per-group OLS time trend over exact integer sufficient statistics (drift detection): slope of value-cents per minute and the Pearson time-value correlation, both in integer ppm — one tiny per-group MIN broadcast back + ONE corpus hash aggregate with map-side partials; no window, no per-group timeline sort (operators/sequence.grouped_trend)",
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import grouped_trend
+
+    return grouped_trend(load_events(spark, sf_dir))
+
+
 @query(
     "events_interval_coverage",
     # Exact BIGINT epoch-second bounds end to end; the oracle replays the

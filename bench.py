@@ -163,9 +163,11 @@ HEADLINE = [
     "events_interval_overlap",
     "events_time_weighted_avg",
     # r10: interval coalescing/coverage (the union member of the range-join
-    # family); nearest as-of (the bidirectional member of the as-of family)
+    # family); nearest as-of (the bidirectional member of the as-of family);
+    # per-group OLS trend (the regression member of the exact-stats family)
     "events_interval_coverage",
     "events_asof_nearest_purchase_3h",
+    "events_value_trend",
 ]
 
 

@@ -162,6 +162,80 @@ def test_pooled_acf_matches_numpy(spark):
             assert abs(got[(g, lag)][1] - want) <= 1  # float assoc in numpy only
 
 
+def test_grouped_trend_matches_numpy(spark):
+    """Differential: grouped_trend's slope/correlation equal numpy's OLS
+    over the same (centered-minutes, cents) points; a zero-variance-x
+    group yields NULLs."""
+    from datetime import datetime, timezone
+
+    import numpy as np
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import grouped_trend
+
+    def ts(minutes):
+        return datetime.fromtimestamp(
+            1_700_000_000 + minutes * 60, tz=timezone.utc
+        ).replace(tzinfo=None)
+
+    series = {
+        "up": [(0, 1.0), (10, 2.5), (20, 3.9), (35, 6.2)],
+        "noise": [(0, 5.0), (7, 1.0), (13, 9.0), (21, 2.0), (40, 7.0)],
+        "flat_x": [(5, 1.0), (5, 9.0)],  # zero time variance -> NULLs
+    }
+    rows = []
+    eid = 0
+    for g, pts in series.items():
+        for m, v in pts:
+            rows.append((eid, g, 1, ts(m), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_type"]: (r["n"], r["slope_ppm"], r["corr_ppm"])
+        for r in grouped_trend(df).collect()
+    }
+    assert got["flat_x"] == (2, None, None)
+    for g in ("up", "noise"):
+        x = np.array([m for m, _ in series[g]], dtype=float)
+        y = np.array([round(v * 100) for _, v in series[g]], dtype=float)
+        n = len(x)
+        num = n * (x * y).sum() - x.sum() * y.sum()
+        den_s = n * (x * x).sum() - x.sum() ** 2
+        den_c = np.sqrt(den_s) * np.sqrt(n * (y * y).sum() - y.sum() ** 2)
+        assert got[g][0] == n
+        assert abs(got[g][1] - int(np.round(1e6 * num / den_s))) <= 1
+        assert abs(got[g][2] - int(np.round(1e6 * num / den_c))) <= 1
+
+
+def test_grouped_trend_no_window_one_corpus_aggregate(spark):
+    """Scale-shape guard: the trend must plan with NO Window operator
+    (no per-group timeline sort) — the per-group MIN broadcasts back and
+    the sufficient statistics come from one hash aggregate."""
+    from datetime import datetime, timezone
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import grouped_trend
+
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                "t",
+                1,
+                datetime.fromtimestamp(1_700_000_000 + i * 60, tz=timezone.utc).replace(
+                    tzinfo=None
+                ),
+                float(i % 7),
+            )
+            for i in range(60)
+        ],
+        "event_id long, event_type string, user_id long, ts timestamp, value double",
+    )
+    plan = grouped_trend(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pooled_acf_zero_variance_is_null(spark):
     from analyzing_big_data_in_scala_spark.operators.sequence import pooled_acf
 

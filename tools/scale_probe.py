@@ -383,6 +383,9 @@ def main() -> None:
             # r10: same (type,user) window + one hash aggregate — expect
             # pooled_acf's curve.
             "time_weighted_avg": lambda: noop(SEQ.time_weighted_avg(ev)),
+            # r10: NO window — per-group MIN broadcast back + one corpus
+            # hash aggregate; expect pure scan-bound ~linear.
+            "grouped_trend": lambda: noop(SEQ.grouped_trend(ev)),
             # r9: two grouping aggregates build the interval sets, then
             # ONE equi join on (key, bucket) with the exactly-once
             # greatest-start bucket rule — expect ~linear with events
