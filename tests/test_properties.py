@@ -969,6 +969,81 @@ EVENT_SERIES = st.lists(
 )
 
 
+TREND_POINTS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                   # group
+        st.integers(min_value=0, max_value=50000),     # seconds offset
+        st.integers(min_value=-9999, max_value=9999),  # value in cents (signed)
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@PROP_SETTINGS
+@given(points=TREND_POINTS)
+# Zero-time-variance pin: all observations of a group at one second ->
+# slope/corr NULL, not a division blowup.
+@example(points=[("a", 7, 100), ("a", 7, -300)])
+def test_grouped_trend_matches_python_fold(spark, points):
+    """Differential vs an exact python fold: integer sufficient statistics
+    are computed exactly in python, then the SAME IEEE double expression
+    tree as SLOPE_PPM_SQL/CORR_PPM_SQL — signed values included."""
+    import math
+    from collections import defaultdict
+    from datetime import datetime, timezone
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import grouped_trend
+
+    base = 1_700_000_000
+
+    def ts(sec):
+        return datetime.fromtimestamp(base + sec, tz=timezone.utc).replace(tzinfo=None)
+
+    df = spark.createDataFrame(
+        [(i, g, 1, ts(o), c / 100.0) for i, (g, o, c) in enumerate(points)],
+        "event_id long, event_type string, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_type"]: (r["n"], r["slope_ppm"], r["corr_ppm"])
+        for r in grouped_trend(df).collect()
+    }
+
+    pergroup = defaultdict(list)
+    for g, o, c in points:
+        pergroup[g].append((o, c))
+    want = {}
+    for g, pts in pergroup.items():
+        t0 = min(o for o, _ in pts)
+        xs = [(o - t0) // 60 for o, _ in pts]
+        ys = [c for _, c in pts]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        den_s = float(n) * float(sxx) - float(sx) * float(sx)
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den_y = float(n) * float(syy) - float(sy) * float(sy)
+        slope = round(1e6 * num / den_s) if den_s > 0 else None
+        corr = (
+            round(1e6 * num / (math.sqrt(den_s) * math.sqrt(den_y)))
+            if den_s > 0 and den_y > 0
+            else None
+        )
+        want[g] = (n, slope, corr)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        for i in (1, 2):
+            if want[g][i] is None:
+                assert got[g][i] is None
+            else:
+                # python round() is banker's vs Spark ROUND half-up: allow
+                # the half-boundary ulp only.
+                assert abs(got[g][i] - want[g][i]) <= 1
+
+
 @PROP_SETTINGS
 @given(rows=EVENT_SERIES)
 # Duplicate-timestamp pin: two observations at the same second in one
