@@ -82,6 +82,95 @@ def _validate_and_quantize(
     return q, F.array(*[dim_sum(k) for k in range(out_dim)])
 
 
+def scatter_matrix(
+    emb: DataFrame,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer scatter matrix S_ij = Σ_vectors q_i·q_j over the
+    int8-quantized vectors: (i int, j int, s bigint), in_dim² rows — the
+    uncentered second-moment matrix PCA/whitening starts from.
+
+    Scale shape: per vector the (i, j, q_i·q_j) triples come from two
+    chained map-side generators (no self-join, no shuffle of a per-
+    component table); the ONE hash aggregate's map-side partials collapse
+    every partition to ≤ in_dim² rows before the only exchange — shuffle
+    volume is the FIXED in_dim² grid regardless of corpus size. Overflow:
+    |q| ≤ 127, so Σ q_i·q_j stays under 2^63 for ~5.7e14 vectors."""
+    q = quantize_int8(emb, id_col, vec_col)
+    qlong = F.transform(F.col("qvec"), lambda x: x.cast("long"))
+    # Generator expressions INLINE (a Project(named_col) + Generate pair
+    # drops out of whole-stage codegen — the random_projection lesson).
+    xi = q.select(
+        "qvec", F.posexplode(qlong).alias("i", "xi")
+    )
+    pairs = xi.select(
+        "i", "xi", F.posexplode(F.transform(F.col("qvec"), lambda x: x.cast("long"))).alias("j", "xj")
+    )
+    return pairs.groupBy("i", "j").agg(F.sum(F.col("xi") * F.col("xj")).alias("s"))
+
+
+def top_principal_direction(
+    emb: DataFrame,
+    iterations: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the embedding corpus (the uncentered
+    PCA axis — the building block of whitening, SemDeDup-style semantic
+    compression, and anisotropy diagnostics), as a FIXED-iteration power
+    method over exact integers:
+
+        (dim_idx int, component_e4 bigint)   — in_dim rows
+
+    component_e4 is the unit-normalized (max-|component| = 1e4)
+    eigenvector estimate after `iterations` matvec rounds, sign-fixed so
+    the first nonzero component is positive. Like the repo's pagerank
+    fixed-iteration mode, the CONTRACT is "exactly k rounds of the
+    spec", so the value is engine-independent even before convergence.
+
+    Exactness: the corpus-sized stage is :func:`scatter_matrix` (exact
+    BIGINT sums, one fixed-size shuffle). S normalizes to a 1e6 grid and
+    every iteration renormalizes to a 1e4 grid with the repo's
+    round-half-up FLOOR division (sign-safe — components go negative),
+    all in arbitrary-precision Python ints here and HUGEINT arithmetic
+    in the DuckDB oracle: no float anywhere, bit-identical results.
+
+    The in_dim² scatter matrix is collected to the driver for the
+    iteration — BOUNDED by the fixed geometry (64² rows, like the
+    k-centroid collects), never by the corpus; at 100 TB the corpus
+    touch is still the one scatter aggregate. Raises ValueError on an
+    all-zero/empty corpus (no direction exists)."""
+    rows = scatter_matrix(emb, in_dim=in_dim, id_col=id_col, vec_col=vec_col).collect()
+    if not rows:
+        raise ValueError("top_principal_direction: empty corpus")
+    S = {(r["i"], r["j"]): int(r["s"]) for r in rows}
+    smax = max(abs(v) for v in S.values())
+    if smax == 0:
+        raise ValueError("top_principal_direction: all-zero corpus")
+    # Normalize S to a 1e6 grid (round-half-up; python // floors, which
+    # is the sign-safe form), then iterate on a 1e4-grid vector.
+    s1 = {k: (2 * v * 10**6 + smax) // (2 * smax) for k, v in S.items()}
+    v = [10**4] * in_dim
+    for _ in range(iterations):
+        u = [
+            sum(s1.get((i, j), 0) * v[j] for j in range(in_dim))
+            for i in range(in_dim)
+        ]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            raise ValueError("top_principal_direction: degenerate iteration")
+        v = [(2 * x * 10**4 + m) // (2 * m) for x in u]
+    flip = -1 if next((c for c in v if c != 0), 1) < 0 else 1
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, flip * c) for i, c in enumerate(v)],
+        "dim_idx int, component_e4 long",
+    )
+
+
 def projected_vectors(
     emb: DataFrame,
     out_dim: int = 16,

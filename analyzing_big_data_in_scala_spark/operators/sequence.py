@@ -345,13 +345,15 @@ def time_weighted_avg(
     ).filter(F.col("_gap").isNotNull())
     # twa_e4 = round_half_up(1e4 · Σ(v_cents·gap)/(100·Σgap)) — the 100
     # from cents and the 1e4 target scale fold into one ×100 on the
-    # numerator; round-half-up (toward +∞) as floor((2·num + den)/(2·den)).
-    # The floor must be SIGN-SAFE: Spark's DIV truncates toward zero while
-    # DuckDB's // floors, so a negative numerator (negative series —
-    # temperature, PnL) diverged by one under the bare-DIV form (r9 ADVICE;
-    # pinned counterexample in test_properties.py). The divisor is > 0 by
-    # the guard, so flooring = DIV minus one when the remainder is nonzero
-    # and the numerator negative — pure BIGINT, no float floor ulp traps.
+    # numerator; round-half-up (ties toward +∞) as
+    # floor((2·num + den)/(2·den)). The floor must be SIGN-SAFE: Spark's
+    # DIV *and* DuckDB's // BOTH truncate toward zero (measured r10 —
+    # the r9 ADVICE's "DuckDB floors" premise was wrong), so a negative
+    # numerator (negative series — temperature, PnL) was off by one vs
+    # the documented round-half-up on BOTH engines; the oracle carries
+    # the same correction. The divisor is > 0 by the guard, so flooring
+    # = DIV minus one when the remainder is nonzero and the numerator
+    # negative — pure BIGINT, no float floor ulp traps.
     # A group whose observations all share timestamps has total span 0 —
     # its time-weighted mean is undefined, emitted as NULL (the guard
     # matters: ANSI-mode DIV-by-zero THROWS; caught by the hypothesis fold

@@ -3841,11 +3841,12 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_time_weighted_avg",
     # Pure-BIGINT arithmetic end to end: cents-integerized values x exact
-    # epoch-second gaps, one round-half-up (toward +∞) FLOOR division per
-    # group — DuckDB's // already floors; the Spark side applies the
-    # sign-safe DIV correction (operators/sequence.py), so the two agree
-    # for negative series too. LAG/LEAD over the same unique
-    # (ts, event_id) order on both engines.
+    # epoch-second gaps, one round-half-up FLOOR division per group.
+    # BOTH DuckDB's // and Spark's DIV truncate toward zero (verified
+    # r10: SELECT -7 // 2 -> -3), so BOTH sides carry the explicit
+    # negative-remainder floor correction — the two engines agree with
+    # each other AND with floor(x + 1/2) for negative series too.
+    # LAG/LEAD over the same unique (ts, event_id) order on both engines.
     oracle="""
         WITH seg AS (
             SELECT event_type,
@@ -3859,7 +3860,11 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_segments,
                CAST(SUM(_gap) AS BIGINT) AS total_span_sec,
                CASE WHEN SUM(_gap) > 0 THEN
-                   CAST((SUM(_v * _gap) * 200 + SUM(_gap)) // (2 * SUM(_gap)) AS BIGINT)
+                   CAST((SUM(_v * _gap) * 200 + SUM(_gap)) // (2 * SUM(_gap))
+                        - CASE WHEN (SUM(_v * _gap) * 200 + SUM(_gap)) % (2 * SUM(_gap)) <> 0
+                                AND (SUM(_v * _gap) * 200 + SUM(_gap)) < 0
+                               THEN 1 ELSE 0 END
+                   AS BIGINT)
                ELSE NULL END AS twa_e4
         FROM seg WHERE _gap IS NOT NULL
         GROUP BY event_type

@@ -414,6 +414,100 @@ def embeddings_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_assign(emb, k=8, rounds=1)
 
 
+def _fdiv(n: str, d: str) -> str:
+    """Sign-safe FLOOR division for DuckDB SQL (divisor positive): both
+    DuckDB's `//` and Spark's DIV truncate TOWARD ZERO (verified r10:
+    `SELECT -7 // 2` -> -3), so the round-half-up floor form needs the
+    explicit negative-remainder correction — the exact twin of the Spark
+    expression in operators/sequence.py."""
+    return (
+        f"(({n}) // ({d})"
+        f" - CASE WHEN ({n}) % ({d}) <> 0 AND ({n}) < 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def _principal_direction_oracle(iterations: int = 8, in_dim: int = 64) -> str:
+    """Unrolled power iteration: the qz quantize fragment, the exact
+    scatter matrix, the 1e6-grid normalization, then `iterations`
+    matvec+renormalize CTEs — every chained CTE MATERIALIZED (DuckDB
+    inlines plain CTEs per reference; an 8-deep chain re-reads the
+    parquet exponentially otherwise). All integer arithmetic rides
+    DuckDB's HUGEINT, and `//` floors exactly like the python ints in
+    operators/projection.py — bit-identical by construction."""
+    steps = []
+    prev = "v0"
+    for t in range(1, iterations + 1):
+        steps.append(
+            f"u{t} AS MATERIALIZED (\n"
+            f"    SELECT s1.i AS j, SUM(s1.s * {prev}.c) AS u\n"
+            f"    FROM s1 JOIN {prev} ON {prev}.j = s1.j GROUP BY s1.i\n"
+            f"),\n"
+            f"v{t} AS MATERIALIZED (\n"
+            f"    SELECT j, {_fdiv(f'2 * u * 10000 + (SELECT MAX(ABS(u)) FROM u{t})', f'2 * (SELECT MAX(ABS(u)) FROM u{t})')} AS c\n"
+            f"    FROM u{t}\n"
+            f"),"
+        )
+        prev = f"v{t}"
+    return f"""
+        WITH sc AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+            FROM sc
+        ),
+        xs AS MATERIALIZED (
+            SELECT vec_id, j, CAST(q[j] AS BIGINT) AS x
+            FROM qz, UNNEST(generate_series(1, {in_dim})) t(j)
+        ),
+        smat AS MATERIALIZED (
+            SELECT a.j AS i, b.j AS j, SUM(a.x * b.x) AS s
+            FROM xs a JOIN xs b USING (vec_id) GROUP BY a.j, b.j
+        ),
+        s1 AS MATERIALIZED (
+            SELECT i, j,
+                   {_fdiv("2 * s * 1000000 + (SELECT MAX(ABS(s)) FROM smat)",
+                          "2 * (SELECT MAX(ABS(s)) FROM smat)")} AS s
+            FROM smat
+        ),
+        v0 AS (
+            SELECT j, CAST(10000 AS BIGINT) AS c
+            FROM UNNEST(generate_series(1, {in_dim})) t(j)
+        ),
+        {"".join(steps)}
+        sgn AS (
+            SELECT CASE WHEN (SELECT c FROM {prev} WHERE c != 0
+                              ORDER BY j LIMIT 1) < 0
+                        THEN -1 ELSE 1 END AS f
+        )
+        SELECT CAST(j - 1 AS INT) AS dim_idx,
+               CAST(c * (SELECT f FROM sgn) AS BIGINT) AS component_e4
+        FROM {prev}
+    """
+
+
+@query(
+    "embeddings_principal_direction",
+    # Fixed-iteration power method over EXACT integers: the corpus stage
+    # is the scatter matrix (exact BIGINT sums); normalization and every
+    # matvec round use the repo's sign-safe round-half-up floor division
+    # — python arbitrary-precision ints on the Spark side, HUGEINT + //
+    # in DuckDB, no float anywhere. Identical by construction.
+    oracle=_principal_direction_oracle(),
+    description="Top principal direction of the embedding corpus (uncentered PCA axis — the whitening/SemDeDup building block) via an 8-round exact-integer power method: the ONLY corpus-sized stage is the scatter-matrix aggregate (two chained map-side generators + one hash aggregate whose shuffle volume is the fixed 64x64 grid regardless of corpus size); the 64x64 iteration is bounded driver arithmetic like the k-centroid collects (operators/projection.py)",
+)
+def embeddings_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.projection import top_principal_direction
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return top_principal_direction(emb, iterations=8, in_dim=64)
+
+
 @query(
     "embeddings_random_projection",
     oracle=_projection_oracle(),

@@ -168,6 +168,8 @@ HEADLINE = [
     "events_interval_coverage",
     "events_asof_nearest_purchase_3h",
     "events_value_trend",
+    # r10: exact-integer power-method principal direction
+    "embeddings_principal_direction",
 ]
 
 

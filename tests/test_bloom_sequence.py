@@ -162,6 +162,110 @@ def test_pooled_acf_matches_numpy(spark):
             assert abs(got[(g, lag)][1] - want) <= 1  # float assoc in numpy only
 
 
+def test_top_principal_direction_finds_dominant_axis(spark):
+    """A corpus stretched along a known axis (dim 3, with small noise on
+    dim 7) must converge to ±e3: component_e4[3] = 10000 (sign-fixed
+    positive), every other |component| small. Degenerate corpora raise."""
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.projection import (
+        top_principal_direction,
+    )
+
+    def vec(main, noise):
+        v = [0.0] * 16
+        v[3] = main
+        v[7] = noise
+        return v
+
+    emb = spark.createDataFrame(
+        [(i, vec((1.0 if i % 2 else -1.0) * (1.0 + i % 3), 0.05 * (i % 5 - 2)))
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["dim_idx"]: r["component_e4"] for r in
+           top_principal_direction(emb, iterations=8, in_dim=16).collect()}
+    assert got[3] == 10000
+    assert all(abs(got[i]) < 2000 for i in range(16) if i != 3)
+
+    zeros = spark.createDataFrame(
+        [(1, [0.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="all-zero"):
+        top_principal_direction(zeros, in_dim=16)
+
+
+def test_scatter_matrix_fixed_shuffle_shape(spark):
+    """The scatter build must be two map-side Generates + ONE hash
+    exchange (whose volume is the fixed in_dim² grid) — no self-join."""
+    from analyzing_big_data_in_scala_spark.operators.projection import scatter_matrix
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0, 0.5]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    df = scatter_matrix(emb, in_dim=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Generate") == 2
+    assert "Join" not in plan
+    # exactness spot check: S_22 = n (component 2 is the constant 1.0
+    # -> quantized to round(1/scale)... use the symmetric identity instead
+    got = {(r["i"], r["j"]): r["s"] for r in df.collect()}
+    assert all(got[(i, j)] == got[(j, i)] for i in range(4) for j in range(4))
+
+
+def test_twa_negative_values_match_duckdb_oracle(spark):
+    """Cross-ENGINE pin for the sign-safe floor division: run the
+    registered TWA oracle SQL in DuckDB on a tiny NEGATIVE-value events
+    table (the case the non-negative fixture can never exercise) and
+    compare to the Spark operator. Guards the r10 finding that DuckDB's
+    `//` truncates toward zero exactly like Spark's DIV — both sides
+    need the explicit floor correction."""
+    from datetime import datetime, timezone
+
+    import duckdb
+
+    from analyzing_big_data_in_scala_spark.plans.registry import QUERIES
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        time_weighted_avg,
+    )
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # -0.05 held 3s then 0: twa = round_half_up(-500.0 e4) = -500 — the
+    # truncating form gave -499 on BOTH engines.
+    rows = [(0, "a", 1, ts(0), -0.05), (1, "a", 1, ts(3), 0.0),
+            (2, "b", 1, ts(0), -0.01), (3, "b", 1, ts(7), -3.33)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_type"]: (r["n_segments"], r["total_span_sec"], r["twa_e4"])
+        for r in time_weighted_avg(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{g}', {u}, TIMESTAMP '{t}', {v})"
+            for i, g, u, t, v in rows
+        )
+        + ") t(event_id, event_type, user_id, ts, value)"
+    )
+    want = {
+        g: (int(n), int(s), int(x) if x is not None else None)
+        for g, n, s, x in con.execute(
+            QUERIES["events_time_weighted_avg"].oracle
+        ).fetchall()
+    }
+    assert got == want
+    assert got["a"] == (1, 3, -500)
+
+
 def test_grouped_trend_matches_numpy(spark):
     """Differential: grouped_trend's slope/correlation equal numpy's OLS
     over the same (centered-minutes, cents) points; a zero-variance-x

@@ -48,6 +48,7 @@ PICKS = {
     "events_interval_coverage": "Gaps-and-islands union: ONE hash Exchange on user_id shared by both Window passes (strictly-preceding running max -> island flags -> running sum) AND the closing (user, island) aggregate — the partial aggregate sits directly on the window output with no new exchange.",
     "events_asof_nearest_purchase_3h": "Nearest as-of: ONE hash Exchange on the key, then two Sorts (ascending backward carry, descending forward carry) over the SAME partitioning — the closer side is picked per row in the final projection; never a per-key |L|x|R| distance argmin.",
     "events_value_trend": "Per-group OLS trend with NO Window: the per-group MIN is a tiny broadcast-back aggregate, the five sufficient statistics come from ONE two-phase hash aggregate over the corpus — no per-group timeline sort anywhere.",
+    "embeddings_principal_direction": "The corpus stage is the scatter matrix alone: two chained Generate (posexplode) operators map-side, then ONE hash aggregate whose shuffle volume is the fixed 64x64 grid regardless of corpus size; the 8-round power iteration runs on the bounded 4096-row collect.",
     "doc_chunk_dedup": "Chunk hashes from one tokenize + in-array slice + explode; per-hash document frequency joins back ON THE 8-BYTE HASH (reuses the aggregate's exchange); dup fraction emitted as integer ppm (pure BIGINT div — no float in the output).",
     "search_bm25_topk": "BM25: corpus stats (N, avgdl) and per-term df broadcast as 1-row / vocab-sized sides; per-(doc,term) contribution quantized to integer ppm in-projection; global top-20 compiles to TakeOrderedAndProject, never a full sort.",
     "terms_cms_heavy_hitters": "Count-min: the 4x256 grid materializes via one explode + map-side-combined aggregate (shuffle volume = cells, not tokens); the probe joins the BROADCAST sketch; exact top-20 is TakeOrderedAndProject.",

@@ -386,6 +386,12 @@ def main() -> None:
             # r10: NO window — per-group MIN broadcast back + one corpus
             # hash aggregate; expect pure scan-bound ~linear.
             "grouped_trend": lambda: noop(SEQ.grouped_trend(ev)),
+            # r10: two map-side generators (4096 rows/vector) + ONE hash
+            # aggregate collapsing to the fixed 64x64 grid map-side —
+            # expect ~linear scan cost, constant shuffle.
+            "principal_direction": lambda: noop(
+                P.top_principal_direction(emb, iterations=8, in_dim=64)
+            ),
             # r9: two grouping aggregates build the interval sets, then
             # ONE equi join on (key, bucket) with the exactly-once
             # greatest-start bucket rule — expect ~linear with events
