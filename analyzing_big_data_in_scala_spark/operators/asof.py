@@ -367,6 +367,7 @@ def interval_coalesce(
     key_col: str,
     start_col: str,
     end_col: str,
+    max_gap: int = 0,
 ) -> DataFrame:
     """Per-key union of CLOSED intervals (the missing third member of the
     range-join family, next to the point-in-interval and overlap joins):
@@ -380,6 +381,11 @@ def interval_coalesce(
     key's segments. Touching endpoints coalesce (closed-interval
     convention, same as :func:`interval_overlap_join`); inverted
     intervals (end < start) are dropped up front.
+
+    `max_gap` (default 0) is the sessionization slack: intervals whose
+    gap is at most `max_gap` units also merge — the interval-level twin
+    of session windows ("one visit" = bursts <= 30 min apart). With the
+    default only overlapping-or-touching intervals merge.
 
     Scale shape: classic gaps-and-islands over ONE (key)-partitioned
     window (the `run_length_encode` recipe): a running max of prior ends
@@ -398,6 +404,8 @@ def interval_coalesce(
             f"interval_coalesce: input columns collide with output/internal "
             f"names: {sorted(clashes)}"
         )
+    if max_gap < 0:
+        raise ValueError(f"interval_coalesce: max_gap must be >= 0, got {max_gap}")
     w = Window.partitionBy(key_col).orderBy(F.asc(start_col), F.asc(end_col))
     flagged = (
         intervals.filter(F.col(end_col) >= F.col(start_col))
@@ -416,7 +424,9 @@ def interval_coalesce(
             key_col,
             start_col,
             end_col,
-            F.when(F.col(start_col) <= F.col("_mx"), F.lit(0).cast("long"))
+            F.when(
+                F.col(start_col) <= F.col("_mx") + F.lit(max_gap), F.lit(0).cast("long")
+            )
             .otherwise(F.lit(1).cast("long"))
             .alias("_new"),
         )

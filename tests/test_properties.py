@@ -910,17 +910,19 @@ def test_interval_overlap_join_matches_naive(spark, left, right, bucket):
 
 
 @PROP_SETTINGS
-@given(intervals=INTERVALS)
+@given(intervals=INTERVALS, max_gap=st.sampled_from([0, 0, 2, 5]))
 # Touching-endpoint pin: [0,5] and [5,9] share exactly one point — the
 # closed-interval convention must coalesce them into ONE [0,9] segment.
-@example(intervals=[(1, 0, 5), (1, 5, 4)])
+@example(intervals=[(1, 0, 5), (1, 5, 4)], max_gap=0)
 # Containment + duplicate pin: a duplicate pair and a contained interval
 # must count in n_merged without extending the segment.
-@example(intervals=[(1, 0, 10), (1, 0, 10), (1, 2, 3)])
-def test_interval_coalesce_matches_naive(spark, intervals):
+@example(intervals=[(1, 0, 10), (1, 0, 10), (1, 2, 3)], max_gap=0)
+# Gap-slack boundary pin: gap of exactly max_gap merges, max_gap+1 splits.
+@example(intervals=[(1, 0, 5), (1, 7, 3), (1, 13, 2)], max_gap=2)
+def test_interval_coalesce_matches_naive(spark, intervals, max_gap):
     """Differential vs a naive python sweep-merge over random interval
-    sets with inverted spans, duplicates, touching endpoints, and
-    degenerate points."""
+    sets with inverted spans, duplicates, touching endpoints, degenerate
+    points, and sessionization slack."""
     from collections import defaultdict
 
     from analyzing_big_data_in_scala_spark.operators.asof import interval_coalesce
@@ -930,7 +932,7 @@ def test_interval_coalesce_matches_naive(spark, intervals):
     got = sorted(
         (r["k"], r["segment_id"], r["seg_start"], r["seg_end"],
          r["seg_len"], r["n_merged"])
-        for r in interval_coalesce(df, "k", "s", "e").collect()
+        for r in interval_coalesce(df, "k", "s", "e", max_gap=max_gap).collect()
     )
 
     by_key = defaultdict(list)
@@ -944,7 +946,7 @@ def test_interval_coalesce_matches_naive(spark, intervals):
         cur_s = cur_e = None
         n = 0
         for s, e in ivs:
-            if cur_s is None or s > cur_e:
+            if cur_s is None or s > cur_e + max_gap:
                 if cur_s is not None:
                     want.append((k, seg_id, cur_s, cur_e, cur_e - cur_s, n))
                 seg_id += 1

@@ -666,6 +666,24 @@ def test_interval_coalesce_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_interval_coalesce_max_gap(spark):
+    """max_gap=5 merges a 3-gap, splits a 6-gap; negative gap rejected."""
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.asof import interval_coalesce
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 13, 20), (1, 26, 30)], "k long, s long, e long"
+    )
+    got = sorted(
+        (r["segment_id"], r["seg_start"], r["seg_end"], r["n_merged"])
+        for r in interval_coalesce(df, "k", "s", "e", max_gap=5).collect()
+    )
+    assert got == [(1, 0, 20, 2), (2, 26, 30, 1)]
+    with pytest.raises(ValueError, match="max_gap"):
+        interval_coalesce(df, "k", "s", "e", max_gap=-1)
+
+
 def test_interval_coalesce_rejects_reserved_names(spark):
     import pytest
 
