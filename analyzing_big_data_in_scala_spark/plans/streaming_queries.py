@@ -604,7 +604,11 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="stream_ann_ckpt_")
     prefix = "lshs_index"
     try:
-        emb.select("vec_id", "embedding").repartitionByRange(4, "vec_id").write.mode(
+        # 2 staged files = 2 micro-batches: batch 1 exercises BUILD,
+        # batch 2 APPEND — the full contract at half the per-batch fold
+        # job-chain cost (the streaming_ivfpq_index_ingest r10 lesson:
+        # batch COUNT, not batch size, is the drain's wall).
+        emb.select("vec_id", "embedding").repartitionByRange(2, "vec_id").write.mode(
             "overwrite"
         ).parquet(stage)
         schema = spark.read.parquet(stage).schema
