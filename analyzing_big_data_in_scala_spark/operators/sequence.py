@@ -302,6 +302,57 @@ def grouped_trend(
     )
 
 
+def trend_sufficient_stats(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    base_epoch: int = 1_600_000_000,
+) -> DataFrame:
+    """The six exact-BIGINT OLS sufficient statistics per group —
+    (group, n, sx, sy, sxy, sxx, syy) — with x = minutes since a FIXED
+    epoch base instead of :func:`grouped_trend`'s per-group minimum.
+    Fixed-base centering is what makes the statistics MERGEABLE: two
+    stat rows for the same group add component-wise, so micro-batch
+    deltas fold into a standing aggregate without ever revisiting raw
+    history (the streaming form; per-group-min centering would need a
+    second pass over all data every refresh). Headroom: Σx² with x in
+    minutes-since-2020 (~3e6 by 2026, so x² ≈ 1e13) stays under 2^63
+    for ~1e6 rows per group; rebase `base_epoch` nearer the data (or
+    coarsen x to hours) to widen — the knob is part of the contract,
+    stated rather than silently truncated.
+    """
+    t = F.unix_timestamp(ts_col).cast("long")
+    base = events.select(
+        F.col(group_col),
+        F.call_function(
+            "div", t - F.lit(base_epoch).cast("long"), F.lit(60).cast("long")
+        ).alias("_x"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    return base.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+
+
+def trend_from_stats(stats: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Finalize (group, n, slope_ppm, corr_ppm) from a sufficient-stats
+    frame — the same shared SLOPE/CORR expression trees as
+    :func:`grouped_trend`, so a FOLDED stats frame yields bit-identical
+    results to a one-shot batch computation."""
+    return stats.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.expr(SLOPE_PPM_SQL).alias("slope_ppm"),
+        F.expr(CORR_PPM_SQL).alias("corr_ppm"),
+    )
+
+
 def time_weighted_avg(
     events: DataFrame,
     group_col: str = "event_type",

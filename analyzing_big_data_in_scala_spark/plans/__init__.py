@@ -36,15 +36,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #  2. The 26-query r5-evidence backlog documented in the r9 ledger
     #     (the r5 cohort the 23 r9-window slots didn't fit) cycles in —
     #     the oldest standing driver rows in the repo after this round.
-    #  3. The four r10-new queries (interval coalescing, nearest as-of,
-    #     per-group OLS trend, exact-integer principal direction) take
-    #     first-row slots.
-    #  4. The remaining 16 slots take the alphabetical prefix of the
-    #     50-query r7-evidence cohort; the other 34 queue for r11.
+    #  3. The five r10-new queries (interval coalescing, nearest as-of,
+    #     per-group OLS trend, exact-integer principal direction,
+    #     streaming incremental trend) take first-row slots.
+    #  4. The remaining 15 slots take the alphabetical prefix of the
+    #     50-query r7-evidence cohort; the other 35 queue for r11.
     #     Every query evicted from the r9 window is r9-green with
     #     unchanged code, so those rows stand as current evidence.
 
-    # r9-late + r10-new first rows (8)
+    # r9-late + r10-new first rows (9)
     "events_interval_overlap",
     "events_time_weighted_avg",
     "events_value_acf",
@@ -53,6 +53,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_asof_nearest_purchase_3h",
     "events_value_trend",
     "embeddings_principal_direction",
+    "streaming_value_trend",
     # r5-evidence backlog (26)
     "events_scd2_user_state",
     "events_seasonal_naive_eval",
@@ -80,7 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_static_enrichment",
     "streaming_tumbling_counts",
     "terms_cms_heavy_hitters",
-    # oldest r7-evidence cohort (16 of 50; the rest queue for r11)
+    # oldest r7-evidence cohort (15 of 50; the rest queue for r11)
     "brand_returnflag_pivot",
     "corpus_bpe_merges",
     "customer_order_full_outer",
@@ -96,7 +97,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_bpe_token_stats",
     "doc_exact_substring_removal",
     "doc_fingerprint_rolling",
-    "doc_language_id",
 )
 
 

@@ -788,6 +788,100 @@ def streaming_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _streaming_trend_oracle() -> str:
+    from ..operators.sequence import CORR_PPM_SQL, SLOPE_PPM_SQL
+
+    return """
+        WITH base AS (
+            SELECT event_type,
+                   (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1600000000) // 60 AS _x,
+                   CAST(ROUND(value * 100) AS BIGINT) AS _y
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        stats AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(_x) AS BIGINT) AS sx,
+                   CAST(SUM(_y) AS BIGINT) AS sy,
+                   CAST(SUM(_x * _y) AS BIGINT) AS sxy,
+                   CAST(SUM(_x * _x) AS BIGINT) AS sxx,
+                   CAST(SUM(_y * _y) AS BIGINT) AS syy
+            FROM base GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               {slope} AS slope_ppm, {corr} AS corr_ppm
+        FROM stats
+    """.format(slope=SLOPE_PPM_SQL, corr=CORR_PPM_SQL)
+
+
+@query(
+    "streaming_value_trend",
+    # Batch-equivalence oracle: the drained fold of per-micro-batch
+    # sufficient-statistic DELTAS must equal a one-shot computation over
+    # the whole fixture. Fixed-epoch-base centering (NOT the per-group
+    # min of events_value_trend) is what makes the six statistics purely
+    # additive; integer sums are order-independent, and the finalize
+    # step is the same shared SLOPE/CORR double trees. NOTE: the oracle's
+    # `(t - base) // 60` runs on NON-NEGATIVE operands only (fixture ts >
+    # 2020), where DuckDB's truncating // equals Spark's div.
+    oracle=_streaming_trend_oracle(),
+    description="Streaming incremental OLS trend: per-micro-batch sufficient-statistic deltas (n, sx, sy, sxy, sxx, syy — purely ADDITIVE under fixed-epoch centering) folded into a standing stats table via exactly-once foreachBatch, finalized with the shared slope/correlation expression trees — refresh cost tracks each batch, the answer equals a one-shot batch computation bit-for-bit (the mergeability claim of operators/sequence.trend_sufficient_stats, proven by the oracle)",
+)
+def streaming_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.merge import apply_agg_delta, idempotent_foreach_batch
+    from ..operators.sequence import trend_from_stats, trend_sufficient_stats
+    from ..sources.catalog import load_events
+
+    stage = tempfile.mkdtemp(prefix="stream_trend_")
+    ckpt = tempfile.mkdtemp(prefix="stream_trend_ckpt_")
+    try:
+        ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+        # 2 staged files = 2 real micro-batches (a single file would make
+        # the incremental fold vacuous; the r10 ingest lesson says batch
+        # COUNT is the drain's wall, so 2 is the honest minimum).
+        ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        state: dict = {"stats": None}
+        measures = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            delta = trend_sufficient_stats(batch_df)
+            if state["stats"] is None:
+                state["stats"] = delta.localCheckpoint()
+            else:
+                state["stats"] = apply_agg_delta(
+                    state["stats"], delta,
+                    keys=["event_type"], measures=measures, count_col="n",
+                ).localCheckpoint()
+
+        q = (
+            stream.writeStream.foreachBatch(idempotent_foreach_batch(fold))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(
+                "streaming_value_trend: availableNow drain did not "
+                "terminate within 120s"
+            )
+        if state["stats"] is None:
+            raise RuntimeError("streaming_value_trend: no batches arrived")
+        return trend_from_stats(state["stats"]).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @query(
     "streaming_hll_sketch_maintenance",
     # Batch-equivalence contract: after draining every micro-batch, the

@@ -168,8 +168,10 @@ HEADLINE = [
     "events_interval_coverage",
     "events_asof_nearest_purchase_3h",
     "events_value_trend",
-    # r10: exact-integer power-method principal direction
+    # r10: exact-integer power-method principal direction; streaming
+    # incremental trend (mergeable sufficient statistics)
     "embeddings_principal_direction",
+    "streaming_value_trend",
 ]
 
 

@@ -195,6 +195,47 @@ def test_top_principal_direction_finds_dominant_axis(spark):
         top_principal_direction(zeros, in_dim=16)
 
 
+def test_trend_stats_merge_equals_one_shot(spark):
+    """The mergeability claim behind streaming_value_trend: folding the
+    sufficient statistics of two disjoint halves (apply_agg_delta) must
+    equal the one-shot statistics of the union, and the finalized
+    slope/corr must match bit-for-bit."""
+    from datetime import datetime, timezone
+
+    from analyzing_big_data_in_scala_spark.operators.merge import apply_agg_delta
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        trend_from_stats,
+        trend_sufficient_stats,
+    )
+
+    def ts(m):
+        return datetime.fromtimestamp(1_700_000_000 + m * 60, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rows = [
+        (i, "a" if i % 3 else "b", 1, ts(i * 7), (i % 11 - 5) / 4.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    )
+    half1 = df.filter(F.col("event_id") < 20)
+    half2 = df.filter(F.col("event_id") >= 20)
+    folded = apply_agg_delta(
+        trend_sufficient_stats(half1).localCheckpoint(),
+        trend_sufficient_stats(half2),
+        keys=["event_type"],
+        measures=["n", "sx", "sy", "sxy", "sxx", "syy"],
+        count_col="n",
+    )
+    got = {r["event_type"]: (r["n"], r["slope_ppm"], r["corr_ppm"])
+           for r in trend_from_stats(folded).collect()}
+    want = {r["event_type"]: (r["n"], r["slope_ppm"], r["corr_ppm"])
+            for r in trend_from_stats(trend_sufficient_stats(df)).collect()}
+    assert got == want and set(got) == {"a", "b"}
+
+
 def test_scatter_matrix_fixed_shuffle_shape(spark):
     """The scatter build must be two map-side Generates + ONE hash
     exchange (whose volume is the fixed in_dim² grid) — no self-join."""

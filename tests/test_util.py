@@ -80,11 +80,11 @@ def test_driver_window_covers_oracle_backed_queries():
         # Round-10 rotation ledger (VERDICT r9 item 1): the window now
         # holds the 4 r9-late queries (first rows ever — the only
         # registered queries without a driver CORRECTNESS row), the
-        # four r10-new queries (events_interval_coverage,
+        # five r10-new queries (events_interval_coverage,
         # events_asof_nearest_purchase_3h, events_value_trend,
-        # embeddings_principal_direction),
+        # embeddings_principal_direction, streaming_value_trend),
         # the full 26-query r5-evidence backlog from the r9 ledger, and
-        # the 16 alphabetically-first r7-evidence queries. Every demotion below
+        # the 15 alphabetically-first r7-evidence queries. Every demotion below
         # keeps its newest green CORRECTNESS row (r7/r8/r9) as standing
         # evidence; ALL registered queries are oracle-backed, so this
         # set is exactly registry-minus-window.
@@ -140,8 +140,8 @@ def test_driver_window_covers_oracle_backed_queries():
         "streaming_cms_heavy_hitters", "streaming_hll_sketch_maintenance",
         "tfidf_term_frequencies",
         # --- r7-GREEN remainder (CORRECTNESS_r07 rows stand; r11 queue —
-        #     the 34 r7-cohort queries the 16 window slots didn't fit):
-        "doc_pii_scan", "doc_quality_scores",
+        #     the 35 r7-cohort queries the 15 window slots didn't fit):
+        "doc_language_id", "doc_pii_scan", "doc_quality_scores",
         "doc_semantic_decontamination", "doc_token_stats",
         "doc_winnow_fingerprints", "entity_word_count", "global_agg_stats",
         "graph_component_sizes", "graph_in_degrees",
