@@ -401,7 +401,8 @@ def main() -> None:
                     # plan — which is unchanged (single corpus scan, one
                     # corpus-sized shuffle, 4 exchanges). Expected
                     # run-to-run envelope for this query: ~4.7-10.6 s.
-                    "corpus_curation_funnel": "jvm-state variance, plan unchanged; see r8 isolated re-measure"
+                    "corpus_curation_funnel": "jvm-state variance, plan unchanged; see r8 isolated re-measure",
+                    "embeddings_principal_direction": "~2.4s = 8 power-iteration rounds of BOUNDED driver arithmetic jobs after the one corpus scatter aggregate (whose shuffle is the fixed 64x64 grid at any corpus size); scale probe 2.9x at 16x — job-count bound, not data bound",
                 },
             },
             f,
