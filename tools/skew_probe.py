@@ -30,7 +30,21 @@ the probe measures the shuffle path a non-broadcastable side forces.
   (collect-like payloads) or disabled partial aggregation. The probe
   records the measured non-effect so the claim is numbers, not folklore.
 
-Results append a section to SCALING.md.
+r10 additions — the WINDOW-operator skew question (the one salting can't
+fix: a (key)-partitioned, time-ordered window puts the hot key's entire
+sequence on ONE task, and the order dependency rules out salt splits):
+
+- window_asof    — asof_join_backward (union + key window carry) with the
+  Zipf keys on both sides.
+- window_rle     — run_length_encode (two window passes + aggregate).
+  Both measure how the single hot-key sort task degrades as the hot key
+  grows; the honest mitigations at 100 TB are time-range pre-bucketing
+  (split the hot key's window by coarse time, stitch boundaries) or
+  simply tolerating one straggler task per hot key — documented, not
+  hidden.
+
+Results REPLACE this probe's section in SCALING.md (re-runs don't
+duplicate it; other tools' sections are preserved).
 """
 
 from __future__ import annotations
@@ -43,6 +57,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
+from analyzing_big_data_in_scala_spark.operators import asof as A  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import sequence as SEQ  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators._util import (  # noqa: E402
     salted_aggregate,
     salted_equi_join,
@@ -150,12 +166,45 @@ def main() -> None:
                 )
             )
 
+        # Window-operator skew (r10): the Zipf events carry their original
+        # timestamps, so the hot user's whole history sorts on one task.
+        evw = zipf_events(
+            load_events(spark, base_dir).select(
+                "event_id", "user_id", "event_type", "ts", "value"
+            ),
+            copies,
+        ).localCheckpoint()
+        evp2 = evw.select(
+            "event_id", "user_id",
+            F.unix_timestamp("ts").cast("long").alias("t"),
+        )
+        iv2 = (
+            evp2.groupBy("user_id", F.floor(F.col("t") / 86400).alias("_d"))
+            .agg(F.min("t").alias("s"))
+            .withColumn("e", F.col("s") + 14400)
+            .drop("_d")
+        )
+
+        def case_window_asof():
+            set_conf(aqe_skew=True, broadcast=True)
+            noop(
+                A.asof_join_backward(
+                    evp2, iv2, "user_id", "user_id", "t", "s", ["e"]
+                )
+            )
+
+        def case_window_rle():
+            set_conf(aqe_skew=True, broadcast=True)
+            noop(SEQ.run_length_encode(evw))
+
         cases = {
             "join_plain_noaqe": case_join_noaqe,
             "join_plain_aqe": case_join_aqe,
             "join_salted": case_join_salted,
             "agg_plain": case_agg_plain,
             "agg_salted": case_agg_salted,
+            "window_asof": case_window_asof,
+            "window_rle": case_window_rle,
         }
         for name, fn in cases.items():
             fn()  # warm (JIT, file listing); second run is the sample
@@ -164,6 +213,7 @@ def main() -> None:
             print(f"copies={copies:2d} {name:18s} {t:7.2f}s", flush=True)
         ev.unpersist()
         dim.unpersist()
+        evw.unpersist()
     set_conf(aqe_skew=True, broadcast=True)
 
     lines = [
@@ -194,11 +244,27 @@ def main() -> None:
         "  is expected FLAT and salting buys nothing here — the measured",
         "  non-effect is the documented reason salted_aggregate is an",
         "  explicit opt-in for wide-state aggregations only.",
+        "- `window_asof` / `window_rle` (r10): the skew case SALTING CANNOT",
+        "  FIX — a (key)-partitioned time-ordered window puts the hot key's",
+        "  whole sequence on one task, and order dependency rules out salt",
+        "  splits. The measured growth is that one task's sort; the honest",
+        "  100 TB mitigations are time-range pre-bucketing of the hot key",
+        "  (split by coarse time, stitch the boundary carry) or tolerating",
+        "  one straggler task per hot key — documented, not hidden.",
         "",
     ]
-    with open(out_md, "a") as f:
-        f.write("\n".join(lines))
-    print(f"appended to {out_md}")
+    # Replace THIS probe's section in place (re-runs must not duplicate
+    # it); preserve everything before and any later sections after it.
+    section = "## Zipf-skew probe (tools/skew_probe.py)"
+    body = "\n".join(lines)
+    old = open(out_md).read() if os.path.exists(out_md) else ""
+    idx = old.find("\n" + section)
+    if idx >= 0:
+        end = old.find("\n## ", idx + 1)
+        old = old[:idx] + (old[end:] if end >= 0 else "")
+    with open(out_md, "w") as f:
+        f.write(old.rstrip("\n") + "\n" + body)
+    print(f"rewrote section in {out_md}")
     spark.stop()
 
 
