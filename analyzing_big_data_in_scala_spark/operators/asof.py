@@ -165,6 +165,131 @@ def asof_join_nearest(
     )
 
 
+def asof_join_backward_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    bucket_size: int,
+    tolerance=None,
+) -> DataFrame:
+    """:func:`asof_join_backward` with TIME-RANGE PRE-BUCKETING — the
+    skew-resistant form for hot keys (the mitigation the r10 Zipf-skew
+    probe names: `window_asof` degrades 10x+ at 64x data when one key
+    owns half the rows, because a (key)-partitioned time-ordered window
+    puts that key's ENTIRE history on ONE task, and the order dependency
+    rules out salt splits).
+
+    Identical results to :func:`asof_join_backward` (same tie, NULL-ts,
+    and tolerance semantics), different physical shape — the carry-stitch
+    decomposition:
+
+    1. Bucket every row by coarse time: `_bk = floor(ts / bucket_size)`.
+       Timestamps must be NUMERIC (epoch seconds — convert with
+       `F.unix_timestamp` first, like the interval-join family).
+    2. LOCAL carry: the same running `last(right-row, ignorenulls)` but
+       over a (key, bucket)-partitioned window — a hot key's history now
+       splits across ~span/bucket_size tasks instead of one.
+    3. STITCH: per (key, bucket), the latest right row in the bucket
+       (one `max_by` aggregate row per bucket); a per-key running carry
+       over STRICTLY PRECEDING bucket summaries yields each bucket's
+       carry-in — the latest right row anywhere before the bucket. This
+       window is per-key serial too, but over #buckets rows, not #events
+       (the 50%-mass key's straggler work drops from its row count to
+       its bucket count).
+    4. Every left row matches `coalesce(local_carry, carry_in)`; the
+       bucketing is monotone in time, so a right row in an earlier
+       bucket is always at-or-before a left row in a later one.
+
+    Pick `bucket_size` so a hot key's densest bucket fits one task
+    comfortably (e.g. a day of a key that logs millions of rows/day is
+    still one task — go hourly). Cost vs the plain form: one extra tiny
+    aggregate + one (key, bucket) equi join back — both reuse the
+    window's hash partitioning.
+
+    Raises ValueError on non-positive bucket_size and on the same
+    column collisions as the plain form (plus the `_bk`/`_rvl`/`_ci`
+    scratch names)."""
+    if bucket_size <= 0:
+        raise ValueError(
+            f"asof_join_backward_bucketed: bucket_size must be > 0, got {bucket_size}"
+        )
+    extra = {"_bk", "_rvl", "_ci"}
+    clashes = extra.intersection(left.columns)
+    if clashes:
+        raise ValueError(
+            "asof_join_backward_bucketed: left columns collide with internal "
+            f"names: {sorted(clashes)}"
+        )
+    u, left_cols = _asof_union(
+        left, right, left_key, right_key, left_ts, right_ts, right_vals,
+        opname="asof_join_backward_bucketed",
+    )
+    u = u.withColumn(
+        "_bk", F.floor(F.col("_t") / F.lit(bucket_size)).cast("long")
+    )
+    # (2) local carry within (key, bucket) — same ordering contract as the
+    # plain form: right rows (side 0) before left rows at equal timestamps.
+    w_local = (
+        Window.partitionBy("_k", "_bk")
+        .orderBy(F.col("_t").asc(), "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = u.select(
+        "_side",
+        "_k",
+        "_bk",
+        F.col("_t"),
+        *left_cols,
+        F.last("_rv", ignorenulls=True).over(w_local).alias("_rvl"),
+    )
+    # (3) one summary row per (key, bucket) present in the union (left OR
+    # right rows — a left-only bucket still needs a carry-in), holding the
+    # bucket's latest right row (max_by skips the NULL ordering the
+    # when() gives left rows; NULL when the bucket has no right rows).
+    # NULL _bk (left rows with NULL timestamps) sorts FIRST ascending, so
+    # its summary's empty strictly-preceding frame yields no carry-in and
+    # its NULL _last never pollutes later buckets through ignorenulls.
+    w_stitch = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_bk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = (
+        u.groupBy("_k", "_bk")
+        .agg(
+            F.max_by(
+                "_rv", F.when(F.col("_side") == 0, F.col("_t"))
+            ).alias("_last")
+        )
+        .select(
+            "_k",
+            "_bk",
+            F.last("_last", ignorenulls=True).over(w_stitch).alias("_ci"),
+        )
+    )
+    # (4) join the tiny per-bucket carry-in back on the window's own
+    # (key, bucket) partitioning and resolve each row's effective carry.
+    # LEFT join: a NULL-ts left row has a NULL bucket, which an inner
+    # equi join would silently DROP (NULL never equi-matches) — it must
+    # survive as an unmatched row, exactly like the plain form.
+    carried = local.join(carry_in, ["_k", "_bk"], "left").withColumn(
+        "_rv", F.coalesce("_rvl", "_ci")
+    )
+    matched = F.col("_rv").isNotNull() & F.col("_t").isNotNull()
+    if tolerance is not None:
+        matched = matched & (
+            (F.col("_t") - F.col("_rv").getField("t")) <= tolerance
+        )
+    payload = F.when(matched, F.col("_rv").getField("v"))
+    return carried.filter(F.col("_side") == 1).select(
+        *left_cols, *[payload.getField(c).alias(c) for c in right_vals]
+    )
+
+
 def _asof_union(
     left: DataFrame,
     right: DataFrame,

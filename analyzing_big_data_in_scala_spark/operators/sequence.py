@@ -117,6 +117,286 @@ def run_length_encode(
     )
 
 
+def run_length_encode_bucketed(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    id_col: str = "event_id",
+    bucket_size: int = 86400,
+) -> DataFrame:
+    """:func:`run_length_encode` with TIME-RANGE PRE-BUCKETING — the
+    skew-resistant form (the r10 Zipf probe's `window_rle` case degrades
+    ~10x at 64x data under a 50%-mass hot key: the key's entire sequence
+    sorts on ONE task and salting can't split an order-dependent window).
+
+    Identical output (same run ids, lengths, first ids), two-level
+    carry-stitch shape:
+
+    1. LOCAL RLE within (key, time-bucket): the hot key's sort splits
+       across ~span/bucket_size tasks. Buckets derive from
+       `order_cols[0]` (epoch seconds via unix_timestamp for
+       timestamp columns, floor-div for numerics) — monotone in the
+       sort order, so bucket-concatenation preserves the global order;
+       NULL order values bucket to NULL, which sorts first on both
+       levels exactly like the plain form's NULLS FIRST.
+    2. STITCH: consecutive local runs within a bucket NEVER share a
+       type (RLE invariant), so merging across boundaries is just a
+       second RLE over the per-key sequence of LOCAL RUNS ordered by
+       (bucket, local_run_id) — same running-sum numbering as the plain
+       form, so run ids come out identical. The second window is per-key
+       serial but over #runs rows, not #rows: the straggler's work drops
+       by the key's compression ratio (that is the honest bound — a key
+       whose types alternate every row gains nothing; for the operator's
+       use cases — heartbeat collapse, dwell runs — runs << rows).
+
+    Raises ValueError on non-positive bucket_size or when the input
+    carries the internal scratch names (_bk/_chg/_lrun/run_id).
+    """
+    if bucket_size <= 0:
+        raise ValueError(
+            f"run_length_encode_bucketed: bucket_size must be > 0, got {bucket_size}"
+        )
+    reserved = {"_bk", "_chg", "_lrun", "run_id", "run_len", "first_event_id"}
+    clashes = reserved.intersection(events.columns)
+    if clashes:
+        raise ValueError(
+            "run_length_encode_bucketed: input columns collide with internal "
+            f"names: {sorted(clashes)}"
+        )
+    lead_col = order_cols[0]
+    dtype = events.schema[lead_col].dataType.simpleString()
+    t = (
+        F.unix_timestamp(lead_col).cast("long")
+        if dtype.startswith("timestamp")
+        else F.col(lead_col).cast("long")
+    )
+    bucketed = events.withColumn(
+        "_bk", F.floor(t / F.lit(bucket_size)).cast("long")
+    )
+    w1 = Window.partitionBy(key_col, "_bk").orderBy(*[F.asc(c) for c in order_cols])
+    flagged = bucketed.select(
+        key_col,
+        "_bk",
+        id_col,
+        type_col,
+        *[c for c in order_cols if c not in (key_col, id_col, type_col)],
+        F.when(
+            F.lag(type_col).over(w1).eqNullSafe(F.col(type_col)),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(F.lit(1).cast("long"))
+        .alias("_chg"),
+    )
+    local = flagged.select(
+        key_col,
+        "_bk",
+        id_col,
+        type_col,
+        F.sum("_chg")
+        .over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_lrun"),
+    ).groupBy(key_col, "_bk", "_lrun").agg(
+        F.min(type_col).alias(type_col),
+        F.count("*").alias("_len"),
+        F.min(id_col).alias("_fid"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.asc("_bk"), F.asc("_lrun"))
+    stitched = local.select(
+        key_col,
+        "_bk",
+        "_lrun",
+        type_col,
+        "_len",
+        "_fid",
+        F.when(
+            F.lag(type_col).over(w2).eqNullSafe(F.col(type_col)),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(F.lit(1).cast("long"))
+        .alias("_chg"),
+    ).select(
+        key_col,
+        type_col,
+        "_len",
+        "_fid",
+        F.sum("_chg")
+        .over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    return stitched.groupBy(key_col, "run_id").agg(
+        F.min(type_col).alias(type_col),
+        F.sum("_len").alias("run_len"),
+        F.min("_fid").alias("first_event_id"),
+    )
+
+
+def interp_e2_sql(div_op: str) -> str:
+    """Round-half-up linear interpolation in pure BIGINT, shared shape on
+    both engines (Spark `DIV` / DuckDB `//` both truncate toward zero —
+    measured r10 — so both carry the negative-remainder floor
+    correction; values CAN fall between neighbors, so the numerator sign
+    matters). Expects columns po_v/po_b (previous anchor value/bucket),
+    no_v/no_b (next anchor), bucket; den > 0 on every gap row by
+    construction."""
+    num = "(2 * (no_v - po_v) * (bucket - po_b) + (no_b - po_b))"
+    den = "(2 * (no_b - po_b))"
+    return (
+        f"po_v + CAST({num} {div_op} {den}"
+        f" - (CASE WHEN {num} % {den} <> 0 AND {num} < 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT)"
+    )
+
+
+def resample_linear_interp(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """LINEAR-interpolation resampling — the gapfill sibling for
+    continuous signals (sensor levels, prices), where LOCF/zero-fill
+    biases downstream models:
+
+        (group_col, bucket, value_e2, interpolated)
+
+    one row per bucket of the group's dense [min, max] spine; observed
+    buckets carry their LAST observation's exact cents (row_number over
+    (ts, id) DESC — deterministic), empty buckets the straight-line
+    value between nearest observed neighbors (sign-safe round-half-up
+    BIGINT — the TWA division recipe). Spine edges are always observed
+    (per-group min/max buckets), so every gap has both neighbors.
+
+    Scale shape: spine generation is O(range/step) per group
+    (sequence+explode, in-plan); ONE group-partitioned sort serves BOTH
+    window carries (ascending prev anchors, following-frame next
+    anchors); the exact interpolation evaluates in the final projection.
+    """
+    epoch = F.unix_timestamp(ts_col).cast("long")
+    base = events.select(
+        group_col,
+        F.floor(epoch / bucket_seconds).cast("long").alias("bucket"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_v"),
+        ts_col,
+        id_col,
+    )
+    wpick = Window.partitionBy(group_col, "bucket").orderBy(
+        F.desc(ts_col), F.desc(id_col)
+    )
+    obs = (
+        base.select(
+            group_col, "bucket", "_v", F.row_number().over(wpick).alias("_rn")
+        )
+        .filter(F.col("_rn") == 1)
+        .select(group_col, "bucket", F.col("_v").alias("v"))
+    )
+    bounds = base.groupBy(group_col).agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    spine = bounds.select(
+        group_col, F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    j = spine.join(obs, [group_col, "bucket"], "left")
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # po_*/no_* are set ATOMICALLY (non-null exactly on observed rows), so
+    # per-column ignorenulls carries always read the same anchor row — the
+    # struct-carry splice trap of the as-of join doesn't apply here.
+    carried = j.select(
+        group_col,
+        "bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("po_v"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("bucket")), ignorenulls=True)
+        .over(wb)
+        .alias("po_b"),
+        F.first("v", ignorenulls=True).over(wf).alias("no_v"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("bucket")), ignorenulls=True)
+        .over(wf)
+        .alias("no_b"),
+    )
+    return carried.select(
+        group_col,
+        "bucket",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.expr(interp_e2_sql("DIV")))
+        .alias("value_e2"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+def pairwise_comovement(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Cross-signal co-movement: Pearson correlation between every PAIR
+    of event types' per-bucket activity counts over the DENSE common
+    spine (zero-filled — correlating only shared-active buckets biases
+    toward +1):
+
+        (type_a, type_b, n, corr_ppm)   for type_a < type_b
+
+    Exact-BIGINT sufficient statistics; the only float math is the
+    shared :data:`CORR_PPM_SQL` tree (bit-identical cross-engine).
+
+    Scale shape: one global bounds aggregate (1 row) + spine explode;
+    counts densify via a (type, bucket) left join; the pair join is
+    BUCKET-keyed — per-bucket fan-out is |types|², never row-quadratic —
+    and the five sums collapse in one two-phase hash aggregate. The
+    densified frame is lineage-cut once (two consumers)."""
+    base = events.select(
+        type_col,
+        F.floor(F.unix_timestamp(ts_col) / bucket_seconds).cast("long").alias(
+            "bucket"
+        ),
+    )
+    bounds = base.agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+    spine = bounds.select(F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    types = base.select(type_col).distinct()
+    counts = base.groupBy(type_col, "bucket").agg(F.count("*").alias("c"))
+    dense = (
+        F.broadcast(types)
+        .crossJoin(spine)
+        .join(counts, [type_col, "bucket"], "left")
+        .select(
+            type_col, "bucket", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{type_col}") < F.col(f"b.{type_col}")),
+    )
+    stats = pairs.groupBy(
+        F.col(f"a.{type_col}").alias("type_a"),
+        F.col(f"b.{type_col}").alias("type_b"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("a.c").alias("sx"),
+        F.sum("b.c").alias("sy"),
+        F.sum(F.col("a.c") * F.col("b.c")).alias("sxy"),
+        F.sum(F.col("a.c") * F.col("a.c")).alias("sxx"),
+        F.sum(F.col("b.c") * F.col("b.c")).alias("syy"),
+    )
+    return stats.select(
+        "type_a", "type_b", "n", F.expr(CORR_PPM_SQL).alias("corr_ppm")
+    )
+
+
 # Shared Spark/DuckDB expression for the pooled Pearson autocorrelation in
 # integer ppm, over EXACT BIGINT sufficient statistics (n, sx, sy, sxy,
 # sxx, syy). The integer SUMS are order-independent (exact), and every
@@ -320,7 +600,17 @@ def trend_sufficient_stats(
     minutes-since-2020 (~3e6 by 2026, so x² ≈ 1e13) stays under 2^63
     for ~1e6 rows per group; rebase `base_epoch` nearer the data (or
     coarsen x to hours) to widen — the knob is part of the contract,
-    stated rather than silently truncated.
+    ENFORCED loudly (r10 handoff item): alongside the sums, the
+    aggregate tracks max|x| and max|y| per group and the post-agg
+    projection raises when the conservative worst-case bound
+    n·max(|x|,|y|)² could pass 2^63 — so a group that outgrew the
+    centering knob fails with the remediation in the message instead of
+    returning silently-wrapped statistics (non-ANSI mode) or an opaque
+    engine overflow (ANSI mode). The check is one CASE per group ROW
+    (post-aggregation — not the per-input-row conditional the
+    projection-operator docstring rules out for hot paths). The guard
+    bounds each BATCH; a standing FOLDED aggregate doubles per merge at
+    worst, so keep ~1 fold of headroom or re-center the fold's base.
     """
     t = F.unix_timestamp(ts_col).cast("long")
     base = events.select(
@@ -330,14 +620,42 @@ def trend_sufficient_stats(
         ).alias("_x"),
         F.round(F.col(value_col) * 100).cast("long").alias("_y"),
     ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
-    return base.groupBy(group_col).agg(
+    agg = base.groupBy(group_col).agg(
         F.count("*").alias("n"),
         F.sum("_x").alias("sx"),
         F.sum("_y").alias("sy"),
         F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
         F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
         F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.max(F.abs(F.col("_x"))).alias("_mx"),
+        F.max(F.abs(F.col("_y"))).alias("_my"),
     )
+    # Conservative overflow bound in DOUBLE (the product n·m² itself
+    # would overflow BIGINT): Σx² ≤ n·max|x|², Σ|xy| ≤ n·max|x|·max|y|,
+    # Σy² ≤ n·max|y|². Threshold 9.0e18 < 2^63 absorbs double rounding.
+    m = F.greatest(F.col("_mx"), F.col("_my")).cast("double")
+    bound = F.col("n").cast("double") * m * m
+    guarded_n = (
+        F.when(
+            bound >= F.lit(9.0e18),
+            F.assert_true(
+                F.lit(False),
+                F.concat(
+                    F.lit(
+                        "trend_sufficient_stats: BIGINT overflow risk for group '"
+                    ),
+                    F.col(group_col).cast("string"),
+                    F.lit(
+                        "' (n*max(|x|,|y|)^2 >= 2^63) — rebase base_epoch nearer"
+                        " the data or coarsen x to hours"
+                    ),
+                ),
+            ).cast("long"),
+        )
+        .otherwise(F.col("n"))
+        .alias("n")
+    )
+    return agg.select(group_col, guarded_n, "sx", "sy", "sxy", "sxx", "syy")
 
 
 def trend_from_stats(stats: DataFrame, group_col: str = "event_type") -> DataFrame:

@@ -236,6 +236,42 @@ def test_trend_stats_merge_equals_one_shot(spark):
     assert got == want and set(got) == {"a", "b"}
 
 
+def test_trend_stats_overflow_guard(spark):
+    """The Σ-headroom contract is ENFORCED, not just documented (r10
+    handoff): a group whose conservative worst-case bound n·max(|x|,|y|)²
+    could pass 2^63 fails loudly with the rebase/coarsen remediation —
+    even when the actual sums happen to still fit (the silent-wrap zone
+    in non-ANSI mode). One 2.2e9-cent row plus two zero rows keeps every
+    actual sum under 2^63 (no engine overflow masks the guard) while the
+    bound reads 3·(2.2e9)² ≈ 1.45e19."""
+    from datetime import datetime, timezone
+
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        trend_sufficient_stats,
+    )
+
+    def ts(m):
+        return datetime.fromtimestamp(1_700_000_000 + m * 60, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    df = spark.createDataFrame(
+        [(1, "a", ts(0), 2.2e7), (2, "a", ts(1), 0.0), (3, "a", ts(2), 0.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    with pytest.raises(Exception, match="overflow risk"):
+        trend_sufficient_stats(df).collect()
+    # Same shape at sane magnitudes passes through the guard untouched.
+    ok = spark.createDataFrame(
+        [(1, "a", ts(0), 2.5), (2, "a", ts(1), 0.0), (3, "a", ts(2), 1.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    rows = trend_sufficient_stats(ok).collect()
+    assert [(r["n"], r["sy"]) for r in rows] == [(3, 350)]
+
+
 def test_scatter_matrix_fixed_shuffle_shape(spark):
     """The scatter build must be two map-side Generates + ONE hash
     exchange (whose volume is the fixed in_dim² grid) — no self-join."""

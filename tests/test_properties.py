@@ -800,6 +800,118 @@ def test_asof_direction_and_tolerance_match_bruteforce(
     assert got == _asof_bruteforce(left_rows, right_rows, forward=forward, tol=tol)
 
 
+@PROP_SETTINGS
+@example(  # carry-in pin: the match lives in an EARLIER bucket (t=1 is
+    # buckets away from the left row at t=50 when bucket_size=5) and must
+    # arrive through the stitch, not the local carry.
+    left_rows=[(0, 50)],
+    right_rows=[(0, 1, "X", 5)],
+    bucket_size=5,
+    tol=None,
+)
+@example(  # boundary pin: right row exactly at a bucket edge (t=10,
+    # bucket_size=5) plus a tie at the left timestamp — local carry must
+    # beat the carry-in and ties must still match "at or before".
+    left_rows=[(0, 10)],
+    right_rows=[(0, 10, "X", 5), (0, 9, "Y", 7)],
+    bucket_size=5,
+    tol=None,
+)
+@example(  # NULL-ts left-row pin: NULL buckets sort first; the empty
+    # stitch frame must leave the row unmatched, never carry into it.
+    left_rows=[(0, None)],
+    right_rows=[(0, 2, "X", 5)],
+    bucket_size=5,
+    tol=None,
+)
+@given(
+    left_rows=ASOF_LEFT,
+    right_rows=ASOF_RIGHT,
+    bucket_size=st.sampled_from([1, 3, 7, 100]),
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=10)),
+)
+def test_asof_bucketed_matches_bruteforce(
+    spark, left_rows, right_rows, bucket_size, tol
+):
+    """The time-range pre-bucketed (carry-stitch) backward as-of must be
+    value-identical to the plain form for EVERY bucket size — bucket_size
+    is a physical knob, not a semantic one. bucket_size=1 maximizes
+    stitch traffic (every row alone in its bucket: all matches flow
+    through carry-ins), 100 degenerates to the plain single-window case,
+    3/7 exercise mixed local/stitch paths and bucket-edge ties."""
+    from analyzing_big_data_in_scala_spark.operators.asof import (
+        asof_join_backward_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, t long",
+    )
+    right_schema = "k long, t long, a string, b long"
+    right = (
+        spark.createDataFrame(right_rows, right_schema)
+        if right_rows
+        else spark.createDataFrame([], right_schema)
+    )
+    got = {
+        r.lid: (r.a, r.b)
+        for r in asof_join_backward_bucketed(
+            left, right, "k", "k", "t", "t", ["a", "b"],
+            bucket_size=bucket_size, tolerance=tol,
+        ).collect()
+    }
+    assert got == _asof_bruteforce(left_rows, right_rows, forward=False, tol=tol)
+
+
+@PROP_SETTINGS
+@example(  # boundary-spanning run pin: one run covers three buckets
+    # (bucket_size=3, ts 0..8 all same type) — the stitch must merge the
+    # three local runs into run_id=1 with run_len=9.
+    rows=[(0, t, "a") for t in range(9)],
+    bucket_size=3,
+)
+@example(  # NULL-ts pin: NULL buckets sort first on both levels, exactly
+    # like the plain form's NULLS FIRST ordering.
+    rows=[(0, None, "a"), (0, 1, "a"), (0, None, "b")],
+    bucket_size=5,
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),                      # key
+            st.one_of(st.none(), st.integers(min_value=0, max_value=40)),  # ts
+            st.sampled_from(["a", "b", "c"]),                           # type
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    bucket_size=st.sampled_from([1, 3, 7, 100]),
+)
+def test_rle_bucketed_matches_plain(spark, rows, bucket_size):
+    """The time-range pre-bucketed RLE must be value-identical to the
+    plain single-window form for EVERY bucket size — same run ids, run
+    lengths, and first ids (consecutive local runs within a bucket never
+    share a type, so the cross-boundary stitch is exactly a second RLE
+    over local runs and the running-sum numbering is preserved).
+    bucket_size=1 maximizes boundary stitches; 100 degenerates to the
+    plain case."""
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        run_length_encode,
+        run_length_encode_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(k, t, ty, i) for i, (k, t, ty) in enumerate(rows)],
+        "user_id long, ts long, event_type string, event_id long",
+    )
+    key = lambda r: (r["user_id"], r["run_id"])  # noqa: E731
+    val = lambda r: (r["event_type"], r["run_len"], r["first_event_id"])  # noqa: E731
+    got = {key(r): val(r) for r in run_length_encode_bucketed(
+        df, bucket_size=bucket_size).collect()}
+    want = {key(r): val(r) for r in run_length_encode(df).collect()}
+    assert got == want
+
+
 def _asof_nearest_bruteforce(left_rows, right_rows, tol):
     """Reference semantics for the nearest as-of: smallest |gap| wins,
     ties (d before vs d after) go to the EARLIER right row; NULL ts on

@@ -706,3 +706,41 @@ def test_interval_overlap_join_exactly_once_across_many_buckets(spark):
     ).collect()
     assert len(rows) == 1
     assert (rows[0]["overlap_start"], rows[0]["overlap_end"], rows[0]["overlap_len"]) == (5, 995, 990)
+
+
+def test_bucketed_operator_guards(spark):
+    """The r10-s2 skew-resistant variants refuse bad bucket sizes and
+    scratch-name collisions up front (the same hardening contract as the
+    interval family): a `_bk`/`_rvl`/`_ci` column on the as-of left side
+    or a `_bk`/`run_id` column on the RLE input would be silently
+    clobbered mid-plan otherwise."""
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.asof import (
+        asof_join_backward_bucketed,
+    )
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        run_length_encode_bucketed,
+    )
+
+    left = spark.createDataFrame([(1, 5)], "k long, t long")
+    right = spark.createDataFrame([(1, 3, 9)], "k long, t long, v long")
+    with pytest.raises(ValueError, match="bucket_size"):
+        asof_join_backward_bucketed(left, right, "k", "k", "t", "t", ["v"], bucket_size=0)
+    bad_left = spark.createDataFrame([(1, 5, 0)], "k long, t long, _bk long")
+    with pytest.raises(ValueError, match="_bk"):
+        asof_join_backward_bucketed(
+            bad_left, right, "k", "k", "t", "t", ["v"], bucket_size=10
+        )
+
+    ev = spark.createDataFrame(
+        [(1, 5, "a", 1)], "user_id long, ts long, event_type string, event_id long"
+    )
+    with pytest.raises(ValueError, match="bucket_size"):
+        run_length_encode_bucketed(ev, bucket_size=-1)
+    bad_ev = spark.createDataFrame(
+        [(1, 5, "a", 1, 2)],
+        "user_id long, ts long, event_type string, event_id long, run_id long",
+    )
+    with pytest.raises(ValueError, match="run_id"):
+        run_length_encode_bucketed(bad_ev, bucket_size=10)
