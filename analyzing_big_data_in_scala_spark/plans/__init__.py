@@ -39,11 +39,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #  3. The five r10-new queries (interval coalescing, nearest as-of,
     #     per-group OLS trend, exact-integer principal direction,
     #     streaming incremental trend) take first-row slots.
-    #  4. The remaining 15 slots take the alphabetical prefix of the
-    #     50-query r7-evidence cohort; the other 35 queue for r11.
+    #  4. The nine r10-SESSION-2 queries (skew-resistant bucketed as-of,
+    #     GROUPING SETS, RFM segmentation, Gini concentration, Pareto
+    #     frontier, linear-interp resample, Benford audit, volume-weighted
+    #     median, type co-movement) take first-row slots too.
+    #  5. The remaining 5 slots take the alphabetical prefix of the
+    #     50-query r7-evidence cohort; the other 45 queue for r11.
     #     Every query evicted from the r9 window is r9-green with
     #     unchanged code, so those rows stand as current evidence.
 
+    # r10-session-2 new queries (10) — first rows
+    "events_asof_bucketed_latest_order",
+    "events_type_run_lengths_bucketed",
+    "orders_grouping_sets",
+    "customer_rfm_segments",
+    "revenue_gini_by_nation",
+    "parts_pareto_frontier",
+    "events_resample_10min_interp",
+    "events_value_benford",
+    "documents_volume_median",
+    "events_type_comovement",
     # r9-late + r10-new first rows (9)
     "events_interval_overlap",
     "events_time_weighted_avg",
@@ -81,22 +96,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_static_enrichment",
     "streaming_tumbling_counts",
     "terms_cms_heavy_hitters",
-    # oldest r7-evidence cohort (15 of 50; the rest queue for r11)
+    # oldest r7-evidence cohort (5 of 50; the rest queue for r11)
     "brand_returnflag_pivot",
     "corpus_bpe_merges",
     "customer_order_full_outer",
     "customer_order_running_total",
     "customer_segment_setops",
-    "customers_with_expensive_items",
-    "customers_without_orders_filtered",
-    "dedup_exact_groups",
-    "dedup_jaccard_df_capped",
-    "dedup_minhash_candidates",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "doc_bpe_token_stats",
-    "doc_exact_substring_removal",
-    "doc_fingerprint_rolling",
 )
 
 

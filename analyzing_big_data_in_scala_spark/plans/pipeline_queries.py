@@ -1923,6 +1923,71 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_bucketed_latest_order",
+    # Same point-in-time semantics as events_asof_latest_order, computed
+    # through the TIME-RANGE PRE-BUCKETED carry-stitch form — the
+    # hot-key-skew mitigation the r10 Zipf probe names (a key owning 50%
+    # of rows no longer serializes its whole history onto one window
+    # task). The oracle is DuckDB's NATIVE ASOF over epoch seconds: the
+    # bucket size is a physical knob, invisible in the answer.
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_t,
+                   MAX(o_orderkey) AS o_orderkey,
+                   arg_max(o_totalprice, o_orderkey) AS o_totalprice
+            FROM orders GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT event_id, user_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+            FROM events
+        )
+        SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+               ROUND(o.o_totalprice, 2) AS last_totalprice
+        FROM e ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.t >= o.o_t
+    """,
+    description="Skew-resistant as-of join (time-range pre-bucketing + carry-stitch, operators/asof.asof_join_backward_bucketed): each event matched to the user's latest order at-or-before its timestamp, with the hot key's window split across ~span/bucket tasks and boundary carries stitched through a per-bucket summary — value-identical to the plain union+window form (DuckDB native-ASOF oracle)",
+)
+def events_asof_bucketed_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward_bucketed
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.unix_timestamp("o_orderdate").cast("long").alias("o_t"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("o_custkey", "o_t")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join_backward_bucketed(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="t", right_ts="o_t",
+        right_vals=["o_orderkey", "o_totalprice"],
+        bucket_size=7 * 86400,  # weekly: the fixture's densest key-week fits one task
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    )
+
+
+@query(
     "events_asof_next_purchase_2h",
     # FORWARD as-of with a horizon (r8): the label join. Each view event
     # attaches the user's EARLIEST purchase at-or-after it, but only
@@ -3977,4 +4042,282 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min("t").alias("s"), F.max("t").alias("e"))
     return interval_coalesce(
         spans.select("user_id", "s", "e"), "user_id", "s", "e"
+    )
+
+
+from ..operators.sequence import interp_e2_sql as _interp_e2_sql  # noqa: E402
+
+
+@query(
+    "events_resample_10min_interp",
+    # LINEAR-interpolation resampling — the gapfill sibling for
+    # continuous signals (sensor levels, prices), where LOCF/zero-fill
+    # biases downstream models: each empty 10-min bucket takes the
+    # straight-line value between its nearest observed neighbors. The
+    # per-bucket observed value is the bucket's LAST observation
+    # (row_number over (ts, event_id) DESC — deterministic on both
+    # engines); interpolation is exact BIGINT cents with sign-safe
+    # round-half-up (the TWA recipe). Spine edges are always observed
+    # (per-type min/max buckets), so every gap has both neighbors.
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket,
+                   CAST(ROUND(value * 100) AS BIGINT) AS _v,
+                   ts, event_id
+            FROM events
+        ),
+        obs AS (
+            SELECT event_type, bucket, _v AS v FROM (
+                SELECT event_type, bucket, _v,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM base)
+            WHERE rn = 1
+        ),
+        bounds AS (
+            SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+            FROM base GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type, CAST(t.b AS BIGINT) AS bucket
+            FROM bounds, UNNEST(generate_series(b0, b1)) t(b)
+        ),
+        j AS (
+            SELECT s.event_type, s.bucket, o.v
+            FROM spine s LEFT JOIN obs o USING (event_type, bucket)
+        ),
+        carried AS (
+            SELECT event_type, bucket, v,
+                   last_value(v IGNORE NULLS) OVER wb AS po_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                       OVER wb AS po_b,
+                   first_value(v IGNORE NULLS) OVER wf AS no_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                       OVER wf AS no_b
+            FROM j
+            WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, bucket,
+               CASE WHEN v IS NOT NULL THEN v ELSE {interp} END AS value_e2,
+               v IS NULL AS interpolated
+        FROM carried
+    """.format(interp=_interp_e2_sql("//")),
+    description="Linear-interpolation resampling (the continuous-signal sibling of LOCF gapfill): per-type 10-min spine, per-bucket last observation as the anchor, empty buckets take the exact straight-line BIGINT-cents value between nearest observed neighbors (sign-safe round-half-up, the TWA division recipe) — two window carries over ONE type-partitioned sort, never a per-gap search",
+)
+def events_resample_10min_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import resample_linear_interp
+
+    return resample_linear_interp(load_events(spark, sf_dir))
+
+
+# Shared verbatim by the Spark plan and the oracle: Benford's expected
+# first-digit share in ppm — log10(1 + 1/d) over the 9 digit literals.
+# One identical double expression tree (the bm25 ln() recipe); none of
+# the nine results lands near a .5 ulp boundary, so FLOOR(x + 0.5) is
+# stable across libm implementations.
+BENFORD_EXPECTED_PPM_SQL = (
+    "CAST(FLOOR(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "events_value_benford",
+    # Benford's-law audit of the value column (the standard
+    # fabricated-data / instrumentation-bug screen: organic multiplicative
+    # quantities follow log10(1+1/d); counters, caps, and synthetic fills
+    # don't). First significant digit via BIGINT->string — digit-exact on
+    # both engines, no float log in the extraction path; observed share
+    # in exact round-half-up ppm; expected share from the one shared
+    # double tree above.
+    oracle="""
+        WITH d AS (
+            SELECT CAST(SUBSTR(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS digit
+            FROM events
+            WHERE CAST(ROUND(value * 100) AS BIGINT) > 0
+        ),
+        c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        t AS (SELECT SUM(n) AS tot FROM c)
+        SELECT digit, n,
+               CAST((n * 2000000 + tot) // (2 * tot) AS BIGINT) AS share_ppm,
+               {expected} AS expected_ppm
+        FROM c, t
+    """.format(expected=BENFORD_EXPECTED_PPM_SQL),
+    description="Benford's-law first-digit audit of event values (fabrication/instrumentation screen): digit via exact BIGINT->string extraction (no float log in the hot path), observed share in round-half-up ppm vs the log10(1+1/d) expectation — one 9-group hash aggregate with map-side partials plus a broadcast total",
+)
+def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(cents.alias("_c")).filter(F.col("_c") > 0).select(
+        F.substring(F.col("_c").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("tot"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.expr("CAST((n * 2000000 + tot) DIV (2 * tot) AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr(BENFORD_EXPECTED_PPM_SQL).alias("expected_ppm"),
+    )
+
+
+@query(
+    "documents_volume_median",
+    # Volume-weighted median document length per source — "half this
+    # source's CHARACTERS live in documents shorter than X" — the
+    # token-budget statistic that drives shard sizing and truncation
+    # policy (a plain median over-weights the long tail of tiny docs).
+    # Classic running-weight cut: ascending (n_chars, doc_id) order, the
+    # median is the first row whose doubled cumulative weight reaches the
+    # source total; both engines evaluate the identical integer
+    # comparisons, no division anywhere.
+    oracle="""
+        WITH ranked AS (
+            SELECT source, n_chars,
+                   SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+                   SUM(n_chars) OVER (PARTITION BY source) AS tot,
+                   COUNT(*) OVER (PARTITION BY source) AS n_docs
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT source,
+               CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+               CAST(MAX(tot) AS BIGINT) AS total_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS wmedian_chars
+        FROM ranked
+        WHERE 2 * cumw >= tot
+        GROUP BY source
+    """,
+    description="Volume-weighted median document length per source (the shard-budget cut: half the corpus VOLUME lies below it): one source-partitioned running-sum window + one hash aggregate, pure integer comparisons — never a per-source sort-and-scan loop",
+)
+def documents_volume_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    wsrc = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars")
+        .over(
+            wsrc.orderBy("n_chars", "doc_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cumw"),
+        F.sum("n_chars").over(wsrc).alias("tot"),
+        F.count("*").over(wsrc).alias("n_docs"),
+    )
+    return (
+        ranked.filter(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.max("tot").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("wmedian_chars"),
+        )
+    )
+
+
+from ..operators.sequence import CORR_PPM_SQL as _SEQ_CORR_PPM_SQL  # noqa: E402
+
+
+@query(
+    "events_type_comovement",
+    # Cross-signal co-movement: Pearson correlation between every PAIR of
+    # event types' per-10-min activity counts over the DENSE common
+    # spine (zero-filled — correlation over only-shared-active buckets
+    # would bias toward +1). The answer rides the repo's exact-BIGINT
+    # sufficient-statistics recipe: counts are integers, the five sums
+    # are order-independent BIGINT aggregates, and the only float math is
+    # the shared CORR_PPM_SQL tree (same as pooled ACF / OLS trend) —
+    # bit-identical cross-engine.
+    oracle="""
+        WITH base AS (
+            SELECT event_type, CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS bucket
+            FROM events
+        ),
+        bounds AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM base),
+        spine AS (
+            SELECT CAST(t.b AS BIGINT) AS bucket
+            FROM bounds, UNNEST(generate_series(b0, b1)) t(b)
+        ),
+        types AS (SELECT DISTINCT event_type FROM base),
+        counts AS (
+            SELECT event_type, bucket, COUNT(*) AS c FROM base GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT ty.event_type, s.bucket,
+                   CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+            FROM types ty CROSS JOIN spine s
+            LEFT JOIN counts c
+              ON c.event_type = ty.event_type AND c.bucket = s.bucket
+        ),
+        stats AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n,
+                   CAST(SUM(a.c) AS BIGINT) AS sx,
+                   CAST(SUM(b.c) AS BIGINT) AS sy,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+                   CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+                   CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+            FROM dense a JOIN dense b
+              ON a.bucket = b.bucket AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n, {corr} AS corr_ppm FROM stats
+    """.format(corr=_SEQ_CORR_PPM_SQL),
+    description="Pairwise event-type co-movement (Pearson corr of dense zero-filled 10-min activity counts, the 'which signals move together' scan): spine x types densification, one bucket-keyed self-equi-join (per-bucket fan-out = |types|^2, never row-quadratic), exact BIGINT sufficient statistics finalized by the shared CORR_PPM_SQL double tree",
+)
+def events_type_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import pairwise_comovement
+
+    return pairwise_comovement(load_events(spark, sf_dir))
+
+
+@query(
+    "events_type_run_lengths_bucketed",
+    # Same gaps-and-islands answer as events_type_run_lengths, computed
+    # through the TIME-RANGE PRE-BUCKETED two-level carry-stitch — the
+    # hot-key mitigation the r10 Zipf probe's window_rle case measures
+    # (a 50%-mass key's single sort task degrades ~10x at 64x; bucketing
+    # splits it across per-(key, day) tasks and the stitch is a second
+    # RLE over LOCAL RUNS, whose per-key row count is the key's run
+    # count, not its row count). The oracle is the plain single-window
+    # gaps-and-islands — the bucket size is invisible in the answer.
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN LAG(event_type) OVER w IS NOT DISTINCT FROM event_type
+                        THEN 0 ELSE 1 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+            FROM flagged
+        )
+        SELECT user_id, run_id,
+               MIN(event_type) AS event_type,
+               COUNT(*) AS run_len,
+               MIN(event_id) AS first_event_id
+        FROM runs
+        GROUP BY user_id, run_id
+    """,
+    description="Skew-resistant run-length encoding (time-range pre-bucketing + carry-stitch, operators/sequence.run_length_encode_bucketed): local RLE within (user, day) splits a hot key's sort across its buckets; consecutive in-bucket runs never share a type, so the boundary stitch is a second RLE over local RUNS (per-key cost = run count, not row count) — value-identical to the plain single-window form",
+)
+def events_type_run_lengths_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import run_length_encode_bucketed
+
+    return run_length_encode_bucketed(
+        load_table(spark, sf_dir, "events"), bucket_size=86400
     )

@@ -1411,3 +1411,278 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_e2").alias("rev_e2"),
         F.count("*").alias("n_orders"),
     ).select("nation", "o_year", "g_nation", "g_year", "rev_e2", "n_orders")
+
+
+@query(
+    "orders_grouping_sets",
+    # GROUPING SETS — the fourth member of the rollup/pivot/cube family
+    # (r10): two dimension hierarchies (status, priority) sharing a time
+    # axis in ONE pass, a lattice neither CUBE nor ROLLUP can express
+    # (CUBE would add the never-consumed status x priority cross terms;
+    # ROLLUP only nests). Same physical shape as revenue_cube: one Expand
+    # + one hash aggregate with map-side partials; GROUPING flags
+    # disambiguate rolled-up NULLs; revenue is exact integer cents.
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS INT) AS g_year,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS (
+            (o_orderstatus, EXTRACT(year FROM o_orderdate)),
+            (o_orderpriority, EXTRACT(year FROM o_orderdate)),
+            (EXTRACT(year FROM o_orderdate)),
+            ()
+        )
+    """,
+    description="GROUPING SETS lattice (status x year + priority x year + year + grand total in ONE Expand + single hash aggregate): the mixed-hierarchy rollup CUBE/ROLLUP can't express without waste, with GROUPING flags and exact integer-cents revenue — completes the rollup/pivot/cube/sets family",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_e2"),
+    )
+    return (
+        o.groupingSets(
+            [
+                ["o_orderstatus", "o_year"],
+                ["o_orderpriority", "o_year"],
+                ["o_year"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_year",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_year").cast("int").alias("g_year"),
+            F.sum("_e2").alias("rev_e2"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "o_year",
+            "g_status", "g_priority", "g_year", "rev_e2", "n_orders",
+        )
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    # RFM segmentation (the classic lifecycle-marketing cut, and a stock
+    # feature-engineering pass): quartile scores for Recency / Frequency
+    # / Monetary per customer, assigned WITHIN the customer's market
+    # segment (the per-key partitioning that keeps the rank windows
+    # parallel at scale — a global NTILE would be one full sort on one
+    # task). Score 1 is always BEST (most recent / most orders / highest
+    # spend). NTILE is pure rank arithmetic — identical cross-engine once
+    # the ORDER BY carries a full tiebreak (custkey). The recency anchor
+    # is the corpus' own max order date (deterministic, no wall clock).
+    oracle="""
+        WITH cust AS (
+            SELECT c.c_mktsegment,
+                   c.c_custkey,
+                   date_diff('day', CAST(MAX(o.o_orderdate) AS DATE),
+                             (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS rec_days,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_e2
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT c_mktsegment,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY rec_days ASC, c_custkey ASC) AS r_score,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY n_orders DESC, c_custkey ASC) AS f_score,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY mon_e2 DESC, c_custkey ASC) AS m_score,
+                   mon_e2
+            FROM cust
+        )
+        SELECT c_mktsegment, r_score, f_score, m_score,
+               COUNT(*) AS n_customers,
+               CAST(SUM(mon_e2) AS BIGINT) AS monetary_e2
+        FROM scored GROUP BY 1, 2, 3, 4
+    """,
+    description="RFM segmentation: per-customer recency/frequency/monetary quartiles via NTILE windows PARTITIONED by market segment (rank windows stay parallel at scale; a global NTILE = one full sort on one task), deterministic custkey tiebreaks, exact integer-cents monetary, rolled up to segment cells",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("_anchor"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mon_e2"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.datediff("_anchor", "_last").alias("rec_days"),
+            "n_orders",
+            "mon_e2",
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    scored = cust.select(
+        "c_mktsegment",
+        F.ntile(4).over(seg.orderBy(F.asc("rec_days"), F.asc("c_custkey"))).alias("r_score"),
+        F.ntile(4).over(seg.orderBy(F.desc("n_orders"), F.asc("c_custkey"))).alias("f_score"),
+        F.ntile(4).over(seg.orderBy(F.desc("mon_e2"), F.asc("c_custkey"))).alias("m_score"),
+        "mon_e2",
+    )
+    return scored.groupBy("c_mktsegment", "r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("mon_e2").alias("monetary_e2"),
+    )
+
+
+# Shared verbatim by the Spark plan (F.expr) and the DuckDB oracle: the
+# Gini coefficient in ppm from the three exact-BIGINT sufficient
+# statistics (n, s_x = Σ revenue, s_ixi = Σ rank·revenue over ascending
+# revenue with a custkey tiebreak):  G = (2·Σ(i·x) − (n+1)·Σx)/(n·Σx).
+# All float math happens in ONE identical expression tree over identical
+# integer inputs (the bm25 recipe), so the double result — and the
+# FLOOR(…+0.5) half-up ppm — is bit-identical cross-engine at any SF
+# (doubles don't overflow where a ×1e6 BIGINT path would near sf100).
+GINI_PPM_SQL = (
+    "CAST(FLOOR((2.0 * CAST(s_ixi AS DOUBLE)"
+    " - (CAST(n AS DOUBLE) + 1.0) * CAST(s_x AS DOUBLE))"
+    " * 1000000.0 / (CAST(n AS DOUBLE) * CAST(s_x AS DOUBLE))"
+    " + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "revenue_gini_by_nation",
+    # Revenue-concentration (inequality) profile: the Gini coefficient of
+    # per-customer revenue within each nation — the standard "is this
+    # market whale-dominated?" statistic for segmentation and risk.
+    # Customers with zero orders are out of scope (revenue distribution
+    # over ACTIVE customers; documented, matched by the inner join both
+    # sides).
+    oracle=f"""
+        WITH cust AS (
+            SELECT c.c_nationkey,
+                   o.o_custkey,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT c_nationkey, rev_e2,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY rev_e2 ASC, o_custkey ASC) AS i
+            FROM cust
+        ),
+        stats AS (
+            SELECT c_nationkey, COUNT(*) AS n,
+                   CAST(SUM(rev_e2) AS BIGINT) AS s_x,
+                   CAST(SUM(i * rev_e2) AS BIGINT) AS s_ixi
+            FROM ranked GROUP BY 1
+        )
+        SELECT nt.n_name AS nation, s.n AS n_customers, s.s_x AS revenue_e2,
+               {GINI_PPM_SQL} AS gini_ppm
+        FROM stats s JOIN nation nt ON s.c_nationkey = nt.n_nationkey
+    """,
+    description="Per-nation Gini coefficient of customer revenue (whale-concentration audit): exact BIGINT sufficient statistics (rank-weighted revenue sums over a nation-PARTITIONED row_number — per-key parallel, no global sort), finalized by one shared double expression tree (ppm, bit-identical cross-engine)",
+)
+def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_e2"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_nationkey", "o_custkey", "rev_e2")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("rev_e2"), F.asc("o_custkey"))
+    ranked = cust.select(
+        "c_nationkey", "rev_e2", F.row_number().over(w).alias("i")
+    )
+    stats = ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("rev_e2").alias("s_x"),
+        F.sum(F.col("i") * F.col("rev_e2")).alias("s_ixi"),
+    )
+    return stats.join(F.broadcast(n), stats.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("n").alias("n_customers"),
+        F.col("s_x").alias("revenue_e2"),
+        F.expr(GINI_PPM_SQL).alias("gini_ppm"),
+    )
+
+
+@query(
+    "parts_pareto_frontier",
+    # 2D Pareto frontier (skyline) per brand: the cheapest-for-the-size
+    # parts — every (price, size) point not dominated by another point
+    # that is at-most-as-expensive AND at-least-as-big (strict somewhere).
+    # The oracle states dominance directly (NOT EXISTS — quadratic, fine
+    # at oracle scale); the Spark plan is the LINEAR sweep: distinct
+    # points sorted (price ASC, size DESC) within brand — a point is on
+    # the frontier iff its size strictly exceeds the running max size of
+    # all earlier points (every dominator sorts strictly earlier, and any
+    # earlier point with size >= current dominates).
+    oracle="""
+        WITH pts AS (
+            SELECT p_brand,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_e2,
+                   CAST(p_size AS INT) AS p_size,
+                   COUNT(*) AS n_parts
+            FROM part
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+            GROUP BY 1, 2, 3
+        )
+        SELECT a.p_brand, a.price_e2, a.p_size, a.n_parts
+        FROM pts a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts b
+            WHERE b.p_brand = a.p_brand
+              AND b.price_e2 <= a.price_e2 AND b.p_size >= a.p_size
+              AND (b.price_e2 < a.price_e2 OR b.p_size > a.p_size)
+        )
+    """,
+    description="Per-brand 2D Pareto frontier (skyline: min price, max size): one distinct-point aggregate + one brand-PARTITIONED window sweep (running max over strictly preceding rows in (price ASC, size DESC) order) — linear where the naive dominance join is quadratic; oracle states dominance directly via NOT EXISTS",
+)
+def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .groupBy(
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_e2"),
+            F.col("p_size").cast("int").alias("p_size"),
+        )
+        .agg(F.count("*").alias("n_parts"))
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.asc("price_e2"), F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = p.select(
+        "p_brand", "price_e2", "p_size", "n_parts",
+        F.max("p_size").over(w).alias("_pm"),
+    )
+    return swept.filter(
+        F.col("_pm").isNull() | (F.col("p_size") > F.col("_pm"))
+    ).select("p_brand", "price_e2", "p_size", "n_parts")

@@ -172,6 +172,20 @@ HEADLINE = [
     # incremental trend (mergeable sufficient statistics)
     "embeddings_principal_direction",
     "streaming_value_trend",
+    # r10 session 2: skew-resistant bucketed window variants (as-of + RLE),
+    # the rollup-family GROUPING SETS, RFM/Gini/Pareto relational analytics,
+    # linear-interp resample, Benford audit, volume-weighted median,
+    # pairwise co-movement
+    "events_asof_bucketed_latest_order",
+    "events_type_run_lengths_bucketed",
+    "orders_grouping_sets",
+    "customer_rfm_segments",
+    "revenue_gini_by_nation",
+    "parts_pareto_frontier",
+    "events_resample_10min_interp",
+    "events_value_benford",
+    "documents_volume_median",
+    "events_type_comovement",
 ]
 
 

@@ -140,7 +140,14 @@ def test_driver_window_covers_oracle_backed_queries():
         "streaming_cms_heavy_hitters", "streaming_hll_sketch_maintenance",
         "tfidf_term_frequencies",
         # --- r7-GREEN remainder (CORRECTNESS_r07 rows stand; r11 queue —
-        #     the 35 r7-cohort queries the 15 window slots didn't fit):
+        #     the 45 r7-cohort queries the 5 window slots didn't fit; the
+        #     10 extra demotions make room for the 10 r10-session-2
+        #     queries taking first-row slots):
+        "customers_with_expensive_items",
+        "customers_without_orders_filtered", "dedup_exact_groups",
+        "dedup_jaccard_df_capped", "dedup_minhash_candidates",
+        "dedup_ngram_jaccard", "dedup_simhash_pairs", "doc_bpe_token_stats",
+        "doc_exact_substring_removal", "doc_fingerprint_rolling",
         "doc_language_id", "doc_pii_scan", "doc_quality_scores",
         "doc_semantic_decontamination", "doc_token_stats",
         "doc_winnow_fingerprints", "entity_word_count", "global_agg_stats",
