@@ -79,6 +79,12 @@ PICKS = {
     "orders_lineitem_join_cardinality": "Pre-join profiling: each fact side collapses to ONE sketch row via map-side-combined theta aggregates; the only joins are 1-row cross joins plus the distinct-key equi-join that exists solely to grade the estimate.",
     "events_asof_next_purchase_2h": "Forward as-of with horizon: views and deduped purchases UNION (no join node at all); two exchanges total — the purchase (user,ts) dedup aggregate and the key-partitioned descending-time window that carries the nearest future purchase as a single struct; the 2h horizon evaluates in the final projection — linear in |L|+|R|, never a range-join fan-out.",
     "multimodal_audio_wav_features": "Real WAV decode path: scan -> synth MapInPandas -> decode MapInPandas, ZERO exchanges end-to-end — per-partition Arrow batches through Python twice, the shape a production decode (payloads already on disk) keeps with one stage.",
+    "events_asof_bucketed_latest_order": "Skew-resistant as-of: the window Exchange is (key, time-bucket) — a hot key's history splits across ~span/bucket tasks instead of one; the per-bucket carry-in side re-derives from a column-PRUNED second scan (cheaper at scale than materializing the full union) and collapses map-side to one row per bucket before its exchange; the stitch join back rides the window's own partitioning (broadcast at this SF).",
+    "parts_pareto_frontier": "Skyline sweep: pushed IsNotNull filters, two-phase distinct-point aggregate, then ONE brand-partitioned window (running max over strictly preceding rows) + in-stage filter — the quadratic dominance join never appears.",
+    "revenue_gini_by_nation": "Rank-weighted sufficient statistics: per-customer pre-aggregate (two-phase), ONE nation-partitioned window for row_number, and the closing aggregate runs SINGLE-STAGE on the window's own partitioning (no third exchange); nation dim broadcast; the Gini ppm is one shared double tree in the final projection.",
+    "orders_grouping_sets": "Mixed-hierarchy lattice in ONE pass: Expand (4 projections per row) + a single two-phase hash aggregate — no per-grouping-set re-scan, same shape as the CUBE plan with half the lattice waste.",
+    "events_resample_10min_interp": "Interpolation spine: per-type bounds aggregate feeds sequence+explode generation; ONE type-partitioned sort serves BOTH window carries (ascending prev anchors, following-frame next anchors); the exact BIGINT interpolation evaluates in the final projection.",
+    "events_type_comovement": "Dense co-movement: the densified counts frame is lineage-cut once (two consumers), the pair join is bucket-keyed (broadcast at this SF, SMJ at scale — fan-out |types|² per bucket, never row-quadratic), and the five sufficient-statistic sums collapse in one two-phase aggregate.",
 }
 
 

@@ -443,6 +443,29 @@ def main() -> None:
                 .cube("nation", "o_year")
                 .agg(F.sum("_e2").alias("rev_e2"), F.count("*").alias("n_orders"))
             ),
+            # r10 s2: spine join + ONE type-partitioned sort serving both
+            # window carries — expect ~linear with events (the spine is
+            # fixed by the time range, so inflation grows the observed
+            # side only).
+            "resample_interp": lambda: noop(SEQ.resample_linear_interp(ev)),
+            # r10 s2: dense |types| x spine frame (FIXED by time range and
+            # type cardinality — inflation doesn't grow it) + one counts
+            # aggregate over events; expect scan-bound ~linear.
+            "type_comovement": lambda: noop(SEQ.pairwise_comovement(ev)),
+            # r10 s2: the skew-resistant as-of under UNIFORM inflation —
+            # expect the asof_join family's ~linear curve (the skew gain
+            # is measured separately by tools/skew_probe.py).
+            "asof_bucketed": lambda: noop(
+                A.asof_join_backward_bucketed(
+                    evp, iv, "user_id", "user_id", "t", "s", ["e"],
+                    bucket_size=86400,
+                )
+            ),
+            # r10 s2: local RLE + run-level stitch under uniform inflation
+            # — expect the window family's ~linear curve.
+            "rle_bucketed": lambda: noop(
+                SEQ.run_length_encode_bucketed(ev, bucket_size=86400)
+            ),
         }
         if only:
             # A typo'd case name must fail loudly, not probe nothing and

@@ -193,9 +193,28 @@ def main() -> None:
                 )
             )
 
+        def case_window_asof_bucketed():
+            # The r10-handoff mitigation, measured against its plain twin:
+            # daily pre-buckets split the hot key's single window task
+            # into ~span/86400 tasks, boundary carries stitched through
+            # the per-bucket summary (asof.asof_join_backward_bucketed).
+            set_conf(aqe_skew=True, broadcast=True)
+            noop(
+                A.asof_join_backward_bucketed(
+                    evp2, iv2, "user_id", "user_id", "t", "s", ["e"],
+                    bucket_size=86400,
+                )
+            )
+
         def case_window_rle():
             set_conf(aqe_skew=True, broadcast=True)
             noop(SEQ.run_length_encode(evw))
+
+        def case_window_rle_bucketed():
+            # Daily pre-buckets + run-level stitch: the hot key's second
+            # window sees its RUN count, not its row count.
+            set_conf(aqe_skew=True, broadcast=True)
+            noop(SEQ.run_length_encode_bucketed(evw, bucket_size=86400))
 
         cases = {
             "join_plain_noaqe": case_join_noaqe,
@@ -204,7 +223,9 @@ def main() -> None:
             "agg_plain": case_agg_plain,
             "agg_salted": case_agg_salted,
             "window_asof": case_window_asof,
+            "window_asof_bucketed": case_window_asof_bucketed,
             "window_rle": case_window_rle,
+            "window_rle_bucketed": case_window_rle_bucketed,
         }
         for name, fn in cases.items():
             fn()  # warm (JIT, file listing); second run is the sample
@@ -251,6 +272,17 @@ def main() -> None:
         "  100 TB mitigations are time-range pre-bucketing of the hot key",
         "  (split by coarse time, stitch the boundary carry) or tolerating",
         "  one straggler task per hot key — documented, not hidden.",
+        "- `window_asof_bucketed` (r10 handoff): the pre-bucketing",
+        "  mitigation IMPLEMENTED (asof.asof_join_backward_bucketed, daily",
+        "  buckets): the hot key's window splits into per-(key, day) tasks",
+        "  with a per-bucket carry stitch; value-identical to window_asof",
+        "  (hypothesis differential), so the delta vs window_asof is pure",
+        "  physical-shape gain under skew.",
+        "- `window_rle_bucketed` (r10): same mitigation for RLE — local",
+        "  runs per (key, day), then a second RLE over LOCAL RUNS whose",
+        "  per-key cost is the run count, not the row count (the honest",
+        "  bound: an every-row-alternating key gains nothing); identical",
+        "  output (hypothesis differential vs the plain form).",
         "",
     ]
     # Replace THIS probe's section in place (re-runs must not duplicate
