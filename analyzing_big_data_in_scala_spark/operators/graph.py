@@ -707,3 +707,72 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
             F.coalesce("hub", F.lit(0.0)).alias("hub"),
         )
     )
+
+
+# Per-center Adamic–Adar contribution in integer ppm, shared VERBATIM by
+# the Spark plan and the DuckDB oracle. ln() is not a correctly-rounded
+# IEEE op, so the quantization happens at the per-CENTER site (one ln per
+# vertex — the bm25 recipe): downstream sums are exact BIGINT adds in any
+# order. Centers need >= 2 neighbors to form a wedge, so deg >= 2 and
+# LN(deg) > 0 wherever this evaluates.
+AA_CONTRIB_PPM_SQL = (
+    "CAST(ROUND(1000000.0 / LN(CAST(deg AS DOUBLE))) AS BIGINT)"
+)
+
+
+def adamic_adar_topk(
+    edges: DataFrame, k: int = 20, max_center_degree: int | None = None
+) -> DataFrame:
+    """Adamic–Adar link prediction over the undirected canonical graph:
+    for every NON-adjacent pair (u, v), score = Σ over common neighbors
+    w of 1/ln(deg(w)) — the classic "which edges are missing" ranking
+    (friend suggestion, entity-linkage candidates). Returns the top-k:
+
+        (u, v, common_neighbors, score_ppm)   with u < v
+
+    deterministically (score DESC, then u, v — rank ties can't flap).
+
+    Scale shape: adjacency (both directions) + one degree aggregate;
+    wedges come from ONE self-equi-join of the adjacency on the center
+    vertex (fan-out deg(w)² per center — the inherent cost of exact
+    common-neighbor enumeration); existing edges drop via a LEFT ANTI
+    hash join on the canonical pair; the scoring aggregate is two-phase;
+    top-k compiles to TakeOrderedAndProject. On hub-heavy graphs pass
+    `max_center_degree` to skip celebrity centers (their per-wedge
+    contribution 1/ln(deg) is the smallest in the graph, and the cap is
+    the standard exactness/cost dial at scale — an UNCAPPED run on a
+    100 TB social graph is a deliberate choice, not a default).
+
+    Each (multi-)consumer frame is lineage-cut (the triangle_counts
+    lesson: Catalyst otherwise re-derives the full edges-from-source
+    chain per consumer)."""
+    e = canonical_undirected(edges).localCheckpoint(eager=False)
+    adj = (
+        e.select(F.col("a").alias("w"), F.col("b").alias("n"))
+        .union(e.select(F.col("b").alias("w"), F.col("a").alias("n")))
+    ).localCheckpoint(eager=False)
+    deg = adj.groupBy("w").agg(F.count("*").alias("deg"))
+    contrib = deg.filter(F.col("deg") >= 2)
+    if max_center_degree is not None:
+        contrib = contrib.filter(F.col("deg") <= max_center_degree)
+    contrib = contrib.select("w", F.expr(AA_CONTRIB_PPM_SQL).alias("c_ppm"))
+    a1 = adj.select("w", F.col("n").alias("u"))
+    a2 = adj.select("w", F.col("n").alias("v"))
+    wedges = (
+        a1.join(a2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(contrib, "w")
+        .select("u", "v", "c_ppm")
+    )
+    candidates = wedges.join(
+        e,
+        (wedges.u == e.a) & (wedges.v == e.b),
+        "left_anti",
+    )
+    scored = candidates.groupBy("u", "v").agg(
+        F.count("*").alias("common_neighbors"),
+        F.sum("c_ppm").alias("score_ppm"),
+    )
+    return scored.orderBy(
+        F.desc("score_ppm"), F.asc("u"), F.asc("v")
+    ).limit(k)

@@ -535,3 +535,45 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("auth"), F.asc("id"))
         .limit(20)
     )
+
+
+@query(
+    "graph_adamic_adar_topk",
+    # Link prediction — the "which edge is missing" member of the graph
+    # family: Adamic–Adar over the canonical undirected graph. ln() is
+    # confined to ONE per-center site quantized to integer ppm (the bm25
+    # recipe, shared verbatim via AA_CONTRIB_PPM_SQL); every downstream
+    # sum is an exact BIGINT add, and the top-k ordering carries a full
+    # (u, v) tiebreak so rank ties can't flap between engines.
+    oracle=f"""
+        WITH {_SQL_CANON.strip().lstrip()},
+        adj AS (
+            SELECT a AS w, b AS n FROM canon
+            UNION ALL
+            SELECT b AS w, a AS n FROM canon
+        ),
+        contrib AS (
+            SELECT w, {G.AA_CONTRIB_PPM_SQL} AS c_ppm
+            FROM (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w)
+            WHERE deg >= 2
+        ),
+        wedge AS (
+            SELECT a1.n AS u, a2.n AS v, c.c_ppm
+            FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
+            JOIN contrib c ON c.w = a1.w
+        )
+        SELECT u, v,
+               COUNT(*) AS common_neighbors,
+               CAST(SUM(c_ppm) AS BIGINT) AS score_ppm
+        FROM wedge
+        WHERE NOT EXISTS (
+            SELECT 1 FROM canon e WHERE e.a = wedge.u AND e.b = wedge.v
+        )
+        GROUP BY u, v
+        ORDER BY score_ppm DESC, u ASC, v ASC
+        LIMIT 20
+    """,
+    description="Adamic–Adar link prediction top-20 (the missing-edge ranking: friend suggestion / entity-linkage candidates): one adjacency self-equi-join on the center vertex for wedges, LEFT ANTI hash join drops existing edges, per-center 1/ln(deg) quantized to ppm BEFORE the exact BIGINT sum (bm25 ln recipe), TakeOrderedAndProject top-k with full tiebreaks — operators/graph.adamic_adar_topk, with a documented max_center_degree dial for hub-heavy graphs",
+)
+def graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.adamic_adar_topk(_edges(spark, sf_dir), k=20)

@@ -4321,3 +4321,96 @@ def events_type_run_lengths_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
     return run_length_encode_bucketed(
         load_table(spark, sf_dir, "events"), bucket_size=86400
     )
+
+
+@query(
+    "events_value_winsorized_stats",
+    # Winsorized statistics — the data-cleaning twin of the MAD outlier
+    # query: clip each type's values at its exact rank-based P1/P99 and
+    # report the clipped aggregate (robust means for training-feature
+    # normalization). Everything is integer arithmetic: bounds are the
+    # cents values at ranks ceil(0.01·n)/ceil(0.99·n) under a total
+    # (cents, event_id) order — no interpolated percentile, no float
+    # boundary to disagree on — and the clipped mean uses the sign-safe
+    # round-half-up BIGINT division both engines carry verbatim.
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c,
+                   event_id
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, c,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY c, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        ),
+        bounds AS (
+            SELECT event_type,
+                   MIN(CASE WHEN rn = (n + 99) // 100 THEN c END) AS lo_e2,
+                   MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN c END) AS hi_e2,
+                   MAX(n) AS n
+            FROM ranked GROUP BY event_type
+        )
+        SELECT b.event_type,
+               CAST(bo.n AS BIGINT) AS n,
+               bo.lo_e2, bo.hi_e2,
+               CAST(SUM(CASE WHEN b.c < bo.lo_e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+               CAST(SUM(CASE WHEN b.c > bo.hi_e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+               CAST(SUM(LEAST(GREATEST(b.c, bo.lo_e2), bo.hi_e2)) AS BIGINT) AS wins_sum_e2,
+               CAST((SUM(LEAST(GREATEST(b.c, bo.lo_e2), bo.hi_e2)) * 2 + bo.n)
+                        // (2 * bo.n)
+                    - CASE WHEN (SUM(LEAST(GREATEST(b.c, bo.lo_e2), bo.hi_e2)) * 2 + bo.n)
+                                % (2 * bo.n) <> 0
+                            AND (SUM(LEAST(GREATEST(b.c, bo.lo_e2), bo.hi_e2)) * 2 + bo.n) < 0
+                           THEN 1 ELSE 0 END
+               AS BIGINT) AS wins_mean_e2
+        FROM base b JOIN bounds bo ON b.event_type = bo.event_type
+        GROUP BY b.event_type, bo.n, bo.lo_e2, bo.hi_e2
+    """,
+    description="Winsorized per-type statistics (rank-exact P1/P99 clipping, the robust-mean pass for feature normalization): ONE type-partitioned window pass derives both bounds (ranks ceil(n/100)/ceil(99n/100) under a total order — no interpolated-percentile float boundary), bounds broadcast back, clipped aggregate with map-side partials, sign-safe round-half-up mean — pure BIGINT end to end",
+)
+def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ranked = base.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    klo = F.expr("(n + 99) DIV 100")
+    khi = F.expr("(n * 99 + 99) DIV 100")
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == klo, F.col("c"))).alias("lo_e2"),
+        F.min(F.when(F.col("rn") == khi, F.col("c"))).alias("hi_e2"),
+        F.max("n").alias("n"),
+    )
+    clipped = F.least(F.greatest(F.col("c"), F.col("lo_e2")), F.col("hi_e2"))
+    agg = base.join(F.broadcast(bounds), "event_type").groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("lo_e2").alias("lo_e2"),
+        F.max("hi_e2").alias("hi_e2"),
+        F.sum((F.col("c") < F.col("lo_e2")).cast("long")).alias("n_clipped_lo"),
+        F.sum((F.col("c") > F.col("hi_e2")).cast("long")).alias("n_clipped_hi"),
+        F.sum(clipped).alias("wins_sum_e2"),
+    )
+    return agg.select(
+        "event_type", "n", "lo_e2", "hi_e2", "n_clipped_lo", "n_clipped_hi",
+        "wins_sum_e2",
+        F.expr(
+            "CAST((wins_sum_e2 * 2 + n) DIV (2 * n)"
+            " - CASE WHEN (wins_sum_e2 * 2 + n) % (2 * n) != 0"
+            "         AND (wins_sum_e2 * 2 + n) < 0 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("wins_mean_e2"),
+    )

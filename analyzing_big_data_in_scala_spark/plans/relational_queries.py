@@ -1686,3 +1686,78 @@ def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.filter(
         F.col("_pm").isNull() | (F.col("p_size") > F.col("_pm"))
     ).select("p_brand", "price_e2", "p_size", "n_parts")
+
+
+@query(
+    "customer_cohort_ltv",
+    # Cohort lifetime-value curve — the standard retention-economics cut
+    # ("how does revenue accumulate by months since acquisition, per
+    # acquisition cohort"): cohort = month of the customer's FIRST order,
+    # age = month distance of each order from it (exact integer
+    # year*12+month arithmetic on both engines), cumulative revenue via
+    # one cohort-partitioned running sum over the tiny cohort x age grid.
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   MIN(EXTRACT(year FROM o_orderdate) * 12
+                       + EXTRACT(month FROM o_orderdate)) AS m0
+            FROM orders GROUP BY 1
+        ),
+        aged AS (
+            SELECT f.m0,
+                   (EXTRACT(year FROM o.o_orderdate) * 12
+                    + EXTRACT(month FROM o.o_orderdate)) - f.m0 AS age_months,
+                   o.o_custkey,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS rev_e2
+            FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        ),
+        cells AS (
+            SELECT CAST(((m0 - 1) // 12) * 100
+                   + ((m0 - 1) % 12 + 1) AS BIGINT) AS cohort_ym,
+                   CAST(age_months AS BIGINT) AS age_months,
+                   COUNT(DISTINCT o_custkey) AS n_active,
+                   CAST(SUM(rev_e2) AS BIGINT) AS revenue_e2
+            FROM aged GROUP BY 1, 2
+        )
+        SELECT cohort_ym, age_months, n_active, revenue_e2,
+               CAST(SUM(revenue_e2) OVER (PARTITION BY cohort_ym ORDER BY age_months
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_revenue_e2
+        FROM cells
+    """,
+    description="Cohort LTV curve (revenue accumulation by months-since-first-order per acquisition cohort): per-customer first-month aggregate joined back on the customer key, exact integer month arithmetic and cents, one cohort-partitioned running sum over the cohort x age grid (tiny — the corpus never enters a window)",
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("_m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev_e2"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("_m").alias("m0"))
+    aged = o.join(firsts, "o_custkey").select(
+        (
+            F.call_function("div", F.col("m0") - 1, F.lit(12)).cast("long") * 100
+            + ((F.col("m0") - 1) % 12 + 1)
+        ).cast("long").alias("cohort_ym"),
+        (F.col("_m") - F.col("m0")).cast("long").alias("age_months"),
+        "o_custkey",
+        "rev_e2",
+    )
+    cells = aged.groupBy("cohort_ym", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("rev_e2").alias("revenue_e2"),
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "cohort_ym",
+        "age_months",
+        "n_active",
+        "revenue_e2",
+        F.sum("revenue_e2").over(w).alias("cum_revenue_e2"),
+    )

@@ -186,6 +186,10 @@ HEADLINE = [
     "events_value_benford",
     "documents_volume_median",
     "events_type_comovement",
+    # r10 session 2b: link prediction, cohort economics, robust stats
+    "graph_adamic_adar_topk",
+    "customer_cohort_ltv",
+    "events_value_winsorized_stats",
 ]
 
 

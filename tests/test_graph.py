@@ -289,3 +289,23 @@ def test_hits_hand_computed_star_and_chain(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         hits(chain, iterations=0)
+
+
+def test_adamic_adar_hand_computed(spark):
+    """Path + square graph with hand-computed scores: in a-b-c-d, the
+    non-adjacent pairs are (a,c)/(b,d) via degree-2 centers (score
+    1e6/ln2 = 1442695) and (a,d) with NO common neighbor (absent).
+    Adding edge a-c removes (a,c) from the candidates (existing edges
+    are never 'predicted')."""
+    from analyzing_big_data_in_scala_spark.operators.graph import adamic_adar_topk
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {(r.u, r.v): (r.common_neighbors, r.score_ppm)
+           for r in adamic_adar_topk(path, k=10).collect()}
+    assert got == {(1, 3): (1, 1442695), (2, 4): (1, 1442695)}
+
+    with_ac = path.union(spark.createDataFrame([(1, 3)], "src long, dst long"))
+    got2 = {(r.u, r.v) for r in adamic_adar_topk(with_ac, k=10).collect()}
+    assert (1, 3) not in got2 and (2, 4) in got2

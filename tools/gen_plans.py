@@ -85,6 +85,9 @@ PICKS = {
     "orders_grouping_sets": "Mixed-hierarchy lattice in ONE pass: Expand (4 projections per row) + a single two-phase hash aggregate — no per-grouping-set re-scan, same shape as the CUBE plan with half the lattice waste.",
     "events_resample_10min_interp": "Interpolation spine: per-type bounds aggregate feeds sequence+explode generation; ONE type-partitioned sort serves BOTH window carries (ascending prev anchors, following-frame next anchors); the exact BIGINT interpolation evaluates in the final projection.",
     "events_type_comovement": "Dense co-movement: the densified counts frame is lineage-cut once (two consumers), the pair join is bucket-keyed (broadcast at this SF, SMJ at scale — fan-out |types|² per bucket, never row-quadratic), and the five sufficient-statistic sums collapse in one two-phase aggregate.",
+    "graph_adamic_adar_topk": "Link prediction: wedges from ONE adjacency self-equi-join on the center vertex; existing edges drop via LEFT ANTI hash join; the per-center 1/ln(deg) is quantized to ppm BEFORE the exact BIGINT scoring aggregate; top-20 compiles to TakeOrderedAndProject.",
+    "customer_cohort_ltv": "Cohort LTV: per-customer first-month aggregate joined back on the customer key (two-phase partials both sides), exact integer month/cents arithmetic, ONE cohort-partitioned running sum over the tiny cohort x age grid — the corpus never enters a window.",
+    "events_value_winsorized_stats": "Winsorize: ONE type-partitioned window pass yields rank + per-type count for both exact P1/P99 bounds; bounds broadcast back onto a fresh pruned scan; the clipped aggregate runs with map-side partials — no interpolated percentile, no second sort.",
 }
 
 

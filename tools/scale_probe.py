@@ -466,6 +466,13 @@ def main() -> None:
             "rle_bucketed": lambda: noop(
                 SEQ.run_length_encode_bucketed(ev, bucket_size=86400)
             ),
+            # r10 s2: Adamic-Adar wedge enumeration — fan-out deg(w)^2 per
+            # center is the inherent exact-common-neighbor cost; inflation
+            # adds users (new vertices), so expect ~linear wedge volume
+            # here; the max_center_degree dial is the hub-graph escape.
+            "adamic_adar": lambda: noop(
+                G.adamic_adar_topk(G.edges_from_events(ev), k=20)
+            ),
         }
         if only:
             # A typo'd case name must fail loudly, not probe nothing and
