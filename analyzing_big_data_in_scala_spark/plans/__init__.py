@@ -43,12 +43,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     GROUPING SETS, RFM segmentation, Gini concentration, Pareto
     #     frontier, linear-interp resample, Benford audit, volume-weighted
     #     median, type co-movement) take first-row slots too.
-    #  5. The remaining 2 slots take the alphabetical prefix of the
-    #     50-query r7-evidence cohort; the other 48 queue for r11.
+    #  5. The 50-query r7-evidence cohort and the tail of the r5 backlog
+    #     queue for r11 (all keep their newest green rows).
     #     Every query evicted from the r9 window is r9-green with
     #     unchanged code, so those rows stand as current evidence.
 
-    # r10-session-2 new queries (13) — first rows
+    # r10-session-2 new queries (16) — first rows
+    "supplier_hhi_by_parttype",
+    "graph_clustering_coefficient",
+    "events_conversion_time_profile",
     "graph_adamic_adar_topk",
     "customer_cohort_ltv",
     "events_value_winsorized_stats",
@@ -98,10 +101,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_kafka_feed",
     "streaming_static_enrichment",
     "streaming_tumbling_counts",
-    "terms_cms_heavy_hitters",
-    # oldest r7-evidence cohort (2 of 50; the rest queue for r11)
-    "brand_returnflag_pivot",
-    "corpus_bpe_merges",
 )
 
 

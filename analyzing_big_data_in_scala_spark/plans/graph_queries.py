@@ -577,3 +577,67 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.adamic_adar_topk(_edges(spark, sf_dir), k=20)
+
+
+@query(
+    "graph_clustering_coefficient",
+    # Local clustering coefficient — "how clique-like is each vertex's
+    # neighborhood": cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for
+    # deg >= 2, in round-half-up integer ppm (pure BIGINT — the divisor
+    # is positive, no sign correction needed). Reuses the exactly-once
+    # degree-ordered triangle enumeration; vertices in no triangle get
+    # cc = 0, not a dropped row (LEFT join + coalesce — the r8
+    # NULL-group lesson).
+    oracle=f"""
+        WITH {_SQL_CANON},
+        deg AS (
+            SELECT id, COUNT(*) AS deg FROM (
+                SELECT a AS id FROM canon UNION ALL SELECT b FROM canon
+            ) GROUP BY id
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM canon e1
+            JOIN canon e2 ON e1.b = e2.a
+            JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT x AS id FROM tri UNION ALL
+            SELECT y FROM tri UNION ALL
+            SELECT z FROM tri
+        ),
+        tcnt AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id)
+        SELECT d.id,
+               CAST(d.deg AS BIGINT) AS deg,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+               CAST((COALESCE(t.triangles, 0) * 4000000 + d.deg * (d.deg - 1))
+                    // (2 * d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+        FROM deg d LEFT JOIN tcnt t ON d.id = t.id
+        WHERE d.deg >= 2
+    """,
+    description="Local clustering coefficient per vertex (neighborhood clique-ness, the per-vertex complement of triangle counting): reuses the degree-ordered exactly-once triangle enumeration + one degree aggregate, LEFT join keeps triangle-free vertices at cc=0, round-half-up pure-BIGINT ppm — no window, no extra corpus shuffle",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    e = G.canonical_undirected(edges).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = G.triangle_counts(edges)
+    joined = deg.filter(F.col("deg") >= 2).join(tri, "id", "left").select(
+        "id",
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )
+    return joined.select(
+        "id",
+        "deg",
+        "triangles",
+        F.expr(
+            "CAST((triangles * 4000000 + deg * (deg - 1))"
+            " DIV (2 * deg * (deg - 1)) AS BIGINT)"
+        ).alias("cc_ppm"),
+    )

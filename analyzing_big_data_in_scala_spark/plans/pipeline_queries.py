@@ -4414,3 +4414,86 @@ def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             " AS BIGINT)"
         ).alias("wins_mean_e2"),
     )
+
+
+@query(
+    "events_conversion_time_profile",
+    # "How fast do views convert, by hour of day" — the latency profile
+    # of the label join: each view's gap to the user's next purchase
+    # within 2h (the events_asof_next_purchase_2h semantics), summarized
+    # per view-hour with RANK-EXACT median/p90 (the winsorize recipe —
+    # values at ranks ceil(n/2)/ceil(9n/10) under a total (gap, id)
+    # order; no interpolated percentile, no float boundary). DuckDB's
+    # native ASOF is the independent join implementation.
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ),
+        j AS (
+            SELECT v.event_id,
+                   CAST(EXTRACT(hour FROM v.ts) AS INT) AS view_hour,
+                   CAST(FLOOR(epoch(p.p_ts)) - FLOOR(epoch(v.ts)) AS BIGINT) AS gap
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view') v
+            ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.p_ts
+        ),
+        m AS (
+            SELECT view_hour, gap, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY view_hour
+                                      ORDER BY gap, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY view_hour) AS n
+            FROM j WHERE gap IS NOT NULL AND gap <= 7200
+        )
+        SELECT view_hour,
+               CAST(MAX(n) AS BIGINT) AS n_conversions,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS median_secs,
+               MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN gap END) AS p90_secs
+        FROM m GROUP BY view_hour
+    """,
+    description="Conversion-latency profile (view -> next purchase within 2h, per view hour-of-day): forward as-of for the gaps (union+window linear scan), then rank-exact median/p90 via ONE hour-partitioned window (ranks ceil(n/2)/ceil(9n/10) under a total order — no interpolated-percentile float boundary) — pure integers end to end",
+)
+def events_conversion_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.asof import asof_join_forward
+
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        F.hour("ts").cast("int").alias("view_hour"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_timestamp("ts").cast("long").alias("p_t"))
+        .distinct()
+    )
+    joined = asof_join_forward(
+        views, purchases,
+        left_key="user_id", right_key="user_id",
+        left_ts="t", right_ts="p_t",
+        right_vals=["p_t"],
+    )
+    gaps = joined.select(
+        "event_id",
+        "view_hour",
+        (F.col("p_t") - F.col("t")).alias("gap"),
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") <= 7200))
+    w = Window.partitionBy("view_hour").orderBy("gap", "event_id")
+    m = gaps.select(
+        "view_hour",
+        "gap",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("view_hour")).alias("n"),
+    )
+    return m.groupBy("view_hour").agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("gap"))).alias(
+            "median_secs"
+        ),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n * 9 + 9) DIV 10"), F.col("gap"))
+        ).alias("p90_secs"),
+    )

@@ -1761,3 +1761,70 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_e2",
         F.sum("revenue_e2").over(w).alias("cum_revenue_e2"),
     )
+
+
+# Shared verbatim by the Spark plan and the oracle: Herfindahl–Hirschman
+# concentration in ppm from two exact BIGINT sufficient statistics
+# (s_sq = Σ supplier-revenue², s_tot = Σ supplier-revenue, in whole
+# DOLLARS — cents would push Σs² past 2^63 ~100x sooner). One identical
+# double tree -> bit-identical cross-engine. Headroom: Σs² in dollars
+# stays under 2^63 to ~sf10 on this schema; rescale the unit (the
+# documented knob, same contract as the trend stats) beyond.
+HHI_PPM_SQL = (
+    "CAST(FLOOR(CAST(s_sq AS DOUBLE) * 1000000.0"
+    " / (CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)) + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "supplier_hhi_by_parttype",
+    # Market-concentration audit: the Herfindahl–Hirschman index of
+    # supplier revenue share within each part type — 1e6 = monopoly,
+    # 1e6/n = perfectly even over n suppliers. The anti-trust/sourcing
+    # -risk statistic, and the squared-share twin of the Gini query.
+    oracle=f"""
+        WITH s AS (
+            SELECT p.p_type, l.l_suppkey,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount))
+                                 AS BIGINT)) AS BIGINT) AS rev
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT p_type,
+                   COUNT(*) AS n_suppliers,
+                   CAST(SUM(rev * rev) AS BIGINT) AS s_sq,
+                   CAST(SUM(rev) AS BIGINT) AS s_tot
+            FROM s GROUP BY 1
+        )
+        SELECT p_type, n_suppliers, s_tot AS revenue_usd,
+               {HHI_PPM_SQL} AS hhi_ppm
+        FROM stats WHERE s_tot > 0
+    """,
+    description="Supplier-concentration HHI per part type (sourcing-risk / anti-trust audit, the squared-share twin of the Gini query): per-(type, supplier) revenue pre-aggregate in whole dollars (broadcast part dim), exact BIGINT sum-of-squares statistics, one shared double tree for the ppm finalize — two hash aggregates, no window",
+)
+def supplier_hhi_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("long")
+        .alias("_usd"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("_usd").alias("rev"))
+    )
+    stats = s.groupBy("p_type").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("rev") * F.col("rev")).alias("s_sq"),
+        F.sum("rev").alias("s_tot"),
+    )
+    return stats.filter(F.col("s_tot") > 0).select(
+        "p_type",
+        "n_suppliers",
+        F.col("s_tot").alias("revenue_usd"),
+        F.expr(HHI_PPM_SQL).alias("hhi_ppm"),
+    )

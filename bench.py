@@ -190,6 +190,9 @@ HEADLINE = [
     "graph_adamic_adar_topk",
     "customer_cohort_ltv",
     "events_value_winsorized_stats",
+    "supplier_hhi_by_parttype",
+    "graph_clustering_coefficient",
+    "events_conversion_time_profile",
 ]
 
 

@@ -140,9 +140,11 @@ def test_driver_window_covers_oracle_backed_queries():
         "streaming_cms_heavy_hitters", "streaming_hll_sketch_maintenance",
         "tfidf_term_frequencies",
         # --- r7-GREEN remainder (CORRECTNESS_r07 rows stand; r11 queue —
-        #     the 48 r7-cohort queries the 2 window slots didn't fit; the
-        #     13 extra demotions make room for the 13 r10-session-2
+        #     the full 50-query r7 cohort plus the r5-backlog tail — the
+        #     16 extra demotions make room for the 16 r10-session-2
         #     queries taking first-row slots):
+        "brand_returnflag_pivot", "corpus_bpe_merges",
+        "terms_cms_heavy_hitters",
         "customer_order_full_outer", "customer_order_running_total",
         "customer_segment_setops",
         "customers_with_expensive_items",
