@@ -48,7 +48,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     Every query evicted from the r9 window is r9-green with
     #     unchanged code, so those rows stand as current evidence.
 
-    # r10-session-2 new queries (16) — first rows
+    # r10-session-2 new queries (17) — first rows
+    "corpus_zipf_slope",
     "supplier_hhi_by_parttype",
     "graph_clustering_coefficient",
     "events_conversion_time_profile",
@@ -100,7 +101,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_incremental_rollup",
     "streaming_kafka_feed",
     "streaming_static_enrichment",
-    "streaming_tumbling_counts",
 )
 
 

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import STOP_WORDS, sql_stem_light, sql_stopword_list, stem_light, tokens
 from ..operators import tfidf as T
+from ..operators.sequence import CORR_PPM_SQL as _SEQ_CORR_PPM_SQL
+from ..operators.sequence import SLOPE_PPM_SQL as _SEQ_SLOPE_PPM_SQL
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -649,4 +651,95 @@ def documents_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("_t"))
         .select("doc_id", "quality")
+    )
+
+
+@query(
+    "corpus_zipf_slope",
+    # Zipf heavy-tail audit per source — the log-log slope of the term
+    # rank-frequency curve (natural text sits near -1; synthetic fills,
+    # boilerplate floods, and template spam bend it): OLS over
+    # (ln rank, ln freq) with BOTH logs quantized to e4 integers PER
+    # TERM (ln is not correctly rounded IEEE — one rounding site per
+    # term, the bm25 recipe), then the five exact-BIGINT sums feed the
+    # shared SLOPE/CORR trees (slope is unit-free: the e4 scales
+    # cancel). Rank windows are PARTITIONED by source over the
+    # vocab-sized frequency table — never the token stream.
+    oracle="""
+        WITH toks AS (
+            SELECT source, t AS term
+            FROM (
+                SELECT source,
+                       unnest(regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                           '\\s+')) AS t
+                FROM documents
+            )
+            WHERE t <> ''
+        ),
+        freq AS (
+            SELECT source, term, COUNT(*) AS f FROM toks GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT source,
+                   CAST(ROUND(LN(CAST(ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY f DESC, term ASC) AS DOUBLE)) * 10000)
+                        AS BIGINT) AS x,
+                   CAST(ROUND(LN(CAST(f AS DOUBLE)) * 10000) AS BIGINT) AS y,
+                   f
+            FROM freq
+        ),
+        stats AS (
+            SELECT source,
+                   COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(f) AS BIGINT) AS total_tokens
+            FROM ranked GROUP BY source
+        )
+        SELECT source, n AS n_terms, total_tokens,
+               {slope} AS slope_ppm,
+               {corr} AS corr_ppm
+        FROM stats
+    """.format(slope=_SEQ_SLOPE_PPM_SQL, corr=_SEQ_CORR_PPM_SQL.replace("n_pairs", "n")),
+    description="Zipf rank-frequency slope per source (heavy-tail audit: natural text ~ -1e6 ppm; synthetic fills and template floods bend it): per-(source, term) count, source-PARTITIONED rank window over the vocab-sized frequency table (never the token stream), per-term e4-quantized logs (one ln rounding site per term — the bm25 recipe), exact BIGINT sufficient statistics into the shared SLOPE/CORR trees",
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sequence import CORR_PPM_SQL, SLOPE_PPM_SQL
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    freq = toks.groupBy("source", "term").agg(F.count("*").alias("f"))
+    w = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("term"))
+    ranked = (
+        freq.select("source", "term", "f", F.row_number().over(w).alias("rk"))
+        .select(
+            "source",
+            F.expr("CAST(ROUND(LN(CAST(rk AS DOUBLE)) * 10000) AS BIGINT)").alias("x"),
+            F.expr("CAST(ROUND(LN(CAST(f AS DOUBLE)) * 10000) AS BIGINT)").alias("y"),
+            "f",
+        )
+    )
+    stats = ranked.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("f").alias("total_tokens"),
+    )
+    return stats.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        "total_tokens",
+        F.expr(SLOPE_PPM_SQL).alias("slope_ppm"),
+        F.expr(CORR_PPM_SQL.replace("n_pairs", "n")).alias("corr_ppm"),
     )

@@ -193,6 +193,7 @@ HEADLINE = [
     "supplier_hhi_by_parttype",
     "graph_clustering_coefficient",
     "events_conversion_time_profile",
+    "corpus_zipf_slope",
 ]
 
 

@@ -310,3 +310,41 @@ def test_conversion_profile_matches_bruteforce(spark):
         n = len(g)
         want[h] = (n, g[(n + 1) // 2 - 1][0], g[(n * 9 + 9) // 10 - 1][0])
     assert got == want
+
+
+def test_zipf_slope_matches_bruteforce(spark):
+    got = {r.source: (r.n_terms, r.total_tokens, r.slope_ppm, r.corr_ppm)
+           for r in QUERIES["corpus_zipf_slope"].fn(spark, SF_SMALL).collect()}
+    import re
+
+    rows = _rows("SELECT source, text FROM documents")
+    freq = defaultdict(lambda: defaultdict(int))
+    for src, text in rows:
+        for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split():
+            freq[src][t] += 1
+    want = {}
+    for src, terms in freq.items():
+        ordered = sorted(terms.items(), key=lambda kv: (-kv[1], kv[0]))
+        xs = [round(math.log(i + 1) * 10000) for i in range(len(ordered))]
+        ys = [round(math.log(f) * 10000) for _, f in ordered]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        slope = (round(1e6 * (n * sxy - sx * sy) / varx)
+                 if varx > 0 else None)
+        corr = (round(1e6 * (n * sxy - sx * sy)
+                      / (math.sqrt(varx) * math.sqrt(vary)))
+                if varx > 0 and vary > 0 else None)
+        want[src] = (n, sum(terms.values()), slope, corr)
+    for src in want:
+        gn, gt, gs, gc = got[src]
+        wn, wt, ws, wc = want[src]
+        assert (gn, gt) == (wn, wt), src
+        # ln/rounding ulp tolerance at the two float sites
+        assert gs is None if ws is None else abs(gs - ws) <= 1, (src, gs, ws)
+        assert gc is None if wc is None else abs(gc - wc) <= 1, (src, gc, wc)
+    assert set(got) == set(want)
