@@ -721,7 +721,7 @@ AA_CONTRIB_PPM_SQL = (
 
 
 def adamic_adar_topk(
-    edges: DataFrame, k: int = 20, max_center_degree: int | None = None
+    edges: DataFrame, k: int | None = 20, max_center_degree: int | None = None
 ) -> DataFrame:
     """Adamic–Adar link prediction over the undirected canonical graph:
     for every NON-adjacent pair (u, v), score = Σ over common neighbors
@@ -773,6 +773,11 @@ def adamic_adar_topk(
         F.count("*").alias("common_neighbors"),
         F.sum("c_ppm").alias("score_ppm"),
     )
+    if k is None:
+        # Full scored candidate set, unordered — the probe/analysis form
+        # (tools/decomposition_probe.py counts it to decompose the wall
+        # into wedge volume vs per-wedge cost).
+        return scored
     return scored.orderBy(
         F.desc("score_ppm"), F.asc("u"), F.asc("v")
     ).limit(k)

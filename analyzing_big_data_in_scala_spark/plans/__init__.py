@@ -48,7 +48,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     Every query evicted from the r9 window is r9-green with
     #     unchanged code, so those rows stand as current evidence.
 
-    # r10-session-2 new queries (17) — first rows
+    # r10-session-2 new queries (18) — first rows
+    "streaming_user_value_hhi",
     "corpus_zipf_slope",
     "supplier_hhi_by_parttype",
     "graph_clustering_coefficient",
@@ -100,7 +101,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_first_seen_per_user",
     "streaming_incremental_rollup",
     "streaming_kafka_feed",
-    "streaming_static_enrichment",
 )
 
 

@@ -986,3 +986,107 @@ def streaming_hll_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "streaming_user_value_hhi",
+    # Streaming concentration monitor — "is one user starting to dominate
+    # each signal?" (bot floods, runaway retry loops): the standing state
+    # is per-(type, user) exact cents sums, which are PURELY ADDITIVE, so
+    # micro-batch deltas fold via the same exactly-once apply_agg_delta
+    # as the streaming trend; the finalize step computes the
+    # Herfindahl index of user share per type with the shared
+    # HHI_PPM_SQL tree. Batch-equivalence oracle: the drained fold must
+    # equal a one-shot computation over the whole fixture bit-for-bit.
+    oracle="""
+        WITH s AS (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   COUNT(*) AS n_users,
+                   CAST(SUM(s * s) AS BIGINT) AS s_sq,
+                   CAST(SUM(s) AS BIGINT) AS s_tot
+            FROM s GROUP BY 1
+        )
+        SELECT event_type, n_users, s_tot AS value_e2_total,
+               CAST(FLOOR(CAST(s_sq AS DOUBLE) * 1000000.0
+                    / (CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS hhi_ppm
+        FROM stats WHERE s_tot > 0
+    """,
+    description="Streaming user-concentration HHI per event type (bot-flood / dominance monitor): per-micro-batch (type, user) cents deltas — purely additive — fold into standing state via exactly-once foreachBatch (the streaming-trend mergeability pattern); finalize is the shared HHI double tree over exact BIGINT sum-of-squares; state is bounded by active (type, user) pairs, refresh cost tracks each batch, and the drained answer equals the one-shot batch computation bit-for-bit",
+)
+def streaming_user_value_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import apply_agg_delta, idempotent_foreach_batch
+    from ..sources.catalog import load_events
+    from .relational_queries import HHI_PPM_SQL
+
+    stage = tempfile.mkdtemp(prefix="stream_hhi_")
+    ckpt = tempfile.mkdtemp(prefix="stream_hhi_ckpt_")
+    try:
+        ev = load_events(spark, sf_dir).select("event_id", "event_type", "user_id", "value")
+        # 2 staged files = 2 real micro-batches (the honest minimum for a
+        # non-vacuous incremental fold; batch COUNT is the drain's wall).
+        ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        state: dict = {"sums": None}
+
+        def fold(batch_df, batch_id: int) -> None:
+            delta = batch_df.groupBy("event_type", "user_id").agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            )
+            if state["sums"] is None:
+                state["sums"] = delta.localCheckpoint()
+            else:
+                state["sums"] = apply_agg_delta(
+                    state["sums"], delta,
+                    keys=["event_type", "user_id"], measures=["n", "s"],
+                    count_col="n",
+                ).localCheckpoint()
+
+        q = (
+            stream.writeStream.foreachBatch(idempotent_foreach_batch(fold))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(
+                "streaming_user_value_hhi: availableNow drain did not "
+                "terminate within 120s"
+            )
+        if state["sums"] is None:
+            raise RuntimeError("streaming_user_value_hhi: no batches arrived")
+        stats = state["sums"].groupBy("event_type").agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("s") * F.col("s")).alias("s_sq"),
+            F.sum("s").alias("s_tot"),
+        )
+        return (
+            stats.filter(F.col("s_tot") > 0)
+            .select(
+                "event_type",
+                "n_users",
+                F.col("s_tot").alias("value_e2_total"),
+                F.expr(HHI_PPM_SQL).alias("hhi_ppm"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -194,6 +194,7 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "events_conversion_time_profile",
     "corpus_zipf_slope",
+    "streaming_user_value_hhi",
 ]
 
 

@@ -141,9 +141,10 @@ def test_driver_window_covers_oracle_backed_queries():
         "tfidf_term_frequencies",
         # --- r7-GREEN remainder (CORRECTNESS_r07 rows stand; r11 queue —
         #     the full 50-query r7 cohort plus the r5-backlog tail — the
-        #     17 extra demotions make room for the 17 r10-session-2
+        #     18 extra demotions make room for the 18 r10-session-2
         #     queries taking first-row slots):
         "brand_returnflag_pivot", "corpus_bpe_merges",
+        "streaming_static_enrichment",
         "streaming_tumbling_counts", "terms_cms_heavy_hitters",
         "customer_order_full_outer", "customer_order_running_total",
         "customer_segment_setops",

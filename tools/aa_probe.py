@@ -1,0 +1,110 @@
+"""Adamic-Adar decomposition probe (r10 s2): decompose the wedge
+enumeration's wall into wedge VOLUME vs per-wedge cost, the same
+output-growth-vs-unit-cost method that settled the semantic_dedup /
+curation_funnel / interval_overlap watches.
+
+    python tools/aa_probe.py [base_sf_dir]
+
+wedges = sum over centers with deg >= 2 of deg*(deg-1)/2 — exactly the
+rows the adjacency self-join produces; candidates = distinct scored
+non-adjacent pairs (the aggregate's output). If s-per-million-wedges
+stays flat (or falls), the 16x curve is wedge-volume growth, not
+operator degradation.
+
+Appends/replaces its own section in SCALING.md (other tools' sections
+preserved)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from analyzing_big_data_in_scala_spark.operators import graph as G  # noqa: E402
+from analyzing_big_data_in_scala_spark.session import get_spark  # noqa: E402
+from analyzing_big_data_in_scala_spark.sources.catalog import load_events  # noqa: E402
+from tools.scale_probe import inflate, timed  # noqa: E402
+
+SECTION = "## Adamic-Adar decomposition (tools/aa_probe.py)"
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    spark = get_spark("aa-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev0 = load_events(spark, base)
+
+    def noop(df: DataFrame) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    rows = []
+    for copies in (1, 4, 16):
+        ev = inflate(ev0, copies, ["event_id", "user_id"], 10_000_000).localCheckpoint()
+        edges = G.edges_from_events(ev)
+        fn = lambda: noop(G.adamic_adar_topk(edges, k=20))  # noqa: E731
+        fn()  # warm
+        t = timed(fn)
+        e = G.canonical_undirected(edges).localCheckpoint(eager=False)
+        deg = (
+            e.select(F.col("a").alias("id"))
+            .union(e.select(F.col("b").alias("id")))
+            .groupBy("id").agg(F.count("*").alias("d"))
+        )
+        wedges = deg.filter(F.col("d") >= 2).agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
+        ).first()["w"]
+        cands = G.adamic_adar_topk(edges, k=None).count()
+        rows.append((copies, t, int(wedges), int(cands)))
+        print(f"adamic_adar x{copies}: wall={t}s wedges={int(wedges):,} "
+              f"candidates={int(cands):,}", flush=True)
+
+    t1, w1 = rows[0][1], rows[0][2]
+    lines = [
+        SECTION,
+        "",
+        "Wedge volume = Σ deg·(deg−1)/2 over centers with deg ≥ 2 (the",
+        "adjacency self-join's exact output); candidates = distinct scored",
+        "non-adjacent pairs. Inflation adds users (disjoint graph regions),",
+        "so wedge volume should track input ~linearly on this fixture.",
+        "",
+        "| copies | wall (s) | time/x1 | wedges | wedges/x1 | candidates | s per 1M wedges |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for copies, t, w, c in rows:
+        lines.append(
+            f"| {copies} | {t} | {round(t / t1, 1)} | {w:,} | "
+            f"{round(w / w1, 1)} | {c:,} | {round(t / (w / 1e6), 2)} |"
+        )
+    tL, wL = rows[-1][1], rows[-1][2]
+    lines += [
+        "",
+        f"**Measured conclusion**: {rows[-1][0]}x data -> "
+        f"{round(tL / t1, 1)}x wall against {round(wL / w1, 1)}x wedges —",
+        f"per-wedge cost at the top of the curve is "
+        f"{round((tL / wL) / (t1 / w1), 2)}x the 1x cost (<=1 means the",
+        "enumeration is linear in its own output and the wall tracks wedge",
+        "volume, the operator's inherent cost; the max_center_degree dial",
+        "caps that volume on hub-heavy graphs).",
+        "",
+    ]
+    body = "\n".join(lines)
+    old = open(out_md).read() if os.path.exists(out_md) else ""
+    idx = old.find("\n" + SECTION)
+    if idx >= 0:
+        end = old.find("\n## ", idx + 1)
+        old = old[:idx] + (old[end:] if end >= 0 else "")
+    with open(out_md, "w") as f:
+        f.write(old.rstrip("\n") + "\n\n" + body + "\n")
+    print(f"rewrote section in {out_md}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

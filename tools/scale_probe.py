@@ -538,7 +538,8 @@ def main() -> None:
         old = open(out_md).read()
         marks = [
             i
-            for m in ("\n## Zipf-skew probe", "\n## Decomposition probes")
+            for m in ("\n## Zipf-skew probe", "\n## Decomposition probes",
+                      "\n## Adamic-Adar decomposition")
             if (i := old.find(m)) >= 0
         ]
         if marks:
