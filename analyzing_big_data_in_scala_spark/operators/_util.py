@@ -144,3 +144,47 @@ def salted_equi_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     return salted_left.join(replicated_right, [*keys, "_salt"], how).drop("_salt")
+
+
+def sum_sq_overflow_guard(
+    n_col: str,
+    max_abs_col: str,
+    opname: str,
+    remediation: str,
+    group_col: str | None = None,
+) -> Column:
+    """Loud BIGINT-overflow guard for exact sum-of-squares statistics —
+    the enforcement pattern `trend_sufficient_stats` introduced in r10,
+    shared so every Σx² family (trend, HHI, variance) gets the same
+    contract: alongside the sums, the aggregate tracks max|x| per group;
+    this post-aggregation expression returns `n_col` unchanged when the
+    conservative worst-case bound n·max|x|² stays under 2^63, and raises
+    with `remediation` in the message when the group outgrew the unit
+    knob (instead of silently-wrapped statistics in non-ANSI mode or an
+    opaque engine overflow under ANSI). The bound is computed in DOUBLE
+    (the product itself would overflow BIGINT); threshold 9.0e18 < 2^63
+    absorbs double rounding. One CASE per group ROW — post-aggregation,
+    never the per-input-row conditional the codegen notes rule out for
+    hot paths."""
+    m = F.col(max_abs_col).cast("double")
+    bound = F.col(n_col).cast("double") * m * m
+    where = (
+        F.concat(F.lit(" for group '"), F.col(group_col).cast("string"), F.lit("'"))
+        if group_col is not None
+        else F.lit("")
+    )
+    return (
+        F.when(
+            bound >= F.lit(9.0e18),
+            F.assert_true(
+                F.lit(False),
+                F.concat(
+                    F.lit(f"{opname}: BIGINT overflow risk"),
+                    where,
+                    F.lit(f" (n*max|x|^2 >= 2^63) — {remediation}"),
+                ),
+            ).cast("long"),
+        )
+        .otherwise(F.col(n_col))
+        .alias(n_col)
+    )

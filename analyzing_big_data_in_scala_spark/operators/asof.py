@@ -211,13 +211,16 @@ def asof_join_backward_bucketed(
     window's hash partitioning.
 
     Raises ValueError on non-positive bucket_size and on the same
-    column collisions as the plain form (plus the `_bk`/`_rvl`/`_ci`
-    scratch names)."""
+    column collisions as the plain form (plus the `_bk`/`_rvl`/`_ci`/
+    `_cik`/`_cib` scratch names). NULL join keys follow the plain form:
+    the window semantics group NULL keys into one partition, so NULL-key
+    left rows match NULL-key right rows (pinned by
+    test_asof_bucketed_null_key_matches_plain)."""
     if bucket_size <= 0:
         raise ValueError(
             f"asof_join_backward_bucketed: bucket_size must be > 0, got {bucket_size}"
         )
-    extra = {"_bk", "_rvl", "_ci"}
+    extra = {"_bk", "_rvl", "_ci", "_cik", "_cib"}
     clashes = extra.intersection(left.columns)
     if clashes:
         raise ValueError(
@@ -276,8 +279,27 @@ def asof_join_backward_bucketed(
     # LEFT join: a NULL-ts left row has a NULL bucket, which an inner
     # equi join would silently DROP (NULL never equi-matches) — it must
     # survive as an unmatched row, exactly like the plain form.
-    carried = local.join(carry_in, ["_k", "_bk"], "left").withColumn(
-        "_rv", F.coalesce("_rvl", "_ci")
+    # NULL-SAFE on _k: the plain form's partitionBy(_k) window groups
+    # NULL keys into ONE partition (NULL-key left rows match NULL-key
+    # right rows), so the stitch must deliver cross-bucket carries to the
+    # NULL-key group too — a plain `==` join would silently restrict
+    # NULL-key rows to same-bucket local carries. eqNullSafe still plans
+    # as a hash equi join, so the parity is free. (_bk is null-safe for
+    # the same reason; NULL-_bk rows never match — _t is NULL — but the
+    # carry_in side has a NULL-bucket summary row whose join multiplicity
+    # must stay 1:1.)
+    _ci_side = carry_in.withColumnRenamed("_k", "_cik").withColumnRenamed(
+        "_bk", "_cib"
+    )
+    carried = (
+        local.join(
+            _ci_side,
+            F.col("_k").eqNullSafe(F.col("_cik"))
+            & F.col("_bk").eqNullSafe(F.col("_cib")),
+            "left",
+        )
+        .drop("_cik", "_cib")
+        .withColumn("_rv", F.coalesce("_rvl", "_ci"))
     )
     matched = F.col("_rv").isNotNull() & F.col("_t").isNotNull()
     if tolerance is not None:

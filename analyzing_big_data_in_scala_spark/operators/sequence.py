@@ -630,30 +630,18 @@ def trend_sufficient_stats(
         F.max(F.abs(F.col("_x"))).alias("_mx"),
         F.max(F.abs(F.col("_y"))).alias("_my"),
     )
-    # Conservative overflow bound in DOUBLE (the product n·m² itself
-    # would overflow BIGINT): Σx² ≤ n·max|x|², Σ|xy| ≤ n·max|x|·max|y|,
-    # Σy² ≤ n·max|y|². Threshold 9.0e18 < 2^63 absorbs double rounding.
-    m = F.greatest(F.col("_mx"), F.col("_my")).cast("double")
-    bound = F.col("n").cast("double") * m * m
-    guarded_n = (
-        F.when(
-            bound >= F.lit(9.0e18),
-            F.assert_true(
-                F.lit(False),
-                F.concat(
-                    F.lit(
-                        "trend_sufficient_stats: BIGINT overflow risk for group '"
-                    ),
-                    F.col(group_col).cast("string"),
-                    F.lit(
-                        "' (n*max(|x|,|y|)^2 >= 2^63) — rebase base_epoch nearer"
-                        " the data or coarsen x to hours"
-                    ),
-                ),
-            ).cast("long"),
-        )
-        .otherwise(F.col("n"))
-        .alias("n")
+    # Conservative overflow bound: Σx² ≤ n·max|x|², Σ|xy| ≤
+    # n·max|x|·max|y|, Σy² ≤ n·max|y|² — so guarding on
+    # n·max(|x|,|y|)² covers all three sums (shared guard helper).
+    from ._util import sum_sq_overflow_guard
+
+    agg = agg.withColumn("_m", F.greatest(F.col("_mx"), F.col("_my")))
+    guarded_n = sum_sq_overflow_guard(
+        "n",
+        "_m",
+        opname="trend_sufficient_stats",
+        remediation="rebase base_epoch nearer the data or coarsen x to hours",
+        group_col=group_col,
     )
     return agg.select(group_col, guarded_n, "sx", "sy", "sxy", "sxx", "syy")
 

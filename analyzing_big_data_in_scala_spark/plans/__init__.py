@@ -29,78 +29,75 @@ from . import streaming_queries  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-10 rotation (VERDICT r9 item 1):
-    #  1. The 4 r9-late queries (added after the r9 window rotation) are
-    #     the only registered queries with NO driver CORRECTNESS row —
-    #     they go first for their first rows.
-    #  2. The 26-query r5-evidence backlog documented in the r9 ledger
-    #     (the r5 cohort the 23 r9-window slots didn't fit) cycles in —
-    #     the oldest standing driver rows in the repo after this round.
-    #  3. The five r10-new queries (interval coalescing, nearest as-of,
-    #     per-group OLS trend, exact-integer principal direction,
-    #     streaming incremental trend) take first-row slots.
-    #  4. The nine r10-SESSION-2 queries (skew-resistant bucketed as-of,
-    #     GROUPING SETS, RFM segmentation, Gini concentration, Pareto
-    #     frontier, linear-interp resample, Benford audit, volume-weighted
-    #     median, type co-movement) take first-row slots too.
-    #  5. The 50-query r7-evidence cohort and the tail of the r5 backlog
-    #     queue for r11 (all keep their newest green rows).
-    #     Every query evicted from the r9 window is r9-green with
-    #     unchanged code, so those rows stand as current evidence.
+    # Round-11 rotation (VERDICT r10 item 1):
+    #  1. Any r11-new query goes first for its first driver row (the
+    #     proven pattern — new entries are prepended to this tuple).
+    #  2. The 3 queries whose newest driver row is r5
+    #     (streaming_tumbling_counts, terms_cms_heavy_hitters,
+    #     streaming_static_enrichment — the r5-backlog evictees) are the
+    #     oldest standing evidence in the repo; they cycle in next.
+    #  3. The 50-query r7-evidence cohort follows. Entries past slot 50
+    #     queue for r12 (they keep their newest green rows; code is
+    #     unchanged and the full-registry sf0.01 sweep covers them).
+    #  Every query evicted from the r10 window is r10-green with
+    #  unchanged code, so those rows stand as current evidence.
 
-    # r10-session-2 new queries (18) — first rows
-    "streaming_user_value_hhi",
-    "corpus_zipf_slope",
-    "supplier_hhi_by_parttype",
-    "graph_clustering_coefficient",
-    "events_conversion_time_profile",
-    "graph_adamic_adar_topk",
-    "customer_cohort_ltv",
-    "events_value_winsorized_stats",
-    "events_asof_bucketed_latest_order",
-    "events_type_run_lengths_bucketed",
-    "orders_grouping_sets",
-    "customer_rfm_segments",
-    "revenue_gini_by_nation",
-    "parts_pareto_frontier",
-    "events_resample_10min_interp",
-    "events_value_benford",
-    "documents_volume_median",
-    "events_type_comovement",
-    # r9-late + r10-new first rows (9)
-    "events_interval_overlap",
-    "events_time_weighted_avg",
-    "events_value_acf",
-    "revenue_cube",
-    "events_interval_coverage",
-    "events_asof_nearest_purchase_3h",
-    "events_value_trend",
-    "embeddings_principal_direction",
-    "streaming_value_trend",
-    # r5-evidence backlog (26)
-    "events_scd2_user_state",
-    "events_seasonal_naive_eval",
-    "events_tumbling_10min",
-    "events_type_association_rules",
-    "events_weekly_retention",
-    "graph_components_two_phase",
-    "graph_kcore_membership",
-    "graph_pagerank_reference",
-    "graph_sssp_weighted",
-    "lineitem_approx_profile",
-    "ml_sentiment_metrics",
-    "ml_sentiment_metrics_full_grid",
-    "multimodal_payload_features",
-    "orders_merge_upsert",
-    "search_bm25_topk",
-    "similarity_cluster_assign",
-    "similarity_projected_topk",
-    "streaming_click_purchase_join",
-    "streaming_dedup_distinct_users",
-    "streaming_first_seen_custom_state",
-    "streaming_first_seen_per_user",
-    "streaming_incremental_rollup",
-    "streaming_kafka_feed",
+    # r11-new queries — first rows (uncommented as each lands)
+    # oldest evidence: last driver row r5 (3)
+    "streaming_tumbling_counts",
+    "terms_cms_heavy_hitters",
+    "streaming_static_enrichment",
+    # r7-evidence cohort (50); entries past window slot 50 queue for r12
+    "brand_returnflag_pivot",
+    "corpus_bpe_merges",
+    "customer_order_full_outer",
+    "customer_order_running_total",
+    "customer_segment_setops",
+    "customers_with_expensive_items",
+    "customers_without_orders_filtered",
+    "dedup_exact_groups",
+    "dedup_jaccard_df_capped",
+    "dedup_minhash_candidates",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "doc_bpe_token_stats",
+    "doc_exact_substring_removal",
+    "doc_fingerprint_rolling",
+    "doc_language_id",
+    "doc_pii_scan",
+    "doc_quality_scores",
+    "doc_semantic_decontamination",
+    "doc_token_stats",
+    "doc_winnow_fingerprints",
+    "entity_word_count",
+    "global_agg_stats",
+    "graph_component_sizes",
+    "graph_in_degrees",
+    "graph_label_propagation",
+    "graph_out_degrees",
+    "graph_pagerank",
+    "graph_triangle_counts",
+    "lineitem_zorder_keys",
+    "order_priority_counts",
+    "pricing_summary",
+    "revenue_by_nation",
+    "revenue_rollup",
+    "search_batch_queries",
+    "search_multi_word_cosine",
+    "search_multi_word_reference",
+    "search_single_word",
+    "similarity_ann_recall_profile",
+    "similarity_cosine_topk",
+    "similarity_lsh_indexed_agreement",
+    "streaming_session_windows",
+    "streaming_user_totals",
+    "supplier_part_type_share",
+    "tfidf_doc_frequencies",
+    "tfidf_idf",
+    "tfidf_matrix",
+    # r7-cohort tail queued for r12 (window holds exactly 50):
+    # top_customers_by_orders, top_customers_per_segment,
+    # top_parts_by_revenue
 )
 
 

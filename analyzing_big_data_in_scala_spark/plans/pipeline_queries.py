@@ -4426,17 +4426,25 @@ def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     # order; no interpolated percentile, no float boundary). DuckDB's
     # native ASOF is the independent join implementation.
     oracle="""
+        -- The Spark side truncates both timestamps to whole epoch seconds
+        -- (unix_timestamp) BEFORE the forward as-of; the oracle must join
+        -- at the same granularity or a purchase earlier in the same second
+        -- as a view would match on one engine only (the pattern
+        -- events_asof_bucketed_latest_order's oracle already uses).
         WITH p AS (
-            SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
-            GROUP BY user_id, ts
+            SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_t
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, CAST(FLOOR(epoch(ts)) AS BIGINT)
         ),
         j AS (
             SELECT v.event_id,
-                   CAST(EXTRACT(hour FROM v.ts) AS INT) AS view_hour,
-                   CAST(FLOOR(epoch(p.p_ts)) - FLOOR(epoch(v.ts)) AS BIGINT) AS gap
-            FROM (SELECT event_id, user_id, ts FROM events
-                  WHERE event_type = 'view') v
-            ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.p_ts
+                   v.view_hour,
+                   p.p_t - v.t AS gap
+            FROM (SELECT event_id, user_id,
+                         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                         CAST(EXTRACT(hour FROM ts) AS INT) AS view_hour
+                  FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.t <= p.p_t
         ),
         m AS (
             SELECT view_hour, gap, event_id,

@@ -1776,6 +1776,41 @@ HHI_PPM_SQL = (
 )
 
 
+def hhi_finalize(per_member: DataFrame, group_col: str, rev_col: str) -> DataFrame:
+    """Shared HHI sufficient-statistics aggregate with the ENFORCED Σs²
+    headroom guard (r10 handoff item, mirroring `trend_sufficient_stats`):
+    from a per-(group, member) revenue frame, produce
+    (group, n_suppliers, s_sq, s_tot) for groups with positive total —
+    raising loudly via :func:`sum_sq_overflow_guard` when any group's
+    n·max|rev|² could pass 2^63, instead of returning silently-wrapped
+    statistics. The unit knob is the remediation: whole dollars hold to
+    ~sf10 on this schema; rescale to thousands beyond."""
+    from ..operators._util import sum_sq_overflow_guard
+
+    stats = per_member.groupBy(group_col).agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col(rev_col) * F.col(rev_col)).alias("s_sq"),
+        F.sum(rev_col).alias("s_tot"),
+        F.max(F.abs(F.col(rev_col))).alias("_mr"),
+    )
+    guarded = stats.select(
+        group_col,
+        sum_sq_overflow_guard(
+            "n_suppliers",
+            "_mr",
+            opname="hhi_finalize",
+            remediation=(
+                "rescale the revenue unit (whole dollars hold to ~sf10; "
+                "use thousands beyond) before the sum-of-squares"
+            ),
+            group_col=group_col,
+        ),
+        "s_sq",
+        "s_tot",
+    )
+    return guarded.filter(F.col("s_tot") > 0)
+
+
 @query(
     "supplier_hhi_by_parttype",
     # Market-concentration audit: the Herfindahl–Hirschman index of
@@ -1817,12 +1852,7 @@ def supplier_hhi_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "l_suppkey")
         .agg(F.sum("_usd").alias("rev"))
     )
-    stats = s.groupBy("p_type").agg(
-        F.count("*").alias("n_suppliers"),
-        F.sum(F.col("rev") * F.col("rev")).alias("s_sq"),
-        F.sum("rev").alias("s_tot"),
-    )
-    return stats.filter(F.col("s_tot") > 0).select(
+    return hhi_finalize(s, group_col="p_type", rev_col="rev").select(
         "p_type",
         "n_suppliers",
         F.col("s_tot").alias("revenue_usd"),

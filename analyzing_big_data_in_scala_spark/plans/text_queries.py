@@ -704,7 +704,7 @@ def documents_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
                {slope} AS slope_ppm,
                {corr} AS corr_ppm
         FROM stats
-    """.format(slope=_SEQ_SLOPE_PPM_SQL, corr=_SEQ_CORR_PPM_SQL.replace("n_pairs", "n")),
+    """.format(slope=_SEQ_SLOPE_PPM_SQL, corr=_SEQ_CORR_PPM_SQL),
     description="Zipf rank-frequency slope per source (heavy-tail audit: natural text ~ -1e6 ppm; synthetic fills and template floods bend it): per-(source, term) count, source-PARTITIONED rank window over the vocab-sized frequency table (never the token stream), per-term e4-quantized logs (one ln rounding site per term — the bm25 recipe), exact BIGINT sufficient statistics into the shared SLOPE/CORR trees",
 )
 def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,5 +741,5 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_terms"),
         "total_tokens",
         F.expr(SLOPE_PPM_SQL).alias("slope_ppm"),
-        F.expr(CORR_PPM_SQL.replace("n_pairs", "n")).alias("corr_ppm"),
+        F.expr(CORR_PPM_SQL).alias("corr_ppm"),
     )

@@ -322,6 +322,18 @@ def main() -> None:
 
     spark = get_spark("abds-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # The per-query clearCache() + ContextCleaner GC occasionally races a
+    # late task-end, logging benign "attempted to access non-existent
+    # accumulator" ERROR stack traces from DAGScheduler that pollute the
+    # captured tail of the artifact of record (VERDICT r10 item 5). Raise
+    # that ONE logger to FATAL: a real scheduler failure still fails its
+    # job and surfaces as a Python exception in this process — nothing a
+    # reader of BENCH_r{N}.json needs is masked.
+    _jvm = spark._jvm
+    _jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        _jvm.org.apache.logging.log4j.Level.FATAL,
+    )
 
     # JVM + whole-stage-codegen warmup outside the timed region: run every
     # headline query once at the smallest fixture so janino compilation and

@@ -653,9 +653,12 @@ def test_pit_lookback_matches_python_bruteforce(spark, rows):
 # NULLS-FIRST ascending sort could carry a NULL-ts right row as a match
 # when tolerance was None, and forward's NULLS-LAST descending sort could
 # hand a NULL-ts LEFT row the earliest right row.
+# Keys sample None too: NULL is a join key. The reference semantics
+# (and the window partitionBy the plain forms compile to) put NULL keys
+# in ONE group — NULL-key left rows match NULL-key right rows.
 ASOF_LEFT = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=3),    # key
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # key
         st.one_of(st.none(), st.integers(min_value=0, max_value=50)),  # ts
     ),
     min_size=1,
@@ -663,7 +666,7 @@ ASOF_LEFT = st.lists(
 )
 ASOF_RIGHT = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=3),                    # key
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # key
         st.one_of(st.none(), st.integers(min_value=0, max_value=50)),  # ts
         st.one_of(st.none(), st.sampled_from(["X", "Y", "Z"])),   # val a
         st.one_of(st.none(), st.integers(min_value=0, max_value=9)),  # val b
@@ -822,6 +825,15 @@ def test_asof_direction_and_tolerance_match_bruteforce(
     left_rows=[(0, None)],
     right_rows=[(0, 2, "X", 5)],
     bucket_size=5,
+    tol=None,
+)
+@example(  # NULL-key CROSS-BUCKET pin (r11 fix): the right row sits in
+    # bucket 0, the left row in bucket 3 — the match must flow through
+    # the carry-in stitch, whose join on _k must be NULL-SAFE or the
+    # NULL-key group silently loses every cross-bucket carry.
+    left_rows=[(None, 10)],
+    right_rows=[(None, 2, "X", 5)],
+    bucket_size=3,
     tol=None,
 )
 @given(

@@ -20,7 +20,7 @@ from analyzing_big_data_in_scala_spark.plans import QUERIES
 
 def _rows(sql: str):
     con = duckdb.connect()
-    for t in ("orders", "customer", "nation", "events", "documents", "part"):
+    for t in ("orders", "customer", "nation", "events", "documents", "part", "lineitem"):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
         )
@@ -235,7 +235,7 @@ def test_hhi_matches_bruteforce(spark):
     rows = _rows(
         """SELECT p.p_type, l.l_suppkey,
                   CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)) AS BIGINT)) AS BIGINT)
-           FROM (SELECT * FROM '/root/testdata/sf0.001/lineitem.parquet') l
+           FROM lineitem l
            JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1,2"""
     )
     by_type = defaultdict(list)
@@ -348,3 +348,37 @@ def test_zipf_slope_matches_bruteforce(spark):
         assert gs is None if ws is None else abs(gs - ws) <= 1, (src, gs, ws)
         assert gc is None if wc is None else abs(gc - wc) <= 1, (src, gc, wc)
     assert set(got) == set(want)
+
+
+def test_hhi_overflow_guard_enforced(spark):
+    """The HHI Σs² headroom contract is ENFORCED, not just documented
+    (r10 handoff item 2, mirroring the trend-stats guard): a group whose
+    conservative bound n·max|rev|² could pass 2^63 raises loudly with
+    the rescale-the-unit remediation — even when the actual sum of
+    squares still fits (the silent-wrap zone) — and sane magnitudes pass
+    through the guard with unchanged statistics."""
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.plans.relational_queries import (
+        hhi_finalize,
+    )
+
+    # 3 members, max|rev| = 2.2e9 → bound 3·(2.2e9)² ≈ 1.45e19 ≥ 2^63,
+    # while the actual Σrev² = (2.2e9)² ≈ 4.8e18 still fits in BIGINT —
+    # only the guard can catch this row.
+    hot = spark.createDataFrame(
+        [("W", 1, 2_200_000_000), ("W", 2, 0), ("W", 3, 0)],
+        "g string, m long, rev long",
+    )
+    with pytest.raises(Exception, match="overflow risk"):
+        hhi_finalize(hot, group_col="g", rev_col="rev").collect()
+
+    ok = spark.createDataFrame(
+        [("W", 1, 300), ("W", 2, 100), ("V", 3, 50)],
+        "g string, m long, rev long",
+    )
+    rows = {
+        r["g"]: (r["n_suppliers"], r["s_sq"], r["s_tot"])
+        for r in hhi_finalize(ok, group_col="g", rev_col="rev").collect()
+    }
+    assert rows == {"W": (2, 100_000, 400), "V": (1, 2_500, 50)}

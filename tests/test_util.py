@@ -77,97 +77,93 @@ def test_driver_window_covers_oracle_backed_queries():
     assert len(DRIVER_WINDOW) == 50
 
     deliberate_demotions = {
-        # Round-10 rotation ledger (VERDICT r9 item 1): the window now
-        # holds the 4 r9-late queries (first rows ever — the only
-        # registered queries without a driver CORRECTNESS row), the
-        # five r10-new queries (events_interval_coverage,
-        # events_asof_nearest_purchase_3h, events_value_trend,
-        # embeddings_principal_direction, streaming_value_trend),
-        # the full 26-query r5-evidence backlog from the r9 ledger, and
-        # the 15 alphabetically-first r7-evidence queries. Every demotion below
-        # keeps its newest green CORRECTNESS row (r7/r8/r9) as standing
-        # evidence; ALL registered queries are oracle-backed, so this
-        # set is exactly registry-minus-window.
-        # --- r9-GREEN evictees (CORRECTNESS_r09 rows stand, unchanged):
-        "corpus_curation_funnel", "corpus_curation_funnel_strided",
-        "corpus_curation_pipeline", "corpus_leakage_safe_split",
-        "corpus_split_leakage_audit", "corpus_training_shards",
-        "dedup_near_clusters", "dedup_semantic", "doc_chunk_dedup",
-        "doc_decontamination", "doc_perplexity_proxy",
-        "doc_repetition_filters", "documents_quality_topfrac",
-        "documents_quality_weighted_sample", "embeddings_centroid_outliers",
-        "embeddings_dimension_profile", "embeddings_kmeans_lloyd",
-        "embeddings_random_projection", "entity_cooccurrence_edges",
-        "events_approx_group_profile", "events_asof_last_signup_7d",
-        "events_asof_next_purchase_2h", "events_conversion_funnel",
-        "events_json_by_type", "events_late_arrival_profile",
-        "events_multires_rollup", "events_resample_10min_gapfill",
-        "events_rolling_zscore_anomalies", "events_scd2_incremental",
-        "events_session_window_native", "events_sliding_20min",
-        "events_user_sessions", "events_value_quartiles_by_type",
-        "graph_bfs_hops", "multimodal_audio_wav_features",
-        "multimodal_image_ppm_features", "ner_gazetteer_counts",
-        "orders_incremental_agg_refresh", "orders_quality_checks",
-        "orders_rank_functions", "orders_salted_segment_revenue",
-        "similarity_ivf_topk", "similarity_ivfpq_indexed_agreement",
-        "similarity_ivfpq_recall_profile", "similarity_lsh_topk",
-        "similarity_pq_recall_profile", "similarity_quantized_topk",
-        "streaming_ivfpq_index_ingest", "streaming_sentiment_counts",
-        "tfidf_doc_frequencies_stemmed",
-        # --- r8-GREEN evictees (CORRECTNESS_r08 rows stand, unchanged):
-        "corpus_bpe_token_stats", "corpus_pmi_collocations",
-        "corpus_shard_manifest", "corpus_token_drift",
+        # Round-11 rotation ledger (VERDICT r10 item 1): the window now
+        # holds the 3 queries whose newest driver row was r5
+        # (streaming_tumbling_counts, terms_cms_heavy_hitters,
+        # streaming_static_enrichment) plus 47 of the 50-query
+        # r7-evidence cohort — the oldest standing evidence in the repo.
+        # The 3-query r7 tail (top_customers_by_orders,
+        # top_customers_per_segment, top_parts_by_revenue) queues for
+        # r12. Every demotion below keeps its newest green CORRECTNESS
+        # row (r8/r9/r10) as standing evidence; ALL registered queries
+        # are oracle-backed, so this set is exactly registry-minus-window.
+        "corpus_bpe_token_stats", "corpus_curation_funnel",
+        "corpus_curation_funnel_strided", "corpus_curation_pipeline",
+        "corpus_leakage_safe_split", "corpus_pmi_collocations",
+        "corpus_shard_manifest", "corpus_split_leakage_audit",
+        "corpus_token_drift", "corpus_training_shards",
+        "corpus_zipf_slope", "customer_cohort_ltv",
         "customer_entity_clusters", "customer_fuzzy_name_matches",
-        "dedup_containment_pairs", "dedup_cross_source_matrix",
-        "dedup_embedding_cosine", "dedup_incremental_batch",
-        "dedup_minhash_signatures", "dedup_simhash", "doc_url_domains",
+        "customer_rfm_segments", "dedup_containment_pairs",
+        "dedup_cross_source_matrix", "dedup_embedding_cosine",
+        "dedup_incremental_batch", "dedup_minhash_signatures",
+        "dedup_near_clusters", "dedup_semantic", "dedup_simhash",
+        "doc_chunk_dedup", "doc_decontamination", "doc_perplexity_proxy",
+        "doc_repetition_filters", "doc_url_domains",
         "documents_balanced_sample", "documents_hash_sample_split",
+        "documents_quality_topfrac", "documents_quality_weighted_sample",
         "documents_source_mixture", "documents_token_shards",
-        "events_asof_latest_order", "events_hll_daily_rollup",
-        "events_kll_value_rollup", "events_markov_transitions",
-        "events_pit_state_lookback", "events_range_join_daily_windows",
-        "events_rollup_backfill", "events_rollup_user_erasure",
-        "events_salted_by_type", "events_theta_audience_overlap",
-        "events_type_run_lengths", "events_value_deciles",
+        "documents_volume_median", "embeddings_centroid_outliers",
+        "embeddings_dimension_profile", "embeddings_kmeans_lloyd",
+        "embeddings_principal_direction", "embeddings_random_projection",
+        "entity_cooccurrence_edges", "events_approx_group_profile",
+        "events_asof_bucketed_latest_order", "events_asof_last_signup_7d",
+        "events_asof_latest_order", "events_asof_nearest_purchase_3h",
+        "events_asof_next_purchase_2h", "events_conversion_funnel",
+        "events_conversion_time_profile", "events_hll_daily_rollup",
+        "events_interval_coverage", "events_interval_overlap",
+        "events_json_by_type", "events_kll_value_rollup",
+        "events_late_arrival_profile", "events_markov_transitions",
+        "events_multires_rollup", "events_pit_state_lookback",
+        "events_range_join_daily_windows",
+        "events_resample_10min_gapfill", "events_resample_10min_interp",
+        "events_rolling_zscore_anomalies", "events_rollup_backfill",
+        "events_rollup_user_erasure", "events_salted_by_type",
+        "events_scd2_incremental", "events_scd2_user_state",
+        "events_seasonal_naive_eval", "events_session_window_native",
+        "events_sliding_20min", "events_theta_audience_overlap",
+        "events_time_weighted_avg", "events_tumbling_10min",
+        "events_type_association_rules", "events_type_comovement",
+        "events_type_run_lengths", "events_type_run_lengths_bucketed",
+        "events_user_sessions", "events_value_acf",
+        "events_value_benford", "events_value_deciles",
         "events_value_ewma", "events_value_histogram",
-        "events_value_mad_outliers", "graph_hits_authorities",
-        "graph_pagerank_tol", "graph_trustrank_from_seeds",
-        "lineitem_bloom_pruned_join", "orders_data_profile",
+        "events_value_mad_outliers", "events_value_quartiles_by_type",
+        "events_value_trend", "events_value_winsorized_stats",
+        "events_weekly_retention", "graph_adamic_adar_topk",
+        "graph_bfs_hops", "graph_clustering_coefficient",
+        "graph_components_two_phase", "graph_hits_authorities",
+        "graph_kcore_membership", "graph_pagerank_reference",
+        "graph_pagerank_tol", "graph_sssp_weighted",
+        "graph_trustrank_from_seeds", "lineitem_approx_profile",
+        "lineitem_bloom_pruned_join", "ml_sentiment_metrics",
+        "ml_sentiment_metrics_full_grid", "multimodal_audio_wav_features",
+        "multimodal_image_ppm_features", "multimodal_payload_features",
+        "ner_gazetteer_counts", "orders_data_profile",
+        "orders_grouping_sets", "orders_incremental_agg_refresh",
         "orders_lineitem_join_cardinality", "orders_merge_change_feed",
+        "orders_merge_upsert", "orders_quality_checks",
+        "orders_rank_functions", "orders_salted_segment_revenue",
         "orders_schema_evolution", "orders_weekly_revenue_delta",
-        "search_hybrid_rrf", "search_retrieval_eval",
-        "streaming_ann_index_ingest", "streaming_click_attribution_outer",
-        "streaming_cms_heavy_hitters", "streaming_hll_sketch_maintenance",
-        "tfidf_term_frequencies",
-        # --- r7-GREEN remainder (CORRECTNESS_r07 rows stand; r11 queue —
-        #     the full 50-query r7 cohort plus the r5-backlog tail — the
-        #     18 extra demotions make room for the 18 r10-session-2
-        #     queries taking first-row slots):
-        "brand_returnflag_pivot", "corpus_bpe_merges",
-        "streaming_static_enrichment",
-        "streaming_tumbling_counts", "terms_cms_heavy_hitters",
-        "customer_order_full_outer", "customer_order_running_total",
-        "customer_segment_setops",
-        "customers_with_expensive_items",
-        "customers_without_orders_filtered", "dedup_exact_groups",
-        "dedup_jaccard_df_capped", "dedup_minhash_candidates",
-        "dedup_ngram_jaccard", "dedup_simhash_pairs", "doc_bpe_token_stats",
-        "doc_exact_substring_removal", "doc_fingerprint_rolling",
-        "doc_language_id", "doc_pii_scan", "doc_quality_scores",
-        "doc_semantic_decontamination", "doc_token_stats",
-        "doc_winnow_fingerprints", "entity_word_count", "global_agg_stats",
-        "graph_component_sizes", "graph_in_degrees",
-        "graph_label_propagation", "graph_out_degrees", "graph_pagerank",
-        "graph_triangle_counts", "lineitem_zorder_keys",
-        "order_priority_counts", "pricing_summary", "revenue_by_nation",
-        "revenue_rollup", "search_batch_queries", "search_multi_word_cosine",
-        "search_multi_word_reference", "search_single_word",
-        "similarity_ann_recall_profile", "similarity_cosine_topk",
-        "similarity_lsh_indexed_agreement", "streaming_session_windows",
-        "streaming_user_totals", "supplier_part_type_share",
-        "tfidf_doc_frequencies", "tfidf_idf", "tfidf_matrix",
-        "top_customers_by_orders", "top_customers_per_segment",
-        "top_parts_by_revenue",
+        "parts_pareto_frontier", "revenue_cube", "revenue_gini_by_nation",
+        "search_bm25_topk", "search_hybrid_rrf", "search_retrieval_eval",
+        "similarity_cluster_assign", "similarity_ivf_topk",
+        "similarity_ivfpq_indexed_agreement",
+        "similarity_ivfpq_recall_profile", "similarity_lsh_topk",
+        "similarity_pq_recall_profile", "similarity_projected_topk",
+        "similarity_quantized_topk", "streaming_ann_index_ingest",
+        "streaming_click_attribution_outer",
+        "streaming_click_purchase_join", "streaming_cms_heavy_hitters",
+        "streaming_dedup_distinct_users",
+        "streaming_first_seen_custom_state",
+        "streaming_first_seen_per_user",
+        "streaming_hll_sketch_maintenance",
+        "streaming_incremental_rollup", "streaming_ivfpq_index_ingest",
+        "streaming_kafka_feed", "streaming_sentiment_counts",
+        "streaming_user_value_hhi", "streaming_value_trend",
+        "supplier_hhi_by_parttype", "tfidf_doc_frequencies_stemmed",
+        "tfidf_term_frequencies", "top_customers_by_orders",
+        "top_customers_per_segment", "top_parts_by_revenue",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)

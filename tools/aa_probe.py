@@ -61,7 +61,7 @@ def main() -> None:
             F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
         ).first()["w"]
         cands = G.adamic_adar_topk(edges, k=None).count()
-        rows.append((copies, t, int(wedges), int(cands)))
+        rows.append((copies, t, int(wedges or 0), int(cands)))
         print(f"adamic_adar x{copies}: wall={t}s wedges={int(wedges):,} "
               f"candidates={int(cands):,}", flush=True)
 
@@ -77,18 +77,23 @@ def main() -> None:
         "| copies | wall (s) | time/x1 | wedges | wedges/x1 | candidates | s per 1M wedges |",
         "|---|---|---|---|---|---|---|",
     ]
+    # A fixture with no deg>=2 centers has zero wedges; report "n/a"
+    # instead of dividing by zero.
+    def _r(num, den, nd=1):
+        return round(num / den, nd) if den else "n/a"
+
     for copies, t, w, c in rows:
         lines.append(
             f"| {copies} | {t} | {round(t / t1, 1)} | {w:,} | "
-            f"{round(w / w1, 1)} | {c:,} | {round(t / (w / 1e6), 2)} |"
+            f"{_r(w, w1)} | {c:,} | {_r(t, w / 1e6 if w else 0, 2)} |"
         )
     tL, wL = rows[-1][1], rows[-1][2]
     lines += [
         "",
         f"**Measured conclusion**: {rows[-1][0]}x data -> "
-        f"{round(tL / t1, 1)}x wall against {round(wL / w1, 1)}x wedges —",
+        f"{round(tL / t1, 1)}x wall against {_r(wL, w1)}x wedges —",
         f"per-wedge cost at the top of the curve is "
-        f"{round((tL / wL) / (t1 / w1), 2)}x the 1x cost (<=1 means the",
+        f"{_r(tL / wL if wL else 0, t1 / w1 if w1 else 0, 2)}x the 1x cost (<=1 means the",
         "enumeration is linear in its own output and the wall tracks wedge",
         "volume, the operator's inherent cost; the max_center_degree dial",
         "caps that volume on hub-heavy graphs).",
@@ -96,7 +101,9 @@ def main() -> None:
     ]
     body = "\n".join(lines)
     old = open(out_md).read() if os.path.exists(out_md) else ""
-    idx = old.find("\n" + SECTION)
+    # The section can sit at the very start of the file, where the
+    # "\n"-prefixed find misses it and a re-run would duplicate it.
+    idx = 0 if old.startswith(SECTION) else old.find("\n" + SECTION)
     if idx >= 0:
         end = old.find("\n## ", idx + 1)
         old = old[:idx] + (old[end:] if end >= 0 else "")

@@ -537,10 +537,10 @@ def main() -> None:
     if os.path.exists(out_md):
         old = open(out_md).read()
         marks = [
-            i
+            0 if old.startswith(m.lstrip("\n")) else i
             for m in ("\n## Zipf-skew probe", "\n## Decomposition probes",
                       "\n## Adamic-Adar decomposition")
-            if (i := old.find(m)) >= 0
+            if old.startswith(m.lstrip("\n")) or (i := old.find(m)) >= 0
         ]
         if marks:
             preserved = old[min(marks):]
