@@ -735,9 +735,13 @@ def adamic_adar_topk(
     Scale shape: adjacency (both directions) + one degree aggregate;
     wedges come from ONE self-equi-join of the adjacency on the center
     vertex (fan-out deg(w)² per center — the inherent cost of exact
-    common-neighbor enumeration); existing edges drop via a LEFT ANTI
-    hash join on the canonical pair; the scoring aggregate is two-phase;
-    top-k compiles to TakeOrderedAndProject. On hub-heavy graphs pass
+    common-neighbor enumeration); the scoring aggregate (two-phase,
+    map-side partials) runs FIRST so the LEFT ANTI hash join against the
+    canonical edge set sees candidate-PAIR volume, not wedge volume —
+    on dense graphs pairs ≪ wedges, and the anti join reuses the
+    aggregate's (u, v) hash partitioning (the anti join commutes with
+    the groupBy: it drops whole (u, v) groups); top-k compiles to
+    TakeOrderedAndProject. On hub-heavy graphs pass
     `max_center_degree` to skip celebrity centers (their per-wedge
     contribution 1/ln(deg) is the smallest in the graph, and the cap is
     the standard exactness/cost dial at scale — an UNCAPPED run on a
@@ -764,14 +768,14 @@ def adamic_adar_topk(
         .join(contrib, "w")
         .select("u", "v", "c_ppm")
     )
-    candidates = wedges.join(
-        e,
-        (wedges.u == e.a) & (wedges.v == e.b),
-        "left_anti",
-    )
-    scored = candidates.groupBy("u", "v").agg(
+    pair_scores = wedges.groupBy("u", "v").agg(
         F.count("*").alias("common_neighbors"),
         F.sum("c_ppm").alias("score_ppm"),
+    )
+    scored = pair_scores.join(
+        e,
+        (pair_scores.u == e.a) & (pair_scores.v == e.b),
+        "left_anti",
     )
     if k is None:
         # Full scored candidate set, unordered — the probe/analysis form

@@ -42,7 +42,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #  Every query evicted from the r10 window is r10-green with
     #  unchanged code, so those rows stand as current evidence.
 
-    # r11-new queries — first rows (uncommented as each lands)
+    # r11-new queries (8) — first rows
+    "graph_adamic_adar_capped",
+    "events_user_entropy",
+    "events_peak_concurrency",
+    "events_value_cusum_alarm",
+    "corpus_ngram_novelty",
+    "orders_priority_mix_drift",
+    "lineitem_ship_lag_profile",
+    "orders_customer_order_gaps",
     # oldest evidence: last driver row r5 (3)
     "streaming_tumbling_counts",
     "terms_cms_heavy_hitters",
@@ -87,16 +95,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "search_multi_word_reference",
     "search_single_word",
     "similarity_ann_recall_profile",
-    "similarity_cosine_topk",
-    "similarity_lsh_indexed_agreement",
-    "streaming_session_windows",
-    "streaming_user_totals",
-    "supplier_part_type_share",
-    "tfidf_doc_frequencies",
-    "tfidf_idf",
-    "tfidf_matrix",
-    # r7-cohort tail queued for r12 (window holds exactly 50):
-    # top_customers_by_orders, top_customers_per_segment,
+    # r7-cohort tail queued for r12 (window holds exactly 50; the 8
+    # r11-new first-row slots pushed these out, the proven pattern):
+    # similarity_cosine_topk, similarity_lsh_indexed_agreement,
+    # streaming_session_windows, streaming_user_totals,
+    # supplier_part_type_share, tfidf_doc_frequencies, tfidf_idf,
+    # tfidf_matrix, top_customers_by_orders, top_customers_per_segment,
     # top_parts_by_revenue
 )
 

@@ -4505,3 +4505,394 @@ def events_conversion_time_profile(spark: SparkSession, sf_dir: str) -> DataFram
             F.when(F.col("rn") == F.expr("(n * 9 + 9) DIV 10"), F.col("gap"))
         ).alias("p90_secs"),
     )
+
+
+@query(
+    "events_user_entropy",
+    # Behavioral-diversity ranking: Shannon entropy of each user's
+    # event-type distribution, in ppm of a nat — bots and scripted
+    # accounts sit near 0 (one dominant action), organic users spread
+    # out. H = ln(n) − (Σ c·ln c)/n over exact integer counts, with ln
+    # confined to exactly TWO per-row rounding sites quantized to ppm
+    # (the bm25 recipe): one per (user, type) count row, one per user
+    # total — every downstream step is exact-BIGINT (the inner division
+    # is the shared round-half-up integer finalize). Top-50 with full
+    # (entropy, user) tiebreak so rank ties can't flap cross-engine.
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        q AS (
+            SELECT user_id, c,
+                   CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS lq
+            FROM c
+        ),
+        s AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(SUM(c * lq) AS BIGINT) AS sq
+            FROM q GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_types,
+               CAST(ROUND(LN(CAST(n_events AS DOUBLE)) * 1000000) AS BIGINT)
+                 - (2 * sq + n_events) // (2 * n_events) AS entropy_ppm
+        FROM s
+        ORDER BY entropy_ppm DESC, user_id ASC
+        LIMIT 50
+    """,
+    description="Per-user Shannon entropy of the event-type mix in ppm-nats (bot/script detection: scripted accounts concentrate on one action): two hash aggregates over exact integer counts, ln confined to two ppm-quantized rounding sites (bm25 recipe), exact-BIGINT round-half-up finalize, TakeOrderedAndProject top-50 with full tiebreaks",
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    q = c.select(
+        "user_id",
+        "c",
+        F.expr("CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)").alias("lq"),
+    )
+    s = q.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("lq")).cast("long").alias("sq"),
+    )
+    out = s.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr(
+            "CAST(ROUND(LN(CAST(n_events AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - (2 * sq + n_events) DIV (2 * n_events)"
+        ).alias("entropy_ppm"),
+    )
+    return out.orderBy(F.desc("entropy_ppm"), F.asc("user_id")).limit(50)
+
+
+@query(
+    "events_peak_concurrency",
+    # Peak load: the maximum number of simultaneously-open 30-minute
+    # activity windows per event type, and WHEN it peaks — the classic
+    # ±1 sweep (interval stabbing), not a self-join: each event opens
+    # [t, t+1800) and contributes (+1 at t, −1 at t+1800); the running
+    # delta sum under a total (t, delta, id) order IS the concurrency
+    # (ends sort before starts at equal t — half-open intervals). The
+    # Spark side runs the sweep SKEW-RESISTANTLY via the carry-stitch
+    # decomposition (day-bucketed local prefix sums + a per-type
+    # running carry over tiny day summaries — the asof/RLE r10 pattern
+    # generalized to prefix sums), value-identical to the oracle's
+    # single window; peak_ts is the earliest second achieving the peak.
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                   CAST(1 AS BIGINT) AS delta, event_id
+            FROM events
+            UNION ALL
+            SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800,
+                   CAST(-1 AS BIGINT), event_id
+            FROM events
+        ),
+        run AS (
+            SELECT event_type, t, delta,
+                   SUM(delta) OVER (PARTITION BY event_type
+                                    ORDER BY t, delta, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS conc
+            FROM pts
+        ),
+        pk AS (
+            SELECT event_type, CAST(MAX(conc) AS BIGINT) AS peak
+            FROM run GROUP BY event_type
+        )
+        SELECT r.event_type,
+               CAST(COUNT(*) AS BIGINT) // 2 AS n_intervals,
+               MAX(p.peak) AS peak_concurrency,
+               MIN(CASE WHEN r.conc = p.peak THEN r.t END) AS peak_ts_epoch
+        FROM run r JOIN pk p USING (event_type)
+        GROUP BY r.event_type
+    """,
+    description="Peak concurrent 30-min activity windows per event type + the second it peaks (capacity-planning sweep): ±1 boundary points, day-bucketed carry-stitch prefix sums on the Spark side (a hot type's sweep splits across ~span/86400 tasks instead of one — the r10 bucketed-window pattern generalized), single-window oracle, exact integers end to end",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t0"),
+        "event_id",
+    )
+    pts = ev.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).cast("long").alias("delta"),
+        "event_id",
+    ).unionAll(
+        ev.select(
+            "event_type", (F.col("t0") + 1800).alias("t"),
+            F.lit(-1).cast("long").alias("delta"), "event_id",
+        )
+    ).withColumn("day", F.expr("t DIV 86400"))
+    # Local prefix sums within (type, day); per-day totals carry across
+    # days through a tiny per-type window (rows = distinct days).
+    w_local = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = pts.select(
+        "event_type", "day", "t", "delta",
+        F.sum("delta").over(w_local).alias("lrun"),
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    day_tot = (
+        pts.groupBy("event_type", "day")
+        .agg(F.sum("delta").alias("dtot"))
+        .select(
+            "event_type", "day",
+            F.coalesce(F.sum("dtot").over(w_carry), F.lit(0)).alias("carry"),
+        )
+    )
+    run = local.join(day_tot, ["event_type", "day"]).select(
+        "event_type", "t", (F.col("lrun") + F.col("carry")).alias("conc")
+    ).localCheckpoint(eager=False)  # 2 consumers: peak aggregate + final
+    pk = run.groupBy("event_type").agg(F.max("conc").cast("long").alias("peak"))
+    return run.join(F.broadcast(pk), "event_type").groupBy("event_type").agg(
+        F.expr("COUNT(*) DIV 2").alias("n_intervals"),
+        F.max("peak").alias("peak_concurrency"),
+        F.min(F.when(F.col("conc") == F.col("peak"), F.col("t"))).alias(
+            "peak_ts_epoch"
+        ),
+    )
+
+
+@query(
+    "events_value_cusum_alarm",
+    # Upward-drift alarm per event type — the CUSUM/drawup change
+    # detector: against the per-type mean as target, the running sum of
+    # deviations S_t minus its running minimum IS the largest
+    # accumulated upward drift ending at t (Page's one-sided CUSUM in
+    # drawup form — no per-row clamp recurrence, so it stays a pair of
+    # windows instead of a sequential scan). Alarm when the drawup
+    # exceeds 50 mean-values. Exact integer cents end to end (the mean
+    # is the sign-safe round-half-up BIGINT div both engines share);
+    # the Spark side runs BOTH running aggregates through the
+    # day-bucketed carry-stitch (prefix sums AND prefix minima stitch
+    # across day buckets), so a hot type's scan splits across
+    # ~span/86400 tasks — value-identical to the oracle's single
+    # window.
+    oracle="""
+        WITH base AS (
+            SELECT event_type, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM base GROUP BY event_type
+        ),
+        mu AS (
+            SELECT event_type, n,
+                   CAST((s * 2 + n) // (2 * n)
+                        - CASE WHEN (s * 2 + n) % (2 * n) != 0
+                                AND (s * 2 + n) < 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS mu
+            FROM agg
+        ),
+        r AS (
+            SELECT b.event_type, b.ts, b.event_id, m.mu, m.n,
+                   b.c - m.mu AS d
+            FROM base b JOIN mu m USING (event_type)
+        ),
+        s1 AS (
+            SELECT event_type, ts, event_id, mu, n,
+                   SUM(d) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS s
+            FROM r
+        ),
+        s2 AS (
+            SELECT event_type, ts, mu, n,
+                   -- LEAST(0, ...): Page's CUSUM anchors at S_0 = 0 — a
+                   -- strictly-positive early prefix must still measure
+                   -- its drift from the start, not from its own minimum.
+                   s - LEAST(0, MIN(s) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)) AS m
+            FROM s1
+        )
+        SELECT event_type,
+               MAX(n) AS n,
+               MAX(mu) AS mu_cents,
+               CAST(MAX(m) AS BIGINT) AS max_drawup_cents,
+               CAST(SUM(CASE WHEN m > 50 * mu THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_alarm_points,
+               MIN(CASE WHEN m > 50 * mu
+                        THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END)
+                   AS first_alarm_epoch
+        FROM s2 GROUP BY event_type
+    """,
+    description="CUSUM drift alarm per event type (Page's one-sided detector in drawup form: running deviation sum minus its running minimum = max accumulated upward drift, alarm above 50 mean-values): exact integer cents, sign-safe round-half-up mean, and on the Spark side BOTH running aggregates (prefix sum + prefix min) go through the day-bucketed carry-stitch — the r10 skew pattern generalized from order statistics to prefix aggregates",
+)
+def events_value_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.sum("c").alias("s"), F.count("*").cast("long").alias("n")
+    )
+    mu = agg.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST((s * 2 + n) DIV (2 * n)"
+            " - CASE WHEN (s * 2 + n) % (2 * n) != 0"
+            "         AND (s * 2 + n) < 0 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("mu"),
+    )
+    r = base.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "mu",
+        "n",
+        (F.col("c") - F.col("mu")).alias("d"),
+        F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+    )
+    # Carry-stitch sweep: local prefix sum AND local running min within
+    # (type, day); day summaries (total + day-min-of-prefix) stitch
+    # through two tiny per-type windows over distinct days.
+    w_local = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = r.select(
+        "event_type", "day", "ts", "event_id", "mu", "n", "d",
+        F.sum("d").over(w_local).alias("lrun"),
+    )
+    local = local.select(
+        "event_type", "day", "ts", "mu", "n", "lrun",
+        F.min("lrun").over(w_local).alias("lminrun"),
+    ).localCheckpoint(eager=False)  # consumers: day summary + row stitch
+    # The day's full deviation total comes from the pre-window frame (the
+    # last lrun of the day would need its own ordering gymnastics).
+    day_tot = r.groupBy("event_type", "day").agg(F.sum("d").alias("dtot"))
+    day_min = local.groupBy("event_type", "day").agg(
+        F.min("lrun").alias("dmin")
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dsum = (
+        day_tot.join(day_min, ["event_type", "day"])
+        .select(
+            "event_type", "day", "dmin",
+            F.coalesce(F.sum("dtot").over(w_carry), F.lit(0)).alias("carry"),
+        )
+    )
+    dsum = dsum.select(
+        "event_type", "day", "carry",
+        F.min(F.col("carry") + F.col("dmin")).over(w_carry).alias("prevmin"),
+    )
+    rows = local.join(dsum, ["event_type", "day"]).select(
+        "event_type", "ts", "mu", "n",
+        (F.col("carry") + F.col("lrun")).alias("s"),
+        # The lit(0) term is Page's S_0 = 0 anchor (matches the oracle's
+        # LEAST(0, ...)); least() skips the NULL prevmin of the first day.
+        F.least(
+            F.lit(0).cast("long"),
+            F.col("prevmin"),
+            F.col("carry") + F.col("lminrun"),
+        ).alias("rowmin"),
+    )
+    m = rows.select(
+        "event_type", "ts", "mu", "n", (F.col("s") - F.col("rowmin")).alias("m")
+    )
+    return m.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mu_cents"),
+        F.max("m").cast("long").alias("max_drawup_cents"),
+        F.sum(F.when(F.col("m") > 50 * F.col("mu"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_points"),
+        F.min(
+            F.when(
+                F.col("m") > 50 * F.col("mu"),
+                F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)"),
+            )
+        ).alias("first_alarm_epoch"),
+    )
+
+
+@query(
+    "corpus_ngram_novelty",
+    # Template/boilerplate detector per source: what fraction of a
+    # source's 3-shingle occurrences are UNIQUE to their document
+    # (corpus df = 1)? Organic prose is mostly novel shingles; scraped
+    # templates and mirrored feeds share theirs — a low novelty_ppm
+    # flags the sources whose mass is repetition (the curation signal
+    # complementing the pairwise dedup family: no pair enumeration at
+    # all, just two hash aggregates over the shingle table, so it runs
+    # where the f² pair queries need caps). Exact integers; one
+    # round-half-up BIGINT division per source.
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        hshingles AS (
+            SELECT DISTINCT id, {_HASH64.format(x="shingle")} AS h FROM shingles
+        ),
+        df AS (SELECT h, COUNT(*) AS df FROM hshingles GROUP BY h),
+        per_doc AS (
+            SELECT s.id,
+                   COUNT(*) AS tot,
+                   CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel
+            FROM hshingles s JOIN df USING (h)
+            GROUP BY s.id
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p.tot) AS BIGINT) AS n_shingle_occ,
+               CAST(SUM(p.novel) AS BIGINT) AS n_novel,
+               (2000000 * CAST(SUM(p.novel) AS BIGINT) + CAST(SUM(p.tot) AS BIGINT))
+                   // (2 * CAST(SUM(p.tot) AS BIGINT)) AS novelty_ppm
+        FROM per_doc p JOIN documents d ON p.id = d.doc_id
+        GROUP BY d.source
+    """,
+    description="Per-source 3-shingle novelty (share of shingle occurrences unique to their doc, in ppm — the template/mirror detector that needs NO pair enumeration, so it scales where f² pair queries need df caps): distinct per-doc shingle hashes, one corpus df aggregate joined back, per-source exact-BIGINT sums with a round-half-up finalize",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.hashed_shingle_table(docs, 3, "doc_id", "text").localCheckpoint(
+        eager=False
+    )  # 2 consumers: df aggregate + per-doc join side
+    df = sh.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("tot"),
+            F.sum((F.col("df") == 1).cast("long")).alias("novel"),
+        )
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        per_doc.join(src, per_doc.id == src.doc_id)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tot").cast("long").alias("n_shingle_occ"),
+            F.sum("novel").cast("long").alias("n_novel"),
+            F.expr(
+                "(2000000 * SUM(novel) + SUM(tot)) DIV (2 * SUM(tot))"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -1858,3 +1858,210 @@ def supplier_hhi_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_tot").alias("revenue_usd"),
         F.expr(HHI_PPM_SQL).alias("hhi_ppm"),
     )
+
+
+@query(
+    "orders_priority_mix_drift",
+    # Distribution-drift audit: how far each month's order-priority MIX
+    # deviates from the all-time mix, as an L1 distance in ppm — the
+    # seasonality / data-quality probe ("did priority logging change in
+    # month X"). Pure cross-multiplied integers: |c_mp·n − c_p·n_m| is
+    # exact BIGINT (no per-month ratio rounding compounds), and the ONE
+    # division is the shared round-half-up BIGINT finalize. Shape: two
+    # tiny hash aggregates (months × priorities) over one orders scan —
+    # the priority and global marginals re-join on broadcastable sides.
+    oracle="""
+        WITH mp AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority AS pri,
+                   COUNT(*) AS c_mp
+            FROM orders GROUP BY 1, 2
+        ),
+        m AS (SELECT ym, CAST(SUM(c_mp) AS BIGINT) AS n_m FROM mp GROUP BY ym),
+        p AS (SELECT pri, CAST(SUM(c_mp) AS BIGINT) AS c_p FROM mp GROUP BY pri),
+        tot AS (SELECT CAST(SUM(c_mp) AS BIGINT) AS n FROM mp),
+        dev AS (
+            SELECT mp.ym, ABS(mp.c_mp * tot.n - p.c_p * m.n_m) AS num,
+                   m.n_m, tot.n
+            FROM mp JOIN m USING (ym) JOIN p USING (pri) CROSS JOIN tot
+        )
+        SELECT ym AS order_month,
+               CAST(MAX(n_m) AS BIGINT) AS n_orders,
+               CAST((2000000 * CAST(SUM(num) AS BIGINT) + MAX(n_m) * MAX(n))
+                    // (2 * MAX(n_m) * MAX(n)) AS BIGINT) AS drift_ppm
+        FROM dev GROUP BY ym
+    """,
+    description="Monthly order-priority mix drift vs the all-time mix (L1 distance in ppm — the 'did logging change in month X' seasonality/data-quality audit): one orders scan, (month x priority) hash aggregate, broadcast month/priority/global marginals re-joined, cross-multiplied exact-BIGINT deviations with ONE round-half-up integer division at the end",
+)
+def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    mp = o.groupBy("ym", "pri").agg(F.count("*").alias("c_mp"))
+    mp = mp.localCheckpoint(eager=False)  # 3 consumers: dev + both marginals
+    m = mp.groupBy("ym").agg(F.sum("c_mp").alias("n_m"))
+    p = mp.groupBy("pri").agg(F.sum("c_mp").alias("c_p"))
+    tot = mp.agg(F.sum("c_mp").alias("n"))
+    dev = (
+        mp.join(F.broadcast(m), "ym")
+        .join(F.broadcast(p), "pri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ym",
+            F.abs(F.col("c_mp") * F.col("n") - F.col("c_p") * F.col("n_m")).alias("num"),
+            "n_m",
+            "n",
+        )
+    )
+    return dev.groupBy("ym").agg(
+        F.col("ym").alias("order_month"),
+        F.max("n_m").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST((2000000 * SUM(num) + MAX(n_m) * MAX(n))"
+            " DIV (2 * MAX(n_m) * MAX(n)) AS BIGINT)"
+        ).alias("drift_ppm"),
+    ).drop("ym")
+
+
+@query(
+    "lineitem_ship_lag_profile",
+    # Order-to-ship latency profile: days from order date to each line
+    # item's ship date, summarized per return flag with RANK-EXACT
+    # median/p90 (values at ranks ceil(n/2)/ceil(9n/10) under a total
+    # (lag, orderkey, linenumber) order — the winsorize recipe, no
+    # interpolated-percentile float boundary). The orders⋈lineitem join
+    # is the fixture's biggest fact-fact join: both sides shuffle on
+    # l_orderkey/o_orderkey (no broadcast — both grow with SF), then ONE
+    # flag-partitioned rank window over the integer lags.
+    oracle="""
+        WITH lag_days AS (
+            SELECT l.l_returnflag AS flag,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS lag,
+                   l.l_orderkey, l.l_linenumber
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        ranked AS (
+            SELECT flag, lag,
+                   ROW_NUMBER() OVER (PARTITION BY flag
+                                      ORDER BY lag, l_orderkey, l_linenumber) AS rn,
+                   COUNT(*) OVER (PARTITION BY flag) AS n
+            FROM lag_days
+        )
+        SELECT flag AS l_returnflag,
+               CAST(MAX(n) AS BIGINT) AS n_items,
+               CAST(MIN(lag) AS BIGINT) AS min_days,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN CAST(lag AS BIGINT) END) AS median_days,
+               MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN CAST(lag AS BIGINT) END) AS p90_days,
+               CAST(MAX(lag) AS BIGINT) AS max_days
+        FROM ranked GROUP BY flag
+    """,
+    description="Order-to-ship lag profile per return flag (fulfillment-latency audit over the fixture's biggest fact-fact join): orders⋈lineitem shuffled on the order key (both sides scale with SF — no broadcast), integer day lags, rank-exact median/p90 via ONE flag-partitioned window (ranks ceil(n/2)/ceil(9n/10) under a total order)",
+)
+def lineitem_ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", F.to_date("l_shipdate").alias("sd")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    lags = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff("sd", "od").cast("long").alias("lag"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("flag").orderBy("lag", "l_orderkey", "l_linenumber")
+    ranked = lags.select(
+        "flag",
+        "lag",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("flag")).alias("n"),
+    )
+    return ranked.groupBy("flag").agg(
+        F.col("flag").alias("l_returnflag"),
+        F.max("n").cast("long").alias("n_items"),
+        F.min("lag").alias("min_days"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("lag"))).alias(
+            "median_days"
+        ),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n * 9 + 9) DIV 10"), F.col("lag"))
+        ).alias("p90_days"),
+        F.max("lag").alias("max_days"),
+    ).drop("flag")
+
+
+@query(
+    "orders_customer_order_gaps",
+    # Inter-purchase cadence per market segment: the gap in days between
+    # each customer's consecutive orders (ties broken by order key so
+    # same-day orders rank deterministically), profiled per segment with
+    # rank-exact median/p90. The per-customer lag window partitions on
+    # millions of customers (natural parallelism — no hot key), and only
+    # the tiny per-segment profile window is low-cardinality.
+    oracle="""
+        WITH seq AS (
+            SELECT o.o_custkey,
+                   date_diff('day',
+                       LAG(CAST(o.o_orderdate AS DATE)) OVER (
+                           PARTITION BY o.o_custkey
+                           ORDER BY CAST(o.o_orderdate AS DATE), o.o_orderkey),
+                       CAST(o.o_orderdate AS DATE)) AS gap,
+                   o.o_orderkey
+            FROM orders o
+        ),
+        gaps AS (
+            SELECT c.c_mktsegment AS seg, s.gap, s.o_orderkey
+            FROM seq s JOIN customer c ON s.o_custkey = c.c_custkey
+            WHERE s.gap IS NOT NULL
+        ),
+        ranked AS (
+            SELECT seg, gap,
+                   ROW_NUMBER() OVER (PARTITION BY seg ORDER BY gap, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY seg) AS n
+            FROM gaps
+        )
+        SELECT seg AS c_mktsegment,
+               CAST(MAX(n) AS BIGINT) AS n_gaps,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN CAST(gap AS BIGINT) END) AS median_gap_days,
+               MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN CAST(gap AS BIGINT) END) AS p90_gap_days
+        FROM ranked GROUP BY seg
+    """,
+    description="Inter-order gap profile per market segment (purchase-cadence analytics): per-customer LAG window over order dates (millions of partitions — natural parallelism), broadcast customer-dim join for the segment, rank-exact median/p90 per segment via one low-cardinality window",
+)
+def orders_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("od", F.lag("od").over(wc)).cast("long").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    gaps = seq.join(F.broadcast(c), seq.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "gap", "o_orderkey"
+    )
+    w = Window.partitionBy("seg").orderBy("gap", "o_orderkey")
+    ranked = gaps.select(
+        "seg",
+        "gap",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("seg")).alias("n"),
+    )
+    return ranked.groupBy("seg").agg(
+        F.col("seg").alias("c_mktsegment"),
+        F.max("n").cast("long").alias("n_gaps"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("gap"))).alias(
+            "median_gap_days"
+        ),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n * 9 + 9) DIV 10"), F.col("gap"))
+        ).alias("p90_gap_days"),
+    ).drop("seg")

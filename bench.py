@@ -195,6 +195,17 @@ HEADLINE = [
     "events_conversion_time_profile",
     "corpus_zipf_slope",
     "streaming_user_value_hhi",
+    # r11: capped link prediction, behavioral entropy, capacity sweep,
+    # CUSUM drift alarm, shingle novelty, mix drift, fulfillment-lag and
+    # order-cadence profiles
+    "graph_adamic_adar_capped",
+    "events_user_entropy",
+    "events_peak_concurrency",
+    "events_value_cusum_alarm",
+    "corpus_ngram_novelty",
+    "orders_priority_mix_drift",
+    "lineitem_ship_lag_profile",
+    "orders_customer_order_gaps",
 ]
 
 

@@ -309,3 +309,33 @@ def test_adamic_adar_hand_computed(spark):
     with_ac = path.union(spark.createDataFrame([(1, 3)], "src long, dst long"))
     got2 = {(r.u, r.v) for r in adamic_adar_topk(with_ac, k=10).collect()}
     assert (1, 3) not in got2 and (2, 4) in got2
+
+
+def test_adamic_adar_center_degree_cap(spark):
+    """max_center_degree skips ONLY hub centers: a star center with
+    degree 4 stops contributing wedges under cap=3, while a degree-2
+    center's contribution is untouched — and capped == uncapped when
+    the cap exceeds every degree."""
+    from analyzing_big_data_in_scala_spark.operators.graph import adamic_adar_topk
+
+    # Star: 0-{1,2,3,4} (deg(0)=4) plus path 5-6-7 (deg(6)=2).
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    uncapped = {(r.u, r.v): (r.common_neighbors, r.score_ppm)
+                for r in adamic_adar_topk(edges, k=100).collect()}
+    # Star leaves pair through center 0: score 1e6/ln4 = 721348.
+    assert uncapped[(1, 2)] == (1, 721348)
+    assert uncapped[(5, 7)] == (1, 1442695)
+
+    capped = {(r.u, r.v): (r.common_neighbors, r.score_ppm)
+              for r in adamic_adar_topk(
+                  edges, k=100, max_center_degree=3).collect()}
+    assert (1, 2) not in capped            # hub center skipped
+    assert capped[(5, 7)] == (1, 1442695)  # low-degree center untouched
+
+    wide_cap = {(r.u, r.v): (r.common_neighbors, r.score_ppm)
+                for r in adamic_adar_topk(
+                    edges, k=100, max_center_degree=10).collect()}
+    assert wide_cap == uncapped

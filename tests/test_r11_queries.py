@@ -1,0 +1,228 @@
+"""Python brute-force differentials for the r11 queries.
+
+The DuckDB oracles prove cross-ENGINE agreement; where an oracle shares a
+formula tree with the Spark plan (entropy ln-quantization, CUSUM drawup,
+mix drift, novelty ratio) a shared bug would hash green — these tests
+recompute each answer INDEPENDENTLY in plain Python from the same
+sf0.001 parquet, so the semantics themselves are pinned, not just the
+parity."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+
+from .conftest import SF_SMALL
+
+from analyzing_big_data_in_scala_spark.plans import QUERIES
+
+
+def _rows(sql: str):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "events", "documents", "part",
+              "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    return con.sql(sql).fetchall()
+
+
+def _div_half_up(a: int, b: int) -> int:
+    """Round-half-up integer division for non-negative a, positive b —
+    the shared BIGINT finalize both engines use."""
+    assert a >= 0 and b > 0
+    return (2 * a + b) // (2 * b)
+
+
+def test_user_entropy_matches_bruteforce(spark):
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.entropy_ppm)
+        for r in QUERIES["events_user_entropy"].fn(spark, SF_SMALL).collect()
+    }
+    rows = _rows("SELECT user_id, event_type, COUNT(*) FROM events GROUP BY 1, 2")
+    per_user = defaultdict(list)
+    for uid, _et, c in rows:
+        per_user[uid].append(int(c))
+    scored = {}
+    for uid, cs in per_user.items():
+        n = sum(cs)
+        sq = sum(c * round(math.log(c) * 1_000_000) for c in cs)
+        h = round(math.log(n) * 1_000_000) - _div_half_up(sq, n)
+        scored[uid] = (n, len(cs), h)
+    want = dict(
+        sorted(scored.items(), key=lambda kv: (-kv[1][2], kv[0]))[:50]
+    )
+    assert got == want
+
+
+def test_peak_concurrency_matches_bruteforce(spark):
+    got = {
+        r.event_type: (r.n_intervals, r.peak_concurrency, r.peak_ts_epoch)
+        for r in QUERIES["events_peak_concurrency"].fn(spark, SF_SMALL).collect()
+    }
+    rows = _rows(
+        "SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT), event_id FROM events"
+    )
+    by_type = defaultdict(list)
+    for et, t, eid in rows:
+        by_type[et].append((int(t), 1, int(eid)))
+        by_type[et].append((int(t) + 1800, -1, int(eid)))
+    want = {}
+    for et, pts in by_type.items():
+        pts.sort()  # (t, delta, id): ends (-1) before starts (+1) at equal t
+        run, peak, peak_ts = 0, -(10**9), None
+        for t, d, _eid in pts:
+            run += d
+            if run > peak:
+                peak, peak_ts = run, t
+        want[et] = (len(pts) // 2, peak, peak_ts)
+    assert got == want
+
+
+def test_cusum_alarm_matches_bruteforce(spark):
+    got = {
+        r.event_type: (r.n, r.mu_cents, r.max_drawup_cents,
+                       r.n_alarm_points, r.first_alarm_epoch)
+        for r in QUERIES["events_value_cusum_alarm"].fn(spark, SF_SMALL).collect()
+    }
+    rows = _rows(
+        "SELECT event_type, ts, event_id,"
+        " CAST(ROUND(value * 100) AS BIGINT),"
+        " CAST(FLOOR(epoch(ts)) AS BIGINT) FROM events"
+    )
+    by_type = defaultdict(list)
+    for et, ts, eid, c, te in rows:
+        by_type[et].append((ts, int(eid), int(c), int(te)))
+    want = {}
+    for et, evs in by_type.items():
+        evs.sort(key=lambda r: (r[0], r[1]))
+        n = len(evs)
+        s_tot = sum(c for _, _, c, _ in evs)
+        mu = _div_half_up(s_tot, n)  # all-positive fixture: no sign branch
+        s, smin, maxd, alarms, first = 0, 0, 0, 0, None
+        for _, _, c, te in evs:
+            s += c - mu
+            smin = min(smin, s)
+            m = s - smin
+            maxd = max(maxd, m)
+            if m > 50 * mu:
+                alarms += 1
+                if first is None:
+                    first = te
+        want[et] = (n, mu, maxd, alarms, first)
+    assert got == want
+
+
+def test_priority_mix_drift_matches_bruteforce(spark):
+    got = {
+        r.order_month: (r.n_orders, r.drift_ppm)
+        for r in QUERIES["orders_priority_mix_drift"].fn(spark, SF_SMALL).collect()
+    }
+    rows = _rows(
+        "SELECT strftime(o_orderdate, '%Y-%m'), o_orderpriority, COUNT(*)"
+        " FROM orders GROUP BY 1, 2"
+    )
+    c_mp = {(ym, pri): int(c) for ym, pri, c in rows}
+    n_m = Counter()
+    c_p = Counter()
+    for (ym, pri), c in c_mp.items():
+        n_m[ym] += c
+        c_p[pri] += c
+    n = sum(n_m.values())
+    want = {}
+    for ym, nm in n_m.items():
+        num = sum(
+            abs(c_mp.get((ym, pri), 0) * n - cp * nm)
+            for pri, cp in c_p.items()
+            if (ym, pri) in c_mp  # only observed (month, pri) cells join
+        )
+        want[ym] = (nm, _div_half_up(1_000_000 * num, nm * n))
+    assert got == want
+
+
+def test_ngram_novelty_matches_bruteforce(spark):
+    got = {
+        r.source: (r.n_docs, r.n_shingle_occ, r.n_novel, r.novelty_ppm)
+        for r in QUERIES["corpus_ngram_novelty"].fn(spark, SF_SMALL).collect()
+    }
+    rows = _rows(
+        r"""
+        WITH doc_toks AS (
+            SELECT doc_id, d.source,
+                   regexp_split_to_array(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+            FROM documents d
+        )
+        SELECT DISTINCT doc_id, source,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
+        FROM doc_toks, UNNEST(generate_series(1, len(toks) - 2)) t(i)
+        WHERE len(toks) >= 3
+        """
+    )
+    df = Counter(sh for _d, _s, sh in rows)
+    per_source = defaultdict(lambda: [set(), 0, 0])  # docs, occ, novel
+    for d, s, sh in rows:
+        rec = per_source[s]
+        rec[0].add(d)
+        rec[1] += 1
+        if df[sh] == 1:
+            rec[2] += 1
+    want = {
+        s: (len(docs), occ, novel, _div_half_up(1_000_000 * novel, occ))
+        for s, (docs, occ, novel) in per_source.items()
+    }
+    assert got == want
+
+
+def test_order_gaps_match_bruteforce(spark):
+    got = {
+        r.c_mktsegment: (r.n_gaps, r.median_gap_days, r.p90_gap_days)
+        for r in QUERIES["orders_customer_order_gaps"].fn(spark, SF_SMALL).collect()
+    }
+    orders = _rows(
+        "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) FROM orders"
+    )
+    seg = dict(_rows("SELECT c_custkey, c_mktsegment FROM customer"))
+    per_cust = defaultdict(list)
+    for ck, ok, d in orders:
+        per_cust[ck].append((d, int(ok)))
+    gaps = defaultdict(list)
+    for ck, seq in per_cust.items():
+        seq.sort()
+        for (d0, _), (d1, ok1) in zip(seq, seq[1:]):
+            gaps[seg[ck]].append(((d1 - d0).days, ok1))
+    want = {}
+    for s, g in gaps.items():
+        g.sort()
+        n = len(g)
+        want[s] = (n, g[(n + 1) // 2 - 1][0], g[(n * 9 + 9) // 10 - 1][0])
+    assert got == want
+
+
+def test_ship_lag_profile_matches_bruteforce(spark):
+    got = {
+        r.l_returnflag: (r.n_items, r.min_days, r.median_days, r.p90_days,
+                         r.max_days)
+        for r in QUERIES["lineitem_ship_lag_profile"].fn(spark, SF_SMALL).collect()
+    }
+    rows = _rows(
+        "SELECT l.l_returnflag,"
+        " date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)),"
+        " l.l_orderkey, l.l_linenumber"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    by_flag = defaultdict(list)
+    for fl, lag, ok, ln in rows:
+        by_flag[fl].append((int(lag), int(ok), int(ln)))
+    want = {}
+    for fl, lags in by_flag.items():
+        lags.sort()
+        n = len(lags)
+        want[fl] = (
+            n,
+            lags[0][0],
+            lags[(n + 1) // 2 - 1][0],
+            lags[(n * 9 + 9) // 10 - 1][0],
+            lags[-1][0],
+        )
+    assert got == want

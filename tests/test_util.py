@@ -77,16 +77,15 @@ def test_driver_window_covers_oracle_backed_queries():
     assert len(DRIVER_WINDOW) == 50
 
     deliberate_demotions = {
-        # Round-11 rotation ledger (VERDICT r10 item 1): the window now
-        # holds the 3 queries whose newest driver row was r5
-        # (streaming_tumbling_counts, terms_cms_heavy_hitters,
-        # streaming_static_enrichment) plus 47 of the 50-query
-        # r7-evidence cohort — the oldest standing evidence in the repo.
-        # The 3-query r7 tail (top_customers_by_orders,
-        # top_customers_per_segment, top_parts_by_revenue) queues for
-        # r12. Every demotion below keeps its newest green CORRECTNESS
-        # row (r8/r9/r10) as standing evidence; ALL registered queries
-        # are oracle-backed, so this set is exactly registry-minus-window.
+        # Round-11 rotation ledger (VERDICT r10 item 1): the window holds
+        # the 8 r11-new queries (first rows), the 3 queries whose newest
+        # driver row was r5 (streaming_tumbling_counts,
+        # terms_cms_heavy_hitters, streaming_static_enrichment), and 39
+        # of the 50-query r7-evidence cohort — the oldest standing
+        # evidence in the repo. The 11-query r7 tail queues for r12.
+        # Every demotion below keeps its newest green CORRECTNESS row
+        # (r8/r9/r10) as standing evidence; ALL registered queries are
+        # oracle-backed, so this set is exactly registry-minus-window.
         "corpus_bpe_token_stats", "corpus_curation_funnel",
         "corpus_curation_funnel_strided", "corpus_curation_pipeline",
         "corpus_leakage_safe_split", "corpus_pmi_collocations",
@@ -147,9 +146,10 @@ def test_driver_window_covers_oracle_backed_queries():
         "orders_schema_evolution", "orders_weekly_revenue_delta",
         "parts_pareto_frontier", "revenue_cube", "revenue_gini_by_nation",
         "search_bm25_topk", "search_hybrid_rrf", "search_retrieval_eval",
-        "similarity_cluster_assign", "similarity_ivf_topk",
-        "similarity_ivfpq_indexed_agreement",
-        "similarity_ivfpq_recall_profile", "similarity_lsh_topk",
+        "similarity_cluster_assign", "similarity_cosine_topk",
+        "similarity_ivf_topk", "similarity_ivfpq_indexed_agreement",
+        "similarity_ivfpq_recall_profile",
+        "similarity_lsh_indexed_agreement", "similarity_lsh_topk",
         "similarity_pq_recall_profile", "similarity_projected_topk",
         "similarity_quantized_topk", "streaming_ann_index_ingest",
         "streaming_click_attribution_outer",
@@ -160,10 +160,13 @@ def test_driver_window_covers_oracle_backed_queries():
         "streaming_hll_sketch_maintenance",
         "streaming_incremental_rollup", "streaming_ivfpq_index_ingest",
         "streaming_kafka_feed", "streaming_sentiment_counts",
+        "streaming_session_windows", "streaming_user_totals",
         "streaming_user_value_hhi", "streaming_value_trend",
-        "supplier_hhi_by_parttype", "tfidf_doc_frequencies_stemmed",
-        "tfidf_term_frequencies", "top_customers_by_orders",
-        "top_customers_per_segment", "top_parts_by_revenue",
+        "supplier_hhi_by_parttype", "supplier_part_type_share",
+        "tfidf_doc_frequencies", "tfidf_doc_frequencies_stemmed",
+        "tfidf_idf", "tfidf_matrix", "tfidf_term_frequencies",
+        "top_customers_by_orders", "top_customers_per_segment",
+        "top_parts_by_revenue",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)

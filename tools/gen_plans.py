@@ -85,7 +85,14 @@ PICKS = {
     "orders_grouping_sets": "Mixed-hierarchy lattice in ONE pass: Expand (4 projections per row) + a single two-phase hash aggregate — no per-grouping-set re-scan, same shape as the CUBE plan with half the lattice waste.",
     "events_resample_10min_interp": "Interpolation spine: per-type bounds aggregate feeds sequence+explode generation; ONE type-partitioned sort serves BOTH window carries (ascending prev anchors, following-frame next anchors); the exact BIGINT interpolation evaluates in the final projection.",
     "events_type_comovement": "Dense co-movement: the densified counts frame is lineage-cut once (two consumers), the pair join is bucket-keyed (broadcast at this SF, SMJ at scale — fan-out |types|² per bucket, never row-quadratic), and the five sufficient-statistic sums collapse in one two-phase aggregate.",
-    "graph_adamic_adar_topk": "Link prediction: wedges from ONE adjacency self-equi-join on the center vertex; existing edges drop via LEFT ANTI hash join; the per-center 1/ln(deg) is quantized to ppm BEFORE the exact BIGINT scoring aggregate; top-20 compiles to TakeOrderedAndProject.",
+    "graph_adamic_adar_topk": "Link prediction: wedges from ONE adjacency self-equi-join on the center vertex; the (u, v) scoring aggregate runs FIRST (map-side partials) so the LEFT ANTI hash join against the edge set sees candidate-PAIR volume, not wedge volume (r11 reorder — the anti join commutes with the groupBy); top-20 compiles to TakeOrderedAndProject.",
+    "events_user_entropy": "Two hash aggregates ((user, type) counts, then per-user sufficient sums) — the ln sites quantize to ppm in-projection between them; top-50 compiles to TakeOrderedAndProject, never a global sort.",
+    "events_peak_concurrency": "±1 sweep, never a self-join: boundary points from one scan union'd map-side; ONE Exchange on (type, day) serves the local prefix-sum window; the cross-day stitch windows run over the tiny day-summary aggregate; peak lookup is a broadcast join back.",
+    "events_value_cusum_alarm": "Both running aggregates (prefix sum AND prefix min) in ONE (type, day)-partitioned window pass (two WindowExecs, same Exchange); day summaries stitch through tiny per-type windows; the mean is a broadcast 1-row-per-type side — no single-partition window anywhere.",
+    "corpus_ngram_novelty": "No pair enumeration: distinct per-doc shingle hashes once (lazily checkpointed for its two consumers), one corpus df aggregate joined back on the 8-byte hash, per-source exact-BIGINT sums — the novelty audit runs where f² pair queries need caps.",
+    "orders_priority_mix_drift": "One orders scan into a (month x priority) hash aggregate (lazily checkpointed for its three consumers); month/priority/global marginals all re-enter as BROADCAST sides; cross-multiplied BIGINT deviations finalize in one tiny aggregate.",
+    "lineitem_ship_lag_profile": "The fixture's biggest fact-fact join: lineitem and orders shuffle on the order key (no broadcast — both sides scale with SF), integer day lags in-projection, ONE flag-partitioned rank window derives median/p90/min/max together.",
+    "orders_customer_order_gaps": "Per-customer LAG window partitions on millions of customers (natural parallelism, no hot key); the customer dimension broadcasts; only the tiny per-segment profile window is low-cardinality.",
     "customer_cohort_ltv": "Cohort LTV: per-customer first-month aggregate joined back on the customer key (two-phase partials both sides), exact integer month/cents arithmetic, ONE cohort-partitioned running sum over the tiny cohort x age grid — the corpus never enters a window.",
     "events_value_winsorized_stats": "Winsorize: ONE type-partitioned window pass yields rank + per-type count for both exact P1/P99 bounds; bounds broadcast back onto a fresh pruned scan; the clipped aggregate runs with map-side partials — no interpolated percentile, no second sort.",
 }

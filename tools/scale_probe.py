@@ -539,7 +539,9 @@ def main() -> None:
         marks = [
             0 if old.startswith(m.lstrip("\n")) else i
             for m in ("\n## Zipf-skew probe", "\n## Decomposition probes",
-                      "\n## Adamic-Adar decomposition")
+                      "\n## Adamic-Adar decomposition",
+                      "\n## Leakage-audit decomposition",
+                      "\n## BPE merge-rounds probe")
             if old.startswith(m.lstrip("\n")) or (i := old.find(m)) >= 0
         ]
         if marks:
