@@ -1,0 +1,94 @@
+"""Rank-exact order statistics from FREQUENCY TABLES — the scale-correct
+form for bounded value domains (r11).
+
+The repo's rank-exact quantile recipe ("value at rank k under a total
+order" — no interpolated-percentile float boundary) has two physical
+forms:
+
+1. ROW window: `row_number()` over a (group)-partitioned corpus-sized
+   window. Exact for ANY domain, but a low-cardinality group column
+   (return flags, event types) makes each partition a single-task sort —
+   the window-skew class salting can't fix.
+2. FREQUENCY table (this module): when the value DOMAIN is small
+   (integer days, cents, bounded gap seconds), aggregate to
+   per-(group, value) COUNTS first — a map-side-combined hash aggregate —
+   then run the cumulative over the TINY count table. "Value at rank k"
+   == "smallest value whose cumulative count reaches k", identical to
+   the row_number definition for every rank (the tiebreak column only
+   ever disambiguates rows WITHIN one value, which all agree on the
+   value). The only corpus-sized operator left is the hash aggregate.
+
+Cross-engine note: keep the DuckDB oracle on the ROW_NUMBER formulation —
+it is then an INDEPENDENT derivation of the same order statistics, not a
+shared tree.
+
+Used by `lineitem_ship_lag_profile` / `orders_customer_order_gaps`
+(r11). Migration candidates with bounded domains still on form 1, for
+the next window rotation (their driver rows are current, so rewriting
+them mid-round would orphan the evidence): events_value_winsorized_stats
+(cents ≤ ~33k distinct), events_conversion_time_profile (gap seconds
+≤ 7200), documents_volume_median, events_value_deciles,
+events_value_quartiles_by_type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def freq_table_rank_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rank_exprs: dict[str, str],
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-group rank-exact order statistics via the frequency-table
+    decomposition. `rank_exprs` maps output column name -> a Spark SQL
+    expression over `n` (the group's total count, BIGINT) yielding the
+    1-based target rank, e.g. ``{"median": "(n + 1) DIV 2",
+    "p90": "(n * 9 + 9) DIV 10"}``. Returns one row per group with
+    columns (group_col, n, *rank_exprs, *extra_aggs) where each rank
+    column holds the group's value at that rank (ascending order).
+
+    `extra_aggs` adds aggregates over the (value, count) table — e.g.
+    ``{"min_v": F.min("v"), "max_v": F.max("v")}`` where the frequency
+    table exposes the value as `v` and its count as `c`.
+
+    Raises ValueError when the input carries the internal scratch names
+    (_v/_c/cum/n)."""
+    reserved = {"_v", "_c", "cum", "n"}
+    clashes = reserved.intersection(df.columns) - {value_col}
+    if clashes:
+        raise ValueError(
+            f"freq_table_rank_stats: input columns collide with internal "
+            f"names: {sorted(clashes)}"
+        )
+    counts = (
+        df.select(F.col(group_col), F.col(value_col).alias("_v"))
+        .groupBy(group_col, "_v")
+        .agg(F.count("*").alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        group_col,
+        F.col("_v").alias("v"),
+        F.col("_c").alias("c"),
+        F.sum("_c").over(wcum).alias("cum"),
+        F.sum("_c").over(Window.partitionBy(group_col)).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for out_name, rank_sql in rank_exprs.items():
+        aggs.append(
+            F.min(F.when(F.col("cum") >= F.expr(rank_sql), F.col("v"))).alias(
+                out_name
+            )
+        )
+    for out_name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(out_name))
+    return cum.groupBy(group_col).agg(*aggs)

@@ -4757,6 +4757,9 @@ def events_value_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "         AND (s * 2 + n) < 0 THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("mu"),
     )
+    # One parquet scan total: base feeds both the mean aggregate and the
+    # sweep; the lazy checkpoint keeps the second consumer off the scan.
+    base = base.localCheckpoint(eager=False)
     r = base.join(F.broadcast(mu), "event_type").select(
         "event_type",
         "ts",

@@ -1931,8 +1931,9 @@ def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (lag, orderkey, linenumber) order — the winsorize recipe, no
     # interpolated-percentile float boundary). The orders⋈lineitem join
     # is the fixture's biggest fact-fact join: both sides shuffle on
-    # l_orderkey/o_orderkey (no broadcast — both grow with SF), then ONE
-    # flag-partitioned rank window over the integer lags.
+    # l_orderkey/o_orderkey (no broadcast — both grow with SF), then the
+    # frequency-table rank decomposition over the tiny (flag, lag) count
+    # table (the oracle keeps the ROW_NUMBER form — independent).
     oracle="""
         WITH lag_days AS (
             SELECT l.l_returnflag AS flag,
@@ -1956,7 +1957,7 @@ def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MAX(lag) AS BIGINT) AS max_days
         FROM ranked GROUP BY flag
     """,
-    description="Order-to-ship lag profile per return flag (fulfillment-latency audit over the fixture's biggest fact-fact join): orders⋈lineitem shuffled on the order key (both sides scale with SF — no broadcast), integer day lags, rank-exact median/p90 via ONE flag-partitioned window (ranks ceil(n/2)/ceil(9n/10) under a total order)",
+    description="Order-to-ship lag profile per return flag (fulfillment-latency audit over the fixture's biggest fact-fact join): orders⋈lineitem shuffled on the order key (both sides scale with SF — no broadcast), integer day lags, rank-exact median/p90 via the frequency-table decomposition (operators/quantiles.py — one map-side-combined hash aggregate, windows only over the tiny count table; the oracle's ROW_NUMBER formulation is an independent derivation)",
 )
 def lineitem_ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1970,28 +1971,33 @@ def lineitem_ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("l_returnflag").alias("flag"),
         F.datediff("sd", "od").cast("long").alias("lag"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    w = Window.partitionBy("flag").orderBy("lag", "l_orderkey", "l_linenumber")
-    ranked = lags.select(
-        "flag",
-        "lag",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("flag")).alias("n"),
+    # The lag DOMAIN is small (bounded shipping-policy days), so the
+    # rank-exact quantiles come from the frequency-table decomposition
+    # (operators/quantiles.py) — the only corpus-sized operators are the
+    # join and one map-side-combined hash aggregate; never a per-flag
+    # single-task rank sort. The oracle keeps the ROW_NUMBER
+    # formulation — an independent derivation of the same statistics.
+    from ..operators.quantiles import freq_table_rank_stats
+
+    stats = freq_table_rank_stats(
+        lags,
+        group_col="flag",
+        value_col="lag",
+        rank_exprs={
+            "median_days": "(n + 1) DIV 2",
+            "p90_days": "(n * 9 + 9) DIV 10",
+        },
+        extra_aggs={"min_days": F.min("v"), "max_days": F.max("v")},
     )
-    return ranked.groupBy("flag").agg(
+    return stats.select(
         F.col("flag").alias("l_returnflag"),
-        F.max("n").cast("long").alias("n_items"),
-        F.min("lag").alias("min_days"),
-        F.min(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("lag"))).alias(
-            "median_days"
-        ),
-        F.min(
-            F.when(F.col("rn") == F.expr("(n * 9 + 9) DIV 10"), F.col("lag"))
-        ).alias("p90_days"),
-        F.max("lag").alias("max_days"),
-    ).drop("flag")
+        F.col("n").alias("n_items"),
+        "min_days",
+        "median_days",
+        "p90_days",
+        "max_days",
+    )
 
 
 @query(
@@ -2030,7 +2036,7 @@ def lineitem_ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN CAST(gap AS BIGINT) END) AS p90_gap_days
         FROM ranked GROUP BY seg
     """,
-    description="Inter-order gap profile per market segment (purchase-cadence analytics): per-customer LAG window over order dates (millions of partitions — natural parallelism), broadcast customer-dim join for the segment, rank-exact median/p90 per segment via one low-cardinality window",
+    description="Inter-order gap profile per market segment (purchase-cadence analytics): per-customer LAG window over order dates (millions of partitions — natural parallelism), broadcast customer-dim join for the segment, rank-exact median/p90 via the frequency-table decomposition over the tiny (segment, gap) count table (operators/quantiles.py)",
 )
 def orders_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -2046,22 +2052,25 @@ def orders_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap").isNotNull())
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     gaps = seq.join(F.broadcast(c), seq.o_custkey == c.c_custkey).select(
-        F.col("c_mktsegment").alias("seg"), "gap", "o_orderkey"
+        F.col("c_mktsegment").alias("seg"), "gap"
     )
-    w = Window.partitionBy("seg").orderBy("gap", "o_orderkey")
-    ranked = gaps.select(
-        "seg",
-        "gap",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("seg")).alias("n"),
+    # Small gap domain (days) -> the frequency-table rank decomposition
+    # (operators/quantiles.py), never a corpus-sized 5-partition rank
+    # window; the oracle keeps the independent ROW_NUMBER formulation.
+    from ..operators.quantiles import freq_table_rank_stats
+
+    stats = freq_table_rank_stats(
+        gaps,
+        group_col="seg",
+        value_col="gap",
+        rank_exprs={
+            "median_gap_days": "(n + 1) DIV 2",
+            "p90_gap_days": "(n * 9 + 9) DIV 10",
+        },
     )
-    return ranked.groupBy("seg").agg(
+    return stats.select(
         F.col("seg").alias("c_mktsegment"),
-        F.max("n").cast("long").alias("n_gaps"),
-        F.min(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("gap"))).alias(
-            "median_gap_days"
-        ),
-        F.min(
-            F.when(F.col("rn") == F.expr("(n * 9 + 9) DIV 10"), F.col("gap"))
-        ).alias("p90_gap_days"),
-    ).drop("seg")
+        F.col("n").alias("n_gaps"),
+        "median_gap_days",
+        "p90_gap_days",
+    )

@@ -13,6 +13,7 @@ import math
 from collections import Counter, defaultdict
 
 import duckdb
+from pyspark.sql import functions as F
 
 from .conftest import SF_SMALL
 
@@ -226,3 +227,49 @@ def test_ship_lag_profile_matches_bruteforce(spark):
             lags[-1][0],
         )
     assert got == want
+
+
+def test_freq_table_rank_stats_matches_sorted_ranks(spark):
+    """The frequency-table decomposition must agree with the direct
+    sorted-rank definition for every rank expression, including ties,
+    single-value groups, and a group smaller than the p90 divisor."""
+    import random
+
+    from analyzing_big_data_in_scala_spark.operators.quantiles import (
+        freq_table_rank_stats,
+    )
+
+    rng = random.Random(7)
+    rows = [("g%d" % (i % 3), rng.randint(0, 9)) for i in range(200)]
+    rows += [("solo", 42)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: (r.n, r.median, r.p90, r.lo, r.hi)
+        for r in freq_table_rank_stats(
+            df, "g", "v",
+            {"median": "(n + 1) DIV 2", "p90": "(n * 9 + 9) DIV 10"},
+            extra_aggs={"lo": F.min("v"), "hi": F.max("v")},
+        ).collect()
+    }
+    per_g = defaultdict(list)
+    for g, v in rows:
+        per_g[g].append(v)
+    want = {}
+    for g, vs in per_g.items():
+        vs.sort()
+        n = len(vs)
+        want[g] = (n, vs[(n + 1) // 2 - 1], vs[(n * 9 + 9) // 10 - 1],
+                   vs[0], vs[-1])
+    assert got == want
+
+
+def test_freq_table_rank_stats_rejects_reserved_names(spark):
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.quantiles import (
+        freq_table_rank_stats,
+    )
+
+    df = spark.createDataFrame([("a", 1, 2)], "g string, v long, cum long")
+    with pytest.raises(ValueError, match="internal names"):
+        freq_table_rank_stats(df, "g", "v", {"m": "(n + 1) DIV 2"})

@@ -91,8 +91,8 @@ PICKS = {
     "events_value_cusum_alarm": "Both running aggregates (prefix sum AND prefix min) in ONE (type, day)-partitioned window pass (two WindowExecs, same Exchange); day summaries stitch through tiny per-type windows; the mean is a broadcast 1-row-per-type side — no single-partition window anywhere.",
     "corpus_ngram_novelty": "No pair enumeration: distinct per-doc shingle hashes once (lazily checkpointed for its two consumers), one corpus df aggregate joined back on the 8-byte hash, per-source exact-BIGINT sums — the novelty audit runs where f² pair queries need caps.",
     "orders_priority_mix_drift": "One orders scan into a (month x priority) hash aggregate (lazily checkpointed for its three consumers); month/priority/global marginals all re-enter as BROADCAST sides; cross-multiplied BIGINT deviations finalize in one tiny aggregate.",
-    "lineitem_ship_lag_profile": "The fixture's biggest fact-fact join: lineitem and orders shuffle on the order key (no broadcast — both sides scale with SF), integer day lags in-projection, ONE flag-partitioned rank window derives median/p90/min/max together.",
-    "orders_customer_order_gaps": "Per-customer LAG window partitions on millions of customers (natural parallelism, no hot key); the customer dimension broadcasts; only the tiny per-segment profile window is low-cardinality.",
+    "lineitem_ship_lag_profile": "The fixture's biggest fact-fact join (lineitem and orders shuffle on the order key — no broadcast at scale, AQE broadcasts at this SF), then the frequency-table rank decomposition: one map-side-combined (flag, lag) hash aggregate and windows over the TINY count table — never a corpus-sized per-flag rank sort.",
+    "orders_customer_order_gaps": "Per-customer LAG window partitions on millions of customers (natural parallelism, no hot key); the customer dimension broadcasts; the per-segment profile is the frequency-table rank decomposition over the tiny (segment, gap) count table.",
     "customer_cohort_ltv": "Cohort LTV: per-customer first-month aggregate joined back on the customer key (two-phase partials both sides), exact integer month/cents arithmetic, ONE cohort-partitioned running sum over the tiny cohort x age grid — the corpus never enters a window.",
     "events_value_winsorized_stats": "Winsorize: ONE type-partitioned window pass yields rank + per-type count for both exact P1/P99 bounds; bounds broadcast back onto a fresh pruned scan; the clipped aggregate runs with map-side partials — no interpolated percentile, no second sort.",
 }
