@@ -70,17 +70,40 @@ def freq_table_rank_stats(
         .groupBy(group_col, "_v")
         .agg(F.count("*").alias("_c"))
     )
+    return freq_table_rank_stats_from_counts(
+        counts, group_col, "_v", "_c", rank_exprs, extra_aggs
+    )
+
+
+def freq_table_rank_stats_from_counts(
+    counts: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str,
+    rank_exprs: dict[str, str],
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Finalize rank-exact order statistics from an ALREADY-AGGREGATED
+    per-(group, value) count table — the form a STREAMING fold maintains:
+    per-(group, value) counts are purely additive (micro-batch deltas
+    merge with `merge.apply_agg_delta`, commutatively — file-arrival
+    order cannot change a sum of counts), so the count table is the
+    mergeable, sketch-free sufficient statistic for EXACT quantiles on
+    bounded domains. Same rank semantics as
+    :func:`freq_table_rank_stats` (which delegates here); `extra_aggs`
+    expressions see the count table as columns `v` (value) and `c`
+    (count)."""
     wcum = (
         Window.partitionBy(group_col)
-        .orderBy("_v")
+        .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = counts.select(
         group_col,
-        F.col("_v").alias("v"),
-        F.col("_c").alias("c"),
-        F.sum("_c").over(wcum).alias("cum"),
-        F.sum("_c").over(Window.partitionBy(group_col)).alias("n"),
+        F.col(value_col).alias("v"),
+        F.col(count_col).alias("c"),
+        F.sum(count_col).over(wcum).alias("cum"),
+        F.sum(count_col).over(Window.partitionBy(group_col)).alias("n"),
     )
     aggs = [F.max("n").cast("long").alias("n")]
     for out_name, rank_sql in rank_exprs.items():

@@ -42,7 +42,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #  Every query evicted from the r10 window is r10-green with
     #  unchanged code, so those rows stand as current evidence.
 
-    # r11-new queries (8) — first rows
+    # r11-new queries (9) — first rows
+    "streaming_value_exact_quantiles",
     "graph_adamic_adar_capped",
     "events_user_entropy",
     "events_peak_concurrency",
@@ -94,9 +95,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "search_multi_word_cosine",
     "search_multi_word_reference",
     "search_single_word",
-    "similarity_ann_recall_profile",
-    # r7-cohort tail queued for r12 (window holds exactly 50; the 8
+    # r7-cohort tail queued for r12 (window holds exactly 50; the 9
     # r11-new first-row slots pushed these out, the proven pattern):
+    # similarity_ann_recall_profile,
     # similarity_cosine_topk, similarity_lsh_indexed_agreement,
     # streaming_session_windows, streaming_user_totals,
     # supplier_part_type_share, tfidf_doc_frequencies, tfidf_idf,

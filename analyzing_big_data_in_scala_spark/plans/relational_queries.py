@@ -1880,9 +1880,15 @@ def supplier_hhi_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
         p AS (SELECT pri, CAST(SUM(c_mp) AS BIGINT) AS c_p FROM mp GROUP BY pri),
         tot AS (SELECT CAST(SUM(c_mp) AS BIGINT) AS n FROM mp),
         dev AS (
-            SELECT mp.ym, ABS(mp.c_mp * tot.n - p.c_p * m.n_m) AS num,
+            -- FULL month x priority grid: a month missing a priority
+            -- entirely is exactly the drift signal (deviation c_p*n_m),
+            -- so unobserved cells must contribute, not vanish in a join.
+            SELECT m.ym,
+                   ABS(COALESCE(mp.c_mp, 0) * tot.n - p.c_p * m.n_m) AS num,
                    m.n_m, tot.n
-            FROM mp JOIN m USING (ym) JOIN p USING (pri) CROSS JOIN tot
+            FROM m CROSS JOIN p
+            LEFT JOIN mp ON mp.ym = m.ym AND mp.pri = p.pri
+            CROSS JOIN tot
         )
         SELECT ym AS order_month,
                CAST(MAX(n_m) AS BIGINT) AS n_orders,
@@ -1902,13 +1908,19 @@ def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = mp.groupBy("ym").agg(F.sum("c_mp").alias("n_m"))
     p = mp.groupBy("pri").agg(F.sum("c_mp").alias("c_p"))
     tot = mp.agg(F.sum("c_mp").alias("n"))
+    # Full month x priority grid (tiny: months x 5): a month missing a
+    # priority entirely contributes its full expected mass to the drift —
+    # the vanished-category case is the one this audit exists to catch.
     dev = (
-        mp.join(F.broadcast(m), "ym")
-        .join(F.broadcast(p), "pri")
+        m.crossJoin(F.broadcast(p))
+        .join(mp, ["ym", "pri"], "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "ym",
-            F.abs(F.col("c_mp") * F.col("n") - F.col("c_p") * F.col("n_m")).alias("num"),
+            F.abs(
+                F.coalesce(F.col("c_mp"), F.lit(0)) * F.col("n")
+                - F.col("c_p") * F.col("n_m")
+            ).alias("num"),
             "n_m",
             "n",
         )

@@ -1090,3 +1090,114 @@ def streaming_user_value_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "streaming_value_exact_quantiles",
+    # Streaming EXACT order statistics — no sketch, no approximation:
+    # the standing state is the per-(type, cents) COUNT table, which is
+    # purely additive (micro-batch deltas merge commutatively via the
+    # exactly-once apply_agg_delta fold — file-arrival order cannot
+    # change a sum of counts, so the nondeterministic file order the
+    # stream source delivers is harmless). The finalize step is the
+    # r11 frequency-table rank decomposition over the standing counts:
+    # median/p90 at rank-exact positions, min/max from the same tiny
+    # table. State is bounded by the value DOMAIN (distinct cents per
+    # type), not the stream length — the reason exact quantiles are
+    # streamable here at all, and the honest contract: unbounded-domain
+    # values need the KLL sketch path (events_kll_value_rollup).
+    # Batch-equivalence oracle: the drained fold must equal a one-shot
+    # ROW_NUMBER computation over the whole fixture (an INDEPENDENT
+    # formulation of the same order statistics).
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   event_id
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS median_cents,
+               MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END) AS p90_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM ranked GROUP BY event_type
+    """,
+    description="Streaming EXACT median/p90 per event type (sketch-free): the standing state is the per-(type, cents) count table — the mergeable sufficient statistic for exact order statistics on bounded domains — folded via exactly-once apply_agg_delta (counts commute, so nondeterministic file order is harmless); finalize is the r11 frequency-table rank decomposition; state bounded by the value domain, not stream length (unbounded domains take the KLL sketch path); drained fold equals the one-shot batch bit-for-bit",
+)
+def streaming_value_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import apply_agg_delta, idempotent_foreach_batch
+    from ..operators.quantiles import freq_table_rank_stats_from_counts
+    from ..sources.catalog import load_events
+
+    stage = tempfile.mkdtemp(prefix="stream_quant_")
+    ckpt = tempfile.mkdtemp(prefix="stream_quant_ckpt_")
+    try:
+        ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+        ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        state: dict = {"counts": None}
+
+        def fold(batch_df, batch_id: int) -> None:
+            delta = batch_df.groupBy(
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            ).agg(F.count("*").alias("n"))
+            if state["counts"] is None:
+                state["counts"] = delta.localCheckpoint()
+            else:
+                state["counts"] = apply_agg_delta(
+                    state["counts"], delta,
+                    keys=["event_type", "cents"], measures=["n"],
+                    count_col="n",
+                ).localCheckpoint()
+
+        q = (
+            stream.writeStream.foreachBatch(idempotent_foreach_batch(fold))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(
+                "streaming_value_exact_quantiles: availableNow drain did "
+                "not terminate within 120s"
+            )
+        if state["counts"] is None:
+            raise RuntimeError(
+                "streaming_value_exact_quantiles: no batches arrived"
+            )
+        stats = freq_table_rank_stats_from_counts(
+            state["counts"], "event_type", "cents", "n",
+            rank_exprs={
+                "median_cents": "(n + 1) DIV 2",
+                "p90_cents": "(n * 9 + 9) DIV 10",
+            },
+            extra_aggs={"min_cents": F.min("v"), "max_cents": F.max("v")},
+        )
+        return stats.select(
+            "event_type", "n", "min_cents", "median_cents", "p90_cents",
+            "max_cents",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -206,6 +206,7 @@ HEADLINE = [
     "orders_priority_mix_drift",
     "lineitem_ship_lag_profile",
     "orders_customer_order_gaps",
+    "streaming_value_exact_quantiles",
 ]
 
 

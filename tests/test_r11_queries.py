@@ -134,8 +134,7 @@ def test_priority_mix_drift_matches_bruteforce(spark):
     for ym, nm in n_m.items():
         num = sum(
             abs(c_mp.get((ym, pri), 0) * n - cp * nm)
-            for pri, cp in c_p.items()
-            if (ym, pri) in c_mp  # only observed (month, pri) cells join
+            for pri, cp in c_p.items()  # FULL grid: missing cells count
         )
         want[ym] = (nm, _div_half_up(1_000_000 * num, nm * n))
     assert got == want
@@ -273,3 +272,73 @@ def test_freq_table_rank_stats_rejects_reserved_names(spark):
     df = spark.createDataFrame([("a", 1, 2)], "g string, v long, cum long")
     with pytest.raises(ValueError, match="internal names"):
         freq_table_rank_stats(df, "g", "v", {"m": "(n + 1) DIV 2"})
+
+
+def test_priority_mix_drift_counts_vanished_categories(spark, tmp_path):
+    """A month missing a priority ENTIRELY must contribute that
+    priority's full expected mass to the drift — the vanished-category
+    case the audit exists to catch (an inner join on observed cells
+    would silently skip it). Month B has only priority X, so its
+    deviation vs the 50/50 global mix is |1*4 - 2*2|*2 = ... computed
+    below; exact expected values pinned."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # 2 months x 2 priorities; month A balanced, month B only X.
+    rows = [
+        (1, 101, "O", 10.0, "2024-01-05", "X"),
+        (2, 102, "O", 10.0, "2024-01-06", "Y"),
+        (3, 103, "O", 10.0, "2024-02-05", "X"),
+        (4, 104, "O", 10.0, "2024-02-06", "X"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    d = str(tmp_path / "mixdrift")
+    df.coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+
+    got = {
+        r.order_month: (r.n_orders, r.drift_ppm)
+        for r in QUERIES["orders_priority_mix_drift"].fn(spark, d).collect()
+    }
+    # Global: n=4, c_X=3, c_Y=1.
+    # Month A (n_m=2, c=1,1): |1*4-3*2|/(2*4) + |1*4-1*2|/(2*4) = (2+2)/8
+    #   -> 0.5 -> 500000 ppm.
+    # Month B (n_m=2, c_X=2, c_Y=0): |2*4-3*2| + |0*4-1*2| = 2+2 -> same
+    #   500000 ppm — the Y term exists ONLY because the grid is full.
+    assert got == {"2024-01": (2, 500000), "2024-02": (2, 500000)}
+
+
+def test_freq_table_from_counts_equals_raw_path(spark):
+    """The from-counts finalize (the streaming fold's form) must equal
+    the raw-row path exactly — and must be split-merge invariant: counts
+    aggregated in two halves and added (the apply_agg_delta shape) give
+    the same statistics as one-shot counts."""
+    import random
+
+    from analyzing_big_data_in_scala_spark.operators.quantiles import (
+        freq_table_rank_stats,
+        freq_table_rank_stats_from_counts,
+    )
+
+    rng = random.Random(11)
+    rows = [("g%d" % (i % 2), rng.randint(0, 5)) for i in range(120)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    ranks = {"median": "(n + 1) DIV 2", "p90": "(n * 9 + 9) DIV 10"}
+    raw = {(r.g): (r.n, r.median, r.p90)
+           for r in freq_table_rank_stats(df, "g", "v", ranks).collect()}
+
+    half1 = spark.createDataFrame(rows[:60], "g string, v long")
+    half2 = spark.createDataFrame(rows[60:], "g string, v long")
+    c1 = half1.groupBy("g", "v").agg(F.count("*").alias("n"))
+    c2 = half2.groupBy("g", "v").agg(F.count("*").alias("n"))
+    merged = (
+        c1.unionAll(c2).groupBy("g", "v").agg(F.sum("n").alias("n"))
+    )
+    got = {(r.g): (r.n, r.median, r.p90)
+           for r in freq_table_rank_stats_from_counts(
+               merged, "g", "v", "n", ranks).collect()}
+    assert got == raw
