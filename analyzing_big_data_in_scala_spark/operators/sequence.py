@@ -732,3 +732,100 @@ def time_weighted_avg(
             " AS BIGINT) ELSE NULL END"
         ).alias("twa_e4"),
     )
+
+
+def prefix_scan_bucketed(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    bucket_col: str,
+    out_sum: str = "run_sum",
+    out_min: str | None = None,
+    anchor_zero: bool = True,
+) -> DataFrame:
+    """SKEW-RESISTANT running PREFIX AGGREGATES per key — the carry-stitch
+    decomposition (r10 as-of/RLE pattern) generalized from order
+    statistics to prefix sums and prefix minima (r11; the CUSUM drawup
+    and ±1 concurrency sweeps are both this shape).
+
+    Returns `df`'s columns plus `out_sum` = the running sum of
+    `value_col` under the total (bucket, *order_cols) order within each
+    key, and (when `out_min` is given) the running MINIMUM of that
+    running sum — anchored at the implicit empty-prefix value 0 when
+    `anchor_zero` (Page's CUSUM S₀ = 0 contract; set False for the pure
+    observed-prefix minimum).
+
+    `bucket_col` must be NON-DECREASING along `order_cols` within each
+    key (e.g. the day of a timestamp the order starts with) — bucketing
+    is what splits a hot key's otherwise single window task into
+    ~#buckets tasks:
+
+    1. LOCAL pass: running sum (and running min) within (key, bucket) —
+       one corpus-sized window whose partitions are (key, bucket).
+    2. Tiny per-(key, bucket) summaries (bucket total, bucket min of the
+       local prefix) stitch through per-key windows over #buckets rows:
+       carry C_b = Σ of STRICTLY PRECEDING bucket totals; prev-min
+       M_b = min of strictly preceding (C + bucket-min).
+    3. Row finalize: sum = C_b + local; min = least(anchor, M_b,
+       C_b + local running min). Associativity of (+, min) over prefix
+       segments makes this exactly the single-window answer.
+
+    Raises ValueError when `df` carries the internal scratch names."""
+    reserved = {"_psb_lrun", "_psb_lmin", "_psb_dtot", "_psb_dmin",
+                "_psb_carry", "_psb_prevmin"}
+    clashes = reserved.intersection(df.columns)
+    if clashes:
+        raise ValueError(
+            f"prefix_scan_bucketed: input columns collide with internal "
+            f"names: {sorted(clashes)}"
+        )
+    if out_sum in df.columns or (out_min and out_min in df.columns):
+        raise ValueError(
+            "prefix_scan_bucketed: output names already exist on the input"
+        )
+    w_local = (
+        Window.partitionBy(key_col, bucket_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = df.withColumn("_psb_lrun", F.sum(value_col).over(w_local))
+    if out_min is not None:
+        local = local.withColumn("_psb_lmin", F.min("_psb_lrun").over(w_local))
+    local = local.localCheckpoint(eager=False)  # summaries + row stitch
+
+    summary_aggs = [F.sum(value_col).alias("_psb_dtot")]
+    if out_min is not None:
+        summary_aggs.append(F.min("_psb_lrun").alias("_psb_dmin"))
+    days = local.groupBy(key_col, bucket_col).agg(*summary_aggs)
+    w_carry = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    days = days.withColumn(
+        "_psb_carry", F.coalesce(F.sum("_psb_dtot").over(w_carry), F.lit(0))
+    )
+    if out_min is not None:
+        days = days.withColumn(
+            "_psb_prevmin",
+            F.min(F.col("_psb_carry") + F.col("_psb_dmin")).over(w_carry),
+        )
+    stitch_cols = [key_col, bucket_col, "_psb_carry"] + (
+        ["_psb_prevmin"] if out_min is not None else []
+    )
+    rows = local.join(days.select(*stitch_cols), [key_col, bucket_col])
+    rows = rows.withColumn(out_sum, F.col("_psb_carry") + F.col("_psb_lrun"))
+    if out_min is not None:
+        candidates = [
+            F.col("_psb_prevmin"),
+            F.col("_psb_carry") + F.col("_psb_lmin"),
+        ]
+        if anchor_zero:
+            candidates.insert(0, F.lit(0).cast("long"))
+        # F.least skips NULLs, so a first bucket's NULL prev-min drops out.
+        rows = rows.withColumn(out_min, F.least(*candidates))
+    return rows.drop(
+        "_psb_lrun", "_psb_lmin", "_psb_dtot", "_psb_dmin",
+        "_psb_carry", "_psb_prevmin",
+    )

@@ -4613,8 +4613,6 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Peak concurrent 30-min activity windows per event type + the second it peaks (capacity-planning sweep): ±1 boundary points, day-bucketed carry-stitch prefix sums on the Spark side (a hot type's sweep splits across ~span/86400 tasks instead of one — the r10 bucketed-window pattern generalized), single-window oracle, exact integers end to end",
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load_events(spark, sf_dir).select(
         "event_type",
         F.unix_timestamp("ts").cast("long").alias("t0"),
@@ -4629,32 +4627,16 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("delta"), "event_id",
         )
     ).withColumn("day", F.expr("t DIV 86400"))
-    # Local prefix sums within (type, day); per-day totals carry across
-    # days through a tiny per-type window (rows = distinct days).
-    w_local = (
-        Window.partitionBy("event_type", "day")
-        .orderBy("t", "delta", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = pts.select(
-        "event_type", "day", "t", "delta",
-        F.sum("delta").over(w_local).alias("lrun"),
-    )
-    w_carry = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    day_tot = (
-        pts.groupBy("event_type", "day")
-        .agg(F.sum("delta").alias("dtot"))
-        .select(
-            "event_type", "day",
-            F.coalesce(F.sum("dtot").over(w_carry), F.lit(0)).alias("carry"),
-        )
-    )
-    run = local.join(day_tot, ["event_type", "day"]).select(
-        "event_type", "t", (F.col("lrun") + F.col("carry")).alias("conc")
+    # Day-bucketed carry-stitch prefix sum (operators/sequence.py
+    # prefix_scan_bucketed — the r10 skew pattern generalized to prefix
+    # aggregates; measured against its single-window twin in skew_probe).
+    from ..operators.sequence import prefix_scan_bucketed
+
+    run = prefix_scan_bucketed(
+        pts, key_col="event_type", order_cols=("t", "delta", "event_id"),
+        value_col="delta", bucket_col="day", out_sum="conc",
+    ).select(
+        "event_type", "t", "conc"
     ).localCheckpoint(eager=False)  # 2 consumers: peak aggregate + final
     pk = run.groupBy("event_type").agg(F.max("conc").cast("long").alias("peak"))
     return run.join(F.broadcast(pk), "event_type").groupBy("event_type").agg(
@@ -4736,8 +4718,6 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="CUSUM drift alarm per event type (Page's one-sided detector in drawup form: running deviation sum minus its running minimum = max accumulated upward drift, alarm above 50 mean-values): exact integer cents, sign-safe round-half-up mean, and on the Spark side BOTH running aggregates (prefix sum + prefix min) go through the day-bucketed carry-stitch — the r10 skew pattern generalized from order statistics to prefix aggregates",
 )
 def events_value_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load_events(spark, sf_dir)
     base = ev.select(
         "event_type",
@@ -4769,56 +4749,18 @@ def events_value_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") - F.col("mu")).alias("d"),
         F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
     )
-    # Carry-stitch sweep: local prefix sum AND local running min within
-    # (type, day); day summaries (total + day-min-of-prefix) stitch
-    # through two tiny per-type windows over distinct days.
-    w_local = (
-        Window.partitionBy("event_type", "day")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # Day-bucketed carry-stitch for BOTH running aggregates (prefix sum
+    # + zero-anchored prefix min) — operators/sequence.py
+    # prefix_scan_bucketed, measured against its single-window twin in
+    # skew_probe; anchor_zero implements Page's S_0 = 0 contract.
+    from ..operators.sequence import prefix_scan_bucketed
+
+    scanned = prefix_scan_bucketed(
+        r, key_col="event_type", order_cols=("ts", "event_id"),
+        value_col="d", bucket_col="day",
+        out_sum="s", out_min="rowmin", anchor_zero=True,
     )
-    local = r.select(
-        "event_type", "day", "ts", "event_id", "mu", "n", "d",
-        F.sum("d").over(w_local).alias("lrun"),
-    )
-    local = local.select(
-        "event_type", "day", "ts", "mu", "n", "lrun",
-        F.min("lrun").over(w_local).alias("lminrun"),
-    ).localCheckpoint(eager=False)  # consumers: day summary + row stitch
-    # The day's full deviation total comes from the pre-window frame (the
-    # last lrun of the day would need its own ordering gymnastics).
-    day_tot = r.groupBy("event_type", "day").agg(F.sum("d").alias("dtot"))
-    day_min = local.groupBy("event_type", "day").agg(
-        F.min("lrun").alias("dmin")
-    )
-    w_carry = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    dsum = (
-        day_tot.join(day_min, ["event_type", "day"])
-        .select(
-            "event_type", "day", "dmin",
-            F.coalesce(F.sum("dtot").over(w_carry), F.lit(0)).alias("carry"),
-        )
-    )
-    dsum = dsum.select(
-        "event_type", "day", "carry",
-        F.min(F.col("carry") + F.col("dmin")).over(w_carry).alias("prevmin"),
-    )
-    rows = local.join(dsum, ["event_type", "day"]).select(
-        "event_type", "ts", "mu", "n",
-        (F.col("carry") + F.col("lrun")).alias("s"),
-        # The lit(0) term is Page's S_0 = 0 anchor (matches the oracle's
-        # LEAST(0, ...)); least() skips the NULL prevmin of the first day.
-        F.least(
-            F.lit(0).cast("long"),
-            F.col("prevmin"),
-            F.col("carry") + F.col("lminrun"),
-        ).alias("rowmin"),
-    )
-    m = rows.select(
+    m = scanned.select(
         "event_type", "ts", "mu", "n", (F.col("s") - F.col("rowmin")).alias("m")
     )
     return m.groupBy("event_type").agg(

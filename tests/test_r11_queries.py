@@ -342,3 +342,68 @@ def test_freq_table_from_counts_equals_raw_path(spark):
            for r in freq_table_rank_stats_from_counts(
                merged, "g", "v", "n", ranks).collect()}
     assert got == raw
+
+
+def test_prefix_scan_bucketed_matches_single_window(spark):
+    """prefix_scan_bucketed must equal the plain single-window scan for
+    every bucket size — bucketing is a physical knob, not a semantic
+    one — including signed values (the prefix min moves), multi-bucket
+    keys, and both anchor modes."""
+    import random
+
+    from pyspark.sql import Window
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        prefix_scan_bucketed,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, i % 3, rng.randint(0, 99), rng.randint(-10, 10))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, t long, v long")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    plain = df.select(
+        "id",
+        F.sum("v").over(w).alias("s"),
+        F.min(F.sum("v").over(w)).over(w).alias("obs_min"),
+    )
+    for anchor in (True, False):
+        want = {}
+        for r in plain.collect():
+            m = min(0, r.obs_min) if anchor else r.obs_min
+            want[r.id] = (r.s, m)
+        for bucket in (1, 7, 1000):
+            got = {
+                r.id: (r.s, r.m)
+                for r in prefix_scan_bucketed(
+                    df.withColumn("b", F.expr(f"t DIV {bucket}")),
+                    key_col="k", order_cols=("t", "id"), value_col="v",
+                    bucket_col="b", out_sum="s", out_min="m",
+                    anchor_zero=anchor,
+                ).collect()
+            }
+            assert got == want, (anchor, bucket)
+
+
+def test_prefix_scan_bucketed_rejects_collisions(spark):
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        prefix_scan_bucketed,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1, 1)], "id long, k long, b long, v long")
+    with pytest.raises(ValueError, match="already exist"):
+        prefix_scan_bucketed(
+            df.withColumn("s", F.lit(1)), "k", ("id",), "v", "b", out_sum="s"
+        )
+    with pytest.raises(ValueError, match="internal names"):
+        prefix_scan_bucketed(
+            df.withColumn("_psb_lrun", F.lit(1)), "k", ("id",), "v", "b"
+        )
