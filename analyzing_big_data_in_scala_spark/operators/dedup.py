@@ -808,3 +808,48 @@ def containment_pairs(
         F.round(c_ba, 6).alias("containment"),
     )
     return fwd.unionByName(rev)
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group shingle NOVELTY: the share of k-shingle occurrences that
+    are unique to their document (corpus df = 1), in round-half-up ppm —
+    the template/mirror detector that needs NO pair enumeration (two
+    hash aggregates over the shingle table), so it runs at corpus sizes
+    where the f² pair queries need df caps. Returns
+    (group_col, n_docs, n_shingle_occ, n_novel, novelty_ppm).
+
+    Scale shape: distinct per-doc shingle hashes once (lazily
+    checkpointed for the df aggregate + the per-doc join side), one
+    corpus df aggregate joined back on the 8-byte hash, per-group
+    exact-BIGINT sums with ONE integer division per group."""
+    sh = hashed_shingle_table(docs, k, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    df = sh.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("tot"),
+            F.sum((F.col("df") == 1).cast("long")).alias("novel"),
+        )
+    )
+    src = docs.select(F.col(id_col), F.col(group_col))
+    return (
+        per_doc.join(src, per_doc.id == F.col(id_col))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tot").cast("long").alias("n_shingle_occ"),
+            F.sum("novel").cast("long").alias("n_novel"),
+            F.expr(
+                "(2000000 * SUM(novel) + SUM(tot)) DIV (2 * SUM(tot))"
+            ).alias("novelty_ppm"),
+        )
+    )

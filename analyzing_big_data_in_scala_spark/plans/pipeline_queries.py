@@ -4815,29 +4815,4 @@ def events_value_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Per-source 3-shingle novelty (share of shingle occurrences unique to their doc, in ppm — the template/mirror detector that needs NO pair enumeration, so it scales where f² pair queries need df caps): distinct per-doc shingle hashes, one corpus df aggregate joined back, per-source exact-BIGINT sums with a round-half-up finalize",
 )
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    sh = D.hashed_shingle_table(docs, 3, "doc_id", "text").localCheckpoint(
-        eager=False
-    )  # 2 consumers: df aggregate + per-doc join side
-    df = sh.groupBy("h").agg(F.count("*").alias("df"))
-    per_doc = (
-        sh.join(df, "h")
-        .groupBy("id")
-        .agg(
-            F.count("*").alias("tot"),
-            F.sum((F.col("df") == 1).cast("long")).alias("novel"),
-        )
-    )
-    src = docs.select("doc_id", "source")
-    return (
-        per_doc.join(src, per_doc.id == src.doc_id)
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("tot").cast("long").alias("n_shingle_occ"),
-            F.sum("novel").cast("long").alias("n_novel"),
-            F.expr(
-                "(2000000 * SUM(novel) + SUM(tot)) DIV (2 * SUM(tot))"
-            ).alias("novelty_ppm"),
-        )
-    )
+    return D.shingle_novelty(_docs(spark, sf_dir), k=3)

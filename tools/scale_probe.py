@@ -473,6 +473,11 @@ def main() -> None:
             "adamic_adar": lambda: noop(
                 G.adamic_adar_topk(G.edges_from_events(ev), k=20)
             ),
+            # r11: per-source shingle novelty — two hash aggregates over
+            # the shingle table, no pair enumeration; expect ~linear in
+            # shingle volume (contrast with the f^2 leakage-audit curve
+            # over the SAME shingle table in tools/leakage_probe.py).
+            "ngram_novelty": lambda: noop(D.shingle_novelty(docs, k=3)),
         }
         if only:
             # A typo'd case name must fail loudly, not probe nothing and
