@@ -477,7 +477,16 @@ def main() -> None:
             # the shingle table, no pair enumeration; expect ~linear in
             # shingle volume (contrast with the f^2 leakage-audit curve
             # over the SAME shingle table in tools/leakage_probe.py).
-            "ngram_novelty": lambda: noop(D.shingle_novelty(docs, k=3)),
+            "ngram_novelty": lambda: noop(
+                D.shingle_novelty(
+                    # the probe's docs frame is (doc_id, text); a
+                    # synthetic 50-way group stands in for `source`
+                    docs.withColumn(
+                        "source", (F.col("doc_id") % 50).cast("string")
+                    ),
+                    k=3,
+                )
+            ),
         }
         if only:
             # A typo'd case name must fail loudly, not probe nothing and
@@ -535,25 +544,22 @@ def main() -> None:
         "- Sub-4x ratios mean fixed per-job overheads (planning, task launch)",
         "  still dominate at this fixture size.",
     ]
-    # Preserve sections other tools own (tools/skew_probe.py appends a
-    # "## Zipf-skew probe" section, tools/decomposition_probe.py a
-    # "## Decomposition probes" section) across regeneration.
+    # Preserve sections other tools own (skew/decomposition/aa/leakage/
+    # bpe probes and any future one) across regeneration: this probe owns
+    # ONLY the top-level header + main table + notes, so everything from
+    # the FIRST "## " heading onward is someone else's and is kept
+    # verbatim. (A hardcoded marker list silently DROPPED the
+    # "## Persisted LSH index" section in r11 — restored by hand; this
+    # any-section rule is the durable fix.)
     preserved = ""
     if os.path.exists(out_md):
         old = open(out_md).read()
-        marks = [
-            0 if old.startswith(m.lstrip("\n")) else i
-            for m in ("\n## Zipf-skew probe", "\n## Decomposition probes",
-                      "\n## Adamic-Adar decomposition",
-                      "\n## Leakage-audit decomposition",
-                      "\n## BPE merge-rounds probe")
-            if old.startswith(m.lstrip("\n")) or (i := old.find(m)) >= 0
-        ]
-        if marks:
-            preserved = old[min(marks):]
+        i = 0 if old.startswith("## ") else old.find("\n## ")
+        if i >= 0:
+            preserved = old[i:].lstrip("\n")
     if only is None:
         with open(out_md, "w") as f:
-            f.write("\n".join(lines) + "\n" + preserved)
+            f.write("\n".join(lines) + "\n\n" + preserved)
     print("\n".join(lines))
 
 
