@@ -42,7 +42,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #  Every query evicted from the r10 window is r10-green with
     #  unchanged code, so those rows stand as current evidence.
 
-    # r11-new queries (9) — first rows
+    # r11-new queries (11) — first rows
+    "doc_langid_confusion",
+    "graph_degree_assortativity",
     "streaming_value_exact_quantiles",
     "graph_adamic_adar_capped",
     "events_user_entropy",
@@ -93,10 +95,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "revenue_rollup",
     "search_batch_queries",
     "search_multi_word_cosine",
-    "search_multi_word_reference",
-    "search_single_word",
-    # r7-cohort tail queued for r12 (window holds exactly 50; the 9
+    # r7-cohort tail queued for r12 (window holds exactly 50; the 11
     # r11-new first-row slots pushed these out, the proven pattern):
+    # search_multi_word_reference, search_single_word,
     # similarity_ann_recall_profile,
     # similarity_cosine_topk, similarity_lsh_indexed_agreement,
     # streaming_session_windows, streaming_user_totals,

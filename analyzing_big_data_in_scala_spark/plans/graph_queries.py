@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import graph as G
+from ..operators.sequence import CORR_PPM_SQL as _CORR_PPM
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -684,3 +685,67 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.adamic_adar_topk(_edges(spark, sf_dir), k=20, max_center_degree=95)
+
+
+@query(
+    "graph_degree_assortativity",
+    # Degree assortativity (Newman 2002): the Pearson correlation of
+    # endpoint degrees over the (symmetrized) edge list — positive means
+    # hubs link to hubs (social graphs), negative means hubs link to
+    # leaves (infrastructure/star topologies); THE one-number structural
+    # fingerprint the degree distribution alone can't give. Exact BIGINT
+    # sufficient statistics (degrees are integers; 2|E| pairs) finalized
+    # by the shared CORR_PPM_SQL tree — bit-identical cross-engine.
+    oracle=f"""
+        WITH {_SQL_CANON.strip().lstrip()},
+        adj AS (
+            SELECT a AS w, b AS x FROM canon
+            UNION ALL
+            SELECT b AS w, a AS x FROM canon
+        ),
+        deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY w),
+        pairs AS (
+            SELECT dw.d AS du, dx.d AS dv
+            FROM adj
+            JOIN deg dw ON dw.w = adj.w
+            JOIN deg dx ON dx.w = adj.x
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(du) AS BIGINT) AS sx,
+                   CAST(SUM(dv) AS BIGINT) AS sy,
+                   CAST(SUM(du * dv) AS BIGINT) AS sxy,
+                   CAST(SUM(du * du) AS BIGINT) AS sxx,
+                   CAST(SUM(dv * dv) AS BIGINT) AS syy
+            FROM pairs
+        )
+        SELECT n AS n_degree_pairs,
+               CAST(n // 2 AS BIGINT) AS n_edges,
+               {_CORR_PPM} AS assortativity_ppm
+        FROM stats
+    """,
+    description="Degree assortativity of the interaction graph (Newman 2002 — do hubs link to hubs?): symmetrized canonical edges joined to the degree table on BOTH endpoints (vertex-keyed hash joins, broadcast at fixture scale), exact BIGINT sufficient statistics over 2|E| degree pairs, shared Pearson ppm tree — one number, bit-identical cross-engine",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = G.canonical_undirected(_edges(spark, sf_dir)).localCheckpoint(eager=False)
+    adj = (
+        e.select(F.col("a").alias("w"), F.col("b").alias("x"))
+        .unionAll(e.select(F.col("b").alias("w"), F.col("a").alias("x")))
+    ).localCheckpoint(eager=False)  # 2 consumers: deg aggregate + pair join
+    deg = adj.groupBy("w").agg(F.count("*").cast("long").alias("d"))
+    dw = deg.select(F.col("w"), F.col("d").alias("du"))
+    dx = deg.select(F.col("w").alias("x"), F.col("d").alias("dv"))
+    pairs = adj.join(dw, "w").join(dx, "x")
+    stats = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("du").alias("sx"),
+        F.sum("dv").alias("sy"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).alias("sxx"),
+        F.sum(F.col("dv") * F.col("dv")).alias("syy"),
+    )
+    return stats.select(
+        F.col("n").alias("n_degree_pairs"),
+        F.expr("n DIV 2").alias("n_edges"),
+        F.expr(_CORR_PPM).alias("assortativity_ppm"),
+    )

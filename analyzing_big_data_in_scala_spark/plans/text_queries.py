@@ -743,3 +743,55 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(SLOPE_PPM_SQL).alias("slope_ppm"),
         F.expr(CORR_PPM_SQL).alias("corr_ppm"),
     )
+
+
+@query(
+    "doc_langid_confusion",
+    # The fixture's `lang` column is GROUND TRUTH, so the heuristic
+    # language gate gets a real evaluation: the confusion matrix of
+    # actual language vs the stopword-ratio prediction, with each cell's
+    # share of its actual-language row in round-half-up ppm — the
+    # measurement that tells a curation pipeline how much non-English
+    # text the 'en' gate lets through (zh/de/fr/es rows predicted 'en')
+    # and how much English it drops. Only docs with >= 1 token are
+    # evaluated (the tokenizer's domain — identical on both engines).
+    oracle=f"""
+        WITH {{toks}},
+        hits AS (
+            SELECT doc_id,
+                   AVG(CASE WHEN term IN {{stops}} THEN 1.0 ELSE 0.0 END) AS en_ratio
+            FROM toks GROUP BY doc_id
+        ),
+        j AS (
+            SELECT d.lang,
+                   CASE WHEN h.en_ratio >= 0.05 THEN 'en' ELSE 'unknown' END
+                       AS pred_lang
+            FROM hits h JOIN documents d USING (doc_id)
+        ),
+        cells AS (
+            SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM j GROUP BY 1, 2
+        ),
+        tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY lang)
+        SELECT c.lang, c.pred_lang, c.n,
+               (2000000 * c.n + t.t) // (2 * t.t) AS share_ppm
+        FROM cells c JOIN tot t USING (lang)
+    """.format(toks=_SQL_TOKS.strip().lstrip(), stops=sql_stopword_list()),
+    description="Language-ID evaluation against the fixture's ground-truth lang column: confusion matrix of actual vs stopword-heuristic prediction with per-actual-language cell shares in round-half-up ppm (the 'how much zh/de/fr/es leaks through the en gate' audit); one token aggregate + a documents join + two tiny hash aggregates",
+)
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = doc_language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    cells = (
+        preds.join(docs, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # 2 consumers: totals + final join
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").alias("t"))
+    return cells.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.expr("(2000000 * n + t) DIV (2 * t)").alias("share_ppm"),
+    )

@@ -207,6 +207,8 @@ HEADLINE = [
     "lineitem_ship_lag_profile",
     "orders_customer_order_gaps",
     "streaming_value_exact_quantiles",
+    "doc_langid_confusion",
+    "graph_degree_assortativity",
 ]
 
 

@@ -407,3 +407,61 @@ def test_prefix_scan_bucketed_rejects_collisions(spark):
         prefix_scan_bucketed(
             df.withColumn("_psb_lrun", F.lit(1)), "k", ("id",), "v", "b"
         )
+
+
+def test_langid_confusion_matches_bruteforce(spark):
+    got = {
+        (r.lang, r.pred_lang): (r.n, r.share_ppm)
+        for r in QUERIES["doc_langid_confusion"].fn(spark, SF_SMALL).collect()
+    }
+    from analyzing_big_data_in_scala_spark.functions.text import STOP_WORDS
+
+    rows = _rows("SELECT doc_id, lang, text FROM documents")
+    import re as _re
+
+    stops = {w.lower() for w in STOP_WORDS}
+    cells = Counter()
+    for doc_id, lang, text in rows:
+        toks = [t for t in _re.split(r"\s+",
+                _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()) if t]
+        if not toks:
+            continue  # tokenizer's domain: empty docs are not evaluated
+        ratio = sum(1 for t in toks if t in stops) / len(toks)
+        cells[(lang, "en" if ratio >= 0.05 else "unknown")] += 1
+    tot = Counter()
+    for (lang, _p), n in cells.items():
+        tot[lang] += n
+    want = {
+        k: (n, _div_half_up(1_000_000 * n, tot[k[0]]))
+        for k, n in cells.items()
+    }
+    assert got == want
+
+
+def test_degree_assortativity_matches_bruteforce(spark):
+    got = QUERIES["graph_degree_assortativity"].fn(spark, SF_SMALL).collect()[0]
+    # Rebuild the canonical undirected graph the engine uses: distinct
+    # (view|click|purchase) user->user edges via the shared-event rule is
+    # graph-specific; recompute from the SAME canonical edge oracle by
+    # reusing the registered SQL's canon CTE through DuckDB.
+    canon_sql = QUERIES["graph_degree_assortativity"].oracle
+    prefix = canon_sql[: canon_sql.index("adj AS")].rstrip().rstrip(",")
+    edges = _rows(prefix + " SELECT a, b FROM canon")
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    want = math.floor(num * 1_000_000.0 / den + 0.5) if den else None
+    assert got.n_degree_pairs == n and got.n_edges == n // 2
+    assert got.assortativity_ppm == want

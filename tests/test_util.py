@@ -78,11 +78,11 @@ def test_driver_window_covers_oracle_backed_queries():
 
     deliberate_demotions = {
         # Round-11 rotation ledger (VERDICT r10 item 1): the window holds
-        # the 9 r11-new queries (first rows), the 3 queries whose newest
+        # the 11 r11-new queries (first rows), the 3 queries whose newest
         # driver row was r5 (streaming_tumbling_counts,
-        # terms_cms_heavy_hitters, streaming_static_enrichment), and 38
+        # terms_cms_heavy_hitters, streaming_static_enrichment), and 36
         # of the 50-query r7-evidence cohort — the oldest standing
-        # evidence in the repo. The 12-query r7 tail queues for r12.
+        # evidence in the repo. The 14-query r7 tail queues for r12.
         # Every demotion below keeps its newest green CORRECTNESS row
         # (r8/r9/r10) as standing evidence; ALL registered queries are
         # oracle-backed, so this set is exactly registry-minus-window.
@@ -145,10 +145,11 @@ def test_driver_window_covers_oracle_backed_queries():
         "orders_rank_functions", "orders_salted_segment_revenue",
         "orders_schema_evolution", "orders_weekly_revenue_delta",
         "parts_pareto_frontier", "revenue_cube", "revenue_gini_by_nation",
-        "search_bm25_topk", "search_hybrid_rrf", "search_retrieval_eval",
-        "similarity_ann_recall_profile", "similarity_cluster_assign",
-        "similarity_cosine_topk", "similarity_ivf_topk",
-        "similarity_ivfpq_indexed_agreement",
+        "search_bm25_topk", "search_hybrid_rrf",
+        "search_multi_word_reference", "search_retrieval_eval",
+        "search_single_word", "similarity_ann_recall_profile",
+        "similarity_cluster_assign", "similarity_cosine_topk",
+        "similarity_ivf_topk", "similarity_ivfpq_indexed_agreement",
         "similarity_ivfpq_recall_profile",
         "similarity_lsh_indexed_agreement", "similarity_lsh_topk",
         "similarity_pq_recall_profile", "similarity_projected_topk",
