@@ -42,7 +42,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #  Every query evicted from the r10 window is r10-green with
     #  unchanged code, so those rows stand as current evidence.
 
-    # r11-new queries (11) — first rows
+    # r11-new queries (13) — first rows
+    "dedup_mass_by_source",
+    "corpus_contamination_by_source",
     "doc_langid_confusion",
     "graph_degree_assortativity",
     "streaming_value_exact_quantiles",
@@ -67,10 +69,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "customers_with_expensive_items",
     "customers_without_orders_filtered",
     "dedup_exact_groups",
-    "dedup_jaccard_df_capped",
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
     "doc_bpe_token_stats",
     "doc_exact_substring_removal",
     "doc_fingerprint_rolling",
@@ -95,8 +95,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "revenue_rollup",
     "search_batch_queries",
     "search_multi_word_cosine",
-    # r7-cohort tail queued for r12 (window holds exactly 50; the 11
-    # r11-new first-row slots pushed these out, the proven pattern):
+    # r7-cohort tail queued for r12 (window holds exactly 50; the 13
+    # r11-new first-row slots pushed these out, the proven pattern —
+    # the dedup family keeps 3 window representatives + the new
+    # attribution query):
+    # dedup_jaccard_df_capped, dedup_simhash_pairs,
     # search_multi_word_reference, search_single_word,
     # similarity_ann_recall_profile,
     # similarity_cosine_topk, similarity_lsh_indexed_agreement,

@@ -4816,3 +4816,113 @@ def events_value_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.shingle_novelty(_docs(spark, sf_dir), k=3)
+
+
+@query(
+    "dedup_mass_by_source",
+    # Curation ATTRIBUTION: which feeds contribute the duplicate mass —
+    # per source, how many docs would exact dedup drop (non-survivors of
+    # their content-hash group) and what share of the source that is.
+    # The fix-the-feed lens the per-group dedup views can't give: a
+    # 200k-ppm source is a mirror or a re-crawl. One content-hash
+    # aggregate (the dedup_exact_groups plan) re-joined on the 8-byte
+    # hash; survivor rule = min doc id, identical both engines.
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id, source,
+                   {_HASH64.format(x="trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))")} AS h
+            FROM documents
+        ),
+        groups AS (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h)
+        SELECT s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN s.doc_id <> g.keep_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               (2000000 * CAST(SUM(CASE WHEN s.doc_id <> g.keep_id
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                + COUNT(*)) // (2 * COUNT(*)) AS drop_ppm
+        FROM hashed s JOIN groups g USING (h)
+        GROUP BY s.source
+    """,
+    description="Exact-duplicate mass attribution per source (the fix-the-feed lens: a high drop_ppm source is a mirror or re-crawl): one content-hash aggregate re-joined on the 8-byte hash, min-id survivor rule, per-source exact-BIGINT shares in round-half-up ppm",
+)
+def dedup_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text
+    from ..operators.dedup import portable_hash64
+
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", "source", portable_hash64(normalize_text("text")).alias("h")
+    ).localCheckpoint(eager=False)  # 2 consumers: groups + the re-join
+    groups = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    j = hashed.join(groups, "h").select(
+        "source", (F.col("doc_id") != F.col("keep_id")).cast("long").alias("dropped")
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dropped").cast("long").alias("n_dropped"),
+        F.expr(
+            "(2000000 * SUM(dropped) + COUNT(*)) DIV (2 * COUNT(*))"
+        ).alias("drop_ppm"),
+    )
+
+
+@query(
+    "corpus_contamination_by_source",
+    # The decontamination audit's attribution twin: per source, how many
+    # training docs carry benchmark 5-grams past the >=3-hit threshold —
+    # "which feed is quoting the eval set". Reuses the registered
+    # doc_decontamination chain (broadcast semi join over hashed grams,
+    # zero corpus-text shuffle) + one documents join + one aggregate.
+    oracle=f"""
+        WITH doc_toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id AS id,
+                   {_HASH64.format(x="array_to_string(list_slice(toks, i, i + 4), ' ')")} AS h
+            FROM doc_toks, UNNEST(generate_series(1, len(toks) - 4)) t(i)
+            WHERE len(toks) >= 5
+        ),
+        bench AS (SELECT DISTINCT h FROM grams WHERE id % 25 = 0),
+        corpus AS (SELECT * FROM grams WHERE id % 25 <> 0),
+        hits AS (
+            SELECT id, COUNT(*) AS n_hits FROM corpus
+            WHERE h IN (SELECT h FROM bench) GROUP BY id
+        ),
+        flags AS (
+            SELECT d.doc_id, d.source,
+                   COALESCE(ht.n_hits, 0) AS n_hits,
+                   COALESCE(ht.n_hits, 0) >= 3 AS contaminated
+            FROM (SELECT doc_id, source FROM documents WHERE doc_id % 25 <> 0) d
+            LEFT JOIN hits ht ON ht.id = d.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated,
+               CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+               (2000000 * CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END)
+                               AS BIGINT)
+                + COUNT(*)) // (2 * COUNT(*)) AS contam_ppm
+        FROM flags GROUP BY source
+    """,
+    description="Benchmark-contamination attribution per source ('which feed quotes the eval set'): the registered doc_decontamination chain (broadcast hashed-5-gram semi join, >=3-hit flag) joined to the source dimension, per-source exact-BIGINT shares in round-half-up ppm",
+)
+def corpus_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = doc_decontamination(spark, sf_dir).select(
+        "doc_id", "n_hits", "contaminated"
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    j = flags.join(src, "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("long")).cast("long").alias("n_contaminated"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        F.expr(
+            "(2000000 * SUM(CAST(contaminated AS BIGINT)) + COUNT(*))"
+            " DIV (2 * COUNT(*))"
+        ).alias("contam_ppm"),
+    )

@@ -209,6 +209,8 @@ HEADLINE = [
     "streaming_value_exact_quantiles",
     "doc_langid_confusion",
     "graph_degree_assortativity",
+    "dedup_mass_by_source",
+    "corpus_contamination_by_source",
 ]
 
 

@@ -465,3 +465,65 @@ def test_degree_assortativity_matches_bruteforce(spark):
     want = math.floor(num * 1_000_000.0 / den + 0.5) if den else None
     assert got.n_degree_pairs == n and got.n_edges == n // 2
     assert got.assortativity_ppm == want
+
+
+def test_dedup_mass_by_source_matches_bruteforce(spark):
+    got = {
+        r.source: (r.n_docs, r.n_dropped, r.drop_ppm)
+        for r in QUERIES["dedup_mass_by_source"].fn(spark, SF_SMALL).collect()
+    }
+    import re as _re
+
+    rows = _rows("SELECT doc_id, source, text FROM documents")
+    groups = defaultdict(list)
+    for doc_id, source, text in rows:
+        norm = _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        groups[norm].append((doc_id, source))
+    per_source = defaultdict(lambda: [0, 0])
+    for members in groups.values():
+        keep = min(d for d, _s in members)
+        for d, s in members:
+            per_source[s][0] += 1
+            if d != keep:
+                per_source[s][1] += 1
+    want = {
+        s: (n, dropped, _div_half_up(1_000_000 * dropped, n))
+        for s, (n, dropped) in per_source.items()
+    }
+    assert got == want
+
+
+def test_contamination_by_source_matches_bruteforce(spark):
+    got = {
+        r.source: (r.n_docs, r.n_contaminated, r.total_hits, r.contam_ppm)
+        for r in QUERIES["corpus_contamination_by_source"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    import re as _re
+
+    rows = _rows("SELECT doc_id, source, text FROM documents")
+    grams = {}
+    src = {}
+    for doc_id, source, text in rows:
+        toks = [t for t in _re.split(r"\s+",
+                _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()) if t]
+        grams[doc_id] = {
+            " ".join(toks[i:i + 5]) for i in range(len(toks) - 4)
+        }
+        src[doc_id] = source
+    bench = set().union(*(g for d, g in grams.items() if d % 25 == 0))
+    per_source = defaultdict(lambda: [0, 0, 0])
+    for d, g in grams.items():
+        if d % 25 == 0:
+            continue
+        hits = len(g & bench)
+        rec = per_source[src[d]]
+        rec[0] += 1
+        rec[1] += 1 if hits >= 3 else 0
+        rec[2] += hits
+    want = {
+        s: (n, c, h, _div_half_up(1_000_000 * c, n))
+        for s, (n, c, h) in per_source.items()
+    }
+    assert got == want

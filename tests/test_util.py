@@ -78,11 +78,11 @@ def test_driver_window_covers_oracle_backed_queries():
 
     deliberate_demotions = {
         # Round-11 rotation ledger (VERDICT r10 item 1): the window holds
-        # the 11 r11-new queries (first rows), the 3 queries whose newest
+        # the 13 r11-new queries (first rows), the 3 queries whose newest
         # driver row was r5 (streaming_tumbling_counts,
-        # terms_cms_heavy_hitters, streaming_static_enrichment), and 36
+        # terms_cms_heavy_hitters, streaming_static_enrichment), and 34
         # of the 50-query r7-evidence cohort — the oldest standing
-        # evidence in the repo. The 14-query r7 tail queues for r12.
+        # evidence in the repo. The 16-query r7 tail queues for r12.
         # Every demotion below keeps its newest green CORRECTNESS row
         # (r8/r9/r10) as standing evidence; ALL registered queries are
         # oracle-backed, so this set is exactly registry-minus-window.
@@ -95,8 +95,9 @@ def test_driver_window_covers_oracle_backed_queries():
         "customer_entity_clusters", "customer_fuzzy_name_matches",
         "customer_rfm_segments", "dedup_containment_pairs",
         "dedup_cross_source_matrix", "dedup_embedding_cosine",
-        "dedup_incremental_batch", "dedup_minhash_signatures",
-        "dedup_near_clusters", "dedup_semantic", "dedup_simhash",
+        "dedup_incremental_batch", "dedup_jaccard_df_capped",
+        "dedup_minhash_signatures", "dedup_near_clusters",
+        "dedup_semantic", "dedup_simhash", "dedup_simhash_pairs",
         "doc_chunk_dedup", "doc_decontamination", "doc_perplexity_proxy",
         "doc_repetition_filters", "doc_url_domains",
         "documents_balanced_sample", "documents_hash_sample_split",
