@@ -188,3 +188,40 @@ def sum_sq_overflow_guard(
         .otherwise(F.col(n_col))
         .alias(n_col)
     )
+
+
+def product_overflow_guard(
+    n_col: str,
+    max_abs_col: str,
+    opname: str,
+    remediation: str,
+    group_col: str | None = None,
+) -> Column:
+    """Sibling of :func:`sum_sq_overflow_guard` for exact sums of
+    per-row PRODUCTS bounded by a tracked maximum: returns `n_col`
+    unchanged while the conservative bound n·max|x| stays under 2^63,
+    raises with `remediation` beyond (the Σc·lq / cross-multiplied-count
+    families, where the square bound would be wildly over-conservative).
+    Same DOUBLE-bound / post-aggregation / one-CASE-per-group-row
+    contract as the square form."""
+    bound = F.col(n_col).cast("double") * F.col(max_abs_col).cast("double")
+    where = (
+        F.concat(F.lit(" for group '"), F.col(group_col).cast("string"), F.lit("'"))
+        if group_col is not None
+        else F.lit("")
+    )
+    return (
+        F.when(
+            bound >= F.lit(9.0e18),
+            F.assert_true(
+                F.lit(False),
+                F.concat(
+                    F.lit(f"{opname}: BIGINT overflow risk"),
+                    where,
+                    F.lit(f" (n*max|x| >= 2^63) — {remediation}"),
+                ),
+            ).cast("long"),
+        )
+        .otherwise(F.col(n_col))
+        .alias(n_col)
+    )

@@ -4556,6 +4556,26 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_types"),
         F.sum("c").cast("long").alias("n_events"),
         F.sum(F.col("c") * F.col("lq")).cast("long").alias("sq"),
+        F.max("lq").alias("_mlq"),
+    )
+    # Enforced headroom (the r11 guard family): Σ c·lq ≤ n_events·max(lq),
+    # so a user whose bound could pass 2^63 (~2.6e11 events at ln(c)≈32
+    # quantized to ppm) fails loudly with the remediation instead of
+    # wrapping — coarsen the ln quantum to widen.
+    from ..operators._util import product_overflow_guard
+
+    s = s.select(
+        "user_id",
+        "n_types",
+        product_overflow_guard(
+            "n_events",
+            "_mlq",
+            opname="events_user_entropy",
+            remediation="quantize ln to e4 instead of ppm (rescale both"
+            " engines' lq and the finalize) before the c*lq sum",
+            group_col="user_id",
+        ),
+        "sq",
     )
     out = s.select(
         "user_id",

@@ -1925,14 +1925,35 @@ def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return dev.groupBy("ym").agg(
+    agg = dev.groupBy("ym").agg(
         F.col("ym").alias("order_month"),
         F.max("n_m").cast("long").alias("n_orders"),
+        F.max("n").alias("_n"),
         F.expr(
             "CAST((2000000 * SUM(num) + MAX(n_m) * MAX(n))"
             " DIV (2 * MAX(n_m) * MAX(n)) AS BIGINT)"
         ).alias("drift_ppm"),
-    ).drop("ym")
+    )
+    # Enforced headroom (the r11 guard family): every deviation term is
+    # bounded by n·n_m (c_mp ≤ n_m, c_p ≤ n), so the cross-multiplied
+    # integers stay exact only while n·max(n_m) < 2^63 — a 1e11-row
+    # month against a 1e12-order corpus wraps. Fail loudly with the
+    # rescale remediation instead.
+    from ..operators._util import product_overflow_guard
+
+    return agg.select(
+        "order_month",
+        product_overflow_guard(
+            "n_orders",
+            "_n",
+            opname="orders_priority_mix_drift",
+            remediation="pre-scale the counts (divide c/n/n_m by a common"
+            " 10^k before the cross-multiplication; shares are"
+            " scale-invariant) or compute the shares in DOUBLE",
+            group_col="order_month",
+        ),
+        "drift_ppm",
+    )
 
 
 @query(

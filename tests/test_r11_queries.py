@@ -527,3 +527,26 @@ def test_contamination_by_source_matches_bruteforce(spark):
         for s, (n, c, h) in per_source.items()
     }
     assert got == want
+
+
+def test_product_overflow_guard_both_directions(spark):
+    """The r11 product-bound guard family (Σ of per-row products bounded
+    by n·max|x|) is ENFORCED: the bound trips while actual sums still
+    fit (the silent-wrap zone), and sane magnitudes pass unchanged."""
+    import pytest
+
+    from analyzing_big_data_in_scala_spark.operators._util import (
+        product_overflow_guard,
+    )
+
+    hot = spark.createDataFrame(
+        [("u", 3_000_000_000_000, 4_000_000)], "g string, n long, m long"
+    )  # bound 1.2e19 >= 2^63; an actual sum could still be far smaller
+    with pytest.raises(Exception, match="overflow risk"):
+        hot.select(
+            product_overflow_guard("n", "m", "op", "rescale", group_col="g")
+        ).collect()
+    ok = spark.createDataFrame([("u", 1000, 4_000_000)], "g string, n long, m long")
+    assert ok.select(
+        product_overflow_guard("n", "m", "op", "rescale", group_col="g")
+    ).collect()[0]["n"] == 1000
