@@ -42,7 +42,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #  Every query evicted from the r10 window is r10-green with
     #  unchanged code, so those rows stand as current evidence.
 
-    # r11-new queries (13) — first rows
+    # r11-new queries (14) — first rows
+    "embeddings_similarity_histogram",
     "dedup_mass_by_source",
     "corpus_contamination_by_source",
     "doc_langid_confusion",
@@ -71,7 +72,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact_groups",
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
-    "doc_bpe_token_stats",
     "doc_exact_substring_removal",
     "doc_fingerprint_rolling",
     "doc_language_id",
@@ -95,11 +95,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "revenue_rollup",
     "search_batch_queries",
     "search_multi_word_cosine",
-    # r7-cohort tail queued for r12 (window holds exactly 50; the 13
+    # r7-cohort tail queued for r12 (window holds exactly 50; the 14
     # r11-new first-row slots pushed these out, the proven pattern —
     # the dedup family keeps 3 window representatives + the new
-    # attribution query):
-    # dedup_jaccard_df_capped, dedup_simhash_pairs,
+    # attribution query; corpus_bpe_merges remains the BPE slot):
+    # dedup_jaccard_df_capped, dedup_simhash_pairs, doc_bpe_token_stats,
     # search_multi_word_reference, search_single_word,
     # similarity_ann_recall_profile,
     # similarity_cosine_topk, similarity_lsh_indexed_agreement,

@@ -4946,3 +4946,94 @@ def corpus_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             " DIV (2 * COUNT(*))"
         ).alias("contam_ppm"),
     )
+
+
+@query(
+    "embeddings_similarity_histogram",
+    # Embedding-geometry health audit — "is the space collapsing?": the
+    # distribution of pairwise cosine over a DETERMINISTIC linear pair
+    # sample (ring offsets 1/17/401 on vec_id — three independent
+    # stride classes, |pairs| ∝ corpus, never the quadratic all-pairs
+    # table). A healthy space concentrates near 0; mass piling up at
+    # 0.9+ is mode collapse / duplicated embeddings, a left shoulder at
+    # -0.5 is an antipodal-cluster artifact. Cosine over the int8
+    # quantization: integer-valued double sums are exact in any order,
+    # sqrt/division are correctly-rounded IEEE, so the bucket id
+    # floor(cosine*10) is bit-identical cross-engine even on bucket
+    # boundaries. Zero-norm vectors drop (both engines).
+    oracle="""
+        WITH sc AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+            FROM sc
+        ),
+        pairs AS (
+            SELECT s.step, a.q AS qa, b.q AS qb
+            FROM (SELECT UNNEST([1, 17, 401]) AS step) s
+            JOIN qz a ON TRUE
+            JOIN qz b ON b.vec_id = a.vec_id + s.step
+        ),
+        dots AS (
+            SELECT step,
+                   SUM(qa[i] * qb[i]) AS dot,
+                   SUM(qa[i] * qa[i]) AS na,
+                   SUM(qb[i] * qb[i]) AS nb
+            FROM pairs, UNNEST(generate_series(1, len(qa))) t(i)
+            GROUP BY step, qa, qb
+        ),
+        cells AS (
+            SELECT step,
+                   CAST(FLOOR(dot / (sqrt(na) * sqrt(nb)) * 10) AS BIGINT) AS bucket
+            FROM dots WHERE na > 0 AND nb > 0
+        )
+        SELECT CAST(step AS BIGINT) AS step, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM cells GROUP BY step, bucket
+    """,
+    description="Pairwise-cosine histogram over deterministic ring-offset pair samples (strides 1/17/401 — linear in the corpus, never all-pairs): the embedding-space mode-collapse audit; int8-quantized cosine (exact integer sums, correctly-rounded sqrt/div) makes even the floor(c*10) bucket id bit-identical cross-engine",
+)
+def embeddings_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = S.quantize_int8(emb, "vec_id", "embedding").select(
+        "vec_id", F.col("qvec").alias("q")
+    ).localCheckpoint(eager=False)  # both pair sides
+    steps = spark.range(0, 1).selectExpr("explode(array(1, 17, 401)) AS step")
+    a = q.crossJoin(F.broadcast(steps)).select(
+        "step", F.col("vec_id"), F.col("q").alias("qa"),
+        (F.col("vec_id") + F.col("step")).alias("bid"),
+    )
+    b = q.select(F.col("vec_id").alias("bid"), F.col("q").alias("qb"))
+    pairs = a.join(b, "bid")
+    # int8 x int8 overflows TINYINT under ANSI — widen to double first
+    # (integer-valued doubles, so the sums stay exact in any order).
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cells = pairs.select(
+        "step",
+        dot.alias("dot"),
+        nrm(F.col("qa")).alias("na"),
+        nrm(F.col("qb")).alias("nb"),
+    ).filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "step",
+        F.floor(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")) * 10)
+        .cast("long")
+        .alias("bucket"),
+    )
+    return cells.groupBy(F.col("step").cast("long").alias("step"), "bucket").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )

@@ -211,6 +211,7 @@ HEADLINE = [
     "graph_degree_assortativity",
     "dedup_mass_by_source",
     "corpus_contamination_by_source",
+    "embeddings_similarity_histogram",
 ]
 
 

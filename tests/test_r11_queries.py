@@ -23,7 +23,7 @@ from analyzing_big_data_in_scala_spark.plans import QUERIES
 def _rows(sql: str):
     con = duckdb.connect()
     for t in ("orders", "customer", "nation", "events", "documents", "part",
-              "lineitem"):
+              "lineitem", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
     return con.sql(sql).fetchall()
 
@@ -550,3 +550,34 @@ def test_product_overflow_guard_both_directions(spark):
     assert ok.select(
         product_overflow_guard("n", "m", "op", "rescale", group_col="g")
     ).collect()[0]["n"] == 1000
+
+
+def test_similarity_histogram_matches_bruteforce(spark):
+    """numpy recomputation of the ring-pair cosine histogram, including
+    the int8 quantization — independent of both engines' SQL trees."""
+    import numpy as np
+
+    got = {
+        (r.step, r.bucket): r.n_pairs
+        for r in QUERIES["embeddings_similarity_histogram"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    rows = _rows("SELECT vec_id, embedding FROM embeddings")
+    q = {}
+    for vid, emb in rows:
+        v = np.array(emb, dtype=np.float64)
+        m = np.abs(v).max()
+        q[vid] = np.floor(v / (m / 127.0) + 0.5) if m > 0 else np.zeros_like(v)
+    want = Counter()
+    for step in (1, 17, 401):
+        for vid, qa in q.items():
+            qb = q.get(vid + step)
+            if qb is None:
+                continue
+            na, nb = float(qa @ qa), float(qb @ qb)
+            if na <= 0 or nb <= 0:
+                continue
+            c = float(qa @ qb) / (np.sqrt(na) * np.sqrt(nb))
+            want[(step, int(np.floor(c * 10)))] += 1
+    assert got == dict(want)

@@ -78,11 +78,11 @@ def test_driver_window_covers_oracle_backed_queries():
 
     deliberate_demotions = {
         # Round-11 rotation ledger (VERDICT r10 item 1): the window holds
-        # the 13 r11-new queries (first rows), the 3 queries whose newest
+        # the 14 r11-new queries (first rows), the 3 queries whose newest
         # driver row was r5 (streaming_tumbling_counts,
-        # terms_cms_heavy_hitters, streaming_static_enrichment), and 34
+        # terms_cms_heavy_hitters, streaming_static_enrichment), and 33
         # of the 50-query r7-evidence cohort — the oldest standing
-        # evidence in the repo. The 16-query r7 tail queues for r12.
+        # evidence in the repo. The 17-query r7 tail queues for r12.
         # Every demotion below keeps its newest green CORRECTNESS row
         # (r8/r9/r10) as standing evidence; ALL registered queries are
         # oracle-backed, so this set is exactly registry-minus-window.
@@ -98,15 +98,16 @@ def test_driver_window_covers_oracle_backed_queries():
         "dedup_incremental_batch", "dedup_jaccard_df_capped",
         "dedup_minhash_signatures", "dedup_near_clusters",
         "dedup_semantic", "dedup_simhash", "dedup_simhash_pairs",
-        "doc_chunk_dedup", "doc_decontamination", "doc_perplexity_proxy",
-        "doc_repetition_filters", "doc_url_domains",
-        "documents_balanced_sample", "documents_hash_sample_split",
-        "documents_quality_topfrac", "documents_quality_weighted_sample",
-        "documents_source_mixture", "documents_token_shards",
-        "documents_volume_median", "embeddings_centroid_outliers",
-        "embeddings_dimension_profile", "embeddings_kmeans_lloyd",
-        "embeddings_principal_direction", "embeddings_random_projection",
-        "entity_cooccurrence_edges", "events_approx_group_profile",
+        "doc_bpe_token_stats", "doc_chunk_dedup", "doc_decontamination",
+        "doc_perplexity_proxy", "doc_repetition_filters",
+        "doc_url_domains", "documents_balanced_sample",
+        "documents_hash_sample_split", "documents_quality_topfrac",
+        "documents_quality_weighted_sample", "documents_source_mixture",
+        "documents_token_shards", "documents_volume_median",
+        "embeddings_centroid_outliers", "embeddings_dimension_profile",
+        "embeddings_kmeans_lloyd", "embeddings_principal_direction",
+        "embeddings_random_projection", "entity_cooccurrence_edges",
+        "events_approx_group_profile",
         "events_asof_bucketed_latest_order", "events_asof_last_signup_7d",
         "events_asof_latest_order", "events_asof_nearest_purchase_3h",
         "events_asof_next_purchase_2h", "events_conversion_funnel",
