@@ -152,6 +152,7 @@ def sum_sq_overflow_guard(
     opname: str,
     remediation: str,
     group_col: str | None = None,
+    finalize_multiplier: float = 1.0,
 ) -> Column:
     """Loud BIGINT-overflow guard for exact sum-of-squares statistics —
     the enforcement pattern `trend_sufficient_stats` introduced in r10,
@@ -165,9 +166,16 @@ def sum_sq_overflow_guard(
     (the product itself would overflow BIGINT); threshold 9.0e18 < 2^63
     absorbs double rounding. One CASE per group ROW — post-aggregation,
     never the per-input-row conditional the codegen notes rule out for
-    hot paths."""
+    hot paths.
+
+    `finalize_multiplier` declares the largest integer multiple of the
+    guarded sum that a downstream FINALIZE expression forms (r12, ADVICE
+    fix): e.g. the round-half-up `(2·s + n) DIV (2·n)` finalize computes
+    2·s, so the guard must hold 2·(n·max|x|²) under 2^63, not just the
+    sum itself — the threshold is divided by the multiplier so the guard
+    covers the finalize's cross-multiplication, not only the raw sum."""
     m = F.col(max_abs_col).cast("double")
-    bound = F.col(n_col).cast("double") * m * m
+    bound = F.col(n_col).cast("double") * m * m * F.lit(float(finalize_multiplier))
     where = (
         F.concat(F.lit(" for group '"), F.col(group_col).cast("string"), F.lit("'"))
         if group_col is not None
@@ -196,15 +204,26 @@ def product_overflow_guard(
     opname: str,
     remediation: str,
     group_col: str | None = None,
+    finalize_multiplier: float = 1.0,
 ) -> Column:
     """Sibling of :func:`sum_sq_overflow_guard` for exact sums of
     per-row PRODUCTS bounded by a tracked maximum: returns `n_col`
     unchanged while the conservative bound n·max|x| stays under 2^63,
     raises with `remediation` beyond (the Σc·lq / cross-multiplied-count
     families, where the square bound would be wildly over-conservative).
-    Same DOUBLE-bound / post-aggregation / one-CASE-per-group-row
-    contract as the square form."""
-    bound = F.col(n_col).cast("double") * F.col(max_abs_col).cast("double")
+    Same DOUBLE-bound / post-aggregation / one-CASE-per-group-row /
+    `finalize_multiplier` contract as the square form — callers whose
+    finalize scales the guarded sum (the ppm cross-multiplication
+    `2000000·Σ + …`, the round-half-up `2·s + n`) MUST pass the
+    multiplier so the guard fires for the overflow the finalize can
+    actually hit (r12, ADVICE fix: the mix-drift guard previously
+    bounded only the per-row deviation products, ~4e6× below the
+    finalize's wrap point)."""
+    bound = (
+        F.col(n_col).cast("double")
+        * F.col(max_abs_col).cast("double")
+        * F.lit(float(finalize_multiplier))
+    )
     where = (
         F.concat(F.lit(" for group '"), F.col(group_col).cast("string"), F.lit("'"))
         if group_col is not None

@@ -57,8 +57,11 @@ def freq_table_rank_stats(
     table exposes the value as `v` and its count as `c`.
 
     Raises ValueError when the input carries the internal scratch names
-    (_v/_c/cum/n)."""
-    reserved = {"_v", "_c", "cum", "n"}
+    (_v/_c/cum/n, plus the v/c names the from_counts finalize
+    introduces — r12 ADVICE fix: a group_col literally named 'v' or 'c'
+    previously produced ambiguous duplicate columns downstream instead
+    of this loud error)."""
+    reserved = {"_v", "_c", "cum", "n", "v", "c"}
     clashes = reserved.intersection(df.columns) - {value_col}
     if clashes:
         raise ValueError(
@@ -92,7 +95,17 @@ def freq_table_rank_stats_from_counts(
     bounded domains. Same rank semantics as
     :func:`freq_table_rank_stats` (which delegates here); `extra_aggs`
     expressions see the count table as columns `v` (value) and `c`
-    (count)."""
+    (count).
+
+    Raises ValueError when `group_col` collides with the scratch names
+    (v/c/cum/n) — the value/count columns are aliased away, but the
+    group column survives into the cum projection verbatim (r12 ADVICE
+    fix for direct callers like streaming_value_exact_quantiles)."""
+    if group_col in {"v", "c", "cum", "n"}:
+        raise ValueError(
+            f"freq_table_rank_stats_from_counts: group_col {group_col!r} "
+            "collides with internal names (v/c/cum/n) — rename it first"
+        )
     wcum = (
         Window.partitionBy(group_col)
         .orderBy(value_col)

@@ -773,7 +773,7 @@ def prefix_scan_bucketed(
 
     Raises ValueError when `df` carries the internal scratch names."""
     reserved = {"_psb_lrun", "_psb_lmin", "_psb_dtot", "_psb_dmin",
-                "_psb_carry", "_psb_prevmin"}
+                "_psb_carry", "_psb_prevmin", "_psb_sk", "_psb_sb"}
     clashes = reserved.intersection(df.columns)
     if clashes:
         raise ValueError(
@@ -811,10 +811,22 @@ def prefix_scan_bucketed(
             "_psb_prevmin",
             F.min(F.col("_psb_carry") + F.col("_psb_dmin")).over(w_carry),
         )
-    stitch_cols = [key_col, bucket_col, "_psb_carry"] + (
-        ["_psb_prevmin"] if out_min is not None else []
-    )
-    rows = local.join(days.select(*stitch_cols), [key_col, bucket_col])
+    stitch_cols = [
+        F.col(key_col).alias("_psb_sk"),
+        F.col(bucket_col).alias("_psb_sb"),
+        "_psb_carry",
+    ] + (["_psb_prevmin"] if out_min is not None else [])
+    # NULL-SAFE stitch (r12 ADVICE fix): a window partitionBy groups NULL
+    # keys/buckets into one partition and KEEPS the rows, so the stitched
+    # form must too — a plain equi-join would silently drop NULL-key or
+    # NULL-bucket rows, diverging from the single-window formulation this
+    # operator documents itself as value-identical to. eqNullSafe still
+    # plans as a hash join (aliased stitch keys avoid self-join ambiguity).
+    rows = local.join(
+        days.select(*stitch_cols),
+        F.col(key_col).eqNullSafe(F.col("_psb_sk"))
+        & F.col(bucket_col).eqNullSafe(F.col("_psb_sb")),
+    ).drop("_psb_sk", "_psb_sb")
     rows = rows.withColumn(out_sum, F.col("_psb_carry") + F.col("_psb_lrun"))
     if out_min is not None:
         candidates = [

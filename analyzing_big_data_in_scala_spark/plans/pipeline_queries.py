@@ -4558,10 +4558,13 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("lq")).cast("long").alias("sq"),
         F.max("lq").alias("_mlq"),
     )
-    # Enforced headroom (the r11 guard family): Σ c·lq ≤ n_events·max(lq),
-    # so a user whose bound could pass 2^63 (~2.6e11 events at ln(c)≈32
-    # quantized to ppm) fails loudly with the remediation instead of
-    # wrapping — coarsen the ln quantum to widen.
+    # Enforced headroom (the r11 guard family, threshold fixed in r12):
+    # Σ c·lq ≤ n_events·max(lq) =: B, and the round-half-up finalize
+    # computes 2·sq + n_events ≤ 3·B (n_events ≤ B whenever max lq ≥ 1;
+    # the max_lq = 0 case means every count is 1, sq = 0, and the
+    # finalize is just n_events — no overflow possible), so the guard
+    # must hold 3·B under 2^63, not just B — the previous factor-2 gap
+    # let sq ∈ (~4.6e18, 9e18) pass the guard yet wrap in the finalize.
     from ..operators._util import product_overflow_guard
 
     s = s.select(
@@ -4574,6 +4577,7 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             remediation="quantize ln to e4 instead of ppm (rescale both"
             " engines' lq and the finalize) before the c*lq sum",
             group_col="user_id",
+            finalize_multiplier=3.0,  # 2·sq + n_events ≤ 3·(n_events·max lq)
         ),
         "sq",
     )
@@ -4975,7 +4979,14 @@ def corpus_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             FROM sc
         ),
         pairs AS (
-            SELECT s.step, a.q AS qa, b.q AS qb
+            -- a.vec_id rides along: (step, vec_id) uniquely identifies a
+            -- sampled pair under the ring-offset scheme, so the dots
+            -- GROUP BY below counts each pair ONCE even when two pairs
+            -- share identical vector arrays (duplicated embeddings — the
+            -- mode-collapse case this audit exists to detect; grouping
+            -- by the arrays alone collapsed those rows and undercounted
+            -- n_pairs vs the Spark side's per-row count — r12 ADVICE fix).
+            SELECT s.step, a.vec_id, a.q AS qa, b.q AS qb
             FROM (SELECT UNNEST([1, 17, 401]) AS step) s
             JOIN qz a ON TRUE
             JOIN qz b ON b.vec_id = a.vec_id + s.step
@@ -4986,7 +4997,7 @@ def corpus_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFram
                    SUM(qa[i] * qa[i]) AS na,
                    SUM(qb[i] * qb[i]) AS nb
             FROM pairs, UNNEST(generate_series(1, len(qa))) t(i)
-            GROUP BY step, qa, qb
+            GROUP BY step, vec_id
         ),
         cells AS (
             SELECT step,

@@ -1934,11 +1934,14 @@ def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * MAX(n_m) * MAX(n)) AS BIGINT)"
         ).alias("drift_ppm"),
     )
-    # Enforced headroom (the r11 guard family): every deviation term is
-    # bounded by n·n_m (c_mp ≤ n_m, c_p ≤ n), so the cross-multiplied
-    # integers stay exact only while n·max(n_m) < 2^63 — a 1e11-row
-    # month against a 1e12-order corpus wraps. Fail loudly with the
-    # rescale remediation instead.
+    # Enforced headroom (the r11 guard family, threshold fixed in r12):
+    # every deviation term is bounded by n·n_m (c_mp ≤ n_m, c_p ≤ n) and
+    # SUM(num) over the priorities is bounded by 2·n·n_m, so the ppm
+    # finalize's numerator 2000000·SUM(num) + n_m·n reaches ~4e6·n·n_m —
+    # THAT product is the wrap point (n_m·n ≳ 2.3e12, e.g. a 1e6-row
+    # month in a 2.3e6-order corpus region at extreme skew), ~4e6× below
+    # the raw per-row-deviation bound the guard previously enforced.
+    # `finalize_multiplier` scales the guarded bound to the finalize.
     from ..operators._util import product_overflow_guard
 
     return agg.select(
@@ -1951,6 +1954,8 @@ def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 10^k before the cross-multiplication; shares are"
             " scale-invariant) or compute the shares in DOUBLE",
             group_col="order_month",
+            # numerator ≤ 2e6·(2·n_m·n) + n_m·n = (4e6 + 1)·n_m·n
+            finalize_multiplier=4.0e6 + 1.0,
         ),
         "drift_ppm",
     )

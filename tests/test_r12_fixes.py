@@ -1,0 +1,132 @@
+"""Unit pins for the round-12 ADVICE fixes: finalize-aware overflow-guard
+thresholds, NULL-safe prefix-scan stitching, and the freq-table
+reserved-name contract. Each test exercises the exact failure mode the
+advice named, so a regression re-opens loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_guard_finalize_multiplier_tightens_threshold(spark):
+    """A sum whose raw bound fits under 2^63 but whose finalize doubles
+    (or ppm-scales) it must trip the guard once the multiplier is
+    declared — the factor-2/4e6 windows ADVICE r11 named."""
+    from analyzing_big_data_in_scala_spark.operators._util import (
+        product_overflow_guard,
+        sum_sq_overflow_guard,
+    )
+
+    # bound = n*m = 5e18: under 9e18 raw, but 3x (the 2*s+n finalize
+    # family) pushes it to 1.5e19 — the silent-wrap zone the old guard
+    # let through.
+    mid = spark.createDataFrame(
+        [("u", 2_500_000_000, 2_000_000_000)], "g string, n long, m long"
+    )
+    assert mid.select(
+        product_overflow_guard("n", "m", "op", "rescale", group_col="g")
+    ).collect()[0]["n"] == 2_500_000_000
+    with pytest.raises(Exception, match="overflow risk"):
+        mid.select(
+            product_overflow_guard(
+                "n", "m", "op", "rescale", group_col="g", finalize_multiplier=3.0
+            )
+        ).collect()
+
+    # square form: n*m^2 = 4e18 raw passes; multiplier 3 trips.
+    sq = spark.createDataFrame([("u", 4_000_000_000_000_000_000, 1)],
+                               "g string, n long, m long")
+    assert sq.select(
+        sum_sq_overflow_guard("n", "m", "op", "rescale", group_col="g")
+    ).collect()[0]["n"] == 4_000_000_000_000_000_000
+    with pytest.raises(Exception, match="overflow risk"):
+        sq.select(
+            sum_sq_overflow_guard(
+                "n", "m", "op", "rescale", group_col="g", finalize_multiplier=3.0
+            )
+        ).collect()
+
+    # mix-drift scale: n*m = 3e12 passes raw but wraps under the ppm
+    # finalize's ~4e6x cross-multiplication.
+    ppm = spark.createDataFrame(
+        [("u", 3_000_000, 1_000_000)], "g string, n long, m long"
+    )
+    with pytest.raises(Exception, match="overflow risk"):
+        ppm.select(
+            product_overflow_guard(
+                "n", "m", "op", "rescale", group_col="g",
+                finalize_multiplier=4.0e6 + 1.0,
+            )
+        ).collect()
+
+
+def test_prefix_scan_bucketed_keeps_null_keys(spark):
+    """A window partitionBy groups NULL keys (and NULL buckets) into one
+    partition and keeps the rows; the carry-stitch decomposition must
+    too — the r12 fix replaced the inner equi-stitch (which silently
+    dropped them) with eqNullSafe conditions."""
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        prefix_scan_bucketed,
+    )
+
+    rows = [
+        # (id, key, bucket, t, v) — key NULL for ids 0..3, bucket NULL for 8
+        (0, None, 0, 0, 5),
+        (1, None, 0, 1, -2),
+        (2, None, 1, 2, 7),
+        (3, None, 1, 3, -9),
+        (4, "a", 0, 0, 1),
+        (5, "a", 0, 1, 2),
+        (6, "a", 1, 2, 3),
+        (7, "b", 0, 0, 4),
+        (8, "b", None, -1, 6),  # NULL bucket sorts first (nulls first asc)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, k string, b int, t long, v long"
+    )
+    got = {
+        r.id: (r.s, r.m)
+        for r in prefix_scan_bucketed(
+            df, key_col="k", order_cols=("t", "id"), value_col="v",
+            bucket_col="b", out_sum="s", out_min="m", anchor_zero=True,
+        ).collect()
+    }
+    # single-window reference over the same total (bucket, t, id) order
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.asc_nulls_first("b"), "t", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    plain = df.select(
+        "id",
+        F.sum("v").over(w).alias("s"),
+        F.least(F.lit(0), F.min(F.sum("v").over(w)).over(w)).alias("m"),
+    )
+    want = {r.id: (r.s, r.m) for r in plain.collect()}
+    assert len(got) == len(rows), "NULL-key/bucket rows must not be dropped"
+    assert got == want
+
+
+def test_freq_table_reserved_names_rejected(spark):
+    """group_col named 'v' or 'c' collides with the scratch names the
+    count-table finalize introduces — must raise the documented
+    ValueError instead of an ambiguous-column failure downstream."""
+    from analyzing_big_data_in_scala_spark.operators.quantiles import (
+        freq_table_rank_stats,
+        freq_table_rank_stats_from_counts,
+    )
+
+    df = spark.createDataFrame([("g1", 1)], "v string, x long")
+    with pytest.raises(ValueError, match="internal names"):
+        freq_table_rank_stats(df, "v", "x", {"median": "(n + 1) DIV 2"})
+    cdf = spark.createDataFrame([("g1", 1, 2)], "c string, val long, cnt long")
+    with pytest.raises(ValueError, match="collides"):
+        freq_table_rank_stats_from_counts(
+            cdf, "c", "val", "cnt", {"median": "(n + 1) DIV 2"}
+        )
+    # value_col named 'v' is fine — it is aliased away before the finalize.
+    ok = spark.createDataFrame([("g1", 3), ("g1", 1)], "g string, v long")
+    out = freq_table_rank_stats(ok, "g", "v", {"median": "(n + 1) DIV 2"})
+    assert out.collect()[0]["median"] == 1
