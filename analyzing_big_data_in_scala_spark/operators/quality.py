@@ -195,28 +195,66 @@ def equi_depth_histogram(
     first-(n mod b)-buckets-get-one-extra rule). Bounds are exact BIGINTs
     in 1e-4 units.
 
-    Scale shape: ONE shuffle — the closing (key, bucket) aggregate's
-    clustered distribution is satisfied by the window's hash partitioning
-    on key (the run_length_encode superset-key pattern), so Catalyst
-    plans it exchange-free. Scale caveat (shared with every exact
-    per-group percentile here — MAD, quartiles): NTILE sorts each group
-    inside one partition, so this exact form is for group cardinalities
-    that fit a partition; when single groups outgrow that, derive the
-    boundaries from the mergeable KLL sketch
-    (`sketches.kll_value_rollup`) instead — approximate, but
-    shuffle-free per group."""
-    w = Window.partitionBy(key_col).orderBy(F.asc("_ve4"), F.asc(id_col))
-    ranked = df.select(
-        key_col,
-        id_col,
-        F.round(F.col(value_col) * 10000).cast("long").alias("_ve4"),
-    ).select(
+    Scale shape (r12: migrated from the NTILE window onto the
+    FREQUENCY-TABLE decomposition, `operators/quantiles.py`'s recipe):
+    the only corpus-sized operator is a map-side-combined hash aggregate
+    to per-(key, value) counts; every bucket boundary is then a rank
+    lookup over the TINY count table (NTILE's standard
+    first-(n mod b)-buckets-get-one-extra rule fixes each bucket's rank
+    span [start, end] exactly, and the value at rank r is the smallest
+    value whose cumulative count reaches r — the id_col tiebreak only
+    ever reorders rows WITHIN one value, which all agree on the value,
+    so the per-bucket n/lo/hi are identical to the NTILE form; id_col
+    is kept in the signature for that documented contract). The NTILE
+    form made each group a SINGLE-TASK corpus sort at 100 TB — the
+    window-skew class salting can't fix; here the windows and the
+    bucket fan-out run over |distinct values| rows. Value domains too
+    large to aggregate take the mergeable KLL sketch
+    (`sketches.kll_value_rollup`) instead."""
+    counts = (
+        df.select(
+            key_col, F.round(F.col(value_col) * 10000).cast("long").alias("_ve4")
+        )
+        .groupBy(key_col, "_ve4")
+        .agg(F.count("*").alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy("_ve4")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
         key_col,
         "_ve4",
-        F.ntile(n_buckets).over(w).alias("bucket"),
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy(key_col)).alias("_n"),
     )
-    return ranked.groupBy(key_col, "bucket").agg(
-        F.count("*").alias("n"),
-        F.min("_ve4").alias("lo_ve4"),
-        F.max("_ve4").alias("hi_ve4"),
+    spine = df.sparkSession.range(1, n_buckets + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    b = F.col("bucket").cast("long")
+    q, r = F.expr("_n DIV %d" % n_buckets), F.col("_n") % n_buckets
+    size = q + F.when(b <= r, F.lit(1)).otherwise(F.lit(0))
+    start = (b - 1) * q + F.least(b - 1, r) + 1
+    fan = cum.crossJoin(F.broadcast(spine)).select(
+        key_col,
+        "bucket",
+        "_ve4",
+        "_cum",
+        size.alias("_size"),
+        start.alias("_start"),
+        (start + size - 1).alias("_end"),
+    )
+    return (
+        fan.filter(F.col("_size") > 0)
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.max("_size").alias("n"),
+            F.min(F.when(F.col("_cum") >= F.col("_start"), F.col("_ve4"))).alias(
+                "lo_ve4"
+            ),
+            F.min(F.when(F.col("_cum") >= F.col("_end"), F.col("_ve4"))).alias(
+                "hi_ve4"
+            ),
+        )
     )

@@ -23,12 +23,16 @@ it is then an INDEPENDENT derivation of the same order statistics, not a
 shared tree.
 
 Used by `lineitem_ship_lag_profile` / `orders_customer_order_gaps`
-(r11). Migration candidates with bounded domains still on form 1, for
-the next window rotation (their driver rows are current, so rewriting
-them mid-round would orphan the evidence): events_value_winsorized_stats
-(cents ≤ ~33k distinct), events_conversion_time_profile (gap seconds
-≤ 7200), documents_volume_median, events_value_deciles,
-events_value_quartiles_by_type.
+(r11). The r12 migration moved every remaining bounded-domain query off
+form 1: events_value_winsorized_stats (cents), events_conversion_time
+_profile (gap seconds ≤ 7200), documents_volume_median (weighted median
+— the VOLUME rides as the count column), events_value_deciles
+(NTILE spans resolved as rank lookups, operators/quality.py), and
+events_value_quartiles_by_type (percentile_cont interpolation over
+boundary-rank values — positions (n-1)k/4 are exact doubles, so the
+float tree matches the engine-native percentile bit-for-bit). No
+registered query runs a corpus-sized low-cardinality rank window
+anymore; unbounded domains take the KLL sketch path.
 """
 
 from __future__ import annotations

@@ -4195,34 +4195,40 @@ def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE 2 * cumw >= tot
         GROUP BY source
     """,
-    description="Volume-weighted median document length per source (the shard-budget cut: half the corpus VOLUME lies below it): one source-partitioned running-sum window + one hash aggregate, pure integer comparisons — never a per-source sort-and-scan loop",
+    description="Volume-weighted median document length per source (the shard-budget cut: half the corpus VOLUME lies below it): r12-migrated onto the frequency-table decomposition (operators/quantiles.py) — one map-side-combined hash aggregate to per-(source, n_chars) weight totals, then the weighted-median cut is a rank lookup over the tiny table with the character VOLUME as the count column (2*cumw >= tot == cumw >= (tot+1) DIV 2, pure integers; the old corpus-sized low-cardinality running-sum window was a per-source single-task sort at 100 TB); the oracle keeps the running-weight window formulation as the independent derivation",
 )
 def documents_volume_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.quantiles import freq_table_rank_stats_from_counts
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    wsrc = Window.partitionBy("source")
-    ranked = docs.select(
+    # Per-(source, n_chars) totals: `w` is the VOLUME carried by that
+    # length (the weighted-median's "count"), `nd` the document count.
+    counts = (
+        docs.groupBy("source", "n_chars")
+        .agg(
+            F.sum("n_chars").alias("w"),
+            F.count("*").alias("nd"),
+        )
+        .localCheckpoint(eager=False)  # cut lookup + per-source totals
+    )
+    # Weighted median = smallest length whose cumulative volume reaches
+    # ceil(tot/2); the doc_id tiebreak in the window form only reorders
+    # rows WITHIN one length, which all agree on the value.
+    cut = freq_table_rank_stats_from_counts(
+        counts,
         "source",
         "n_chars",
-        F.sum("n_chars")
-        .over(
-            wsrc.orderBy("n_chars", "doc_id").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        )
-        .alias("cumw"),
-        F.sum("n_chars").over(wsrc).alias("tot"),
-        F.count("*").over(wsrc).alias("n_docs"),
+        "w",
+        {"wmedian_chars": "(n + 1) DIV 2"},
     )
-    return (
-        ranked.filter(2 * F.col("cumw") >= F.col("tot"))
-        .groupBy("source")
-        .agg(
-            F.max("n_docs").cast("long").alias("n_docs"),
-            F.max("tot").cast("long").alias("total_chars"),
-            F.min("n_chars").cast("long").alias("wmedian_chars"),
-        )
+    per_source = counts.groupBy("source").agg(
+        F.sum("nd").cast("long").alias("n_docs")
+    )
+    return cut.join(per_source, "source").select(
+        "source",
+        "n_docs",
+        F.col("n").alias("total_chars"),
+        F.col("wmedian_chars").cast("long").alias("wmedian_chars"),
     )
 
 
@@ -4370,39 +4376,35 @@ def events_type_run_lengths_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
         FROM base b JOIN bounds bo ON b.event_type = bo.event_type
         GROUP BY b.event_type, bo.n, bo.lo_e2, bo.hi_e2
     """,
-    description="Winsorized per-type statistics (rank-exact P1/P99 clipping, the robust-mean pass for feature normalization): ONE type-partitioned window pass derives both bounds (ranks ceil(n/100)/ceil(99n/100) under a total order — no interpolated-percentile float boundary), bounds broadcast back, clipped aggregate with map-side partials, sign-safe round-half-up mean — pure BIGINT end to end",
+    description="Winsorized per-type statistics (rank-exact P1/P99 clipping, the robust-mean pass for feature normalization): r12-migrated onto the frequency-table decomposition (operators/quantiles.py) — ONE map-side-combined hash aggregate to per-(type, cents) counts is the only corpus-sized operator; bounds are rank lookups and the clipped sums are count-weighted aggregates over the SAME tiny count table (the old form re-scanned the corpus for the clipped pass and ran a corpus-sized low-cardinality rank window — a per-type single-task sort at 100 TB); sign-safe round-half-up mean, pure BIGINT end to end; the oracle keeps the ROW_NUMBER formulation as the independent derivation",
 )
 def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.quantiles import freq_table_rank_stats_from_counts
 
     ev = load_events(spark, sf_dir)
-    base = ev.select(
+    counts = (
+        ev.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cts")
+        )
+        .groupBy("event_type", "cts")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # bounds + clipped pass, both tiny
+    )
+    bounds = freq_table_rank_stats_from_counts(
+        counts,
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-        "event_id",
+        "cts",
+        "cnt",
+        {"lo_e2": "(n + 99) DIV 100", "hi_e2": "(n * 99 + 99) DIV 100"},
     )
-    w = Window.partitionBy("event_type").orderBy("c", "event_id")
-    ranked = base.select(
-        "event_type",
-        "c",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
-    )
-    klo = F.expr("(n + 99) DIV 100")
-    khi = F.expr("(n * 99 + 99) DIV 100")
-    bounds = ranked.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") == klo, F.col("c"))).alias("lo_e2"),
-        F.min(F.when(F.col("rn") == khi, F.col("c"))).alias("hi_e2"),
-        F.max("n").alias("n"),
-    )
-    clipped = F.least(F.greatest(F.col("c"), F.col("lo_e2")), F.col("hi_e2"))
-    agg = base.join(F.broadcast(bounds), "event_type").groupBy("event_type").agg(
+    clipped = F.least(F.greatest(F.col("cts"), F.col("lo_e2")), F.col("hi_e2"))
+    agg = counts.join(F.broadcast(bounds), "event_type").groupBy("event_type").agg(
         F.max("n").alias("n"),
         F.max("lo_e2").alias("lo_e2"),
         F.max("hi_e2").alias("hi_e2"),
-        F.sum((F.col("c") < F.col("lo_e2")).cast("long")).alias("n_clipped_lo"),
-        F.sum((F.col("c") > F.col("hi_e2")).cast("long")).alias("n_clipped_hi"),
-        F.sum(clipped).alias("wins_sum_e2"),
+        F.sum(F.when(F.col("cts") < F.col("lo_e2"), F.col("cnt")).otherwise(F.lit(0))).alias("n_clipped_lo"),
+        F.sum(F.when(F.col("cts") > F.col("hi_e2"), F.col("cnt")).otherwise(F.lit(0))).alias("n_clipped_hi"),
+        F.sum(clipped * F.col("cnt")).alias("wins_sum_e2"),
     )
     return agg.select(
         "event_type", "n", "lo_e2", "hi_e2", "n_clipped_lo", "n_clipped_hi",
@@ -4459,12 +4461,11 @@ def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN gap END) AS p90_secs
         FROM m GROUP BY view_hour
     """,
-    description="Conversion-latency profile (view -> next purchase within 2h, per view hour-of-day): forward as-of for the gaps (union+window linear scan), then rank-exact median/p90 via ONE hour-partitioned window (ranks ceil(n/2)/ceil(9n/10) under a total order — no interpolated-percentile float boundary) — pure integers end to end",
+    description="Conversion-latency profile (view -> next purchase within 2h, per view hour-of-day): forward as-of for the gaps (union+window linear scan), then rank-exact median/p90 via the frequency-table decomposition (operators/quantiles.py, r12 migration — gap domain bounded at 7200 s, so the per-(hour, gap) count aggregate is the only post-join corpus-sized operator; the old 24-partition rank window was a single-task-per-hour sort at 100 TB) — pure integers end to end; the oracle keeps the ROW_NUMBER formulation as the independent derivation",
 )
 def events_conversion_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..operators.asof import asof_join_forward
+    from ..operators.quantiles import freq_table_rank_stats
 
     ev = load_events(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view").select(
@@ -4485,25 +4486,20 @@ def events_conversion_time_profile(spark: SparkSession, sf_dir: str) -> DataFram
         right_vals=["p_t"],
     )
     gaps = joined.select(
-        "event_id",
         "view_hour",
         (F.col("p_t") - F.col("t")).alias("gap"),
     ).filter(F.col("gap").isNotNull() & (F.col("gap") <= 7200))
-    w = Window.partitionBy("view_hour").orderBy("gap", "event_id")
-    m = gaps.select(
+    stats = freq_table_rank_stats(
+        gaps,
         "view_hour",
         "gap",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("view_hour")).alias("n"),
+        {"median_secs": "(n + 1) DIV 2", "p90_secs": "(n * 9 + 9) DIV 10"},
     )
-    return m.groupBy("view_hour").agg(
-        F.max("n").cast("long").alias("n_conversions"),
-        F.min(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("gap"))).alias(
-            "median_secs"
-        ),
-        F.min(
-            F.when(F.col("rn") == F.expr("(n * 9 + 9) DIV 10"), F.col("gap"))
-        ).alias("p90_secs"),
+    return stats.select(
+        "view_hour",
+        F.col("n").alias("n_conversions"),
+        "median_secs",
+        "p90_secs",
     )
 
 

@@ -944,17 +944,48 @@ def customer_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY event_type
     """,
-    description="Exact interpolated quartiles per group (A-family exact percentile, the deterministic complement of the GK sketch): single hash aggregate; at scale the per-group sort is bounded by group size, and heavy groups belong on the sketch path instead",
+    description="Exact interpolated quartiles per group (A-family exact percentile, the deterministic complement of the GK sketch): r12-migrated onto the frequency-table decomposition (operators/quantiles.py) — one map-side-combined hash aggregate to per-(type, value) counts, quartile boundary values via rank lookups over the tiny count table, then percentile_cont's (higher-pos)*lo + (pos-lower)*hi interpolation (the positions (n-1)*k/4 and fractions rem/4 are exactly representable doubles, so the float tree matches the engine-native percentile bit-for-bit; Spark's own percentile() buffers every group's value map in ONE task's memory — the heavy-group OOM at 100 TB)",
 )
 def events_value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import freq_table_rank_stats
     from ..sources.catalog import load_events
 
     ev = load_events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+    # 0-based percentile position pos_k = (n-1)*k/4; the boundary values
+    # live at 1-based ranks floor(pos)+1 and floor(pos)+2 (the latter
+    # only consulted when the fractional part rem/4 is nonzero).
+    rank_exprs = {}
+    for k in (1, 2, 3):
+        rank_exprs[f"_q{k}_lo"] = f"((n - 1) * {k} DIV 4) + 1"
+        rank_exprs[f"_q{k}_hi"] = (
+            f"((n - 1) * {k} DIV 4) + 1"
+            f" + CASE WHEN ((n - 1) * {k}) % 4 > 0 THEN 1 ELSE 0 END"
+        )
+    stats = freq_table_rank_stats(
+        ev.select("event_type", "value"), "event_type", "value", rank_exprs
+    )
+
+    def interp(k: int) -> F.Column:
+        # Spark Percentile.getPercentile: (higher - pos)*lo + (pos -
+        # lower)*hi, lowerKey alone when pos is integral. rem/4 ∈
+        # {0, .25, .5, .75} and 1 - rem/4 are exact doubles, so this
+        # tree reproduces the engine-native result bit-for-bit.
+        rem = F.expr(f"((n - 1) * {k}) % 4")
+        frac = rem.cast("double") / F.lit(4.0)
+        lo, hi = F.col(f"_q{k}_lo"), F.col(f"_q{k}_hi")
+        return F.round(
+            F.when(rem == 0, lo).otherwise(
+                (F.lit(1.0) - frac) * lo + frac * hi
+            ),
+            6,
+        )
+
+    return stats.select(
+        "event_type",
+        "n",
+        interp(1).alias("p25"),
+        interp(2).alias("p50"),
+        interp(3).alias("p75"),
     )
 
 
@@ -1226,7 +1257,7 @@ def orders_weekly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
         GROUP BY event_type, bucket
     """,
-    description="Equi-DEPTH decile histogram per event type (equal population, data-driven boundaries — the skew-report dual of the equi-width histogram): NTILE over the per-group total order, then a (type, bucket) aggregate that reuses the window's hash partitioning — one shuffle total (operators/quality.py equi_depth_histogram)",
+    description="Equi-DEPTH decile histogram per event type (equal population, data-driven boundaries — the skew-report dual of the equi-width histogram): r12-migrated onto the frequency-table decomposition (operators/quality.py equi_depth_histogram) — one map-side-combined hash aggregate to per-(type, value) counts, NTILE's exact rank spans resolved as rank lookups over the tiny count table; the oracle keeps the NTILE formulation as the independent derivation",
 )
 def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import equi_depth_histogram

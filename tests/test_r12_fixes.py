@@ -130,3 +130,32 @@ def test_freq_table_reserved_names_rejected(spark):
     ok = spark.createDataFrame([("g1", 3), ("g1", 1)], "g string, v long")
     out = freq_table_rank_stats(ok, "g", "v", {"median": "(n + 1) DIV 2"})
     assert out.collect()[0]["median"] == 1
+
+
+def test_freq_table_quartiles_match_engine_percentile(spark):
+    """The r12 freq-table quartile migration must reproduce the
+    engine-native percentile() BIT-FOR-BIT (before the final rounding):
+    the positions (n-1)*k/4 and fractions rem/4 are exact doubles and
+    the interpolation tree mirrors Spark's Percentile.getPercentile."""
+    from analyzing_big_data_in_scala_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: (r.n, r.p25, r.p50, r.p75)
+        for r in QUERIES["events_value_quartiles_by_type"].fn(spark, sf).collect()
+    }
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_events
+
+    native = {
+        r.event_type: (r.n, r.p25, r.p50, r.p75)
+        for r in load_events(spark, sf)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        )
+        .collect()
+    }
+    assert got == native
