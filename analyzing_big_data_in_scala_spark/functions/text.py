@@ -61,6 +61,50 @@ def sql_stopword_list() -> str:
     return "(" + ", ".join(f"'{w}'" for w in STOP_WORDS) + ")"
 
 
+# Per-language stop-word PROFILES for the r12 language classifier
+# (doc_language_id): the en-only hit-ratio gate leaked any non-English
+# text containing incidental English stopwords ('in'/'was'/'an' are also
+# German words, 'a'/'no' Spanish, 'a' French) — the leak
+# doc_langid_confusion measures. Scoring every language's profile and
+# taking the argmax closes that class. Lists are ASCII-ONLY by
+# construction: `normalize_text` collapses every non-[a-z0-9] rune to a
+# space, so accented stopwords (fuer/für, mas/más) never survive
+# tokenization — each list holds only forms that do. Keep these tuples in
+# sync with the oracle literals via `sql_lang_profile`.
+LANG_STOP_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": STOP_WORDS,
+    "de": (
+        "der", "die", "das", "und", "ist", "nicht", "ein", "eine", "einer",
+        "mit", "von", "zu", "den", "dem", "des", "im", "am", "auf", "als",
+        "auch", "sich", "sie", "er", "ich", "wir", "ihr", "aber", "oder",
+        "wenn", "nur", "noch", "bei", "nach", "aus", "wie", "war", "waren",
+        "sind", "werden", "wird", "hat", "haben", "kann", "mehr", "schon",
+        "dann", "doch", "hier", "alle", "durch",
+    ),
+    "fr": (
+        "le", "la", "les", "de", "des", "du", "un", "une", "et", "est",
+        "que", "qui", "dans", "pour", "pas", "sur", "avec", "au", "aux",
+        "ce", "cette", "ces", "il", "elle", "nous", "vous", "ils", "elles",
+        "ne", "se", "son", "sa", "ses", "mais", "ou", "si", "plus", "par",
+        "sont", "tout", "tous", "comme", "bien", "leur", "votre", "notre",
+        "a",
+    ),
+    "es": (
+        "el", "la", "los", "las", "de", "del", "un", "una", "unos", "unas",
+        "y", "es", "que", "en", "no", "se", "por", "con", "para", "su",
+        "sus", "al", "lo", "como", "pero", "este", "esta", "estos", "estas",
+        "son", "fue", "ser", "hay", "muy", "o", "si", "ya", "cuando",
+        "sobre", "entre", "sin", "me", "mi", "tu", "a",
+    ),
+}
+
+
+def sql_lang_profile(lang: str) -> str:
+    """One language's stop-word profile as a SQL literal (oracle twin of
+    LANG_STOP_PROFILES)."""
+    return "(" + ", ".join(f"'{w}'" for w in LANG_STOP_PROFILES[lang]) + ")"
+
+
 def normalize_text(col: Column | str) -> Column:
     """N4/F11: lowercase and collapse every non-alphanumeric run to a single
     space (ScalaNotebooks/MovieSearchEngine.scala:59-63)."""

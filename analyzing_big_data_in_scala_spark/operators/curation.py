@@ -105,6 +105,67 @@ def unigram_profile(
     )
 
 
+def language_profile_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, pred_lang, en_ratio): multi-language stop-word-PROFILE
+    classifier (r12, VERDICT r11 item 5) — the measured upgrade of the
+    en-only hit-ratio gate whose leak `doc_langid_confusion` quantifies.
+
+    One tokenize + ONE hash aggregate counts each document's hits
+    against every language's profile (`functions.text.LANG_STOP_PROFILES`
+    — en/de/fr/es; ASCII-only by construction since `normalize_text`
+    destroys accented forms); the prediction is the argmax profile,
+    'unknown' when even the best profile covers under 5% of tokens.
+    All comparisons are pure BIGINT (20·max_count vs n — the 0.05
+    threshold cross-multiplied), so the label is bit-identical
+    cross-engine; ties prefer 'en' (conservative for the en-centric
+    curation gate the old heuristic served), then alphabetical.
+
+    The en-only gate mislabels any non-English text carrying incidental
+    English-list collisions ('in'/'was'/'an' are German words, 'a'/'no'
+    Spanish, 'a' French) — real multilingual text leaks at ~0.05+ hit
+    ratio. The profile argmax closes that class because the text's OWN
+    language outscores the collisions (pinned on a hand-built
+    multilingual micro-fixture in tests/test_r12_fixes.py; the synthetic
+    driver fixture's text is language-signal-free — all five lang labels
+    draw from one shared 31-term vocabulary — so its confusion matrix is
+    invariant under ANY classifier improvement, which the r12 evidence
+    documents with the vocabulary audit).
+
+    `unigram_profile` (the fused funnel gate above) deliberately keeps
+    the cheap binary en-gate: its oracles pin that exact semantics, and
+    the funnel only consumes the en/not-en decision; this classifier's
+    'en' predictions are a subset refinement (argmax en AND >= 5%)."""
+    from ..functions.text import LANG_STOP_PROFILES, tokens
+
+    langs = sorted(LANG_STOP_PROFILES)  # de, en, es, fr — deterministic
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    counts = toks.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("term").isin(*LANG_STOP_PROFILES[lang]), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"c_{lang}")
+            for lang in langs
+        ],
+    )
+    m = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
+    pred = F.when(m * 20 < F.col("n"), F.lit("unknown")).when(
+        F.col("c_en") == m, F.lit("en")
+    )
+    for lang in langs:
+        if lang != "en":
+            pred = pred.when(F.col(f"c_{lang}") == m, F.lit(lang))
+    return counts.select(
+        id_col,
+        pred.alias("pred_lang"),
+        F.round(F.col("c_en").cast("double") / F.col("n"), 6).alias("en_ratio"),
+    )
+
+
 def funnel_key_table(
     docs: DataFrame,
     is_bench: Column,

@@ -526,34 +526,47 @@ def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_stats(docs.select("doc_id", aug.alias("text")), _URL_BLOCKLIST)
 
 
+# Shared oracle fragment for the r12 profile classifier: per-doc hit
+# counts against every language's stop-word profile, argmax prediction
+# in pure BIGINT comparisons (mirrors operators/curation.py
+# language_profile_table — same tie order: unknown-threshold, en,
+# then alphabetical).
+from ..functions.text import sql_lang_profile as _sql_lang_profile  # noqa: E402
+
+_SQL_LANGID = f""",
+lang_counts AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN term IN {_sql_lang_profile("de")} THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+           CAST(SUM(CASE WHEN term IN {_sql_lang_profile("en")} THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+           CAST(SUM(CASE WHEN term IN {_sql_lang_profile("es")} THEN 1 ELSE 0 END) AS BIGINT) AS c_es,
+           CAST(SUM(CASE WHEN term IN {_sql_lang_profile("fr")} THEN 1 ELSE 0 END) AS BIGINT) AS c_fr
+    FROM toks GROUP BY doc_id
+),
+lang_pred AS (
+    SELECT doc_id,
+           CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) * 20 < n THEN 'unknown'
+                WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr) THEN 'en'
+                WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr) THEN 'de'
+                WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           ROUND(CAST(c_en AS DOUBLE) / n, 6) AS en_ratio
+    FROM lang_counts
+)
+"""
+
+
 @query(
     "doc_language_id",
     oracle=f"""
-        WITH {_SQL_TOKS},
-        hits AS (
-            SELECT doc_id,
-                   AVG(CASE WHEN term IN {sql_stopword_list()} THEN 1.0 ELSE 0.0 END) AS en_ratio
-            FROM toks GROUP BY doc_id
-        )
-        SELECT doc_id,
-               CASE WHEN en_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang,
-               ROUND(en_ratio, 6) AS en_ratio
-        FROM hits
+        WITH {_SQL_TOKS}{_SQL_LANGID}
+        SELECT doc_id, pred_lang, en_ratio FROM lang_pred
     """,
-    description="Heuristic language ID via english-stopword hit ratio",
+    description="Language ID via per-language stop-word PROFILE scoring (r12 upgrade of the en-only hit-ratio gate, measured by doc_langid_confusion): one tokenize + one hash aggregate counts hits against the en/de/fr/es profiles; argmax prediction with the 5%-coverage unknown floor, all comparisons pure BIGINT (operators/curation.py language_profile_table)",
 )
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    hits = (
-        T.token_table(docs)
-        .groupBy("doc_id")
-        .agg(F.avg(F.when(F.col("term").isin(*STOP_WORDS), 1.0).otherwise(0.0)).alias("en_ratio"))
-    )
-    return hits.select(
-        "doc_id",
-        F.when(F.col("en_ratio") >= 0.05, "en").otherwise("unknown").alias("pred_lang"),
-        F.round("en_ratio", 6).alias("en_ratio"),
-    )
+    from ..operators.curation import language_profile_table
+
+    return language_profile_table(_docs(spark, sf_dir))
 
 
 @query(
@@ -756,17 +769,10 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and how much English it drops. Only docs with >= 1 token are
     # evaluated (the tokenizer's domain — identical on both engines).
     oracle=f"""
-        WITH {{toks}},
-        hits AS (
-            SELECT doc_id,
-                   AVG(CASE WHEN term IN {{stops}} THEN 1.0 ELSE 0.0 END) AS en_ratio
-            FROM toks GROUP BY doc_id
-        ),
+        WITH {_SQL_TOKS}{_SQL_LANGID},
         j AS (
-            SELECT d.lang,
-                   CASE WHEN h.en_ratio >= 0.05 THEN 'en' ELSE 'unknown' END
-                       AS pred_lang
-            FROM hits h JOIN documents d USING (doc_id)
+            SELECT d.lang, p.pred_lang
+            FROM lang_pred p JOIN documents d USING (doc_id)
         ),
         cells AS (
             SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
@@ -776,8 +782,8 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.lang, c.pred_lang, c.n,
                (2000000 * c.n + t.t) // (2 * t.t) AS share_ppm
         FROM cells c JOIN tot t USING (lang)
-    """.format(toks=_SQL_TOKS.strip().lstrip(), stops=sql_stopword_list()),
-    description="Language-ID evaluation against the fixture's ground-truth lang column: confusion matrix of actual vs stopword-heuristic prediction with per-actual-language cell shares in round-half-up ppm (the 'how much zh/de/fr/es leaks through the en gate' audit); one token aggregate + a documents join + two tiny hash aggregates",
+    """,
+    description="Language-ID evaluation against the fixture's ground-truth lang column: confusion matrix of actual vs the r12 profile-classifier prediction with per-actual-language cell shares in round-half-up ppm (the 'how much zh/de/fr/es leaks through the en gate' audit); one token aggregate + a documents join + two tiny hash aggregates. NOTE the synthetic fixture's text is language-signal-free (all lang labels share one 31-term vocabulary), so this matrix measures the gate's behavior on signal-free input; the classifier's real separation is pinned on a genuine multilingual micro-fixture in tests/test_r12_fixes.py",
 )
 def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = doc_language_id(spark, sf_dir).select("doc_id", "pred_lang")

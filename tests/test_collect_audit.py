@@ -4,7 +4,9 @@ The 100 TB design claim "no unguarded driver collect in any hot path"
 was, until this round, settled by inspection each review. This test
 turns it into a regression-pinned invariant: every `.collect()` /
 `.first()` / `.take()` / `.toPandas()` / `.head()` / `.tail()` /
-`.toLocalIterator()` call in `operators/` and `plans/` must appear in
+`.toLocalIterator()` call anywhere in the PACKAGE (operators, plans,
+streaming, sources, functions, workloads — enumerated from the package
+root, r12) must appear in
 the allow-list below, each with the reason its result is BOUNDED by
 contract (k centroids, m×k codebooks, one merge row per BPE round, a
 64×64 scatter grid, 1-row aggregates, DESCRIBE/meta reads) or loudly
@@ -104,18 +106,40 @@ ALLOWED: dict[tuple[str, str], str] = {
         "take(1) emptiness probe inside a foreachBatch fold (bounded by "
         "construction; two folds share the function name)"
     ),
+    # r12 (VERDICT r11 item 4): the walk now covers the WHOLE package —
+    # the two sites below were previously outside the audit's scope.
+    ("sources/layout.py", "write_zordered"): (
+        "1-row min/max stats aggregate scaling the Z-curve — metadata, "
+        "the same cost class as repartitionByRange's sampling pass"
+    ),
+    ("streaming/stream.py", "produce"): (
+        "TEST-ONLY twin loudly documented at its definition: "
+        "kafka_sink_via_foreach_batch drains micro-batches to a local "
+        "list for fixture assertions; the production path is the "
+        "executor-side kafka_sink (format('kafka'))"
+    ),
 }
+
+
+def _pkg_files() -> list[tuple[str, str]]:
+    """Every .py file under the PACKAGE ROOT (r12, VERDICT r11 item 4:
+    streaming/, sources/, functions/, workloads.py and future subpackages
+    are enumerated from the root — a collect regression can no longer
+    land in an unscanned corner of the package)."""
+    out: list[tuple[str, str]] = []
+    for dirpath, dirnames, filenames in os.walk(PKG):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                out.append((os.path.relpath(full, PKG), full))
+    return out
 
 
 def _call_sites() -> dict[tuple[str, str], int]:
     sites: dict[tuple[str, str], int] = {}
-    for sub in ("operators", "plans"):
-        root = os.path.join(PKG, sub)
-        for fn in sorted(os.listdir(root)):
-            if not fn.endswith(".py"):
-                continue
-            rel = f"{sub}/{fn}"
-            tree = ast.parse(open(os.path.join(root, fn)).read())
+    for rel, full in _pkg_files():
+            tree = ast.parse(open(full).read())
             stack: list[str] = []
 
             class V(ast.NodeVisitor):

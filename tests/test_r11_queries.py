@@ -414,20 +414,35 @@ def test_langid_confusion_matches_bruteforce(spark):
         (r.lang, r.pred_lang): (r.n, r.share_ppm)
         for r in QUERIES["doc_langid_confusion"].fn(spark, SF_SMALL).collect()
     }
-    from analyzing_big_data_in_scala_spark.functions.text import STOP_WORDS
+    from analyzing_big_data_in_scala_spark.functions.text import (
+        LANG_STOP_PROFILES,
+    )
 
     rows = _rows("SELECT doc_id, lang, text FROM documents")
     import re as _re
 
-    stops = {w.lower() for w in STOP_WORDS}
+    profiles = {
+        lang: {w.lower() for w in ws} for lang, ws in LANG_STOP_PROFILES.items()
+    }
     cells = Counter()
     for doc_id, lang, text in rows:
         toks = [t for t in _re.split(r"\s+",
                 _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()) if t]
         if not toks:
             continue  # tokenizer's domain: empty docs are not evaluated
-        ratio = sum(1 for t in toks if t in stops) / len(toks)
-        cells[(lang, "en" if ratio >= 0.05 else "unknown")] += 1
+        # r12 profile classifier: argmax profile hit count; unknown below
+        # the 5% floor; ties prefer en then alphabetical.
+        counts = {
+            lg: sum(1 for t in toks if t in ws) for lg, ws in profiles.items()
+        }
+        m = max(counts.values())
+        if m * 20 < len(toks):
+            pred = "unknown"
+        elif counts["en"] == m:
+            pred = "en"
+        else:
+            pred = min(lg for lg, c in counts.items() if c == m)
+        cells[(lang, pred)] += 1
     tot = Counter()
     for (lang, _p), n in cells.items():
         tot[lang] += n

@@ -159,3 +159,57 @@ def test_freq_table_quartiles_match_engine_percentile(spark):
         .collect()
     }
     assert got == native
+
+
+def test_language_profile_classifier_fixes_en_leak(spark):
+    """Before/after pin for the r12 language-gate upgrade on a
+    hand-built GENUINE multilingual micro-fixture (the synthetic driver
+    corpus is language-signal-free — every lang label draws from one
+    shared 31-term vocabulary — so the improvement can only be measured
+    on real text): the old en-only hit-ratio gate mislabels German /
+    French / Spanish sentences as 'en' because 'in'/'was'/'an'/'a'/'no'
+    are stopwords in those languages too; the profile argmax labels each
+    correctly, with zero non-English leak into 'en'."""
+    from analyzing_big_data_in_scala_spark.functions.text import STOP_WORDS
+    from analyzing_big_data_in_scala_spark.operators.curation import (
+        language_profile_table,
+    )
+
+    rows = [
+        (1, "en", "the cat sat on the mat and it was there with all of these things"),
+        (2, "de", "was ist in dem haus und wer war in der stadt an dem tag"),
+        (3, "fr", "il est la pour un an et il ne va pas a la table avec les chats"),
+        (4, "es", "no se si es para el o para la casa en que vive"),
+        (5, "xx", "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    # OLD gate: en-stopword hit ratio >= 0.05 -> 'en'.
+    old = {
+        r.doc_id: r.pred
+        for r in df.select(
+            "doc_id",
+            F.when(
+                F.aggregate(
+                    F.transform(
+                        F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), r"\s+"),
+                        lambda t: F.when(t.isin(*STOP_WORDS), 1.0).otherwise(0.0),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), r"\s+"))
+                >= 0.05,
+                "en",
+            ).otherwise("unknown").alias("pred"),
+        ).collect()
+    }
+    # The leak this upgrade exists to close: every non-English sentence
+    # crossed the old gate's 5% en-stopword floor.
+    assert old == {1: "en", 2: "en", 3: "en", 4: "en", 5: "unknown"}
+
+    new = {
+        r.doc_id: r.pred_lang
+        for r in language_profile_table(df).collect()
+    }
+    assert new == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
