@@ -203,13 +203,47 @@ def kll_value_rollup(
 
     Output: (group_col, n_events, n_match, p50_rank_ok, p95_rank_ok,
     p99_rank_ok) — all BIGINT, flags pinned 1 in the oracle."""
-    ve4 = F.round(F.col(value_col) * 10000).cast("long")
-    day = F.floor(F.unix_timestamp(ts_col) / F.lit(86400)).cast("long")
-    base = events.select(group_col, day.alias("_day"), ve4.alias("_ve4"))
+    base = kll_value_base(events, group_col, value_col, ts_col)
     daily = base.groupBy(group_col, "_day").agg(
         F.expr(f"kll_sketch_agg_bigint(_ve4, {k})").alias("_sk")
     )
-    merged = daily.groupBy(group_col).agg(F.expr("kll_merge_agg_bigint(_sk)").alias("_mg"))
+    return kll_rollup_finalize(daily, base, group_col, rank_tol=rank_tol)
+
+
+def kll_value_base(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(group_col, _day, _ve4): the shared integerized input both the
+    one-shot rollup and the streaming maintenance fold ingest — per-row
+    1e-4 units (exact BIGINTs into the sketch) and the epoch day the
+    partials key on."""
+    ve4 = F.round(F.col(value_col) * 10000).cast("long")
+    day = F.floor(F.unix_timestamp(ts_col) / F.lit(86400)).cast("long")
+    return events.select(group_col, day.alias("_day"), ve4.alias("_ve4"))
+
+
+def kll_rollup_finalize(
+    daily_sketches: DataFrame,
+    base: DataFrame,
+    group_col: str = "event_type",
+    rank_tol: float = 0.03,
+) -> DataFrame:
+    """Finalize the KLL rollup CONTRACT from a per-(group, _day) sketch
+    table (column `_sk`) plus the exact base rows — shared by the
+    one-shot `kll_value_rollup` and the STREAMING maintenance fold (r12:
+    the drained per-day sketch state drops into the identical merge +
+    judge-column tree, so the streaming twin's contract is
+    value-identical by construction): merge per group, assert the merged
+    sketch saw exactly every row once (n_match — for the streaming fold
+    this is ALSO the exactly-once witness: a double-delivered batch
+    double-counts the stream length), and assert each pXX estimate lands
+    between the exact discrete quantiles at p±rank_tol."""
+    merged = daily_sketches.groupBy(group_col).agg(
+        F.expr("kll_merge_agg_bigint(_sk)").alias("_mg")
+    )
     targets = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
     bound_cols = []
     for label, p in targets.items():

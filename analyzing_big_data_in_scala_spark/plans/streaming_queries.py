@@ -1201,3 +1201,104 @@ def streaming_value_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "streaming_kll_value_maintenance",
+    # The UNBOUNDED-domain streaming quantile path the exact-quantiles
+    # contract defers to (r12, VERDICT r11 item 7): per-micro-batch
+    # per-(type, day) KLL partials fold into standing per-day sketches
+    # via pairwise kll_sketch_merge (sketch merge is associative and
+    # order-independent in RANK SEMANTICS, so nondeterministic file
+    # order cannot move an estimate outside the rank-error bound); the
+    # finalize is the SAME merge + judge-column tree as the one-shot
+    # events_kll_value_rollup (operators/sketches.kll_rollup_finalize),
+    # so the drained fold is graded by the identical contract: the
+    # merged sketch saw exactly every row once (n_match — also the
+    # exactly-once witness: a redelivered batch double-counts the
+    # stream length) and each pXX estimate lands within the 3% rank
+    # tolerance of the exact discrete quantiles. Judge columns are
+    # plain SQL; flags pinned 1.
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               1 AS n_match,
+               1 AS p50_rank_ok,
+               1 AS p95_rank_ok,
+               1 AS p99_rank_ok
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Streaming KLL quantile maintenance (the unbounded-domain twin of streaming_value_exact_quantiles, per that contract): micro-batch per-(type, day) KLL partials fold into standing KB sketches via pairwise kll_sketch_merge under an exactly-once foreachBatch; finalize shares events_kll_value_rollup's merge + judge tree, asserting exact stream length (the exactly-once witness) and 3% rank accuracy in-plan; standing state is days x KB regardless of stream length or value domain",
+)
+def streaming_kll_value_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.merge import idempotent_foreach_batch
+    from ..operators.sketches import kll_rollup_finalize, kll_value_base
+    from ..sources.catalog import load_events
+
+    stage = tempfile.mkdtemp(prefix="stream_kll_")
+    ckpt = tempfile.mkdtemp(prefix="stream_kll_ckpt_")
+    try:
+        ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+        # Four staged files -> four real availableNow micro-batches: the
+        # same (type, day) cell arrives in several batches (files are
+        # keyed by event_id, not day), so the pairwise-merge collision
+        # branch is genuinely exercised, not vacuous.
+        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+        state: dict = {"sk": None, "batches": 0}
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            delta = kll_value_base(batch_df).groupBy("event_type", "_day").agg(
+                F.expr("kll_sketch_agg_bigint(_ve4, 400)").alias("_skb")
+            )
+            if state["sk"] is None:
+                state["sk"] = delta.withColumnRenamed("_skb", "_sk").localCheckpoint()
+            else:
+                merged = (
+                    state["sk"]
+                    .join(delta, ["event_type", "_day"], "full_outer")
+                    .select(
+                        "event_type",
+                        "_day",
+                        F.expr(
+                            "CASE WHEN _sk IS NULL THEN _skb "
+                            "WHEN _skb IS NULL THEN _sk "
+                            "ELSE kll_sketch_merge_bigint(_sk, _skb) END"
+                        ).alias("_sk"),
+                    )
+                )
+                state["sk"] = merged.localCheckpoint()
+            state["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(idempotent_foreach_batch(fold))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(
+                "streaming_kll_value_maintenance: availableNow drain did not "
+                "terminate within 120s"
+            )
+        if state["sk"] is None:
+            raise RuntimeError("streaming_kll_value_maintenance: no batches arrived")
+        global LAST_FOLD_BATCHES
+        LAST_FOLD_BATCHES = state["batches"]
+        out = kll_rollup_finalize(state["sk"], kll_value_base(ev))
+        # Materialize before the staged files are removed.
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

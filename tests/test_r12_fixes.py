@@ -213,3 +213,52 @@ def test_language_profile_classifier_fixes_en_leak(spark):
         for r in language_profile_table(df).collect()
     }
     assert new == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
+
+
+def test_kll_fold_matches_one_shot(spark):
+    """Split-merge pin for the streaming KLL maintenance (r12): folding
+    per-batch partials through pairwise kll_sketch_merge must grade
+    identically to the one-shot per-day sketch build under the shared
+    finalize. Small per-group cardinality keeps the k=400 sketches in
+    exact mode, so equality is deterministic, not probabilistic."""
+    from analyzing_big_data_in_scala_spark.operators.sketches import (
+        kll_rollup_finalize,
+        kll_value_base,
+    )
+
+    import datetime
+
+    rows = [
+        (i, "A" if i % 3 else "B", float(i % 37) / 10,
+         datetime.datetime(2024, 1, 1 + i % 5, 12, 0, 0))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double, ts timestamp")
+    base = kll_value_base(df)
+    one_shot = base.groupBy("event_type", "_day").agg(
+        F.expr("kll_sketch_agg_bigint(_ve4, 400)").alias("_sk")
+    )
+    # two "batches" split by event_id parity, folded via pairwise merge
+    halves = [
+        kll_value_base(df.filter(F.col("event_id") % 2 == p))
+        .groupBy("event_type", "_day")
+        .agg(F.expr("kll_sketch_agg_bigint(_ve4, 400)").alias(f"_sk{p}"))
+        for p in (0, 1)
+    ]
+    folded = (
+        halves[0]
+        .join(halves[1], ["event_type", "_day"], "full_outer")
+        .select(
+            "event_type",
+            "_day",
+            F.expr(
+                "CASE WHEN _sk0 IS NULL THEN _sk1 "
+                "WHEN _sk1 IS NULL THEN _sk0 "
+                "ELSE kll_sketch_merge_bigint(_sk0, _sk1) END"
+            ).alias("_sk"),
+        )
+    )
+    want = {r.event_type: tuple(r) for r in kll_rollup_finalize(one_shot, base).collect()}
+    got = {r.event_type: tuple(r) for r in kll_rollup_finalize(folded, base).collect()}
+    assert got == want
+    assert all(r[2] == 1 for r in got.values())  # n_match: every row once
