@@ -853,3 +853,77 @@ def shingle_novelty(
             ).alias("novelty_ppm"),
         )
     )
+
+
+def minhash_precision_eval(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold_pct: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MEASURED precision of the MinHash-LSH banding against exact
+    k-shingle Jaccard, per band-agreement count (r12 — the dedup twin of
+    the langid-confusion lens: the gate's error rate as a first-class
+    query, not a hope). Returns
+
+        (n_bands, n_candidates, n_true, precision_ppm)
+
+    where a candidate is TRUE when its exact Jaccard >= threshold_pct/100
+    — tested as 100·|A∩B| >= pct·|A∪B|, pure integers, no float boundary.
+    More agreeing bands should mean higher precision; a flat curve says
+    the banding is mis-sized for the corpus' similarity distribution.
+
+    Scale shape: exact Jaccard is computed ONLY for candidate pairs —
+    candidates join their A-side shingles (fan-out |A| per candidate)
+    then hash-join (id_b, h) for the shared count, so the cost is
+    bounded by candidate volume times shingles-per-doc, never the f²
+    shared-shingle pair table the uncapped exact query walks."""
+    cands = minhash_candidates(
+        docs, num_perm, bands, k, id_col, text_col
+    ).localCheckpoint(eager=False)
+    sh = hashed_shingle_table(docs, k, id_col, text_col).localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), "h")
+    inter = (
+        cands.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("_sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("_sb"))
+    graded = (
+        cands.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "n_bands",
+            F.coalesce(F.col("_i"), F.lit(0)).alias("_i0"),
+            (F.col("_sa") + F.col("_sb") - F.coalesce(F.col("_i"), F.lit(0))).alias(
+                "_den"
+            ),
+        )
+    )
+    return (
+        graded.groupBy("n_bands")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(
+                (F.lit(100) * F.col("_i0") >= F.lit(threshold_pct) * F.col("_den"))
+                .cast("long")
+            ).alias("n_true"),
+        )
+        .select(
+            "n_bands",
+            "n_candidates",
+            "n_true",
+            F.expr(
+                "(2000000 * n_true + n_candidates) DIV (2 * n_candidates)"
+            ).alias("precision_ppm"),
+        )
+    )

@@ -785,3 +785,68 @@ def adamic_adar_topk(
     return scored.orderBy(
         F.desc("score_ppm"), F.asc("u"), F.asc("v")
     ).limit(k)
+
+
+def jaccard_link_topk(
+    edges: DataFrame, k: int | None = 20, max_center_degree: int | None = None
+) -> DataFrame:
+    """Jaccard-coefficient link prediction (r12) — the NORMALIZED sibling
+    of :func:`adamic_adar_topk`: for every non-adjacent pair (u, v),
+    score = |N(u)∩N(v)| / |N(u)∪N(v)| = common / (deg(u)+deg(v)−common).
+    Where Adamic–Adar weights rare common neighbors up, Jaccard penalizes
+    hub endpoints — the two standard rankings disagree exactly on
+    hub-adjacent candidates, which is why both ship. Returns the top-k
+
+        (u, v, common_neighbors, jaccard_ppm)   with u < v
+
+    deterministically (score DESC, then u, v). PURE BIGINT end to end:
+    counts and degrees are integers and the only division is the final
+    round-half-up ppm — no float anywhere (unlike AA's one quantized ln
+    site), so the score is trivially bit-identical cross-engine.
+
+    Scale shape: identical to adamic_adar_topk (one adjacency
+    self-equi-join for wedges, aggregate-first then LEFT ANTI against
+    the canonical edges, two degree hash joins on the candidate-pair
+    table — candidate volume, never wedge volume); `max_center_degree`
+    is the same hub-cost dial, with the same semantics caveat: capped
+    centers' wedges are skipped, so `common` undercounts through hubs.
+    Consumer frames are lineage-cut (the triangle_counts lesson)."""
+    e = canonical_undirected(edges).localCheckpoint(eager=False)
+    adj = (
+        e.select(F.col("a").alias("w"), F.col("b").alias("n"))
+        .union(e.select(F.col("b").alias("w"), F.col("a").alias("n")))
+    ).localCheckpoint(eager=False)
+    deg = adj.groupBy("w").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=False
+    )  # wedge-center filter + both endpoint joins
+    centers = deg.filter(F.col("deg") >= 2)
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_center_degree)
+    a1 = adj.select("w", F.col("n").alias("u"))
+    a2 = adj.select("w", F.col("n").alias("v"))
+    wedges = (
+        a1.join(a2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(centers.select("w"), "w", "left_semi")
+        .select("u", "v")
+    )
+    pairs = wedges.groupBy("u", "v").agg(F.count("*").alias("common_neighbors"))
+    cand = pairs.join(e, (pairs.u == e.a) & (pairs.v == e.b), "left_anti")
+    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("_dv"))
+    scored = (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.expr(
+                "(2000000 * common_neighbors + (_du + _dv - common_neighbors))"
+                " DIV (2 * (_du + _dv - common_neighbors))"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    if k is None:
+        return scored
+    return scored.orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("v")).limit(k)

@@ -749,3 +749,48 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n DIV 2").alias("n_edges"),
         F.expr(_CORR_PPM).alias("assortativity_ppm"),
     )
+
+
+@query(
+    "graph_jaccard_link_topk",
+    # The normalized sibling of graph_adamic_adar_topk: Jaccard
+    # coefficient over common neighborhoods. PURE BIGINT — counts,
+    # degrees, and one round-half-up ppm division; no float anywhere
+    # (AA needs its one quantized ln site; this needs none), so the
+    # score is bit-identical cross-engine by construction. Full (u, v)
+    # tiebreak pins the top-20 slice.
+    oracle=f"""
+        WITH {_SQL_CANON.strip().lstrip()},
+        adj AS (
+            SELECT a AS w, b AS n FROM canon
+            UNION ALL
+            SELECT b AS w, a AS n FROM canon
+        ),
+        deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY w),
+        wedge AS (
+            SELECT a1.n AS u, a2.n AS v
+            FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
+            JOIN deg d ON d.w = a1.w AND d.deg >= 2
+        ),
+        pairs AS (
+            SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+            FROM wedge
+            WHERE NOT EXISTS (
+                SELECT 1 FROM canon e WHERE e.a = wedge.u AND e.b = wedge.v
+            )
+            GROUP BY u, v
+        )
+        SELECT u, v, common_neighbors,
+               (2000000 * common_neighbors
+                + (du.deg + dv.deg - common_neighbors))
+               // (2 * (du.deg + dv.deg - common_neighbors)) AS jaccard_ppm
+        FROM pairs
+        JOIN deg du ON du.w = pairs.u
+        JOIN deg dv ON dv.w = pairs.v
+        ORDER BY jaccard_ppm DESC, u ASC, v ASC
+        LIMIT 20
+    """,
+    description="Jaccard-coefficient link prediction top-20 (the hub-penalizing sibling of Adamic-Adar — the two rankings disagree exactly on hub-adjacent candidates): one adjacency self-equi-join for wedges, aggregate-first LEFT ANTI against existing edges, two degree joins on the candidate-pair table, round-half-up integer ppm — pure BIGINT end to end, TakeOrderedAndProject top-k (operators/graph.jaccard_link_topk, same max_center_degree hub dial)",
+)
+def graph_jaccard_link_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.jaccard_link_topk(_edges(spark, sf_dir), k=20)

@@ -5044,3 +5044,203 @@ def embeddings_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     return cells.groupBy(F.col("step").cast("long").alias("step"), "bucket").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+@query(
+    "dedup_minhash_precision",
+    # The LSH gate graded against its own ground truth (r12 — the dedup
+    # twin of doc_langid_confusion): per band-agreement count, how many
+    # candidate pairs are TRUE near-dups under exact 3-shingle Jaccard
+    # >= 0.2. The truth test is pure integers (100·inter >= 20·union) —
+    # no float boundary; the exact Jaccard runs ONLY over candidate
+    # pairs (candidate-bounded, never the f² shared-shingle table).
+    oracle=f"""
+        WITH sig AS ({_minhash_sql()}),
+        banded AS (
+            SELECT doc_id AS id, (perm - 1) // 4 AS band,
+                   {_HASH64.format(x="string_agg(concat(perm, ':', minhash), ',' ORDER BY concat(perm, ':', minhash))")} AS band_key
+            FROM sig
+            GROUP BY doc_id, (perm - 1) // 4
+        ),
+        cands AS (
+            SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+            FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        {_SQL_SHINGLES},
+        hsh AS (SELECT DISTINCT id, {_HASH64.format(x='shingle')} AS h FROM shingles),
+        sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM hsh GROUP BY id),
+        inter AS (
+            SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+            FROM cands c
+            JOIN hsh a ON a.id = c.id_a
+            JOIN hsh b ON b.id = c.id_b AND b.h = a.h
+            GROUP BY c.id_a, c.id_b
+        ),
+        graded AS (
+            SELECT c.n_bands,
+                   COALESCE(i.i, 0) AS i0,
+                   sa.n + sb.n - COALESCE(i.i, 0) AS den
+            FROM cands c
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            JOIN sizes sa ON sa.id = c.id_a
+            JOIN sizes sb ON sb.id = c.id_b
+        )
+        SELECT n_bands,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN 100 * i0 >= 20 * den THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               (2000000 * CAST(SUM(CASE WHEN 100 * i0 >= 20 * den THEN 1 ELSE 0 END) AS BIGINT)
+                + COUNT(*)) // (2 * COUNT(*)) AS precision_ppm
+        FROM graded GROUP BY n_bands
+    """,
+    description="MinHash-LSH precision audit per band-agreement count (the dedup gate graded against exact 3-shingle Jaccard >= 0.2, its own ground truth — the measured-classifier lens of doc_langid_confusion applied to dedup): exact Jaccard computed ONLY for candidate pairs (candidate-bounded join, never the f² shared-shingle table), integer truth test, round-half-up ppm (operators/dedup.minhash_precision_eval)",
+)
+def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_precision_eval(_docs(spark, sf_dir), num_perm=16, bands=4, k=3)
+
+
+@query(
+    "events_interarrival_profile",
+    # Per-type interarrival-gap profile (traffic-shape audit: burstiness,
+    # dead air, scrape cadence). The LAG runs DAY-BUCKETED: gaps within
+    # each (type, day) partition locally; the one gap PER DAY BOUNDARY is
+    # stitched from tiny per-(type, day) summaries (first event epoch vs
+    # the previous non-empty day's last epoch, LAG over the day-summary
+    # table) — a hot type's otherwise single-task corpus sort splits
+    # across its days, the asof/RLE/prefix-scan carry pattern applied to
+    # LAG; (day, t, id) order == (t, id) order since day = t DIV 86400.
+    # Gap stats are rank-exact via the frequency-table decomposition.
+    # The oracle is the plain single-window LAG + ROW_NUMBER form — an
+    # independent derivation.
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY event_type
+                         ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
+                     ) AS gap
+            FROM events
+        ),
+        gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+        ranked AS (
+            SELECT event_type, gap,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM gg
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_gaps,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS median_secs,
+               MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN gap END) AS p90_secs,
+               CAST(MIN(gap) AS BIGINT) AS min_secs,
+               CAST(MAX(gap) AS BIGINT) AS max_secs
+        FROM ranked GROUP BY event_type
+    """,
+    description="Per-type interarrival profile (burstiness / scrape-cadence audit): DAY-BUCKETED LAG — local gaps within (type, day), the one boundary gap per day stitched via LAG over tiny day summaries (the carry-stitch family applied to LAG; a hot type splits across its days instead of one sort task) — then rank-exact median/p90 via the frequency-table decomposition; the oracle's single-window LAG + ROW_NUMBER form is an independent derivation",
+)
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.quantiles import freq_table_rank_stats
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        "event_id",
+    ).withColumn("day", F.expr("t DIV 86400"))
+    w_local = Window.partitionBy("event_type", "day").orderBy("t", "event_id")
+    local_gaps = (
+        base.select(
+            "event_type", (F.col("t") - F.lag("t").over(w_local)).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    days = base.groupBy("event_type", "day").agg(
+        F.min(F.struct("t", "event_id")).getField("t").alias("first_t"),
+        F.max("t").alias("last_t"),
+    )
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    boundary_gaps = (
+        days.select(
+            "event_type",
+            (F.col("first_t") - F.lag("last_t").over(w_day)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    gaps = local_gaps.unionByName(boundary_gaps)
+    stats = freq_table_rank_stats(
+        gaps,
+        "event_type",
+        "gap",
+        {"median_secs": "(n + 1) DIV 2", "p90_secs": "(n * 9 + 9) DIV 10"},
+        extra_aggs={
+            "min_secs": F.min("v").cast("long"),
+            "max_secs": F.max("v").cast("long"),
+        },
+    )
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        "median_secs",
+        "p90_secs",
+        "min_secs",
+        "max_secs",
+    )
+
+
+@query(
+    "embeddings_norm_profile",
+    # The NORM half of the embedding-space health audit (the similarity
+    # histogram covers direction; this covers magnitude — a normalization
+    # bug, a dead encoder, or fp16 underflow shows up as norm-mass in the
+    # wrong buckets long before cosine geometry degrades). Per-component
+    # e4 integerization makes the squared norm an exact BIGINT in any
+    # summation order; the only float ops are one correctly-rounded sqrt
+    # + division + multiplication on identical integer inputs, so the
+    # tenth-of-a-unit bucket id is bit-identical cross-engine (the
+    # similarity-histogram argument).
+    oracle="""
+        WITH ns AS (
+            SELECT vec_id,
+                   (SELECT CAST(SUM(q * q) AS BIGINT) FROM (
+                        SELECT CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS q
+                        FROM UNNEST(embedding) t(x)
+                    )) AS ns
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT CAST(FLOOR(sqrt(CAST(ns AS DOUBLE)) / 10000 * 10) AS BIGINT) AS bucket
+            FROM ns
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cells)
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               (2000000 * CAST(COUNT(*) AS BIGINT) + MAX(tot.t)) // (2 * MAX(tot.t)) AS share_ppm
+        FROM cells, tot
+        GROUP BY bucket
+    """,
+    description="Embedding L2-norm histogram in tenth-of-a-unit buckets (the magnitude half of the embedding health audit — normalization bugs and dead encoders move norm mass before cosine geometry degrades): per-component e4 integerization makes the squared norm an exact BIGINT, one correctly-rounded sqrt/div per vector, round-half-up ppm shares; linear scan, one tiny aggregate",
+)
+def embeddings_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ns = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 10000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, q: acc + q * q,
+    )
+    cells = emb.select(
+        F.floor(F.sqrt(ns.cast("double")) / 10000 * 10).cast("long").alias("bucket")
+    )
+    counts = cells.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vecs"))
+    tot = counts.agg(F.sum("n_vecs").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_vecs",
+        F.expr("(2000000 * n_vecs + t) DIV (2 * t)").alias("share_ppm"),
+    )

@@ -801,3 +801,49 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(2000000 * n + t) DIV (2 * t)").alias("share_ppm"),
     )
+
+
+@query(
+    "doc_language_mix_by_source",
+    # The r12 profile classifier turned downstream curation dial: each
+    # source's predicted-language composition (which feeds pick the
+    # multilingual mixer, which sources are en-only) with per-source
+    # shares in round-half-up ppm. Zero-token docs are outside the
+    # tokenizer's domain on both engines (identical exclusion).
+    oracle=f"""
+        WITH {_SQL_TOKS}{_SQL_LANGID},
+        j AS (
+            SELECT d.source, p.pred_lang
+            FROM lang_pred p JOIN documents d USING (doc_id)
+        ),
+        cells AS (
+            SELECT source, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM j GROUP BY 1, 2
+        ),
+        tot AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS t
+                FROM cells GROUP BY source)
+        SELECT c.source, c.pred_lang, c.n_docs,
+               (2000000 * c.n_docs + t.t) // (2 * t.t) AS share_ppm
+        FROM cells c JOIN tot t USING (source)
+    """,
+    description="Per-source predicted-language mix (the curation mixer's composition dial, fed by the r12 profile classifier): language_profile_table joined to the source dimension, two tiny hash aggregates, per-source shares in round-half-up ppm — pure BIGINT finalize",
+)
+def doc_language_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import language_profile_table
+
+    docs = _docs(spark, sf_dir)
+    preds = language_profile_table(docs).select("doc_id", "pred_lang")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cells = (
+        preds.join(src, "doc_id")
+        .groupBy("source", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .localCheckpoint(eager=False)  # totals + final join
+    )
+    tot = cells.groupBy("source").agg(F.sum("n_docs").alias("t"))
+    return cells.join(F.broadcast(tot), "source").select(
+        "source",
+        "pred_lang",
+        "n_docs",
+        F.expr("(2000000 * n_docs + t) DIV (2 * t)").alias("share_ppm"),
+    )

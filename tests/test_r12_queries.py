@@ -1,0 +1,180 @@
+"""Python brute-force differentials for the r12 queries — independent
+recomputation from the same sf0.001 parquet, so shared-tree bugs the
+engine-parity hash cannot see are pinned (the r11 CUSUM lesson)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+
+from .conftest import SF_SMALL
+
+from analyzing_big_data_in_scala_spark.plans import QUERIES
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _rows(sql: str, sf: str = SF_SMALL):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "events", "documents", "part",
+              "lineitem", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con.sql(sql).fetchall()
+
+
+def _div_half_up(a: int, b: int) -> int:
+    assert a >= 0 and b > 0
+    return (2 * a + b) // (2 * b)
+
+
+def test_jaccard_link_topk_matches_bruteforce(spark):
+    """Plain-Python Jaccard over the canonical undirected graph — the
+    sf0.001 graph yields no candidates (too dense), so this runs at
+    sf0.01, the driver's grading scale."""
+    canon_sql = QUERIES["graph_jaccard_link_topk"].oracle
+    prefix = canon_sql[: canon_sql.index("adj AS")].rstrip().rstrip(",")
+    edges = _rows(prefix + " SELECT a, b FROM canon", SF_MID)
+    nbr = defaultdict(set)
+    eset = set()
+    for a, b in edges:
+        nbr[a].add(b)
+        nbr[b].add(a)
+        eset.add((a, b))
+    scored = []
+    seen = set()
+    for w, ns in nbr.items():
+        if len(ns) < 2:
+            continue
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for v in ns_sorted[i + 1:]:
+                if (u, v) in eset or (u, v) in seen:
+                    continue
+                seen.add((u, v))
+                common = len(nbr[u] & nbr[v])
+                den = len(nbr[u]) + len(nbr[v]) - common
+                scored.append((u, v, common, _div_half_up(1_000_000 * common, den)))
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = scored[:20]
+    got = [
+        (r.u, r.v, r.common_neighbors, r.jaccard_ppm)
+        for r in QUERIES["graph_jaccard_link_topk"].fn(spark, SF_MID).collect()
+    ]
+    assert got == want
+
+
+def test_language_mix_by_source_matches_bruteforce(spark):
+    from analyzing_big_data_in_scala_spark.functions.text import (
+        LANG_STOP_PROFILES,
+    )
+    import re as _re
+
+    profiles = {
+        lg: {w.lower() for w in ws} for lg, ws in LANG_STOP_PROFILES.items()
+    }
+    cells = Counter()
+    for doc_id, source, text in _rows("SELECT doc_id, source, text FROM documents"):
+        toks = [t for t in _re.split(r"\s+",
+                _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()) if t]
+        if not toks:
+            continue
+        counts = {lg: sum(1 for t in toks if t in ws) for lg, ws in profiles.items()}
+        m = max(counts.values())
+        if m * 20 < len(toks):
+            pred = "unknown"
+        elif counts["en"] == m:
+            pred = "en"
+        else:
+            pred = min(lg for lg, c in counts.items() if c == m)
+        cells[(source, pred)] += 1
+    tot = Counter()
+    for (src, _p), n in cells.items():
+        tot[src] += n
+    want = {k: (n, _div_half_up(1_000_000 * n, tot[k[0]])) for k, n in cells.items()}
+    got = {
+        (r.source, r.pred_lang): (r.n_docs, r.share_ppm)
+        for r in QUERIES["doc_language_mix_by_source"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_minhash_precision_truth_matches_raw_shingles(spark):
+    """The truth half of the LSH precision audit, recomputed from RAW
+    3-shingle STRING sets (no shared hashing with either engine):
+    per-candidate exact Jaccard >= 0.2 counts must match."""
+    cands = {
+        (r.id_a, r.id_b): r.n_bands
+        for r in QUERIES["dedup_minhash_candidates"].fn(spark, SF_SMALL).collect()
+    }
+    import re as _re
+
+    sets: dict[int, set] = {}
+    for doc_id, text in _rows("SELECT doc_id, text FROM documents"):
+        toks = [t for t in _re.split(r"\s+",
+                _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()) if t]
+        sets[doc_id] = {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+    per_bands = defaultdict(lambda: [0, 0])
+    for (a, b), nb in cands.items():
+        i = len(sets[a] & sets[b])
+        den = len(sets[a]) + len(sets[b]) - i
+        per_bands[nb][0] += 1
+        per_bands[nb][1] += 1 if (den > 0 and 100 * i >= 20 * den) else 0
+    want = {
+        nb: (n, t, _div_half_up(1_000_000 * t, n))
+        for nb, (n, t) in per_bands.items()
+    }
+    got = {
+        r.n_bands: (r.n_candidates, r.n_true, r.precision_ppm)
+        for r in QUERIES["dedup_minhash_precision"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_interarrival_profile_matches_bruteforce(spark):
+    rows = _rows("""
+        SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id
+        FROM events
+    """)
+    by_type = defaultdict(list)
+    for et, t, eid in rows:
+        by_type[et].append((t, eid))
+    want = {}
+    for et, evs in by_type.items():
+        evs.sort()
+        gaps = sorted(b[0] - a[0] for a, b in zip(evs, evs[1:]))
+        if not gaps:
+            continue
+        n = len(gaps)
+        want[et] = (
+            n,
+            gaps[(n + 1) // 2 - 1],
+            gaps[(n * 9 + 9) // 10 - 1],
+            gaps[0],
+            gaps[-1],
+        )
+    got = {
+        r.event_type: (r.n_gaps, r.median_secs, r.p90_secs, r.min_secs, r.max_secs)
+        for r in QUERIES["events_interarrival_profile"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_norm_profile_matches_bruteforce(spark):
+    import numpy as np
+
+    buckets = Counter()
+    for vid, emb in _rows("SELECT vec_id, embedding FROM embeddings"):
+        q = np.array([round(float(x) * 10000) for x in emb], dtype=np.int64)
+        ns = int((q * q).sum())
+        buckets[int(math.floor(math.sqrt(float(ns)) / 10000 * 10))] += 1
+    tot = sum(buckets.values())
+    want = {b: (n, _div_half_up(1_000_000 * n, tot)) for b, n in buckets.items()}
+    got = {
+        r.bucket: (r.n_vecs, r.share_ppm)
+        for r in QUERIES["embeddings_norm_profile"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want

@@ -30,6 +30,7 @@ from analyzing_big_data_in_scala_spark.sources.catalog import load_events  # noq
 from tools.scale_probe import inflate, timed  # noqa: E402
 
 SECTION = "## Adamic-Adar decomposition (tools/aa_probe.py)"
+SURVIVAL_SECTION = "## Adamic-Adar cap survival (tools/aa_probe.py)"
 
 
 def main() -> None:
@@ -100,17 +101,90 @@ def main() -> None:
         "",
     ]
     body = "\n".join(lines)
+    _replace_section(out_md, SECTION, body)
+
+    # --- Cap-survival probe (r12, VERDICT r11 item 6): how much of the
+    # UNCAPPED top-20 survives under max_center_degree 95/256/1024 at
+    # each inflation — the measured guidance for the exactness-vs-cost
+    # dial the capped query exposes.
+    surv_rows = []
+    for copies in (1, 4, 16):
+        ev = inflate(ev0, copies, ["event_id", "user_id"], 10_000_000).localCheckpoint()
+        edges = G.edges_from_events(ev).localCheckpoint(eager=False)
+        top = G.adamic_adar_topk(edges, k=20)
+        exact = {(r.u, r.v) for r in top.collect()}  # 20 rows, tools-only
+        deg_max = (
+            G.canonical_undirected(edges)
+            .select(F.col("a").alias("id"))
+            .union(G.canonical_undirected(edges).select(F.col("b").alias("id")))
+            .groupBy("id").agg(F.count("*").alias("d"))
+            .agg(F.max("d")).first()[0]
+        )
+        for cap in (95, 256, 1024):
+            fn = lambda: noop(  # noqa: E731
+                G.adamic_adar_topk(edges, k=20, max_center_degree=cap)
+            )
+            fn()  # warm
+            t_cap = timed(fn)
+            capped = {
+                (r.u, r.v)
+                for r in G.adamic_adar_topk(
+                    edges, k=20, max_center_degree=cap
+                ).collect()
+            }
+            surv_rows.append((copies, cap, len(exact & capped), t_cap, deg_max))
+            print(
+                f"aa cap x{copies} cap={cap}: survive={len(exact & capped)}/20 "
+                f"wall={t_cap}s max_deg={deg_max}",
+                flush=True,
+            )
+
+    s_lines = [
+        SURVIVAL_SECTION,
+        "",
+        "How many of the UNCAPPED top-20 Adamic-Adar pairs survive when",
+        "`max_center_degree` drops celebrity centers before wedge",
+        "enumeration (the cost dial: a center of degree d contributes",
+        "d(d-1)/2 wedges). Survival 20/20 means the cap is free ACCURACY-",
+        "wise at that scale; wall shows what it buys.",
+        "",
+        "| copies | max degree seen | cap | top-20 survive | capped wall (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for copies, cap, surv, t_cap, deg_max in surv_rows:
+        s_lines.append(f"| {copies} | {deg_max} | {cap} | {surv}/20 | {t_cap} |")
+    by_cap = {
+        cap: min(s for c, cp, s, t, d in surv_rows if cp == cap)
+        for cap in (95, 256, 1024)
+    }
+    safe = [cap for cap, s in sorted(by_cap.items()) if s == 20]
+    rec = (
+        f"cap {safe[0]}" if safe else "no measured cap preserves the full top-20"
+    )
+    s_lines += [
+        "",
+        "**Measured recommendation**: smallest cap preserving the full",
+        f"top-20 at every measured inflation: **{rec}** (the registered",
+        "graph_adamic_adar_capped query ships cap 95, value-verified by",
+        "its own oracle at sf0.01; on hub-heavier graphs re-run this probe",
+        "— survival is a property of the degree tail, not of the operator).",
+        "",
+    ]
+    _replace_section(out_md, SURVIVAL_SECTION, "\n".join(s_lines))
+    spark.stop()
+
+
+def _replace_section(out_md: str, section: str, body: str) -> None:
     old = open(out_md).read() if os.path.exists(out_md) else ""
     # The section can sit at the very start of the file, where the
     # "\n"-prefixed find misses it and a re-run would duplicate it.
-    idx = 0 if old.startswith(SECTION) else old.find("\n" + SECTION)
+    idx = 0 if old.startswith(section) else old.find("\n" + section)
     if idx >= 0:
         end = old.find("\n## ", idx + 1)
         old = old[:idx] + (old[end:] if end >= 0 else "")
     with open(out_md, "w") as f:
         f.write(old.rstrip("\n") + "\n\n" + body + "\n")
-    print(f"rewrote section in {out_md}")
-    spark.stop()
+    print(f"rewrote section {section!r} in {out_md}")
 
 
 if __name__ == "__main__":
