@@ -29,84 +29,79 @@ from . import streaming_queries  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-11 rotation (VERDICT r10 item 1):
-    #  1. Any r11-new query goes first for its first driver row (the
-    #     proven pattern — new entries are prepended to this tuple).
-    #  2. The 3 queries whose newest driver row is r5
-    #     (streaming_tumbling_counts, terms_cms_heavy_hitters,
-    #     streaming_static_enrichment — the r5-backlog evictees) are the
-    #     oldest standing evidence in the repo; they cycle in next.
-    #  3. The 50-query r7-evidence cohort follows. Entries past slot 50
-    #     queue for r12 (they keep their newest green rows; code is
-    #     unchanged and the full-registry sf0.01 sweep covers them).
-    #  Every query evicted from the r10 window is r10-green with
+    # Round-12 rotation (VERDICT r11 item 1):
+    #  1. The 6 r12-new queries go first for their first driver rows
+    #     (the proven pattern — new entries are prepended).
+    #  2. Every query whose CODE or ORACLE changed this round gets a
+    #     fresh row: the language pair (profile classifier), the 5
+    #     freq-table quantile migrations, the prefix-scan eqNullSafe
+    #     stitch consumers (CUSUM + peak concurrency), the two
+    #     guard-threshold queries, the similarity histogram (oracle
+    #     pair-dedup fix), and events_kll_value_rollup (finalize
+    #     refactor shared with the streaming twin).
+    #  3. The 17-query r7 tail — the oldest driver evidence in the repo
+    #     (after this rotation ZERO registry entries have a row older
+    #     than r8).
+    #  4. The remaining 14 slots age out the oldest r8 rows
+    #     (alphabetical prefix of the r8 cohort); the rest of the r8/r9
+    #     cohorts queue for r13.
+    #  Every query evicted from the r11 window is r11-green with
     #  unchanged code, so those rows stand as current evidence.
 
-    # r11-new queries (14) — first rows
-    "embeddings_similarity_histogram",
-    "dedup_mass_by_source",
-    "corpus_contamination_by_source",
-    "doc_langid_confusion",
-    "graph_degree_assortativity",
-    "streaming_value_exact_quantiles",
-    "graph_adamic_adar_capped",
-    "events_user_entropy",
-    "events_peak_concurrency",
-    "events_value_cusum_alarm",
-    "corpus_ngram_novelty",
-    "orders_priority_mix_drift",
-    "lineitem_ship_lag_profile",
-    "orders_customer_order_gaps",
-    # oldest evidence: last driver row r5 (3)
-    "streaming_tumbling_counts",
-    "terms_cms_heavy_hitters",
-    "streaming_static_enrichment",
-    # r7-evidence cohort (50); entries past window slot 50 queue for r12
-    "brand_returnflag_pivot",
-    "corpus_bpe_merges",
-    "customer_order_full_outer",
-    "customer_order_running_total",
-    "customer_segment_setops",
-    "customers_with_expensive_items",
-    "customers_without_orders_filtered",
-    "dedup_exact_groups",
-    "dedup_minhash_candidates",
-    "dedup_ngram_jaccard",
-    "doc_exact_substring_removal",
-    "doc_fingerprint_rolling",
+    # r12-new queries (6) — first rows
+    "streaming_kll_value_maintenance",
+    "graph_jaccard_link_topk",
+    "dedup_minhash_precision",
+    "doc_language_mix_by_source",
+    "events_interarrival_profile",
+    "embeddings_norm_profile",
+    # r12 changed code/oracle (13) — re-verify under the driver
     "doc_language_id",
-    "doc_pii_scan",
-    "doc_quality_scores",
-    "doc_semantic_decontamination",
-    "doc_token_stats",
-    "doc_winnow_fingerprints",
-    "entity_word_count",
-    "global_agg_stats",
-    "graph_component_sizes",
-    "graph_in_degrees",
-    "graph_label_propagation",
-    "graph_out_degrees",
-    "graph_pagerank",
-    "graph_triangle_counts",
-    "lineitem_zorder_keys",
-    "order_priority_counts",
-    "pricing_summary",
-    "revenue_by_nation",
-    "revenue_rollup",
-    "search_batch_queries",
-    "search_multi_word_cosine",
-    # r7-cohort tail queued for r12 (window holds exactly 50; the 14
-    # r11-new first-row slots pushed these out, the proven pattern —
-    # the dedup family keeps 3 window representatives + the new
-    # attribution query; corpus_bpe_merges remains the BPE slot):
-    # dedup_jaccard_df_capped, dedup_simhash_pairs, doc_bpe_token_stats,
-    # search_multi_word_reference, search_single_word,
-    # similarity_ann_recall_profile,
-    # similarity_cosine_topk, similarity_lsh_indexed_agreement,
-    # streaming_session_windows, streaming_user_totals,
-    # supplier_part_type_share, tfidf_doc_frequencies, tfidf_idf,
-    # tfidf_matrix, top_customers_by_orders, top_customers_per_segment,
-    # top_parts_by_revenue
+    "doc_langid_confusion",
+    "events_value_winsorized_stats",
+    "events_conversion_time_profile",
+    "documents_volume_median",
+    "events_value_deciles",
+    "events_value_quartiles_by_type",
+    "events_value_cusum_alarm",
+    "events_peak_concurrency",
+    "orders_priority_mix_drift",
+    "events_user_entropy",
+    "embeddings_similarity_histogram",
+    "events_kll_value_rollup",
+    # the 17-query r7 tail (oldest driver rows)
+    "dedup_jaccard_df_capped",
+    "dedup_simhash_pairs",
+    "doc_bpe_token_stats",
+    "search_multi_word_reference",
+    "search_single_word",
+    "similarity_ann_recall_profile",
+    "similarity_cosine_topk",
+    "similarity_lsh_indexed_agreement",
+    "streaming_session_windows",
+    "streaming_user_totals",
+    "supplier_part_type_share",
+    "tfidf_doc_frequencies",
+    "tfidf_idf",
+    "tfidf_matrix",
+    "top_customers_by_orders",
+    "top_customers_per_segment",
+    "top_parts_by_revenue",
+    # oldest r8 rows, aging out next (14)
+    "corpus_bpe_token_stats",
+    "corpus_pmi_collocations",
+    "corpus_shard_manifest",
+    "corpus_token_drift",
+    "customer_entity_clusters",
+    "customer_fuzzy_name_matches",
+    "dedup_containment_pairs",
+    "dedup_cross_source_matrix",
+    "dedup_embedding_cosine",
+    "dedup_incremental_batch",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "doc_url_domains",
+    "documents_balanced_sample",
 )
 
 

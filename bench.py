@@ -212,6 +212,14 @@ HEADLINE = [
     "dedup_mass_by_source",
     "corpus_contamination_by_source",
     "embeddings_similarity_histogram",
+    # r12: Jaccard link prediction, LSH precision audit, language mix,
+    # interarrival profile, norm histogram, streaming KLL maintenance
+    "graph_jaccard_link_topk",
+    "dedup_minhash_precision",
+    "doc_language_mix_by_source",
+    "events_interarrival_profile",
+    "embeddings_norm_profile",
+    "streaming_kll_value_maintenance",
 ]
 
 
