@@ -161,13 +161,21 @@ def main() -> None:
     rec = (
         f"cap {safe[0]}" if safe else "no measured cap preserves the full top-20"
     )
+    max_deg_seen = max(d for _, _, _, _, d in surv_rows)
     s_lines += [
         "",
         "**Measured recommendation**: smallest cap preserving the full",
-        f"top-20 at every measured inflation: **{rec}** (the registered",
-        "graph_adamic_adar_capped query ships cap 95, value-verified by",
-        "its own oracle at sf0.01; on hub-heavier graphs re-run this probe",
-        "— survival is a property of the degree tail, not of the operator).",
+        f"top-20 at every measured inflation: **{rec}** (this fixture's",
+        f"degree tail tops out at {max_deg_seen}, so a cap BELOW the tail",
+        "excludes the very centers the uncapped top-20 routes through —",
+        "survival collapses, the capped ranking is a different measure —",
+        "while a cap clearing the tail is exactness-free; default the dial",
+        "to ~1.5-2x the observed p99.9 degree and treat anything tighter as",
+        "a deliberate semantics change. The registered",
+        "graph_adamic_adar_capped query ships cap 95 as that deliberate",
+        "hub-excluding measure, value-verified by its own oracle at sf0.01;",
+        "on hub-heavier graphs re-run this probe — survival is a property",
+        "of the degree tail, not of the operator).",
         "",
     ]
     _replace_section(out_md, SURVIVAL_SECTION, "\n".join(s_lines))
