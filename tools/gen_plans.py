@@ -75,7 +75,7 @@ PICKS = {
     "lineitem_bloom_pruned_join": "Bloom semi-join pruning: the 1-row word-array frame BROADCASTs; the fact scan's very next stage is the k-bit-test Filter (rows cut map-side BEFORE the join exchange); the exact join then sees only matches + false positives.",
     "events_type_run_lengths": "Run-length encoding in ONE Exchange: lag flag and running-sum ordinal share the (key) hash partitioning and (ts,id) sort; the closing (key,run) hash aggregate's clustered distribution is satisfied by the window's partitioning — no second shuffle.",
     "events_kll_value_rollup": "Mergeable quantile rollup: per-(type, day) KLL partials combine map-side (ObjectHashAggregate), the per-type merge aggregates KB sketch rows, and the exact judge aggregate (percentile_disc bounds) is the only other corpus pass — joined types-sized.",
-    "events_value_deciles": "Equi-depth deciles in ONE Exchange: NTILE's window sort and the closing (type,bucket) hash aggregate share the type hash partitioning (superset-key distribution) — no second shuffle; integerized values keep the bucket bounds exact BIGINTs.",
+    "events_value_deciles": "Equi-depth deciles via the frequency-table decomposition (r12): the only corpus-sized operator is the map-side-combined (type, value) count aggregate; NTILE's exact rank spans resolve as rank lookups over the tiny count table (cum window + broadcast 10-bucket spine) — the old corpus NTILE window was a per-type single-task sort.",
     "orders_lineitem_join_cardinality": "Pre-join profiling: each fact side collapses to ONE sketch row via map-side-combined theta aggregates; the only joins are 1-row cross joins plus the distinct-key equi-join that exists solely to grade the estimate.",
     "events_asof_next_purchase_2h": "Forward as-of with horizon: views and deduped purchases UNION (no join node at all); two exchanges total — the purchase (user,ts) dedup aggregate and the key-partitioned descending-time window that carries the nearest future purchase as a single struct; the 2h horizon evaluates in the final projection — linear in |L|+|R|, never a range-join fan-out.",
     "multimodal_audio_wav_features": "Real WAV decode path: scan -> synth MapInPandas -> decode MapInPandas, ZERO exchanges end-to-end — per-partition Arrow batches through Python twice, the shape a production decode (payloads already on disk) keeps with one stage.",
@@ -94,7 +94,14 @@ PICKS = {
     "lineitem_ship_lag_profile": "The fixture's biggest fact-fact join (lineitem and orders shuffle on the order key — no broadcast at scale, AQE broadcasts at this SF), then the frequency-table rank decomposition: one map-side-combined (flag, lag) hash aggregate and windows over the TINY count table — never a corpus-sized per-flag rank sort.",
     "orders_customer_order_gaps": "Per-customer LAG window partitions on millions of customers (natural parallelism, no hot key); the customer dimension broadcasts; the per-segment profile is the frequency-table rank decomposition over the tiny (segment, gap) count table.",
     "customer_cohort_ltv": "Cohort LTV: per-customer first-month aggregate joined back on the customer key (two-phase partials both sides), exact integer month/cents arithmetic, ONE cohort-partitioned running sum over the tiny cohort x age grid — the corpus never enters a window.",
-    "events_value_winsorized_stats": "Winsorize: ONE type-partitioned window pass yields rank + per-type count for both exact P1/P99 bounds; bounds broadcast back onto a fresh pruned scan; the clipped aggregate runs with map-side partials — no interpolated percentile, no second sort.",
+    "events_value_winsorized_stats": "Winsorize via the frequency-table decomposition (r12): ONE map-side-combined (type, cents) count aggregate is the only corpus-sized operator; the P1/P99 bounds are rank lookups over the tiny count table and the clipped sums are count-weighted aggregates over the SAME table — the old form ran a corpus rank window AND a second corpus scan.",
+    "events_value_quartiles_by_type": "Interpolated quartiles via the frequency-table decomposition (r12): (type, value) count aggregate, boundary-rank lookups over the tiny cum table, percentile_cont's interpolation on exact-double positions — engine-native percentile() buffers each group's value map in one task; this never does.",
+    "documents_volume_median": "Volume-weighted median via the frequency-table decomposition (r12): per-(source, n_chars) weight totals (map-side combine), the half-volume cut is a rank lookup over the tiny table with character VOLUME as the count column — the old per-source running-weight window sorted each source in one task.",
+    "events_conversion_time_profile": "Forward as-of (union + window linear scan) for the gaps, then rank-exact median/p90 via the frequency-table decomposition (r12): the post-join corpus-sized operator is one (hour, gap) count aggregate — the old 24-partition rank window was a single-task-per-hour sort.",
+    "events_interarrival_profile": "DAY-BUCKETED LAG (r12): gaps within (type, day) partitions, the one per-day-boundary gap stitched via LAG over tiny day summaries — a hot type splits across its days; gap stats ride the frequency-table decomposition.",
+    "graph_jaccard_link_topk": "Jaccard link prediction (r12): wedges from one adjacency self-equi-join, candidate aggregate FIRST then LEFT ANTI against existing edges (pair volume, not wedge volume), two degree hash joins on the candidate table, pure-BIGINT ppm, TakeOrderedAndProject top-k.",
+    "dedup_minhash_precision": "LSH precision audit (r12): candidates from the band-key equi-join; exact Jaccard ONLY for candidate pairs (candidates join their A-side shingles, then a hash join on (id_b, h)) — candidate-bounded, never the f2 shared-shingle pair table.",
+    "embeddings_norm_profile": "Norm histogram (r12): e4 integerization + exact BIGINT squared norms in one codegen projection over the scan; one tiny bucket aggregate + broadcast total — linear, no pairs, no window.",
 }
 
 
