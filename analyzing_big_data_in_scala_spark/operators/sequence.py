@@ -841,3 +841,63 @@ def prefix_scan_bucketed(
         "_psb_lrun", "_psb_lmin", "_psb_dtot", "_psb_dmin",
         "_psb_carry", "_psb_prevmin",
     )
+
+
+def interarrival_gaps_bucketed(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    bucket_size: int = 86400,
+) -> DataFrame:
+    """SKEW-RESISTANT per-key interarrival gaps (r12) — the carry-stitch
+    family applied to LAG: returns one row per consecutive event pair,
+
+        (key_col, gap)   with gap = ts − previous ts under the total
+                         (ts, id_col) order within the key,
+
+    value-identical to ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY
+    ts, id)`` with NULL first rows dropped. The LAG runs LOCALLY within
+    (key, bucket) where bucket = ts DIV bucket_size (bucket is a pure
+    function of ts, so (bucket, ts, id) order == (ts, id) order); the
+    ONE gap per bucket boundary is stitched from tiny per-(key, bucket)
+    summaries — first epoch of the bucket minus the previous NON-EMPTY
+    bucket's last epoch, a LAG over the per-key bucket-summary window
+    (#buckets rows per key). A hot key's otherwise single corpus-sort
+    window task splits across its buckets; the stitch window's per-key
+    cost is its bucket count, not its row count.
+
+    Raises ValueError on the internal scratch-name collisions."""
+    reserved = {"_iab_t", "_iab_b", "_iab_first", "_iab_last", "gap"}
+    clashes = reserved.intersection(df.columns)
+    if clashes:
+        raise ValueError(
+            f"interarrival_gaps_bucketed: input columns collide with "
+            f"internal names: {sorted(clashes)}"
+        )
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).cast("long").alias("_iab_t"),
+        F.col(id_col),
+    ).withColumn("_iab_b", F.expr(f"_iab_t DIV {int(bucket_size)}"))
+    w_local = Window.partitionBy(key_col, "_iab_b").orderBy("_iab_t", id_col)
+    local = (
+        base.select(
+            key_col,
+            (F.col("_iab_t") - F.lag("_iab_t").over(w_local)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    summaries = base.groupBy(key_col, "_iab_b").agg(
+        F.min(F.struct("_iab_t", id_col)).getField("_iab_t").alias("_iab_first"),
+        F.max("_iab_t").alias("_iab_last"),
+    )
+    w_bucket = Window.partitionBy(key_col).orderBy("_iab_b")
+    boundary = (
+        summaries.select(
+            key_col,
+            (F.col("_iab_first") - F.lag("_iab_last").over(w_bucket)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return local.unionByName(boundary)

@@ -5141,36 +5141,19 @@ def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Per-type interarrival profile (burstiness / scrape-cadence audit): DAY-BUCKETED LAG — local gaps within (type, day), the one boundary gap per day stitched via LAG over tiny day summaries (the carry-stitch family applied to LAG; a hot type splits across its days instead of one sort task) — then rank-exact median/p90 via the frequency-table decomposition; the oracle's single-window LAG + ROW_NUMBER form is an independent derivation",
 )
 def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..operators.quantiles import freq_table_rank_stats
+    from ..operators.sequence import interarrival_gaps_bucketed
 
     ev = load_events(spark, sf_dir)
     base = ev.select(
         "event_type",
         F.unix_timestamp("ts").cast("long").alias("t"),
         "event_id",
-    ).withColumn("day", F.expr("t DIV 86400"))
-    w_local = Window.partitionBy("event_type", "day").orderBy("t", "event_id")
-    local_gaps = (
-        base.select(
-            "event_type", (F.col("t") - F.lag("t").over(w_local)).alias("gap")
-        )
-        .filter(F.col("gap").isNotNull())
     )
-    days = base.groupBy("event_type", "day").agg(
-        F.min(F.struct("t", "event_id")).getField("t").alias("first_t"),
-        F.max("t").alias("last_t"),
+    gaps = interarrival_gaps_bucketed(
+        base, key_col="event_type", ts_col="t", id_col="event_id",
+        bucket_size=86400,
     )
-    w_day = Window.partitionBy("event_type").orderBy("day")
-    boundary_gaps = (
-        days.select(
-            "event_type",
-            (F.col("first_t") - F.lag("last_t").over(w_day)).alias("gap"),
-        )
-        .filter(F.col("gap").isNotNull())
-    )
-    gaps = local_gaps.unionByName(boundary_gaps)
     stats = freq_table_rank_stats(
         gaps,
         "event_type",

@@ -262,3 +262,45 @@ def test_kll_fold_matches_one_shot(spark):
     got = {r.event_type: tuple(r) for r in kll_rollup_finalize(folded, base).collect()}
     assert got == want
     assert all(r[2] == 1 for r in got.values())  # n_match: every row once
+
+
+def test_interarrival_gaps_bucketed_matches_single_window(spark):
+    """interarrival_gaps_bucketed must equal the plain single-window LAG
+    for every bucket size — bucketing is a physical knob — including
+    keys whose events cluster with empty buckets in between (the
+    previous-NON-EMPTY-bucket stitch) and same-t tiebreaks."""
+    import random
+
+    from pyspark.sql import Window
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        interarrival_gaps_bucketed,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        # clustered timestamps: long dead stretches between bursts
+        t = rng.choice([0, 5_000, 200_000, 900_000]) + rng.randint(0, 300)
+        rows.append((i, i % 4, t))
+    df = spark.createDataFrame(rows, "id long, k long, t long")
+    w = Window.partitionBy("k").orderBy("t", "id")
+    plain = (
+        df.select("k", (F.col("t") - F.lag("t").over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    want = sorted((r.k, r.gap) for r in plain.collect())
+    for bucket in (1, 777, 86400, 10_000_000):
+        got = sorted(
+            (r.k, r.gap)
+            for r in interarrival_gaps_bucketed(
+                df, key_col="k", ts_col="t", id_col="id", bucket_size=bucket
+            ).collect()
+        )
+        assert got == want, bucket
+    import pytest
+
+    with pytest.raises(ValueError, match="internal names"):
+        interarrival_gaps_bucketed(
+            df.withColumn("gap", F.lit(1)), "k", "t", "id"
+        )
