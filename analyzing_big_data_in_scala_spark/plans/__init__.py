@@ -42,19 +42,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #  3. The 17-query r7 tail — the oldest driver evidence in the repo
     #     (after this rotation ZERO registry entries have a row older
     #     than r8).
-    #  4. The remaining 14 slots age out the oldest r8 rows
+    #  4. The remaining 12 slots age out the oldest r8 rows
     #     (alphabetical prefix of the r8 cohort); the rest of the r8/r9
     #     cohorts queue for r13.
     #  Every query evicted from the r11 window is r11-green with
     #  unchanged code, so those rows stand as current evidence.
 
-    # r12-new queries (6) — first rows
+    # r12-new queries (8) — first rows
     "streaming_kll_value_maintenance",
     "graph_jaccard_link_topk",
     "dedup_minhash_precision",
     "doc_language_mix_by_source",
     "events_interarrival_profile",
     "embeddings_norm_profile",
+    "corpus_chunk_dup_histogram",
+    "events_burstiness_index",
     # r12 changed code/oracle (13) — re-verify under the driver
     "doc_language_id",
     "doc_langid_confusion",
@@ -87,7 +89,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "top_customers_by_orders",
     "top_customers_per_segment",
     "top_parts_by_revenue",
-    # oldest r8 rows, aging out next (14)
+    # oldest r8 rows, aging out next (12)
     "corpus_bpe_token_stats",
     "corpus_pmi_collocations",
     "corpus_shard_manifest",
@@ -100,8 +102,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_incremental_batch",
     "dedup_minhash_signatures",
     "dedup_simhash",
-    "doc_url_domains",
-    "documents_balanced_sample",
 )
 
 

@@ -5227,3 +5227,132 @@ def embeddings_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         F.expr("(2000000 * n_vecs + t) DIV (2 * t)").alias("share_ppm"),
     )
+
+
+@query(
+    "corpus_chunk_dup_histogram",
+    # WHERE the duplicated-passage mass lives: the document-frequency
+    # histogram of 32-token chunks (df=2 mirrors vs df=50 boilerplate
+    # floods need different fixes — a re-crawl dial vs a template
+    # blocklist; the cluster-SIZE view of doc_chunk_dedup's per-doc
+    # ratios). One chunk aggregate to per-hash df, then a tiny histogram
+    # over df values; instance share = the fraction of all (doc, chunk)
+    # occurrences sitting at that duplication level.
+    oracle=f"""
+        WITH doc_toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+            FROM documents
+        ),
+        chunks AS (
+            SELECT DISTINCT doc_id,
+                   {_HASH64.format(x="array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 32), ' ')")} AS h
+            FROM doc_toks,
+                 UNNEST(generate_series(0, CAST(ceil(len(toks) / 32.0) AS INT) - 1)) t(i)
+            WHERE len(toks) > 0
+        ),
+        dfreq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS chunk_df FROM chunks GROUP BY h),
+        hist AS (
+            SELECT chunk_df,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(chunk_df) AS BIGINT) AS n_instances
+            FROM dfreq GROUP BY chunk_df
+        ),
+        tot AS (SELECT CAST(SUM(n_instances) AS BIGINT) AS t FROM hist)
+        SELECT chunk_df, n_chunks, n_instances,
+               (2000000 * n_instances + tot.t) // (2 * tot.t) AS instance_share_ppm
+        FROM hist, tot
+    """,
+    description="Duplicated-passage histogram (the cluster-size view of passage dedup: df=2 mirrors vs df=50 template floods demand different fixes): distinct (doc, 32-token-chunk-hash) pairs, one df aggregate, tiny histogram over df with per-level instance share in round-half-up ppm — no pair enumeration anywhere",
+)
+def corpus_chunk_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import token_chunks
+
+    chunks = token_chunks(_docs(spark, sf_dir), chunk_size=32).select(
+        "id", "chunk_hash"
+    ).distinct()
+    dfreq = chunks.groupBy("chunk_hash").agg(
+        F.count("*").cast("long").alias("chunk_df")
+    )
+    hist = dfreq.groupBy("chunk_df").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("chunk_df").cast("long").alias("n_instances"),
+    ).localCheckpoint(eager=False)  # total + final projection
+    tot = hist.agg(F.sum("n_instances").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "chunk_df",
+        "n_chunks",
+        "n_instances",
+        F.expr("(2000000 * n_instances + t) DIV (2 * t)").alias(
+            "instance_share_ppm"
+        ),
+    )
+
+
+# Shared verbatim by the Spark plan and the oracle (the bm25 recipe): the
+# n in sigma = sqrt(n*ss - s^2)/n and mu = s/n cancels in (sigma-mu)/
+# (sigma+mu), so ONE sqrt over the same BIGINT-derived doubles + one
+# division decide the ppm — bit-identical cross-engine.
+BURSTINESS_PPM_SQL = (
+    "CAST(ROUND((sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - CAST(s AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) + CAST(s AS DOUBLE))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "events_burstiness_index",
+    # Goh–Barabási burstiness per event type: B = (σ−μ)/(σ+μ) over the
+    # interarrival gaps — a Poisson process sits near 0, a scripted
+    # periodic scraper near −1e6 ppm, human/bursty traffic positive.
+    # Composes on the skew-resistant bucketed-LAG gap table; the
+    # sufficient statistics (n, Σg, Σg²) are exact BIGINT aggregates and
+    # the finalize is the ONE shared sqrt/div ppm tree above.
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY event_type
+                         ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
+                     ) AS gap
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(gap) AS BIGINT) AS s,
+                   CAST(SUM(gap * gap) AS BIGINT) AS ss
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n AS n_gaps, {BURSTINESS_PPM_SQL} AS burstiness_ppm
+        FROM stats
+    """,
+    description="Goh-Barabasi burstiness index per event type ((sigma-mu)/(sigma+mu) over interarrival gaps in ppm: ~0 Poisson, negative periodic/scripted, positive bursty/human): gaps via the skew-resistant day-bucketed LAG, exact-BIGINT sufficient statistics, one shared sqrt/div ppm finalize — bit-identical cross-engine",
+)
+def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import interarrival_gaps_bucketed
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        "event_id",
+    )
+    gaps = interarrival_gaps_bucketed(
+        base, key_col="event_type", ts_col="t", id_col="event_id",
+        bucket_size=86400,
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("ss"),
+    )
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.expr(BURSTINESS_PPM_SQL).alias("burstiness_ppm"),
+    )

@@ -220,6 +220,8 @@ HEADLINE = [
     "events_interarrival_profile",
     "embeddings_norm_profile",
     "streaming_kll_value_maintenance",
+    "corpus_chunk_dup_histogram",
+    "events_burstiness_index",
 ]
 
 

@@ -178,3 +178,56 @@ def test_norm_profile_matches_bruteforce(spark):
         for r in QUERIES["embeddings_norm_profile"].fn(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_chunk_dup_histogram_matches_bruteforce(spark):
+    """Raw-STRING 32-token chunk df histogram — no shared hashing with
+    either engine (hash collisions would surface as a diff here)."""
+    import re as _re
+
+    df_counter = Counter()
+    for doc_id, text in _rows("SELECT doc_id, text FROM documents"):
+        toks = [t for t in _re.split(r"\s+",
+                _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()) if t]
+        chunks = {
+            " ".join(toks[i:i + 32]) for i in range(0, len(toks), 32)
+        } if toks else set()
+        for c in chunks:
+            df_counter[c] += 1
+    hist = Counter(df_counter.values())
+    tot = sum(d * n for d, n in hist.items())
+    want = {
+        d: (n, d * n, _div_half_up(1_000_000 * d * n, tot))
+        for d, n in hist.items()
+    }
+    got = {
+        r.chunk_df: (r.n_chunks, r.n_instances, r.instance_share_ppm)
+        for r in QUERIES["corpus_chunk_dup_histogram"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_burstiness_matches_bruteforce(spark):
+    rows = _rows("""
+        SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id
+        FROM events
+    """)
+    by_type = defaultdict(list)
+    for et, t, eid in rows:
+        by_type[et].append((t, eid))
+    want = {}
+    for et, evs in by_type.items():
+        evs.sort()
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        if not gaps:
+            continue
+        n, s, ss = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        r = math.sqrt(float(n) * float(ss) - float(s) * float(s))
+        b = (r - float(s)) / (r + float(s))
+        want[et] = (n, math.floor(b * 1_000_000 + 0.5) if b >= 0
+                    else -math.floor(-b * 1_000_000 + 0.5))
+    got = {
+        r.event_type: (r.n_gaps, r.burstiness_ppm)
+        for r in QUERIES["events_burstiness_index"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
