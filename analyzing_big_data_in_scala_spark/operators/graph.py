@@ -850,3 +850,58 @@ def jaccard_link_topk(
     if k is None:
         return scored
     return scored.orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("v")).limit(k)
+
+
+def preferential_attachment_topk(
+    edges: DataFrame, k: int | None = 20, max_center_degree: int | None = None
+) -> DataFrame:
+    """Preferential-attachment link prediction (r12) — the third member
+    of the classic trio (Adamic–Adar weights rare common neighbors,
+    Jaccard penalizes hubs, PA BETS ON hubs: score = deg(u)·deg(v)).
+    Candidates are the standard 2-hop restriction (non-adjacent pairs
+    with >= 1 common neighbor — true PA over ALL non-adjacent pairs is
+    |V|²-quadratic by definition and is a deliberate analysis choice,
+    not a default; the 2-hop set is where link formation is actually
+    plausible and keeps the operator wedge-bounded). Returns the top-k
+
+        (u, v, common_neighbors, pa_score)   with u < v
+
+    deterministically (score DESC, then u, v). PURE BIGINT: degrees and
+    the product — no division, no float. Same aggregate-first LEFT-ANTI
+    shape and `max_center_degree` dial as the siblings."""
+    e = canonical_undirected(edges).localCheckpoint(eager=False)
+    adj = (
+        e.select(F.col("a").alias("w"), F.col("b").alias("n"))
+        .union(e.select(F.col("b").alias("w"), F.col("a").alias("n")))
+    ).localCheckpoint(eager=False)
+    deg = adj.groupBy("w").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=False
+    )
+    centers = deg.filter(F.col("deg") >= 2)
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_center_degree)
+    a1 = adj.select("w", F.col("n").alias("u"))
+    a2 = adj.select("w", F.col("n").alias("v"))
+    wedges = (
+        a1.join(a2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(centers.select("w"), "w", "left_semi")
+        .select("u", "v")
+    )
+    pairs = wedges.groupBy("u", "v").agg(F.count("*").alias("common_neighbors"))
+    cand = pairs.join(e, (pairs.u == e.a) & (pairs.v == e.b), "left_anti")
+    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("_dv"))
+    scored = (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            (F.col("_du") * F.col("_dv")).cast("long").alias("pa_score"),
+        )
+    )
+    if k is None:
+        return scored
+    return scored.orderBy(F.desc("pa_score"), F.asc("u"), F.asc("v")).limit(k)

@@ -794,3 +794,47 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_jaccard_link_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.jaccard_link_topk(_edges(spark, sf_dir), k=20)
+
+
+@query(
+    "graph_preferential_attachment_topk",
+    # The trio-completing link-prediction ranking: where AA weights rare
+    # common neighbors and Jaccard penalizes hubs, PA bets ON hubs
+    # (deg(u)·deg(v)) — the three rankings disagree exactly on
+    # hub-adjacent candidates, which is why all three ship. Candidates
+    # are the standard 2-hop restriction (wedge-bounded; quadratic true
+    # PA is a deliberate choice, documented). PURE BIGINT — no division,
+    # no float anywhere.
+    oracle=f"""
+        WITH {_SQL_CANON.strip().lstrip()},
+        adj AS (
+            SELECT a AS w, b AS n FROM canon
+            UNION ALL
+            SELECT b AS w, a AS n FROM canon
+        ),
+        deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY w),
+        wedge AS (
+            SELECT a1.n AS u, a2.n AS v
+            FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
+            JOIN deg d ON d.w = a1.w AND d.deg >= 2
+        ),
+        pairs AS (
+            SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+            FROM wedge
+            WHERE NOT EXISTS (
+                SELECT 1 FROM canon e WHERE e.a = wedge.u AND e.b = wedge.v
+            )
+            GROUP BY u, v
+        )
+        SELECT u, v, common_neighbors,
+               CAST(du.deg * dv.deg AS BIGINT) AS pa_score
+        FROM pairs
+        JOIN deg du ON du.w = pairs.u
+        JOIN deg dv ON dv.w = pairs.v
+        ORDER BY pa_score DESC, u ASC, v ASC
+        LIMIT 20
+    """,
+    description="Preferential-attachment link prediction top-20 (the hub-betting member of the AA/Jaccard/PA trio — the three disagree exactly on hub-adjacent candidates): 2-hop candidate restriction (wedge-bounded, never |V|^2), aggregate-first LEFT ANTI, two degree joins, deg(u)*deg(v) pure BIGINT, TakeOrderedAndProject (operators/graph.preferential_attachment_topk)",
+)
+def graph_preferential_attachment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.preferential_attachment_topk(_edges(spark, sf_dir), k=20)

@@ -5356,3 +5356,61 @@ def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_gaps"),
         F.expr(BURSTINESS_PPM_SQL).alias("burstiness_ppm"),
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    # Product-analytics stickiness: DAU/WAU per day in round-half-up
+    # ppm (how much of the weekly audience shows up daily — the
+    # engagement dial). WAU is NOT re-aggregable from daily distinct
+    # counts (users overlap across days), so the exact form rides the
+    # interval-fanout trick: each distinct (user, active day) covers
+    # the 7 days [day, day+6]; after a (user, covered day) distinct,
+    # WAU_d is a plain count. Cost: one distinct-pair aggregate, a
+    # bounded 7x fan-out, a second distinct — all hash aggregates with
+    # map-side partials; only observed days are reported.
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT user_id,
+                   CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+            FROM events
+        ),
+        dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY day),
+        cover AS (
+            SELECT DISTINCT user_id, day + o.off AS cday
+            FROM pairs, (SELECT UNNEST(generate_series(0, 6)) AS off) o
+        ),
+        wau AS (SELECT cday AS day, CAST(COUNT(*) AS BIGINT) AS wau FROM cover GROUP BY cday)
+        SELECT d.day, d.dau, w.wau,
+               (2000000 * d.dau + w.wau) // (2 * w.wau) AS stickiness_ppm
+        FROM dau d JOIN wau w USING (day)
+    """,
+    description="DAU/WAU stickiness per day in round-half-up ppm (the engagement dial): exact WAU via the interval-fanout trick — each distinct (user, active day) covers [day, day+6], a second distinct makes WAU a plain count (weekly distincts are NOT re-aggregable from daily ones); two hash aggregates + a bounded 7x fan-out, pure BIGINT",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    pairs = (
+        ev.select(
+            "user_id",
+            F.expr("CAST(FLOOR(unix_timestamp(ts) / 86400) AS BIGINT)").alias("day"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # dau + coverage fan-out
+    )
+    dau = pairs.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    cover = (
+        pairs.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("cday"),
+        )
+        .distinct()
+    )
+    wau = cover.groupBy(F.col("cday").alias("day")).agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("(2000000 * dau + wau) DIV (2 * wau)").alias("stickiness_ppm"),
+    )

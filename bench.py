@@ -222,6 +222,8 @@ HEADLINE = [
     "streaming_kll_value_maintenance",
     "corpus_chunk_dup_histogram",
     "events_burstiness_index",
+    "graph_preferential_attachment_topk",
+    "events_dau_wau_stickiness",
 ]
 
 

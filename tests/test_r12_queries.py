@@ -231,3 +231,65 @@ def test_burstiness_matches_bruteforce(spark):
         for r in QUERIES["events_burstiness_index"].fn(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_preferential_attachment_matches_bruteforce(spark):
+    """Plain-Python PA over the 2-hop candidate set at sf0.01 (the
+    driver's grading scale; sf0.001 yields no candidates)."""
+    canon_sql = QUERIES["graph_preferential_attachment_topk"].oracle
+    prefix = canon_sql[: canon_sql.index("adj AS")].rstrip().rstrip(",")
+    edges = _rows(prefix + " SELECT a, b FROM canon", SF_MID)
+    nbr = defaultdict(set)
+    eset = set()
+    for a, b in edges:
+        nbr[a].add(b)
+        nbr[b].add(a)
+        eset.add((a, b))
+    seen = {}
+    for w, ns in nbr.items():
+        if len(ns) < 2:
+            continue
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for v in ns_sorted[i + 1:]:
+                if (u, v) in eset:
+                    continue
+                seen[(u, v)] = seen.get((u, v), 0) + 1
+    scored = [
+        (u, v, c, len(nbr[u]) * len(nbr[v])) for (u, v), c in seen.items()
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = scored[:20]
+    got = [
+        (r.u, r.v, r.common_neighbors, r.pa_score)
+        for r in QUERIES["graph_preferential_attachment_topk"].fn(spark, SF_MID).collect()
+    ]
+    assert got == want
+
+
+def test_dau_wau_stickiness_matches_bruteforce(spark):
+    rows = _rows("""
+        SELECT DISTINCT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+    """)
+    dau = Counter()
+    active_days = defaultdict(set)
+    for u, d in rows:
+        dau[d] += 1
+        active_days[u].add(d)
+    wau = Counter()
+    for u, days in active_days.items():
+        covered = set()
+        for d in days:
+            covered.update(range(d, d + 7))
+        for c in covered:
+            wau[c] += 1
+    want = {
+        d: (n, wau[d], _div_half_up(1_000_000 * n, wau[d]))
+        for d, n in dau.items()
+    }
+    got = {
+        r.day: (r.dau, r.wau, r.stickiness_ppm)
+        for r in QUERIES["events_dau_wau_stickiness"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
