@@ -102,6 +102,8 @@ PICKS = {
     "graph_jaccard_link_topk": "Jaccard link prediction (r12): wedges from one adjacency self-equi-join, candidate aggregate FIRST then LEFT ANTI against existing edges (pair volume, not wedge volume), two degree hash joins on the candidate table, pure-BIGINT ppm, TakeOrderedAndProject top-k.",
     "dedup_minhash_precision": "LSH precision audit (r12): candidates from the band-key equi-join; exact Jaccard ONLY for candidate pairs (candidates join their A-side shingles, then a hash join on (id_b, h)) — candidate-bounded, never the f2 shared-shingle pair table.",
     "embeddings_norm_profile": "Norm histogram (r12): e4 integerization + exact BIGINT squared norms in one codegen projection over the scan; one tiny bucket aggregate + broadcast total — linear, no pairs, no window.",
+    "graph_preferential_attachment_topk": "PA link prediction (r12, the AA/Jaccard trio completed): 2-hop candidate restriction (wedge-bounded), aggregate-first LEFT ANTI, two degree joins, deg(u)*deg(v) pure BIGINT — no division, no float; TakeOrderedAndProject top-k.",
+    "events_dau_wau_stickiness": "DAU/WAU stickiness (r12): distinct (user, day) pairs, bounded 7x interval fan-out + second distinct for exact WAU (weekly distincts are not re-aggregable from daily ones), tiny day-keyed join, round-half-up ppm.",
 }
 
 
