@@ -927,3 +927,58 @@ def minhash_precision_eval(
             ).alias("precision_ppm"),
         )
     )
+
+
+def minhash_recall_eval(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MEASURED recall of the MinHash-LSH banding against the exact
+    true-pair set (r12 — the complement of :func:`minhash_precision_eval`;
+    together they grade the gate from both sides). Returns
+
+        (jaccard_band, n_true, n_recalled, recall_ppm)
+
+    where true pairs are exact k-shingle Jaccard >= `threshold` (the
+    inverted-index pair join) and jaccard_band buckets the ROUNDED
+    jaccard into 0.2-wide bands (band i covers [0.2·i, 0.2·(i+1));
+    jaccard = 1.0 clamps into the top band). LSH theory says recall
+    rises steeply with similarity (1 − (1 − s^r)^b); a flat measured
+    curve means the banding is mis-sized for the corpus.
+
+    Scale note: the TRUE side is the inverted-index pair enumeration —
+    f² in hot-shingle document frequency, the cost this audit
+    deliberately pays to obtain ground truth on a SAMPLE; run it on a
+    bounded corpus slice (or with ngram_jaccard_pairs' max_shingle_df
+    cap on BOTH sides) at 100 TB, exactly like any other eval job."""
+    true_pairs = ngram_jaccard_pairs(
+        docs, k=k, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    cands = minhash_candidates(docs, num_perm, bands, k, id_col, text_col)
+    band = F.least(F.floor(F.col("jaccard") * 5).cast("int"), F.lit(4))
+    graded = (
+        true_pairs.join(cands.select("id_a", "id_b", "n_bands"),
+                        ["id_a", "id_b"], "left")
+        .select(band.alias("jaccard_band"),
+                F.col("n_bands").isNotNull().alias("_hit"))
+    )
+    return (
+        graded.groupBy("jaccard_band")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(F.col("_hit").cast("long")).alias("n_recalled"),
+        )
+        .select(
+            "jaccard_band",
+            "n_true",
+            "n_recalled",
+            F.expr("(2000000 * n_recalled + n_true) DIV (2 * n_true)").alias(
+                "recall_ppm"
+            ),
+        )
+    )

@@ -5414,3 +5414,107 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.expr("(2000000 * dau + wau) DIV (2 * wau)").alias("stickiness_ppm"),
     )
+
+
+@query(
+    "dedup_minhash_recall",
+    # The complement of dedup_minhash_precision: of the TRUE near-dup
+    # pairs (exact 3-shingle Jaccard >= 0.2, the inverted-index join),
+    # how many did the 4x4 banding produce as candidates — per 0.2-wide
+    # jaccard band, so the measured curve is directly comparable to the
+    # LSH theory curve 1-(1-s^4)^4. Both engines bucket the SAME
+    # rounded-to-6 jaccard, so band edges cannot flap.
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        hshingles AS (
+            SELECT DISTINCT id, {_HASH64.format(x='shingle')} AS h FROM shingles
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM hshingles GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM hshingles a JOIN hshingles b USING (h)
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        true_pairs AS (
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        ),
+        sig AS ({_minhash_sql()}),
+        banded AS (
+            SELECT doc_id AS id, (perm - 1) // 4 AS band,
+                   {_HASH64.format(x="string_agg(concat(perm, ':', minhash), ',' ORDER BY concat(perm, ':', minhash))")} AS band_key
+            FROM sig
+            GROUP BY doc_id, (perm - 1) // 4
+        ),
+        cands AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.id < b.id
+        ),
+        graded AS (
+            SELECT LEAST(CAST(FLOOR(t.jaccard * 5) AS INT), 4) AS jaccard_band,
+                   CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM true_pairs t
+            LEFT JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b
+        )
+        SELECT jaccard_band,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(hit) AS BIGINT) AS n_recalled,
+               (2000000 * CAST(SUM(hit) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS recall_ppm
+        FROM graded GROUP BY jaccard_band
+    """,
+    description="MinHash-LSH recall audit per 0.2-wide jaccard band (the complement of dedup_minhash_precision — together they grade the dedup gate from both sides; the measured curve is directly comparable to LSH theory 1-(1-s^4)^4): true pairs from the exact inverted-index join (the deliberate ground-truth cost — sample/cap it at 100 TB), candidates left-joined, round-half-up ppm (operators/dedup.minhash_recall_eval)",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_recall_eval(_docs(spark, sf_dir), num_perm=16, bands=4, k=3)
+
+
+@query(
+    "events_top_transition_paths",
+    # Path analysis — the 3-step extension of the Markov transition
+    # matrix (which only sees single steps): the top-20 most common
+    # event-type trigrams along each user's timeline, with full
+    # (count, path) tiebreaks. One window exchange on user_id (millions
+    # of keys — natural parallelism), two LEADs over the same window,
+    # one tiny hash aggregate, TakeOrderedAndProject.
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type, 1) OVER w AS t1,
+                   LEAD(event_type, 2) OVER w AS t2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || t1 || '>' || t2 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path ASC
+        LIMIT 20
+    """,
+    description="Top-20 3-step event-type paths per user timeline (path analysis — the trigram extension of the Markov matrix: funnels and scripted loops show up as dominant paths): one user-partitioned window exchange, two LEADs over the same window, tiny path aggregate, TakeOrderedAndProject with full tiebreaks",
+)
+def events_top_transition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )

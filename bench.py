@@ -224,6 +224,8 @@ HEADLINE = [
     "events_burstiness_index",
     "graph_preferential_attachment_topk",
     "events_dau_wau_stickiness",
+    "dedup_minhash_recall",
+    "events_top_transition_paths",
 ]
 
 

@@ -293,3 +293,71 @@ def test_dau_wau_stickiness_matches_bruteforce(spark):
         for r in QUERIES["events_dau_wau_stickiness"].fn(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_minhash_recall_matches_raw_shingles(spark):
+    """Recall audit recomputed from raw shingle STRINGS: true pairs by
+    exact Jaccard >= 0.2 over all doc pairs (brute force — fine at
+    sf0.001), candidates from the (already-differentialed) candidate
+    query, banding on the rounded jaccard."""
+    import re as _re
+
+    sets: dict[int, set] = {}
+    for doc_id, text in _rows("SELECT doc_id, text FROM documents"):
+        toks = [t for t in _re.split(r"\s+",
+                _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()) if t]
+        sets[doc_id] = {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+    cands = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_minhash_candidates"].fn(spark, SF_SMALL).collect()
+    }
+    ids = sorted(sets)
+    per_band = defaultdict(lambda: [0, 0])
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j < 0.2:
+                continue
+            band = min(int(round(j, 6) * 5), 4)
+            per_band[band][0] += 1
+            per_band[band][1] += 1 if (a, b) in cands else 0
+    import math as _math
+
+    want = {
+        band: (n, h, _div_half_up(1_000_000 * h, n))
+        for band, (n, h) in per_band.items()
+    }
+    got = {
+        r.jaccard_band: (r.n_true, r.n_recalled, r.recall_ppm)
+        for r in QUERIES["dedup_minhash_recall"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_top_transition_paths_match_bruteforce(spark):
+    rows = _rows("""
+        SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id
+        FROM events
+    """)
+    by_user = defaultdict(list)
+    for u, et, t, eid in rows:
+        by_user[u].append((t, eid, et))
+    paths = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        types = [e[2] for e in evs]
+        for i in range(len(types) - 2):
+            paths[">".join(types[i:i + 3])] += 1
+    ranked = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.path, r.n)
+        for r in QUERIES["events_top_transition_paths"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == ranked
