@@ -30,7 +30,7 @@ from . import streaming_queries  # noqa: F401,E402
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # Round-12 rotation (VERDICT r11 item 1):
-    #  1. The 12 r12-new queries go first for their first driver rows
+    #  1. The 14 r12-new queries go first for their first driver rows
     #     (the proven pattern — new entries are prepended).
     #  2. Every query whose CODE or ORACLE changed this round gets a
     #     fresh row: the language pair (profile classifier), the 5
@@ -42,13 +42,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #  3. The 17-query r7 tail — the oldest driver evidence in the repo
     #     (after this rotation ZERO registry entries have a row older
     #     than r8).
-    #  4. The remaining 8 slots age out the oldest r8 rows
+    #  4. The remaining 6 slots age out the oldest r8 rows
     #     (alphabetical prefix of the r8 cohort); the rest of the r8/r9
     #     cohorts queue for r13.
     #  Every query evicted from the r11 window is r11-green with
     #  unchanged code, so those rows stand as current evidence.
 
-    # r12-new queries (12) — first rows
+    # r12-new queries (14) — first rows
     "streaming_kll_value_maintenance",
     "graph_jaccard_link_topk",
     "dedup_minhash_precision",
@@ -61,6 +61,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_dau_wau_stickiness",
     "dedup_minhash_recall",
     "events_top_transition_paths",
+    "doc_simhash_hamming_histogram",
+    "corpus_vocab_growth",
     # r12 changed code/oracle (13) — re-verify under the driver
     "doc_language_id",
     "doc_langid_confusion",
@@ -93,15 +95,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "top_customers_by_orders",
     "top_customers_per_segment",
     "top_parts_by_revenue",
-    # oldest r8 rows, aging out next (8)
+    # oldest r8 rows, aging out next (6)
     "corpus_bpe_token_stats",
     "corpus_pmi_collocations",
     "corpus_shard_manifest",
     "corpus_token_drift",
     "customer_entity_clusters",
     "customer_fuzzy_name_matches",
-    "dedup_containment_pairs",
-    "dedup_cross_source_matrix",
 )
 
 

@@ -5518,3 +5518,64 @@ def events_top_transition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "doc_simhash_hamming_histogram",
+    # The TEXT-side twin of embeddings_similarity_histogram: the
+    # distribution of pairwise SimHash hamming distances over
+    # deterministic ring-offset pair samples (strides 1/17 on doc_id —
+    # linear in the corpus, never all-pairs). A healthy diverse corpus
+    # concentrates near bits/2 (random fingerprints); mass near 0 is
+    # template/mirror flooding. Pure integers: xor + bit_count, exact
+    # counts, round-half-up ppm.
+    oracle=f"""
+        WITH {_SQL_SIMHASH},
+        pairs AS (
+            SELECT s.step, bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM (SELECT UNNEST([1, 17]) AS step) s
+            JOIN fp a ON TRUE
+            JOIN fp b ON b.id = a.id + s.step
+        ),
+        cells AS (
+            SELECT CAST(step AS BIGINT) AS step, CAST(hamming AS BIGINT) AS hamming,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1, 2
+        ),
+        tot AS (SELECT step, CAST(SUM(n_pairs) AS BIGINT) AS t FROM cells GROUP BY step)
+        SELECT c.step, c.hamming, c.n_pairs,
+               (2000000 * c.n_pairs + t.t) // (2 * t.t) AS share_ppm
+        FROM cells c JOIN tot t USING (step)
+    """,
+    description="Pairwise SimHash hamming-distance histogram over deterministic ring-offset pair samples (strides 1/17 — linear, never all-pairs): the TEXT-side mode-collapse/template-flood audit (healthy corpora concentrate near bits/2; mass near 0 is mirror flooding) — xor + bit_count pure integers, per-stride shares in round-half-up ppm",
+)
+def doc_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = D.simhash_fingerprints(_docs(spark, sf_dir), bits=32).localCheckpoint(
+        eager=False
+    )  # both pair sides
+    steps = spark.range(0, 1).selectExpr("explode(array(1, 17)) AS step")
+    a = fp.crossJoin(F.broadcast(steps)).select(
+        "step",
+        F.col("simhash").alias("sa"),
+        (F.col("id") + F.col("step")).alias("bid"),
+    )
+    b = fp.select(F.col("id").alias("bid"), F.col("simhash").alias("sb"))
+    cells = (
+        a.join(b, "bid")
+        .select(
+            F.col("step").cast("long").alias("step"),
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .groupBy("step", "hamming")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .localCheckpoint(eager=False)  # totals + final join
+    )
+    tot = cells.groupBy("step").agg(F.sum("n_pairs").alias("t"))
+    return cells.join(F.broadcast(tot), "step").select(
+        "step",
+        "hamming",
+        "n_pairs",
+        F.expr("(2000000 * n_pairs + t) DIV (2 * t)").alias("share_ppm"),
+    )

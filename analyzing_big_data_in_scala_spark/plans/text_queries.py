@@ -847,3 +847,80 @@ def doc_language_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.expr("(2000000 * n_docs + t) DIV (2 * t)").alias("share_ppm"),
     )
+
+
+@query(
+    "corpus_vocab_growth",
+    # Heaps'-law vocabulary-growth curve: distinct vocabulary vs corpus
+    # size at 10 checkpoints along the ingestion key (cutoffs are VALUE
+    # fractions of the doc_id range — a pure per-row predicate, never a
+    # global rank sort). Each term contributes at its FIRST document
+    # (min doc_id), so the cumulative vocabulary at a cutoff is one
+    # filter over the vocab-sized first-occurrence table; natural
+    # corpora bend like V ~ k·N^b with b≈0.4–0.6 — a synthetic fill's
+    # flat vocabulary is the tell. Pure integers end to end.
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        bounds AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+        spine AS (
+            SELECT i, mn + ((mx - mn) * i) // 10 AS cutoff
+            FROM bounds, UNNEST(generate_series(1, 10)) t(i)
+        ),
+        per_doc AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id),
+        first_occ AS (SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY term),
+        doc_stats AS (
+            SELECT s.i, s.cutoff,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(p.nt) AS BIGINT) AS n_tokens
+            FROM spine s JOIN per_doc p ON p.doc_id <= s.cutoff
+            GROUP BY s.i, s.cutoff
+        ),
+        vocab AS (
+            SELECT s.i, CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM spine s JOIN first_occ f ON f.fd <= s.cutoff
+            GROUP BY s.i
+        )
+        SELECT CAST(d.i AS INT) AS checkpoint, CAST(d.cutoff AS BIGINT) AS cutoff_id,
+               d.n_docs, d.n_tokens, v.vocab
+        FROM doc_stats d JOIN vocab v ON v.i = d.i
+    """,
+    description="Heaps'-law vocabulary-growth curve (distinct vocabulary vs corpus size at 10 ingestion-key checkpoints — synthetic fills and template floods flatten the curve natural text bends at V~k*N^0.5): cutoffs are doc_id-range VALUE fractions (per-row predicates, never a global rank sort); per-term first-occurrence aggregate + vocab-sized filters; pure BIGINT",
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = T.token_table(docs).localCheckpoint(eager=False)  # 2 aggregates
+    bounds = docs.agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
+    )
+    spine = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "i",
+            F.expr("_mn + ((_mx - _mn) * i) DIV 10").alias("cutoff"),
+        )
+        .localCheckpoint(eager=False)  # both checkpoint joins
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    first_occ = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    doc_stats = (
+        spine.join(per_doc, per_doc.doc_id <= spine.cutoff)
+        .groupBy("i", "cutoff")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    vocab = (
+        spine.join(first_occ, first_occ.fd <= spine.cutoff)
+        .groupBy("i")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    return doc_stats.join(vocab, "i").select(
+        F.col("i").alias("checkpoint"),
+        F.col("cutoff").cast("long").alias("cutoff_id"),
+        "n_docs",
+        "n_tokens",
+        "vocab",
+    )

@@ -226,6 +226,8 @@ HEADLINE = [
     "events_dau_wau_stickiness",
     "dedup_minhash_recall",
     "events_top_transition_paths",
+    "doc_simhash_hamming_histogram",
+    "corpus_vocab_growth",
 ]
 
 

@@ -361,3 +361,74 @@ def test_top_transition_paths_match_bruteforce(spark):
         for r in QUERIES["events_top_transition_paths"].fn(spark, SF_SMALL).collect()
     ]
     assert got == ranked
+
+
+def test_simhash_hamming_histogram_matches_bruteforce(spark):
+    """Ring-pair hamming histogram recomputed from the engine's OWN
+    fingerprints re-derived in plain Python (portable md5 hash + bit
+    votes) — the full simhash pipeline, no shared SQL tree."""
+    import hashlib
+    import re as _re
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+    fp = {}
+    for doc_id, text in _rows("SELECT doc_id, text FROM documents"):
+        toks = [t for t in _re.split(r"\s+",
+                _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()) if t]
+        if not toks:
+            continue
+        votes = [0] * 32
+        for t in toks:
+            h = h64(t)
+            for j in range(32):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        fp[doc_id] = sum(1 << j for j in range(32) if votes[j] > 0)
+    cells = Counter()
+    for step in (1, 17):
+        for i, s in fp.items():
+            other = fp.get(i + step)
+            if other is not None:
+                cells[(step, bin(s ^ other).count("1"))] += 1
+    tot = Counter()
+    for (st, _h), n in cells.items():
+        tot[st] += n
+    want = {
+        k: (n, _div_half_up(1_000_000 * n, tot[k[0]])) for k, n in cells.items()
+    }
+    got = {
+        (r.step, r.hamming): (r.n_pairs, r.share_ppm)
+        for r in QUERIES["doc_simhash_hamming_histogram"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_vocab_growth_matches_bruteforce(spark):
+    import re as _re
+
+    rows = _rows("SELECT doc_id, text FROM documents")
+    ids = [d for d, _ in rows]
+    mn, mx = min(ids), max(ids)
+    cutoffs = {i: mn + ((mx - mn) * i) // 10 for i in range(1, 11)}
+    per_doc = {}
+    first_occ = {}
+    for doc_id, text in rows:
+        toks = [t for t in _re.split(r"\s+",
+                _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()) if t]
+        if toks:
+            per_doc[doc_id] = len(toks)
+        for t in toks:
+            if t not in first_occ or doc_id < first_occ[t]:
+                first_occ[t] = doc_id
+    want = {}
+    for i, cut in cutoffs.items():
+        nd = sum(1 for d in per_doc if d <= cut)
+        nt = sum(n for d, n in per_doc.items() if d <= cut)
+        v = sum(1 for fd in first_occ.values() if fd <= cut)
+        want[i] = (cut, nd, nt, v)
+    got = {
+        r.checkpoint: (r.cutoff_id, r.n_docs, r.n_tokens, r.vocab)
+        for r in QUERIES["corpus_vocab_growth"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want

@@ -78,13 +78,13 @@ def test_driver_window_covers_oracle_backed_queries():
 
     deliberate_demotions = {
         # Round-12 rotation ledger (VERDICT r11 item 1): the window holds
-        # the 12 r12-new queries (first rows), the 13 queries whose code
+        # the 14 r12-new queries (first rows), the 13 queries whose code
         # or oracle changed in r12 (language pair, the 5 freq-table
         # quantile migrations, the prefix-scan stitch consumers, the two
         # guard-threshold queries, the similarity-histogram oracle fix,
         # the KLL finalize refactor), the FULL 17-query r7 tail (after
         # this round zero registry entries have a driver row older than
-        # r8), and the 8 alphabetically-first r8-cohort entries. Every
+        # r8), and the 6 alphabetically-first r8-cohort entries. Every
         # demotion below keeps its newest green CORRECTNESS row (r8-r11)
         # as standing evidence; ALL registered queries are oracle-backed,
         # so this set is exactly registry-minus-window.
@@ -97,14 +97,16 @@ def test_driver_window_covers_oracle_backed_queries():
         "customer_order_full_outer", "customer_order_running_total",
         "customer_rfm_segments", "customer_segment_setops",
         "customers_with_expensive_items",
-        "customers_without_orders_filtered", "dedup_embedding_cosine",
-        "dedup_exact_groups", "dedup_incremental_batch",
-        "dedup_mass_by_source", "dedup_minhash_candidates",
-        "dedup_minhash_signatures", "dedup_near_clusters",
-        "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
-        "doc_chunk_dedup", "doc_decontamination",
-        "doc_exact_substring_removal", "doc_fingerprint_rolling",
-        "doc_perplexity_proxy", "doc_pii_scan", "doc_quality_scores",
+        "customers_without_orders_filtered",
+        "dedup_containment_pairs", "dedup_cross_source_matrix",
+        "dedup_embedding_cosine", "dedup_exact_groups",
+        "dedup_incremental_batch", "dedup_mass_by_source",
+        "dedup_minhash_candidates", "dedup_minhash_signatures",
+        "dedup_near_clusters", "dedup_ngram_jaccard",
+        "dedup_semantic", "dedup_simhash", "doc_chunk_dedup",
+        "doc_decontamination", "doc_exact_substring_removal",
+        "doc_fingerprint_rolling", "doc_perplexity_proxy",
+        "doc_pii_scan", "doc_quality_scores",
         "doc_repetition_filters", "doc_semantic_decontamination",
         "doc_token_stats", "doc_url_domains",
         "doc_winnow_fingerprints", "documents_balanced_sample",
