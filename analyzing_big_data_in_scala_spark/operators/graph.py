@@ -720,6 +720,74 @@ AA_CONTRIB_PPM_SQL = (
 )
 
 
+def _wedge_candidate_pairs(
+    edges: DataFrame,
+    max_center_degree: int | None = None,
+    center_weight_sql: str | None = None,
+    with_endpoint_degrees: bool = False,
+) -> DataFrame:
+    """Shared 2-hop candidate scaffold for the link-prediction trio
+    (r13 factor-out of the ~40-line chain the three scorers previously
+    triplicated — ADVICE r12): canonical undirected edges → adjacency in
+    both directions → one degree aggregate → wedge-center filter
+    (deg >= 2, optional `max_center_degree` hub cap) → wedges from ONE
+    adjacency self-equi-join on the center vertex → aggregate-FIRST to
+    candidate pairs → LEFT ANTI against the existing edge set. Returns
+
+        (u, v, common_neighbors [, weight_sum] [, _du, _dv])   u < v
+
+    - `center_weight_sql`: SQL over the center's `deg` evaluated ONCE
+      per center and BIGINT-summed per pair into `weight_sum`
+      (Adamic–Adar's quantized 1/ln(deg) rides here; siblings skip it
+      and pay only a LEFT SEMI against the center set).
+    - `with_endpoint_degrees`: join deg onto both candidate endpoints as
+      `_du`/`_dv` (Jaccard/PA need them; AA doesn't, so it skips the two
+      joins — the helper must not cost a scorer anything the hand-rolled
+      form didn't).
+
+    The scale argument lives here once: the scoring aggregate runs
+    BEFORE the anti join so the LEFT ANTI sees candidate-PAIR volume,
+    not wedge volume (the anti join commutes with the groupBy — it drops
+    whole (u, v) groups) and reuses the aggregate's (u, v) hash
+    partitioning; multi-consumer frames are lineage-cut (the
+    triangle_counts lesson)."""
+    e = canonical_undirected(edges).localCheckpoint(eager=False)
+    adj = (
+        e.select(F.col("a").alias("w"), F.col("b").alias("n"))
+        .union(e.select(F.col("b").alias("w"), F.col("a").alias("n")))
+    ).localCheckpoint(eager=False)
+    deg = adj.groupBy("w").agg(F.count("*").alias("deg"))
+    if with_endpoint_degrees:
+        # center filter + both endpoint joins consume it
+        deg = deg.localCheckpoint(eager=False)
+    centers = deg.filter(F.col("deg") >= 2)
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_center_degree)
+    a1 = adj.select("w", F.col("n").alias("u"))
+    a2 = adj.select("w", F.col("n").alias("v"))
+    wedges = a1.join(a2, "w").filter(F.col("u") < F.col("v"))
+    if center_weight_sql is not None:
+        contrib = centers.select("w", F.expr(center_weight_sql).alias("_cw"))
+        wedges = wedges.join(contrib, "w").select("u", "v", "_cw")
+        pairs = wedges.groupBy("u", "v").agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("_cw").alias("weight_sum"),
+        )
+    else:
+        wedges = wedges.join(
+            centers.select("w"), "w", "left_semi"
+        ).select("u", "v")
+        pairs = wedges.groupBy("u", "v").agg(
+            F.count("*").alias("common_neighbors")
+        )
+    cand = pairs.join(e, (pairs.u == e.a) & (pairs.v == e.b), "left_anti")
+    if with_endpoint_degrees:
+        du = deg.select(F.col("w").alias("u"), F.col("deg").alias("_du"))
+        dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("_dv"))
+        cand = cand.join(du, "u").join(dv, "v")
+    return cand
+
+
 def adamic_adar_topk(
     edges: DataFrame, k: int | None = 20, max_center_degree: int | None = None
 ) -> DataFrame:
@@ -747,35 +815,14 @@ def adamic_adar_topk(
     the standard exactness/cost dial at scale — an UNCAPPED run on a
     100 TB social graph is a deliberate choice, not a default).
 
-    Each (multi-)consumer frame is lineage-cut (the triangle_counts
-    lesson: Catalyst otherwise re-derives the full edges-from-source
-    chain per consumer)."""
-    e = canonical_undirected(edges).localCheckpoint(eager=False)
-    adj = (
-        e.select(F.col("a").alias("w"), F.col("b").alias("n"))
-        .union(e.select(F.col("b").alias("w"), F.col("a").alias("n")))
-    ).localCheckpoint(eager=False)
-    deg = adj.groupBy("w").agg(F.count("*").alias("deg"))
-    contrib = deg.filter(F.col("deg") >= 2)
-    if max_center_degree is not None:
-        contrib = contrib.filter(F.col("deg") <= max_center_degree)
-    contrib = contrib.select("w", F.expr(AA_CONTRIB_PPM_SQL).alias("c_ppm"))
-    a1 = adj.select("w", F.col("n").alias("u"))
-    a2 = adj.select("w", F.col("n").alias("v"))
-    wedges = (
-        a1.join(a2, "w")
-        .filter(F.col("u") < F.col("v"))
-        .join(contrib, "w")
-        .select("u", "v", "c_ppm")
-    )
-    pair_scores = wedges.groupBy("u", "v").agg(
-        F.count("*").alias("common_neighbors"),
-        F.sum("c_ppm").alias("score_ppm"),
-    )
-    scored = pair_scores.join(
-        e,
-        (pair_scores.u == e.a) & (pair_scores.v == e.b),
-        "left_anti",
+    Scaffold (wedges, aggregate-first anti-join, lineage cuts) is the
+    shared :func:`_wedge_candidate_pairs`; AA is the weighted member
+    (per-center ppm contribution summed in the candidate aggregate) and
+    skips the endpoint-degree joins its siblings need."""
+    scored = _wedge_candidate_pairs(
+        edges, max_center_degree, center_weight_sql=AA_CONTRIB_PPM_SQL
+    ).select(
+        "u", "v", "common_neighbors", F.col("weight_sum").alias("score_ppm")
     )
     if k is None:
         # Full scored candidate set, unordered — the probe/analysis form
@@ -810,42 +857,19 @@ def jaccard_link_topk(
     table — candidate volume, never wedge volume); `max_center_degree`
     is the same hub-cost dial, with the same semantics caveat: capped
     centers' wedges are skipped, so `common` undercounts through hubs.
-    Consumer frames are lineage-cut (the triangle_counts lesson)."""
-    e = canonical_undirected(edges).localCheckpoint(eager=False)
-    adj = (
-        e.select(F.col("a").alias("w"), F.col("b").alias("n"))
-        .union(e.select(F.col("b").alias("w"), F.col("a").alias("n")))
-    ).localCheckpoint(eager=False)
-    deg = adj.groupBy("w").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=False
-    )  # wedge-center filter + both endpoint joins
-    centers = deg.filter(F.col("deg") >= 2)
-    if max_center_degree is not None:
-        centers = centers.filter(F.col("deg") <= max_center_degree)
-    a1 = adj.select("w", F.col("n").alias("u"))
-    a2 = adj.select("w", F.col("n").alias("v"))
-    wedges = (
-        a1.join(a2, "w")
-        .filter(F.col("u") < F.col("v"))
-        .join(centers.select("w"), "w", "left_semi")
-        .select("u", "v")
-    )
-    pairs = wedges.groupBy("u", "v").agg(F.count("*").alias("common_neighbors"))
-    cand = pairs.join(e, (pairs.u == e.a) & (pairs.v == e.b), "left_anti")
-    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("_du"))
-    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("_dv"))
-    scored = (
-        cand.join(du, "u")
-        .join(dv, "v")
-        .select(
-            "u",
-            "v",
-            "common_neighbors",
-            F.expr(
-                "(2000000 * common_neighbors + (_du + _dv - common_neighbors))"
-                " DIV (2 * (_du + _dv - common_neighbors))"
-            ).alias("jaccard_ppm"),
-        )
+    Scaffold is the shared :func:`_wedge_candidate_pairs`
+    (unweighted, with endpoint degrees); only the scoring expression and
+    top-k live here."""
+    scored = _wedge_candidate_pairs(
+        edges, max_center_degree, with_endpoint_degrees=True
+    ).select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.expr(
+            "(2000000 * common_neighbors + (_du + _dv - common_neighbors))"
+            " DIV (2 * (_du + _dv - common_neighbors))"
+        ).alias("jaccard_ppm"),
     )
     if k is None:
         return scored
@@ -867,40 +891,16 @@ def preferential_attachment_topk(
         (u, v, common_neighbors, pa_score)   with u < v
 
     deterministically (score DESC, then u, v). PURE BIGINT: degrees and
-    the product — no division, no float. Same aggregate-first LEFT-ANTI
-    shape and `max_center_degree` dial as the siblings."""
-    e = canonical_undirected(edges).localCheckpoint(eager=False)
-    adj = (
-        e.select(F.col("a").alias("w"), F.col("b").alias("n"))
-        .union(e.select(F.col("b").alias("w"), F.col("a").alias("n")))
-    ).localCheckpoint(eager=False)
-    deg = adj.groupBy("w").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=False
-    )
-    centers = deg.filter(F.col("deg") >= 2)
-    if max_center_degree is not None:
-        centers = centers.filter(F.col("deg") <= max_center_degree)
-    a1 = adj.select("w", F.col("n").alias("u"))
-    a2 = adj.select("w", F.col("n").alias("v"))
-    wedges = (
-        a1.join(a2, "w")
-        .filter(F.col("u") < F.col("v"))
-        .join(centers.select("w"), "w", "left_semi")
-        .select("u", "v")
-    )
-    pairs = wedges.groupBy("u", "v").agg(F.count("*").alias("common_neighbors"))
-    cand = pairs.join(e, (pairs.u == e.a) & (pairs.v == e.b), "left_anti")
-    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("_du"))
-    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("_dv"))
-    scored = (
-        cand.join(du, "u")
-        .join(dv, "v")
-        .select(
-            "u",
-            "v",
-            "common_neighbors",
-            (F.col("_du") * F.col("_dv")).cast("long").alias("pa_score"),
-        )
+    the product — no division, no float. Scaffold is the shared
+    :func:`_wedge_candidate_pairs` (unweighted, with endpoint degrees);
+    only the deg(u)*deg(v) scoring expression and top-k live here."""
+    scored = _wedge_candidate_pairs(
+        edges, max_center_degree, with_endpoint_degrees=True
+    ).select(
+        "u",
+        "v",
+        "common_neighbors",
+        (F.col("_du") * F.col("_dv")).cast("long").alias("pa_score"),
     )
     if k is None:
         return scored

@@ -211,6 +211,16 @@ def equi_depth_histogram(
     bucket fan-out run over |distinct values| rows. Value domains too
     large to aggregate take the mergeable KLL sketch
     (`sketches.kll_value_rollup`) instead."""
+    # id_col is contract-only after the freq-table migration (see above),
+    # but it must still NAME A REAL COLUMN — a caller passing a stale or
+    # misspelled tiebreak would otherwise silently succeed and then break
+    # the moment anyone reverts to (or cross-checks against) the NTILE
+    # form (ADVICE r12).
+    for col in (key_col, value_col, id_col):
+        if col not in df.columns:
+            raise ValueError(
+                f"equi_depth_histogram: column {col!r} not in {df.columns}"
+            )
     counts = (
         df.select(
             key_col, F.round(F.col(value_col) * 10000).cast("long").alias("_ve4")

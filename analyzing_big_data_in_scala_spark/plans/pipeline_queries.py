@@ -5193,6 +5193,7 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                         FROM UNNEST(embedding) t(x)
                     )) AS ns
             FROM embeddings
+            WHERE len(embedding) > 0
         ),
         cells AS (
             SELECT CAST(FLOOR(sqrt(CAST(ns AS DOUBLE)) / 10000 * 10) AS BIGINT) AS bucket
@@ -5208,7 +5209,11 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Embedding L2-norm histogram in tenth-of-a-unit buckets (the magnitude half of the embedding health audit — normalization bugs and dead encoders move norm mass before cosine geometry degrades): per-component e4 integerization makes the squared norm an exact BIGINT, one correctly-rounded sqrt/div per vector, round-half-up ppm shares; linear scan, one tiny aggregate",
 )
 def embeddings_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Empty-vector guard (ADVICE r12): Spark's F.aggregate over a
+    # zero-length array yields the 0 seed (bucket 0) while the oracle's
+    # scalar-subquery SUM over zero rows yields NULL — drop empties on
+    # BOTH engines so a malformed fixture can't diverge them.
+    emb = load_table(spark, sf_dir, "embeddings").where(F.size("embedding") > 0)
     ns = F.aggregate(
         F.transform(
             "embedding",
@@ -5294,11 +5299,22 @@ def corpus_chunk_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sigma+mu), so ONE sqrt over the same BIGINT-derived doubles + one
 # division decide the ppm — bit-identical cross-engine.
 BURSTINESS_PPM_SQL = (
-    "CAST(ROUND((sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+    # Degenerate-input guard (ADVICE r12): if every gap in a type is 0
+    # (all events share one timestamp) then s = ss = 0, sigma = mu = 0
+    # and the ratio is 0/0 — Spark's non-ANSI cast would silently turn
+    # the NaN into NULL while DuckDB ERRORS on CAST(ROUND(nan) AS
+    # BIGINT). Gaps are non-negative by construction (time-ordered LAG),
+    # so the denominator sqrt(n*ss - s^2) + s is zero exactly when
+    # s = 0 AND n*ss = s^2; the CASE emits NULL on BOTH engines there
+    # (mirroring the total_span_sec guard in time-weighted averages).
+    "CASE WHEN s > 0 OR CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+    " > CAST(s AS DOUBLE) * CAST(s AS DOUBLE) THEN"
+    " CAST(ROUND((sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
     " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - CAST(s AS DOUBLE))"
     " / (sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
     " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) + CAST(s AS DOUBLE))"
     " * 1000000) AS BIGINT)"
+    " ELSE NULL END"
 )
 
 

@@ -1,0 +1,124 @@
+"""Unit pins for the round-13 ADVICE fixes: the burstiness 0/0 guard, the
+norm-profile empty-vector guard, and equi_depth_histogram's id_col
+validation. The two guard tests run BOTH engines on a crafted degenerate
+fixture (the exact input ADVICE r12 named), so a regression re-opens as a
+cross-engine divergence, not a silent NULL."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.oracle_check import compare
+
+
+def _mini_sf(spark, tmp_path, events_rows=None, embeddings_rows=None) -> str:
+    """Write a minimal sf-dir with just the tables a query loads."""
+    sf = str(tmp_path / "sf")
+    if events_rows is not None:
+        spark.createDataFrame(
+            events_rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    if embeddings_rows is not None:
+        spark.createDataFrame(
+            embeddings_rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf}/embeddings.parquet"
+        )
+    return sf
+
+
+def test_burstiness_all_zero_gaps_is_null_on_both_engines(spark, tmp_path):
+    """ADVICE r12: a type whose events all share one timestamp has every
+    gap = 0 → sigma = mu = 0 → 0/0. Pre-guard, Spark's non-ANSI cast
+    silently yielded NULL while DuckDB ERRORED on CAST(ROUND(nan) AS
+    BIGINT). Post-guard both engines must return a NULL ppm row — checked
+    with the driver-strength comparator."""
+    from analyzing_big_data_in_scala_spark.plans import QUERIES
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # degenerate type: three events, ONE timestamp → gaps 0, 0
+        (1, t0, 10, "burst", 1.0, "{}"),
+        (2, t0, 11, "burst", 1.0, "{}"),
+        (3, t0, 12, "burst", 1.0, "{}"),
+        # healthy type: gaps 10 and 20 s → well-defined ppm
+        (4, t0, 20, "ok", 1.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=10), 20, "ok", 1.0, "{}"),
+        (6, t0 + dt.timedelta(seconds=30), 20, "ok", 1.0, "{}"),
+    ]
+    sf = _mini_sf(spark, tmp_path, events_rows=rows)
+    spec = QUERIES["events_burstiness_index"]
+
+    got = {
+        r["event_type"]: (r["n_gaps"], r["burstiness_ppm"])
+        for r in spec.fn(spark, sf).collect()
+    }
+    assert got["burst"] == (2, None)
+    # gaps 10, 20: mu=15, sigma=5 → (5-15)/(5+15) = -0.5 → -500000 ppm
+    assert got["ok"] == (2, -500_000)
+
+    # DuckDB must RUN (pre-guard it raised) and hash-match Spark.
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    out = compare(spec.fn(spark, sf), con, spec.oracle)
+    assert out["values_match"], out
+
+
+def test_norm_profile_drops_empty_vectors_on_both_engines(spark, tmp_path):
+    """ADVICE r12: a zero-length embedding made Spark's F.aggregate emit
+    the 0 seed (bucket 0) while the oracle's scalar-subquery SUM emitted
+    NULL. Post-guard both engines drop empties; the remaining vectors
+    bucket identically."""
+    from analyzing_big_data_in_scala_spark.plans import QUERIES
+
+    rows = [
+        (1, [], 0),                 # the degenerate input
+        (2, [0.6, 0.8], 0),         # norm 1.0 → bucket 10
+        (3, [0.3, 0.4], 1),         # norm 0.5 → bucket 5
+        (4, [0.0, 1.0], 1),         # norm 1.0 → bucket 10
+    ]
+    sf = _mini_sf(spark, tmp_path, embeddings_rows=rows)
+    spec = QUERIES["embeddings_norm_profile"]
+
+    got = {r["bucket"]: (r["n_vecs"], r["share_ppm"])
+           for r in spec.fn(spark, sf).collect()}
+    # empty vector gone: 3 vectors total, no bucket 0 row
+    assert 0 not in got
+    assert got[10] == (2, 666_667) and got[5] == (1, 333_333)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{sf}/embeddings.parquet/*.parquet'"
+    )
+    out = compare(spec.fn(spark, sf), con, spec.oracle)
+    assert out["values_match"], out
+
+
+def test_equi_depth_histogram_rejects_missing_columns(spark):
+    """ADVICE r12: id_col is contract-only after the freq-table migration
+    but must still name a real column — a stale tiebreak should fail
+    loudly, not silently succeed."""
+    from analyzing_big_data_in_scala_spark.operators.quality import (
+        equi_depth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1)], "event_type string, value double, event_id long"
+    )
+    # valid call still works
+    assert equi_depth_histogram(
+        df, "event_type", "value", "event_id", n_buckets=1
+    ).count() == 1
+    for bad in ("nope", "Event_id"):
+        with pytest.raises(ValueError, match="not in"):
+            equi_depth_histogram(df, "event_type", "value", bad)
+    with pytest.raises(ValueError, match="not in"):
+        equi_depth_histogram(df, "event_type", "missing_value", "event_id")
