@@ -66,10 +66,12 @@ def sql_stopword_list() -> str:
 # text containing incidental English stopwords ('in'/'was'/'an' are also
 # German words, 'a'/'no' Spanish, 'a' French) — the leak
 # doc_langid_confusion measures. Scoring every language's profile and
-# taking the argmax closes that class. Lists are ASCII-ONLY by
-# construction: `normalize_text` collapses every non-[a-z0-9] rune to a
-# space, so accented stopwords (fuer/für, mas/más) never survive
-# tokenization — each list holds only forms that do. Keep these tuples in
+# taking the argmax closes that class. r13: the classifier tokenizes
+# with `normalize_text(unicode=True)`, so accented forms (für, à, más)
+# now SURVIVE tokenization and each list carries them; under the
+# default ASCII normalizer they simply never match (the accented forms
+# contain characters that tokenizer destroys), so adding them is
+# value-neutral for any ASCII-tokenized consumer. Keep these tuples in
 # sync with the oracle literals via `sql_lang_profile`.
 LANG_STOP_PROFILES: dict[str, tuple[str, ...]] = {
     "en": STOP_WORDS,
@@ -80,6 +82,7 @@ LANG_STOP_PROFILES: dict[str, tuple[str, ...]] = {
         "wenn", "nur", "noch", "bei", "nach", "aus", "wie", "war", "waren",
         "sind", "werden", "wird", "hat", "haben", "kann", "mehr", "schon",
         "dann", "doch", "hier", "alle", "durch",
+        "für", "über", "können", "müssen", "würde", "während",
     ),
     "fr": (
         "le", "la", "les", "de", "des", "du", "un", "une", "et", "est",
@@ -88,6 +91,7 @@ LANG_STOP_PROFILES: dict[str, tuple[str, ...]] = {
         "ne", "se", "son", "sa", "ses", "mais", "ou", "si", "plus", "par",
         "sont", "tout", "tous", "comme", "bien", "leur", "votre", "notre",
         "a",
+        "à", "où", "être", "été", "déjà", "très", "après", "même",
     ),
     "es": (
         "el", "la", "los", "las", "de", "del", "un", "una", "unos", "unas",
@@ -95,6 +99,7 @@ LANG_STOP_PROFILES: dict[str, tuple[str, ...]] = {
         "sus", "al", "lo", "como", "pero", "este", "esta", "estos", "estas",
         "son", "fue", "ser", "hay", "muy", "o", "si", "ya", "cuando",
         "sobre", "entre", "sin", "me", "mi", "tu", "a",
+        "sí", "más", "está", "también", "años", "después", "así",
     ),
 }
 
@@ -105,17 +110,100 @@ def sql_lang_profile(lang: str) -> str:
     return "(" + ", ".join(f"'{w}'" for w in LANG_STOP_PROFILES[lang]) + ")"
 
 
-def normalize_text(col: Column | str) -> Column:
+# ---------------------------------------------------------------------------
+# r13 Unicode domain extension (VERDICT r12 item 2).
+#
+# The default normalizer keeps the REFERENCE's exact character class
+# (`[^a-z0-9]` — ScalaNotebooks/MovieSearchEngine.scala:59-63): every
+# reference-parity operator (tfidf/search/entities/shingles) and its
+# oracle stay byte-identical. The `unicode=True` mode widens the KEEP
+# class with EXPLICIT BMP codepoint ranges rather than `\p{L}` —
+# property classes resolve against each engine's bundled Unicode tables
+# (Java 17 regex vs DuckDB's RE2) and can disagree on exotic codepoints,
+# while literal ranges mean the same thing everywhere. Ranges are BMP
+# only, so Spark's UTF-16 `length()` and DuckDB's codepoint `length()`
+# also agree on every kept character (supplementary-plane characters —
+# emoji, CJK ext B — are stripped by both engines before any counting).
+#
+# Case note: `lower()` agrees across engines on these ranges for SIMPLE
+# case mappings, but two standard-Unicode special cases diverge and are
+# neutralized explicitly in unicode mode (measured against DuckDB's
+# utf8proc in the r13 probe):
+#   - U+0130 (İ): Java/Python lower to "i"+U+0307 (combining dot) while
+#     utf8proc lowers to plain "i"; the combining dot is outside every
+#     keep range, so the un-neutralized normalizer would SPLIT the token
+#     ("i stanbul" vs "istanbul"). Pre-mapping İ→I before lower() makes
+#     both engines emit "i...".
+#   - Greek final sigma: Java/Python lowercase Σ context-sensitively
+#     (word-final → ς) while utf8proc always emits σ; post-mapping ς→σ
+#     after lower() canonicalizes both engines to σ.
+# (Locale caveat: Spark's non-ASCII lower() uses the JVM default locale;
+# under a Turkish default locale I→ı would still diverge. The containers
+# this runs in are POSIX/root locale.)
+# ---------------------------------------------------------------------------
+
+# (name, range-literal) per script block, in the classifier's fixed
+# tie-break order. Latin-1/Extended letters ride with [a-z] in the KEEP
+# class but are not a "script block" for the classifier — they back the
+# accented de/fr/es stop-word profiles instead.
+SCRIPT_BLOCKS: tuple[tuple[str, str], ...] = (
+    ("arabic", "؀-ۿ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("devanagari", "ऀ-ॿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("hangul", "가-힣"),
+    ("hebrew", "֐-׿"),
+    ("kana", "぀-ヿ"),
+    ("han", "一-鿿"),
+)
+
+# Accented Latin letters (Latin-1 Supplement minus × ÷, Latin Extended-A/B).
+LATIN_EXT_RANGES = "À-ÖØ-öø-ɏ"
+
+UNICODE_KEEP_RANGES = LATIN_EXT_RANGES + "".join(r for _, r in SCRIPT_BLOCKS)
+
+# The two normalizer character classes — shared VERBATIM with every
+# oracle via sql_normalize() so both engines always run the same regex.
+NORM_CLASS_ASCII = "[^a-z0-9]+"
+NORM_CLASS_UNICODE = f"[^a-z0-9{UNICODE_KEEP_RANGES}]+"
+
+
+def normalize_text(col: Column | str, unicode: bool = False) -> Column:
     """N4/F11: lowercase and collapse every non-alphanumeric run to a single
-    space (ScalaNotebooks/MovieSearchEngine.scala:59-63)."""
+    space (ScalaNotebooks/MovieSearchEngine.scala:59-63). With
+    ``unicode=True`` the keep-class widens to the explicit BMP script
+    ranges above (accented Latin, Greek, Cyrillic, Hebrew, Arabic,
+    Devanagari, kana, Han, Hangul) — the r13 domain extension the
+    multilingual language gate runs on; the default stays bit-identical
+    to the reference's ASCII normalizer."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+    if not unicode:
+        return F.trim(F.regexp_replace(F.lower(c), NORM_CLASS_ASCII, " "))
+    pre = F.regexp_replace(c, "İ", "I")  # İ special case (above)
+    low = F.regexp_replace(F.lower(pre), "ς", "σ")  # ς → σ
+    return F.trim(F.regexp_replace(low, NORM_CLASS_UNICODE, " "))
 
 
-def tokens(col: Column | str, normalize: bool = True) -> Column:
+def sql_normalize(expr: str, unicode: bool = False) -> str:
+    """DuckDB twin of :func:`normalize_text` — the SAME character class
+    literal (and the same İ/ς neutralizations in unicode mode), so the
+    two engines can never drift."""
+    if not unicode:
+        return f"trim(regexp_replace(lower({expr}), '{NORM_CLASS_ASCII}', ' ', 'g'))"
+    pre = f"regexp_replace({expr}, 'İ', 'I', 'g')"
+    low = f"regexp_replace(lower({pre}), 'ς', 'σ', 'g')"
+    return f"trim(regexp_replace({low}, '{NORM_CLASS_UNICODE}', ' ', 'g'))"
+
+
+def tokens(col: Column | str, normalize: bool = True, unicode: bool = False) -> Column:
     """F6/N3: normalized token array; empty strings filtered out
-    (ScalaNotebooks/MovieSearchEngine.scala:114-118)."""
-    c = normalize_text(col) if normalize else (F.col(col) if isinstance(col, str) else col)
+    (ScalaNotebooks/MovieSearchEngine.scala:114-118). ``unicode=True``
+    tokenizes over the widened r13 keep-class (see normalize_text)."""
+    c = (
+        normalize_text(col, unicode=unicode)
+        if normalize
+        else (F.col(col) if isinstance(col, str) else col)
+    )
     return F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
 
 

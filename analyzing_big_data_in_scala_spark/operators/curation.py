@@ -105,61 +105,154 @@ def unigram_profile(
     )
 
 
+# The classifier's script languages in FIXED tie-break order (alphabetical
+# by code), each paired with its SCRIPT_BLOCKS source. zh/ja share the
+# han+kana mass and are disambiguated by kana share (below).
+SCRIPT_LANGS: tuple[tuple[str, str], ...] = (
+    ("ar", "arabic"),
+    ("el", "greek"),
+    ("he", "hebrew"),
+    ("hi", "devanagari"),
+    ("ja", "kana"),   # score is the combined CJK mass when kana >= 10%
+    ("ko", "hangul"),
+    ("ru", "cyrillic"),
+    ("zh", "han"),    # score is the combined CJK mass when kana < 10%
+)
+
+# Script prediction fires when the best block holds >= 30% of the
+# document's letter mass (cross-multiplied to pure BIGINT: 10*best >= 3*total).
+SCRIPT_MIN_NUM, SCRIPT_MIN_DEN = 3, 10
+
+
+def script_char_counts(text_col: str = "text") -> list:
+    """One BIGINT column per script block counting the RAW text's
+    characters inside that block (`_c_<block>`), plus `_c_latin` (ASCII +
+    accented Latin letters, both cases). Counting raw text — before
+    lower()/tokenization — is what makes the signal survive ANY
+    tokenizer, including the whitespace tokenizer that CJK defeats.
+    Every range is BMP, so Spark's UTF-16 length() and DuckDB's
+    codepoint length() agree on each kept character."""
+    from ..functions.text import LATIN_EXT_RANGES, SCRIPT_BLOCKS
+
+    cols = [
+        F.length(
+            F.regexp_replace(F.col(text_col), f"[^a-zA-Z{LATIN_EXT_RANGES}]+", "")
+        )
+        .cast("long")
+        .alias("_c_latin")
+    ]
+    for name, rng in SCRIPT_BLOCKS:
+        cols.append(
+            F.length(F.regexp_replace(F.col(text_col), f"[^{rng}]+", ""))
+            .cast("long")
+            .alias(f"_c_{name}")
+        )
+    return cols
+
+
 def language_profile_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id_col, pred_lang, en_ratio): multi-language stop-word-PROFILE
-    classifier (r12, VERDICT r11 item 5) — the measured upgrade of the
-    en-only hit-ratio gate whose leak `doc_langid_confusion` quantifies.
+    """(id_col, pred_lang, en_ratio): multilingual classifier — a
+    Unicode SCRIPT-BLOCK character signal layered over the r12
+    stop-word-PROFILE argmax (r13, VERDICT r12 item 2).
 
-    One tokenize + ONE hash aggregate counts each document's hits
-    against every language's profile (`functions.text.LANG_STOP_PROFILES`
-    — en/de/fr/es; ASCII-only by construction since `normalize_text`
-    destroys accented forms); the prediction is the argmax profile,
-    'unknown' when even the best profile covers under 5% of tokens.
-    All comparisons are pure BIGINT (20·max_count vs n — the 0.05
-    threshold cross-multiplied), so the label is bit-identical
-    cross-engine; ties prefer 'en' (conservative for the en-centric
-    curation gate the old heuristic served), then alphabetical.
+    Two signals, in precedence order:
 
-    The en-only gate mislabels any non-English text carrying incidental
-    English-list collisions ('in'/'was'/'an' are German words, 'a'/'no'
-    Spanish, 'a' French) — real multilingual text leaks at ~0.05+ hit
-    ratio. The profile argmax closes that class because the text's OWN
-    language outscores the collisions (pinned on a hand-built
-    multilingual micro-fixture in tests/test_r12_fixes.py; the synthetic
-    driver fixture's text is language-signal-free — all five lang labels
-    draw from one shared 31-term vocabulary — so its confusion matrix is
-    invariant under ANY classifier improvement, which the r12 evidence
-    documents with the vocabulary audit).
+    1. **Script blocks** (CJK/kana/Hangul/Cyrillic/Arabic/Greek/Hebrew/
+       Devanagari — `functions.text.SCRIPT_BLOCKS`): per-block character
+       counts over the RAW text, so the signal survives any tokenizer —
+       including whitespace tokenization, which CJK (no word spaces)
+       defeats. If the best block holds >= 30% of the document's letter
+       mass (letters = Latin incl. accented + all blocks; pure-BIGINT
+       cross-multiplied comparison), predict that script's language.
+       zh vs ja share the han+kana mass and split on kana share (>= 10%
+       kana among CJK chars → ja — kana is ubiquitous in Japanese prose
+       and absent from Chinese); ties break in fixed SCRIPT_LANGS order.
+    2. **Stop-word profiles** (en/de/fr/es) otherwise: argmax profile
+       hit count over `normalize_text(unicode=True)` tokens — the r13
+       widened domain, so accented forms (für/à/más, now IN the
+       profiles) survive and score; 'unknown' when even the best profile
+       covers under 5% of tokens (20·max < n). Ties prefer 'en', then
+       alphabetical — unchanged from r12.
+
+    The whole classifier is MAP-ONLY (r13: profile hits via
+    size(filter(tokens)) per row instead of the r12 explode+groupBy —
+    zero shuffles, embarrassingly parallel at 100 TB; ~10 regex passes
+    per document is the honest per-row cost). Only docs with >= 1
+    unicode-domain token are classified (same domain rule both engines).
+    All label decisions are pure-BIGINT comparisons → bit-identical
+    cross-engine; en_ratio is ROUND(c_en/n, 6) as before.
+
+    The synthetic driver fixture's text is ASCII and language-signal-free
+    (all five lang labels share one vocabulary — documented in r12), so
+    fixture-level confusion is invariant; the classifier's real zh/ru/
+    accented separation is pinned on a genuine multilingual micro-fixture
+    driven through BOTH engines in tests/test_r13_unicode.py.
 
     `unigram_profile` (the fused funnel gate above) deliberately keeps
-    the cheap binary en-gate: its oracles pin that exact semantics, and
-    the funnel only consumes the en/not-en decision; this classifier's
-    'en' predictions are a subset refinement (argmax en AND >= 5%)."""
+    the cheap binary en-gate: its oracles pin that exact semantics."""
     from ..functions.text import LANG_STOP_PROFILES, tokens
 
     langs = sorted(LANG_STOP_PROFILES)  # de, en, es, fr — deterministic
-    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    counts = toks.groupBy(id_col).agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(
-                F.when(F.col("term").isin(*LANG_STOP_PROFILES[lang]), 1).otherwise(0)
-            )
+    base = docs.select(
+        F.col(id_col),
+        tokens(text_col, unicode=True).alias("_toks"),
+        *script_char_counts(text_col),
+    ).where(F.size("_toks") > 0)
+    def _hits(lang: str):
+        # NB: a `lg=lang` lambda default doesn't work here — PySpark's
+        # higher-order-function wrapper binds a Column to EVERY declared
+        # parameter, defaults included.
+        words = LANG_STOP_PROFILES[lang]
+        return (
+            F.size(F.filter("_toks", lambda t: t.isin(*words)))
             .cast("long")
             .alias(f"c_{lang}")
-            for lang in langs
-        ],
+        )
+
+    profile_hits = [_hits(lang) for lang in langs]
+    cjk = F.col("_c_han") + F.col("_c_kana")
+    is_ja = (F.col("_c_kana") > 0) & (F.col("_c_kana") * 10 >= cjk)
+    counted = base.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n"),
+        *profile_hits,
+        (
+            F.col("_c_latin")
+            + F.col("_c_arabic") + F.col("_c_cyrillic") + F.col("_c_devanagari")
+            + F.col("_c_greek") + F.col("_c_hangul") + F.col("_c_hebrew")
+            + F.col("_c_kana") + F.col("_c_han")
+        ).alias("total_letters"),
+        F.when(is_ja, cjk).otherwise(F.lit(0)).alias("s_ja"),
+        F.when(is_ja, F.lit(0)).otherwise(cjk).alias("s_zh"),
+        F.col("_c_arabic").alias("s_ar"),
+        F.col("_c_greek").alias("s_el"),
+        F.col("_c_hebrew").alias("s_he"),
+        F.col("_c_devanagari").alias("s_hi"),
+        F.col("_c_hangul").alias("s_ko"),
+        F.col("_c_cyrillic").alias("s_ru"),
+    )
+    best = F.greatest(*[F.col(f"s_{code}") for code, _ in SCRIPT_LANGS])
+    pred = F.when(
+        (best > 0)
+        & (best * SCRIPT_MIN_DEN >= F.col("total_letters") * SCRIPT_MIN_NUM),
+        # fixed tie order: first SCRIPT_LANGS entry matching the max
+        F.coalesce(
+            *[
+                F.when(F.col(f"s_{code}") == best, F.lit(code))
+                for code, _ in SCRIPT_LANGS
+            ]
+        ),
     )
     m = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
-    pred = F.when(m * 20 < F.col("n"), F.lit("unknown")).when(
+    pred = pred.when(m * 20 < F.col("n"), F.lit("unknown")).when(
         F.col("c_en") == m, F.lit("en")
     )
     for lang in langs:
         if lang != "en":
             pred = pred.when(F.col(f"c_{lang}") == m, F.lit(lang))
-    return counts.select(
+    return counted.select(
         id_col,
         pred.alias("pred_lang"),
         F.round(F.col("c_en").cast("double") / F.col("n"), 6).alias("en_ratio"),

@@ -937,6 +937,8 @@ def minhash_recall_eval(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sample_mod: int = 1,
+    sample_rem: int = 0,
 ) -> DataFrame:
     """MEASURED recall of the MinHash-LSH banding against the exact
     true-pair set (r12 — the complement of :func:`minhash_precision_eval`;
@@ -953,9 +955,31 @@ def minhash_recall_eval(
 
     Scale note: the TRUE side is the inverted-index pair enumeration —
     f² in hot-shingle document frequency, the cost this audit
-    deliberately pays to obtain ground truth on a SAMPLE; run it on a
-    bounded corpus slice (or with ngram_jaccard_pairs' max_shingle_df
-    cap on BOTH sides) at 100 TB, exactly like any other eval job."""
+    deliberately pays to obtain ground truth on a SAMPLE. r13 (VERDICT
+    r12 item 4) ships the sampling dial IN the operator:
+    `sample_mod`/`sample_rem` keep only documents whose portable md5
+    hash of the id ≡ rem (mod mod) — a deterministic, cross-engine
+    id-space sample applied BEFORE both the true-pair enumeration and
+    the candidate generation, so the audit measures recall on the
+    sampled sub-corpus and its ground-truth cost falls by mod² while the
+    banding under test is the production one. Sampling commutes with
+    the audit (pinned in tests/test_r13_fixes: a mod-2 run equals the
+    full audit over the pre-filtered doc set); the default mod=1 is the
+    unsampled r12 behavior, byte-identical oracle included. At 100 TB
+    pick mod so the sample holds ~1M docs, or additionally cap
+    hot-shingle df via ngram_jaccard_pairs' max_shingle_df on BOTH
+    sides."""
+    if sample_mod < 1 or not 0 <= sample_rem < sample_mod:
+        raise ValueError(
+            f"minhash_recall_eval: need sample_mod >= 1 and 0 <= sample_rem"
+            f" < sample_mod, got {sample_mod}/{sample_rem}"
+        )
+    if sample_mod > 1:
+        from ..functions.text import portable_hash64
+
+        docs = docs.where(
+            portable_hash64(F.col(id_col)) % sample_mod == sample_rem
+        )
     true_pairs = ngram_jaccard_pairs(
         docs, k=k, threshold=threshold, id_col=id_col, text_col=text_col
     )

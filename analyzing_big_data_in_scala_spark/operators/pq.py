@@ -643,6 +643,7 @@ def build_ivfpq_index(
     in_dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: dict | None = None,
 ) -> None:
     """Persist the IVF-PQ index (the `build_ivf_index`/`build_lsh_index`
     pattern, completing index parity for the ANN family):
@@ -656,10 +657,17 @@ def build_ivfpq_index(
     :func:`ivfpq_topk_indexed` scans only the probed buckets' files and
     never re-trains, re-encodes, or shuffles the corpus. At 100 TB the
     code table is the ~8-byte-per-vector artifact you keep hot; the raw
-    vectors stay cold except for the per-query `pool` rerank fetches."""
+    vectors stay cold except for the per-query `pool` rerank fetches.
+
+    Pass a prebuilt :func:`ivfpq_build` dict via `index` to persist an
+    EXISTING geometry instead of re-training (r13): one trained geometry
+    can then back both the persisted tables and any number of live
+    in-memory searches — at 100 TB you never want two Lloyd trainings of
+    the same corpus because one consumer wanted tables and another a
+    dict."""
     from ..sources.bucketing import drop_table_and_location, write_bucketed
 
-    idx = ivfpq_build(
+    idx = index if index is not None else ivfpq_build(
         corpus, n_cells=n_cells, m=m, k_codebook=k_codebook,
         coarse_rounds=coarse_rounds, in_dim=in_dim,
         id_col=id_col, vec_col=vec_col,

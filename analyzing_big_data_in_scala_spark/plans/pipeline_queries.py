@@ -2262,6 +2262,78 @@ def documents_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source temperature weight, quantized to an exact BIGINT at the ONE
+# pow() site (the bm25 ln recipe: pow is libm-backed and not correctly
+# rounded, so both engines evaluate the IDENTICAL expression string on
+# identical integer inputs and every downstream op is exact integer
+# arithmetic; a last-ulp flip would need ROUND's half boundary on a
+# power of an integer count — the same accepted-risk class as the
+# shipped tfidf ln site).
+_TEMP_W_SQL = (
+    "CAST(ROUND(power(CAST(n_docs AS DOUBLE), {alpha}) * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "corpus_temperature_mixture",
+    # The multilingual-mixer recipe (mT5/XLM-R exponential smoothing):
+    # sampling weight w_s ∝ n_s^alpha — alpha=1 reproduces the corpus,
+    # alpha→0 approaches uniform over sources; 0.3 and 0.7 are the two
+    # published operating points this query reports side by side with
+    # the raw share. The natural consumer of the language/script mix
+    # dashboards: pick alpha per script-balance target, then feed the
+    # weights to source_mixture_sample's keep rates.
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_docs,
+                   {_TEMP_W_SQL.format(alpha="0.3")} AS w03,
+                   {_TEMP_W_SQL.format(alpha="0.7")} AS w07
+            FROM counts
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS t,
+                   CAST(SUM(w03) AS BIGINT) AS t03,
+                   CAST(SUM(w07) AS BIGINT) AS t07
+            FROM w
+        )
+        SELECT source, n_docs,
+               (2000000 * n_docs + tot.t) // (2 * tot.t) AS share_ppm,
+               (2000000 * w03 + tot.t03) // (2 * tot.t03) AS w03_ppm,
+               (2000000 * w07 + tot.t07) // (2 * tot.t07) AS w07_ppm
+        FROM w, tot
+    """,
+    description="Temperature-scaled source-sampling weights (the mT5/XLM-R multilingual-mixer recipe w_s ∝ n_s^alpha at the two published operating points alpha=0.3/0.7, beside the raw share): one map-side-combined count aggregate, per-source pow quantized to exact BIGINT e6 at the single float site (bm25 ln recipe), integer sums + round-half-up ppm — a tiny-aggregate query at any corpus size",
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w = counts.select(
+        "source",
+        "n_docs",
+        F.expr(_TEMP_W_SQL.format(alpha="0.3")).alias("w03"),
+        F.expr(_TEMP_W_SQL.format(alpha="0.7")).alias("w07"),
+    ).localCheckpoint(eager=False)  # totals + final projection
+    tot = w.agg(
+        F.sum("n_docs").alias("t"),
+        F.sum("w03").alias("t03"),
+        F.sum("w07").alias("t07"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("(2000000 * n_docs + t) DIV (2 * t)").alias("share_ppm"),
+        F.expr("(2000000 * w03 + t03) DIV (2 * t03)").alias("w03_ppm"),
+        F.expr("(2000000 * w07 + t07) DIV (2 * t07)").alias("w07_ppm"),
+    )
+
+
 @query(
     "similarity_cluster_assign",
     # Same exactness recipe as similarity_quantized_topk: quantized
@@ -5440,7 +5512,7 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard band, so the measured curve is directly comparable to the
     # LSH theory curve 1-(1-s^4)^4. Both engines bucket the SAME
     # rounded-to-6 jaccard, so band edges cannot flap.
-    oracle=f"""
+    oracle=(_RECALL_ORACLE := f"""
         WITH {_SQL_SHINGLES},
         hshingles AS (
             SELECT DISTINCT id, {_HASH64.format(x='shingle')} AS h FROM shingles
@@ -5483,11 +5555,35 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(hit) AS BIGINT) AS n_recalled,
                (2000000 * CAST(SUM(hit) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS recall_ppm
         FROM graded GROUP BY jaccard_band
-    """,
+    """),
     description="MinHash-LSH recall audit per 0.2-wide jaccard band (the complement of dedup_minhash_precision — together they grade the dedup gate from both sides; the measured curve is directly comparable to LSH theory 1-(1-s^4)^4): true pairs from the exact inverted-index join (the deliberate ground-truth cost — sample/cap it at 100 TB), candidates left-joined, round-half-up ppm (operators/dedup.minhash_recall_eval)",
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_recall_eval(_docs(spark, sf_dir), num_perm=16, bands=4, k=3)
+
+
+@query(
+    "dedup_minhash_recall_sampled",
+    # The 100 TB-safe form of the recall audit (r13, VERDICT r12 item 4):
+    # a deterministic portable-hash sample of the ID SPACE (md5(doc_id)
+    # even — mod 2 here, dial it to ~1M docs in production) applied
+    # BEFORE both the ground-truth enumeration and the candidate
+    # generation, cutting the audit's deliberate f² true-pair cost by
+    # mod² while still grading the production banding. The oracle is the
+    # FULL recall oracle with the identical hash predicate pushed into
+    # every `documents` read — sampling commutes with the audit, which
+    # tests/test_r13_fixes.py pins on the fixture (mod-2 run == full
+    # audit over the pre-filtered docs).
+    oracle=_RECALL_ORACLE.replace(
+        "FROM documents",
+        f"FROM documents WHERE {_HASH64.format(x='doc_id')} % 2 = 0",
+    ),
+    description="Sampled MinHash-LSH recall audit (the 100 TB-safe dial on dedup_minhash_recall): deterministic md5-hash sample of the doc-id space (mod 2) applied before BOTH the exact ground-truth pair enumeration and the candidate generation — the audit's f² cost falls by mod² and sampling provably commutes with the audit; same 0.2-wide jaccard bands and round-half-up ppm (operators/dedup.minhash_recall_eval sample_mod/sample_rem)",
+)
+def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_recall_eval(
+        _docs(spark, sf_dir), num_perm=16, bands=4, k=3, sample_mod=2
+    )
 
 
 @query(

@@ -526,14 +526,58 @@ def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_stats(docs.select("doc_id", aug.alias("text")), _URL_BLOCKLIST)
 
 
-# Shared oracle fragment for the r12 profile classifier: per-doc hit
-# counts against every language's stop-word profile, argmax prediction
-# in pure BIGINT comparisons (mirrors operators/curation.py
-# language_profile_table — same tie order: unknown-threshold, en,
-# then alphabetical).
+# Shared oracle fragment for the r13 multilingual classifier (script-block
+# character signal over the r12 stop-word-profile argmax). INDEPENDENT
+# derivation: unnest+GROUP BY over the unicode-domain token stream (the
+# Spark side is map-only size(filter(...))), script counts via the same
+# explicit-BMP-range regex literals, the same pure-BIGINT decision tree
+# (mirrors operators/curation.py language_profile_table — script
+# precedence, zh/ja kana split, unknown floor, en-then-alphabetical ties).
+from ..functions.text import LATIN_EXT_RANGES as _LATIN_RANGES  # noqa: E402
+from ..functions.text import SCRIPT_BLOCKS as _SCRIPT_BLOCKS  # noqa: E402
 from ..functions.text import sql_lang_profile as _sql_lang_profile  # noqa: E402
+from ..functions.text import sql_normalize as _sql_normalize  # noqa: E402
+
+# Unicode-domain token CTE (the langid family's tokenizer; the rest of the
+# text queries keep the reference's ASCII _SQL_TOKS above).
+_SQL_TOKS_UNI = f"""
+toks AS (
+    SELECT doc_id, t AS term
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array({_sql_normalize("text", unicode=True)}, '\\s+')) AS t
+        FROM documents
+    )
+    WHERE t <> ''
+)
+"""
+
+_SQL_SCRIPT_COUNTS = ",\n".join(
+    f"           CAST(length(regexp_replace(text, '[^{rng}]+', '', 'g')) AS BIGINT) AS c_{name}"
+    for name, rng in _SCRIPT_BLOCKS
+)
+
+_SCRIPT_BEST = "GREATEST(s_ar, s_el, s_he, s_hi, s_ja, s_ko, s_ru, s_zh)"
 
 _SQL_LANGID = f""",
+scripts AS (
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^a-zA-Z{_LATIN_RANGES}]+', '', 'g')) AS BIGINT) AS c_latin,
+{_SQL_SCRIPT_COUNTS}
+    FROM documents
+),
+script_scores AS (
+    SELECT doc_id,
+           c_latin + c_arabic + c_cyrillic + c_devanagari + c_greek
+               + c_hangul + c_hebrew + c_kana + c_han AS total_letters,
+           CASE WHEN c_kana > 0 AND c_kana * 10 >= c_han + c_kana
+                THEN c_han + c_kana ELSE 0 END AS s_ja,
+           CASE WHEN c_kana > 0 AND c_kana * 10 >= c_han + c_kana
+                THEN 0 ELSE c_han + c_kana END AS s_zh,
+           c_arabic AS s_ar, c_greek AS s_el, c_hebrew AS s_he,
+           c_devanagari AS s_hi, c_hangul AS s_ko, c_cyrillic AS s_ru
+    FROM scripts
+),
 lang_counts AS (
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN term IN {_sql_lang_profile("de")} THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
@@ -543,14 +587,23 @@ lang_counts AS (
     FROM toks GROUP BY doc_id
 ),
 lang_pred AS (
-    SELECT doc_id,
-           CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) * 20 < n THEN 'unknown'
+    SELECT c.doc_id,
+           CASE WHEN {_SCRIPT_BEST} > 0 AND {_SCRIPT_BEST} * 10 >= total_letters * 3 THEN
+                    CASE WHEN s_ar = {_SCRIPT_BEST} THEN 'ar'
+                         WHEN s_el = {_SCRIPT_BEST} THEN 'el'
+                         WHEN s_he = {_SCRIPT_BEST} THEN 'he'
+                         WHEN s_hi = {_SCRIPT_BEST} THEN 'hi'
+                         WHEN s_ja = {_SCRIPT_BEST} THEN 'ja'
+                         WHEN s_ko = {_SCRIPT_BEST} THEN 'ko'
+                         WHEN s_ru = {_SCRIPT_BEST} THEN 'ru'
+                         ELSE 'zh' END
+                WHEN GREATEST(c_de, c_en, c_es, c_fr) * 20 < n THEN 'unknown'
                 WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr) THEN 'en'
                 WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr) THEN 'de'
                 WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr) THEN 'es'
                 ELSE 'fr' END AS pred_lang,
            ROUND(CAST(c_en AS DOUBLE) / n, 6) AS en_ratio
-    FROM lang_counts
+    FROM lang_counts c JOIN script_scores s ON s.doc_id = c.doc_id
 )
 """
 
@@ -558,15 +611,132 @@ lang_pred AS (
 @query(
     "doc_language_id",
     oracle=f"""
-        WITH {_SQL_TOKS}{_SQL_LANGID}
+        WITH {_SQL_TOKS_UNI}{_SQL_LANGID}
         SELECT doc_id, pred_lang, en_ratio FROM lang_pred
     """,
-    description="Language ID via per-language stop-word PROFILE scoring (r12 upgrade of the en-only hit-ratio gate, measured by doc_langid_confusion): one tokenize + one hash aggregate counts hits against the en/de/fr/es profiles; argmax prediction with the 5%-coverage unknown floor, all comparisons pure BIGINT (operators/curation.py language_profile_table)",
+    description="Multilingual language ID (r13, VERDICT r12 item 2): Unicode script-block character signal over raw text (CJK/kana/Hangul/Cyrillic/Arabic/Greek/Hebrew/Devanagari — survives any tokenizer, incl. whitespace-free zh) with >=30% letter-mass precedence and a kana>=10% zh/ja split, falling back to the en/de/fr/es stop-word-profile argmax over unicode-domain tokens (accented forms now in the profiles); MAP-ONLY plan — zero shuffles, every decision pure BIGINT (operators/curation.py language_profile_table; real zh/ru/ja separation pinned cross-engine in tests/test_r13_unicode.py)",
 )
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import language_profile_table
 
     return language_profile_table(_docs(spark, sf_dir))
+
+
+# Script blocks + latin in the dominance tie-break order (alphabetical by
+# block name — a per-query contract, independent of the classifier's
+# per-LANGUAGE order).
+_MIX_SCRIPTS = (
+    "arabic", "cyrillic", "devanagari", "greek", "han", "hangul",
+    "hebrew", "kana", "latin",
+)
+
+
+@query(
+    "doc_script_mix_by_source",
+    # Per-source script composition — the ingestion dashboard for a
+    # multilingual corpus (which sources feed the zh/ru mixers; a crawl
+    # that suddenly flips script mix is a routing bug). Counts RAW-text
+    # characters per Unicode script block (same explicit BMP ranges as
+    # the classifier), so it works on whitespace-free scripts too.
+    # n_docs_dominant = docs whose argmax block is this script
+    # (alphabetical tie-break; zero-letter docs have no dominant).
+    # Pure-BIGINT counts; share is round-half-up ppm of the source's
+    # script-attributed chars.
+    oracle=f"""
+        WITH chars AS (
+            SELECT source,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z{_LATIN_RANGES}]+', '', 'g')) AS BIGINT) AS c_latin,
+{_SQL_SCRIPT_COUNTS}
+            FROM documents
+        ),
+        unp AS (
+            SELECT source, script, c FROM chars
+            CROSS JOIN LATERAL (VALUES
+                ('arabic', c_arabic), ('cyrillic', c_cyrillic),
+                ('devanagari', c_devanagari), ('greek', c_greek),
+                ('han', c_han), ('hangul', c_hangul), ('hebrew', c_hebrew),
+                ('kana', c_kana), ('latin', c_latin)) v(script, c)
+        ),
+        dom AS (
+            SELECT source,
+                   CASE WHEN c_arabic = m THEN 'arabic'
+                        WHEN c_cyrillic = m THEN 'cyrillic'
+                        WHEN c_devanagari = m THEN 'devanagari'
+                        WHEN c_greek = m THEN 'greek'
+                        WHEN c_han = m THEN 'han'
+                        WHEN c_hangul = m THEN 'hangul'
+                        WHEN c_hebrew = m THEN 'hebrew'
+                        WHEN c_kana = m THEN 'kana'
+                        ELSE 'latin' END AS script
+            FROM (SELECT *, GREATEST(c_arabic, c_cyrillic, c_devanagari,
+                                     c_greek, c_han, c_hangul, c_hebrew,
+                                     c_kana, c_latin) AS m
+                  FROM chars)
+            WHERE m > 0
+        ),
+        agg AS (
+            SELECT source, script, CAST(SUM(c) AS BIGINT) AS n_chars
+            FROM unp GROUP BY source, script
+        ),
+        domc AS (
+            SELECT source, script, CAST(COUNT(*) AS BIGINT) AS n_docs_dominant
+            FROM dom GROUP BY source, script
+        ),
+        tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t
+                FROM agg GROUP BY source)
+        SELECT a.source, a.script,
+               COALESCE(d.n_docs_dominant, 0) AS n_docs_dominant,
+               a.n_chars,
+               (2000000 * a.n_chars + t.t) // (2 * t.t) AS char_share_ppm
+        FROM agg a
+        LEFT JOIN domc d ON d.source = a.source AND d.script = a.script
+        JOIN tot t ON t.source = a.source
+        WHERE a.n_chars > 0
+    """,
+    description="Per-source Unicode script composition (the multilingual-ingestion dashboard: which sources feed which script mixers, and a crawl whose script mix flips is a routing bug): raw-text character counts per explicit BMP script block + Latin, per-source char shares in round-half-up ppm, and per-script dominant-doc counts (argmax block, alphabetical ties, zero-letter docs excluded) — one scan, one narrow unpivot, two tiny hash aggregates, pure BIGINT",
+)
+def doc_script_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import script_char_counts
+
+    docs = _docs(spark, sf_dir)
+    chars = docs.select("source", *script_char_counts("text"))
+    stack_expr = "stack({n}, {pairs}) AS (script, c)".format(
+        n=len(_MIX_SCRIPTS),
+        pairs=", ".join(f"'{s}', _c_{s}" for s in _MIX_SCRIPTS),
+    )
+    unp = chars.select("source", F.expr(stack_expr))
+    agg = (
+        unp.groupBy("source", "script")
+        .agg(F.sum("c").cast("long").alias("n_chars"))
+        .localCheckpoint(eager=False)  # share totals + final projection
+    )
+    m = F.greatest(*[F.col(f"_c_{s}") for s in _MIX_SCRIPTS])
+    dom_label = F.coalesce(
+        *[F.when(F.col(f"_c_{s}") == m, F.lit(s)) for s in _MIX_SCRIPTS]
+    )
+    domc = (
+        chars.where(m > 0)
+        .select("source", dom_label.alias("script"))
+        .groupBy("source", "script")
+        .agg(F.count("*").cast("long").alias("n_docs_dominant"))
+    )
+    tot = agg.groupBy("source").agg(F.sum("n_chars").alias("t"))
+    return (
+        agg.join(domc, ["source", "script"], "left")
+        .join(F.broadcast(tot), "source")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "script",
+            F.coalesce("n_docs_dominant", F.lit(0)).cast("long").alias(
+                "n_docs_dominant"
+            ),
+            "n_chars",
+            F.expr("(2000000 * n_chars + t) DIV (2 * t)").alias(
+                "char_share_ppm"
+            ),
+        )
+    )
 
 
 @query(
@@ -769,7 +939,7 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and how much English it drops. Only docs with >= 1 token are
     # evaluated (the tokenizer's domain — identical on both engines).
     oracle=f"""
-        WITH {_SQL_TOKS}{_SQL_LANGID},
+        WITH {_SQL_TOKS_UNI}{_SQL_LANGID},
         j AS (
             SELECT d.lang, p.pred_lang
             FROM lang_pred p JOIN documents d USING (doc_id)
@@ -811,7 +981,7 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shares in round-half-up ppm. Zero-token docs are outside the
     # tokenizer's domain on both engines (identical exclusion).
     oracle=f"""
-        WITH {_SQL_TOKS}{_SQL_LANGID},
+        WITH {_SQL_TOKS_UNI}{_SQL_LANGID},
         j AS (
             SELECT d.source, p.pred_lang
             FROM lang_pred p JOIN documents d USING (doc_id)

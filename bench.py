@@ -228,6 +228,9 @@ HEADLINE = [
     "events_top_transition_paths",
     "doc_simhash_hamming_histogram",
     "corpus_vocab_growth",
+    # r13: multilingual script mix, sampled LSH recall audit
+    "doc_script_mix_by_source",
+    "dedup_minhash_recall_sampled",
 ]
 
 
@@ -252,16 +255,23 @@ def _prepare_ivfpq_agreement(spark, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 3)
+    # r13 (VERDICT r12 item 6): reuse the geometry _prepare_ivfpq_profile
+    # already trained over the SAME sf embeddings instead of training a
+    # second one here — this entry now times exactly the persisted
+    # bucketed-table materialization (the artifact build_ivfpq_index
+    # adds on top of the geometry), and the agreement query's live side
+    # IS the shared geometry. PREPARED order guarantees the profile
+    # factory (the trainer) runs first; the fallback build keeps the
+    # entry self-sufficient if that ever changes.
+    live_index = _SHARED.get("ivfpq_geometry")
+    if live_index is None:  # pragma: no cover - ordering guard
+        live_index = PQ.ivfpq_build(emb)
+        for frame in live_index.values():
+            if hasattr(frame, "write"):
+                frame.write.mode("overwrite").format("noop").save()
+        _SHARED["ivfpq_geometry"] = live_index
     t0 = time.perf_counter()
-    PQ.build_ivfpq_index(emb, prefix="bench_ivfpq_idx")
-    live_index = PQ.ivfpq_build(emb)
-    # Force the live index's lazy localCheckpoints so the build pays its
-    # own cost here, not inside the first timed search sample. The index
-    # dict also carries non-frame geometry flags (e.g. residual=False) —
-    # only force the DataFrame members.
-    for frame in live_index.values():
-        if hasattr(frame, "write"):
-            frame.write.mode("overwrite").format("noop").save()
+    PQ.build_ivfpq_index(emb, prefix="bench_ivfpq_idx", index=live_index)
     build_sec = time.perf_counter() - t0
 
     def run():
@@ -321,6 +331,10 @@ def _prepare_ivfpq_profile(spark, sf_dir: str):
         if hasattr(frame, "write"):
             frame.write.mode("overwrite").format("noop").save()
     build_sec = time.perf_counter() - t0
+    # Stash the trained geometry for _prepare_ivfpq_agreement (r13,
+    # VERDICT r12 item 6): the agreement entry reuses it as its live
+    # index instead of training the same geometry a second time.
+    _SHARED["ivfpq_geometry"] = index
 
     def run():
         return ivfpq_profile_frame(emb, probes, index)
@@ -328,11 +342,24 @@ def _prepare_ivfpq_profile(spark, sf_dir: str):
     return build_sec, run
 
 
+# Cross-factory shared state (currently just the IVF-PQ geometry both
+# ivfpq entries derive from).
+_SHARED: dict = {}
+
+
 # Bench entries measured over a one-shot prepared state instead of the
 # registry fn. Key = the headline name whose per-sample measurement becomes
 # search-only; value = (build_entry_name, factory). The build time lands in
 # the results under build_entry_name (single-shot, annotated in notes).
 PREPARED = {
+    # ORDER MATTERS (r13): the geometry trainer (recall profile) runs
+    # first and stashes its trained IVF-PQ geometry in _SHARED; the
+    # agreement factory reuses it, so similarity_ivfpq_index_build times
+    # ONLY the persisted bucketed-table materialization.
+    "similarity_ivfpq_recall_profile": (
+        "similarity_ivfpq_geometry_build",
+        _prepare_ivfpq_profile,
+    ),
     "similarity_ivfpq_indexed_agreement": (
         "similarity_ivfpq_index_build",
         _prepare_ivfpq_agreement,
@@ -340,10 +367,6 @@ PREPARED = {
     "similarity_pq_recall_profile": (
         "similarity_pq_codebook_build",
         _prepare_pq_profile,
-    ),
-    "similarity_ivfpq_recall_profile": (
-        "similarity_ivfpq_geometry_build",
-        _prepare_ivfpq_profile,
     ),
 }
 
@@ -427,12 +450,38 @@ def main() -> None:
             # queries from paying earlier queries' memory pressure.
             spark.catalog.clearCache()
 
-    times = {name: round(sorted(ts)[1], 3) for name, ts in samples.items()}
+    # Contention-flapper taming (r13, VERDICT r12 item 5): sub-3s entries
+    # whose 3 samples spread >3x are dominated by trigger-scheduling /
+    # host-contention noise, not plan cost (r12 worst:
+    # streaming_first_seen_per_user 10.3x) — give exactly those entries 2
+    # extra round-robin samples and take the median-of-5, which a single
+    # stalled sample cannot flip. The flapper set is data-driven per run
+    # and recorded in BENCH_DETAIL under "resampled".
+    med3 = {name: sorted(ts)[1] for name, ts in samples.items()}
+    flappers = [
+        name
+        for name, ts in samples.items()
+        if med3[name] < 3.0 and min(ts) > 0 and max(ts) / min(ts) > 3.0
+    ]
+    for _ in range(2):
+        for name in flappers:
+            if name in prepared_runs:
+                frame_fn = lambda: prepared_runs[name]()  # noqa: B023
+            else:
+                frame_fn = lambda: QUERIES[name].fn(spark, sf_dir)  # noqa: B023
+            t0 = time.perf_counter()
+            frame_fn().write.mode("overwrite").format("noop").save()
+            samples[name].append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+
+    times = {
+        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+    }
     # Variance visibility (VERDICT r11 item 3): a >2x sample spread used
     # to flip medians silently round-over-round (similarity_projected_topk
     # [2.96, 5.88, 6.65] vs [2.53, 2.24, 6.57]); the per-entry spread
-    # (max/min of the 3 samples) makes contention-flapped entries
-    # identifiable in the JSON, and the min-of-3 subtotal gives a
+    # (max/min of the samples) makes contention-flapped entries
+    # identifiable in the JSON, and the min-of-N subtotal gives a
     # contention-robust round-over-round comparator WITHOUT changing the
     # headline metric's definition.
     all_samples = {**samples, **build_samples}
@@ -474,6 +523,7 @@ def main() -> None:
                     k: [round(t, 3) for t in v] for k, v in all_samples.items()
                 },
                 "spread_max_over_min": spread,
+                "resampled": sorted(flappers),
                 "recurring_min_total": recurring_min_total,
                 "notes": {
                     # The three r8 ANN index queries each BUILD their
@@ -484,7 +534,7 @@ def main() -> None:
                     # JOB-COUNT bound (dozens of small Spark jobs), not
                     # data bound: the scale probe measured the PQ
                     # train+encode+search chain FLAT at 16x data (1.4x).
-                    "similarity_ivfpq_index_build": "index build, median-of-3 as of r12 (single-sample swung 25.7-39.2s across driver runs on unchanged code): persisted bucketed code/centroid/codebook tables + the live in-memory index the agreement query compares against; job-count bound at fixture scale, flat at 16x in SCALING.md",
+                    "similarity_ivfpq_index_build": "as of r13 this times ONLY the persisted bucketed code/centroid/codebook table materialization: the IVF-PQ geometry is trained once by similarity_ivfpq_geometry_build and SHARED (VERDICT r12 item 6 — the r12 entry double-trained the same geometry, ~10s of redundant one-shot cost); median-of-3, job-count bound at fixture scale",
                     "similarity_ivfpq_indexed_agreement": "search-only per sample as of r9 (VERDICT r8 item 4): agreement frame over the prebuilt indexes — the build cost moved to similarity_ivfpq_index_build; the registry query is unchanged (still self-contained build+search for the driver)",
                     "similarity_pq_codebook_build": "PQ train (m=16 x 16 centroids, 2 Lloyd rounds) + full-corpus encode, median-of-3 as of r12; similarity_pq_recall_profile then measures ADC+rerank search (plus the exact baseline it is graded against) per sample",
                     "similarity_ivfpq_geometry_build": "IVF-PQ geometry build (coarse router + per-cell sub-codebooks + code table), median-of-3 as of r12; similarity_ivfpq_recall_profile then measures the nprobe=4/8 searches (plus the exact baseline) per sample",

@@ -102,6 +102,40 @@ def test_norm_profile_drops_empty_vectors_on_both_engines(spark, tmp_path):
     assert out["values_match"], out
 
 
+def test_minhash_recall_sampling_commutes(spark):
+    """VERDICT r12 item 4: the recall audit's id-space sampling dial.
+    mod=1 must be byte-identical to the unsampled call, and a mod-2 run
+    must equal the full audit applied to the pre-filtered doc set
+    (sampling commutes with the audit), with invalid dials rejected."""
+    import pytest as _pytest
+
+    from analyzing_big_data_in_scala_spark.functions.text import portable_hash64
+    from analyzing_big_data_in_scala_spark.operators.dedup import (
+        minhash_recall_eval,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    full = rows(minhash_recall_eval(docs, num_perm=16, bands=4, k=3))
+    assert full == rows(
+        minhash_recall_eval(docs, num_perm=16, bands=4, k=3, sample_mod=1)
+    )
+
+    pre = docs.where(portable_hash64(F.col("doc_id")) % 2 == 0)
+    assert rows(
+        minhash_recall_eval(docs, num_perm=16, bands=4, k=3, sample_mod=2)
+    ) == rows(minhash_recall_eval(pre, num_perm=16, bands=4, k=3))
+
+    for mod, rem in ((0, 0), (2, 2), (2, -1)):
+        with _pytest.raises(ValueError, match="sample_mod"):
+            minhash_recall_eval(docs, sample_mod=mod, sample_rem=rem)
+
+
 def test_equi_depth_histogram_rejects_missing_columns(spark):
     """ADVICE r12: id_col is contract-only after the freq-table migration
     but must still name a real column — a stale tiebreak should fail

