@@ -29,79 +29,78 @@ from . import streaming_queries  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-12 rotation (VERDICT r11 item 1):
-    #  1. The 14 r12-new queries go first for their first driver rows
+    # Round-13 rotation (VERDICT r12 item 1):
+    #  1. The r13-new queries go first for their first driver rows
     #     (the proven pattern — new entries are prepended).
-    #  2. Every query whose CODE or ORACLE changed this round gets a
-    #     fresh row: the language pair (profile classifier), the 5
-    #     freq-table quantile migrations, the prefix-scan eqNullSafe
-    #     stitch consumers (CUSUM + peak concurrency), the two
-    #     guard-threshold queries, the similarity histogram (oracle
-    #     pair-dedup fix), and events_kll_value_rollup (finalize
-    #     refactor shared with the streaming twin).
-    #  3. The 17-query r7 tail — the oldest driver evidence in the repo
-    #     (after this rotation ZERO registry entries have a row older
-    #     than r8).
-    #  4. The remaining 6 slots age out the oldest r8 rows
-    #     (alphabetical prefix of the r8 cohort); the rest of the r8/r9
-    #     cohorts queue for r13.
-    #  Every query evicted from the r11 window is r11-green with
+    #  2. Every query whose CODE or ORACLE changed behavior-relevantly
+    #     this round gets a fresh row: the language trio (Unicode
+    #     script-signal classifier + unicode-domain token oracles), the
+    #     two degenerate-input guards (burstiness 0/0, norm-profile
+    #     empty vectors), and dedup_minhash_recall (sampling-dial
+    #     parameters threaded through the operator). The link-prediction
+    #     trio's wedge-scaffold refactor is VALUE-IDENTICAL
+    #     (oracle-green at sf0.01 in this round's sweeps, r12 driver
+    #     rows standing); graph_jaccard_link_topk rides along as the
+    #     refactor's driver-checked representative.
+    #  3. The remaining 40 slots are the ENTIRE r8 cohort — the oldest
+    #     driver rows in the repo. After this rotation ZERO registry
+    #     entries have a driver row older than r9.
+    #  Every query evicted from the r12 window is r12-green with
     #  unchanged code, so those rows stand as current evidence.
 
-    # r12-new queries (14) — first rows
-    "streaming_kll_value_maintenance",
-    "graph_jaccard_link_topk",
-    "dedup_minhash_precision",
-    "doc_language_mix_by_source",
-    "events_interarrival_profile",
-    "embeddings_norm_profile",
-    "corpus_chunk_dup_histogram",
-    "events_burstiness_index",
-    "graph_preferential_attachment_topk",
-    "events_dau_wau_stickiness",
-    "dedup_minhash_recall",
-    "events_top_transition_paths",
-    "doc_simhash_hamming_histogram",
-    "corpus_vocab_growth",
-    # r12 changed code/oracle (13) — re-verify under the driver
+    # r13-new queries (3) — first rows
+    "doc_script_mix_by_source",
+    "corpus_temperature_mixture",
+    "dedup_minhash_recall_sampled",
+    # r13 changed code/oracle (6) + the wedge-refactor representative (1)
     "doc_language_id",
     "doc_langid_confusion",
-    "events_value_winsorized_stats",
-    "events_conversion_time_profile",
-    "documents_volume_median",
-    "events_value_deciles",
-    "events_value_quartiles_by_type",
-    "events_value_cusum_alarm",
-    "events_peak_concurrency",
-    "orders_priority_mix_drift",
-    "events_user_entropy",
-    "embeddings_similarity_histogram",
-    "events_kll_value_rollup",
-    # the 17-query r7 tail (oldest driver rows)
-    "dedup_jaccard_df_capped",
-    "dedup_simhash_pairs",
-    "doc_bpe_token_stats",
-    "search_multi_word_reference",
-    "search_single_word",
-    "similarity_ann_recall_profile",
-    "similarity_cosine_topk",
-    "similarity_lsh_indexed_agreement",
-    "streaming_session_windows",
-    "streaming_user_totals",
-    "supplier_part_type_share",
-    "tfidf_doc_frequencies",
-    "tfidf_idf",
-    "tfidf_matrix",
-    "top_customers_by_orders",
-    "top_customers_per_segment",
-    "top_parts_by_revenue",
-    # oldest r8 rows, aging out next (6)
-    "corpus_bpe_token_stats",
-    "corpus_pmi_collocations",
-    "corpus_shard_manifest",
-    "corpus_token_drift",
-    "customer_entity_clusters",
-    "customer_fuzzy_name_matches",
+    "doc_language_mix_by_source",
+    "events_burstiness_index",
+    "embeddings_norm_profile",
+    "dedup_minhash_recall",
+    "graph_jaccard_link_topk",
+    # the full 40-query r8 cohort (oldest driver rows)
+    "dedup_containment_pairs",
+    "dedup_cross_source_matrix",
+    "dedup_embedding_cosine",
+    "dedup_incremental_batch",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "doc_url_domains",
+    "documents_balanced_sample",
+    "documents_hash_sample_split",
+    "documents_source_mixture",
+    "documents_token_shards",
+    "events_asof_latest_order",
+    "events_hll_daily_rollup",
+    "events_markov_transitions",
+    "events_pit_state_lookback",
+    "events_range_join_daily_windows",
+    "events_rollup_backfill",
+    "events_rollup_user_erasure",
+    "events_salted_by_type",
+    "events_theta_audience_overlap",
+    "events_type_run_lengths",
+    "events_value_ewma",
+    "events_value_histogram",
+    "events_value_mad_outliers",
+    "graph_hits_authorities",
+    "graph_pagerank_tol",
+    "graph_trustrank_from_seeds",
+    "lineitem_bloom_pruned_join",
+    "orders_data_profile",
+    "orders_lineitem_join_cardinality",
+    "orders_merge_change_feed",
+    "orders_schema_evolution",
+    "orders_weekly_revenue_delta",
+    "search_hybrid_rrf",
+    "search_retrieval_eval",
+    "streaming_ann_index_ingest",
+    "streaming_click_attribution_outer",
+    "streaming_cms_heavy_hitters",
+    "streaming_hll_sketch_maintenance",
+    "tfidf_term_frequencies",
 )
 
 

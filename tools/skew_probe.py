@@ -251,6 +251,30 @@ def main() -> None:
                 )
             )
 
+        def case_window_lead():
+            # r13 (VERDICT r12 item 7): the path/Markov LEAD shape —
+            # events_top_transition_paths / events_markov_transitions /
+            # events_user_sessions share this (key)-partitioned,
+            # time-ordered window with LEADs; the hot key's whole
+            # timeline sorts on ONE task, same class as window_rle's
+            # first pass.
+            set_conf(aqe_skew=True, broadcast=True)
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("user_id").orderBy("t", "event_id")
+            e1 = (F.col("t") % 5).cast("int")
+            seq = evp2.select(
+                "user_id",
+                e1.alias("_e1"),
+                F.lead(e1, 1).over(w).alias("_e2"),
+                F.lead(e1, 2).over(w).alias("_e3"),
+            )
+            noop(
+                seq.where(F.col("_e3").isNotNull())
+                .groupBy("_e1", "_e2", "_e3")
+                .agg(F.count("*").alias("n"))
+            )
+
         evq = evp2.withColumn("_v", F.col("t") % 1000)
 
         def case_rank_window():
@@ -307,6 +331,7 @@ def main() -> None:
             "window_sweep_bucketed": case_window_sweep_bucketed,
             "rank_window": case_rank_window,
             "rank_freq_table": case_rank_freq_table,
+            "window_lead": case_window_lead,
         }
         for name, fn in cases.items():
             fn()  # warm (JIT, file listing); second run is the sample
