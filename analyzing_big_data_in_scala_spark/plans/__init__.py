@@ -37,29 +37,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     script-signal classifier + unicode-domain token oracles), the
     #     two degenerate-input guards (burstiness 0/0, norm-profile
     #     empty vectors), and dedup_minhash_recall (sampling-dial
-    #     parameters threaded through the operator). The link-prediction
-    #     trio's wedge-scaffold refactor is VALUE-IDENTICAL
-    #     (oracle-green at sf0.01 in this round's sweeps, r12 driver
-    #     rows standing); graph_jaccard_link_topk rides along as the
-    #     refactor's driver-checked representative.
+    #     parameters threaded through the operator).
     #  3. The remaining 40 slots are the ENTIRE r8 cohort — the oldest
     #     driver rows in the repo. After this rotation ZERO registry
     #     entries have a driver row older than r9.
     #  Every query evicted from the r12 window is r12-green with
     #  unchanged code, so those rows stand as current evidence.
 
-    # r13-new queries (3) — first rows
+    # r13-new queries (4) — first rows
     "doc_script_mix_by_source",
     "corpus_temperature_mixture",
     "dedup_minhash_recall_sampled",
-    # r13 changed code/oracle (6) + the wedge-refactor representative (1)
+    "events_markov_transitions_bucketed",
+    # r13 changed code/oracle (6). The link-prediction trio's wedge-
+    # scaffold refactor is VALUE-IDENTICAL (all three oracles re-swept
+    # green at sf0.01 this round; r12 driver rows standing), so the trio
+    # keeps its r12 evidence and the slots go to the r8 cohort below.
     "doc_language_id",
     "doc_langid_confusion",
     "doc_language_mix_by_source",
     "events_burstiness_index",
     "embeddings_norm_profile",
     "dedup_minhash_recall",
-    "graph_jaccard_link_topk",
     # the full 40-query r8 cohort (oldest driver rows)
     "dedup_containment_pairs",
     "dedup_cross_source_matrix",

@@ -2818,6 +2818,43 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_markov_transitions_bucketed",
+    # Value-identical skew-resistant twin (r13, VERDICT r12 item 7): the
+    # r13 probe measured the plain per-user LEAD window at 13.1x wall
+    # growth under a 50%-mass Zipf key at 64x data (window_lead in
+    # SCALING.md) — the single-hot-task sort class salting can't fix.
+    # The oracle is the PLAIN single-window form (the independent
+    # derivation), so this query's green row IS the proof that the
+    # day-bucketed local-LEAD + boundary-stitch decomposition changes
+    # the physical shape and nothing else.
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, COUNT(*) AS n_transitions
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        ),
+        totals AS (
+            SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS tot
+            FROM counts GROUP BY from_type
+        )
+        SELECT c.from_type, c.to_type, c.n_transitions,
+               (c.n_transitions * 2000000 + t.tot) // (2 * t.tot) AS prob_ppm
+        FROM counts c JOIN totals t ON t.from_type = c.from_type
+    """,
+    description="Skew-resistant Markov transition matrix (r13 — the carry-stitch family applied to LEAD after the probe measured the plain per-user LEAD window at 13.1x under a 50%-mass Zipf key): LEAD locally within (user, day), the one boundary transition per bucket stitched from tiny per-bucket first/last-type summaries against the previous NON-EMPTY bucket; value-identical to events_markov_transitions — the oracle IS the plain single-window form (operators/sequence.py markov_transitions_bucketed)",
+)
+def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import markov_transitions_bucketed
+
+    return markov_transitions_bucketed(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "events_value_mad_outliers",
     # Determinism recipe in operators/anomaly.py:mad_outliers — per-row
     # integerization makes every median an exact integer-or-half-integer

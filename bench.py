@@ -228,9 +228,12 @@ HEADLINE = [
     "events_top_transition_paths",
     "doc_simhash_hamming_histogram",
     "corpus_vocab_growth",
-    # r13: multilingual script mix, sampled LSH recall audit
+    # r13: multilingual script mix, sampled LSH recall audit, temperature
+    # mixer, skew-resistant markov twin
     "doc_script_mix_by_source",
     "dedup_minhash_recall_sampled",
+    "corpus_temperature_mixture",
+    "events_markov_transitions_bucketed",
 ]
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from tests.oracle_check import compare
 
@@ -134,6 +135,69 @@ def test_minhash_recall_sampling_commutes(spark):
     for mod, rem in ((0, 0), (2, 2), (2, -1)):
         with _pytest.raises(ValueError, match="sample_mod"):
             minhash_recall_eval(docs, sample_mod=mod, sample_rem=rem)
+
+
+def test_markov_transitions_bucketed_matches_plain(spark):
+    """VERDICT r12 item 7: the bucketed LEAD twin must be value-identical
+    to the plain window form — on the real fixture AND on a crafted
+    micro-fixture exercising the stitch's edge cases (multi-day empty
+    stretches between a user's buckets, single-event buckets chaining
+    boundary transitions, same-timestamp ties resolved by event_id)."""
+    import datetime as dt
+
+    from analyzing_big_data_in_scala_spark.operators.sequence import (
+        markov_transitions,
+        markov_transitions_bucketed,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert rows(markov_transitions(ev)) == rows(markov_transitions_bucketed(ev))
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def at(days, secs=0):
+        return t0 + dt.timedelta(days=days, seconds=secs)
+
+    micro = spark.createDataFrame(
+        [
+            # user 10: one event per day with 3-day empty stretches —
+            # every transition is a boundary stitch across non-adjacent
+            # buckets (single-event buckets chain a->b->c->d).
+            (1, at(0), 10, "a", 0.0, "{}"),
+            (2, at(3), 10, "b", 0.0, "{}"),
+            (3, at(6), 10, "c", 0.0, "{}"),
+            (4, at(9), 10, "d", 0.0, "{}"),
+            # user 20: ties on one timestamp (order = event_id) plus a
+            # within-day pair and one boundary.
+            (5, at(0, 100), 20, "x", 0.0, "{}"),
+            (6, at(0, 100), 20, "y", 0.0, "{}"),
+            (7, at(0, 200), 20, "z", 0.0, "{}"),
+            (8, at(1, 50), 20, "x", 0.0, "{}"),
+            # user 30: single event — no transitions at all.
+            (9, at(5), 30, "q", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got_plain = rows(markov_transitions(micro))
+    got_bucketed = rows(markov_transitions_bucketed(micro))
+    assert got_plain == got_bucketed
+    # hand-derived: a->b, b->c, c->d (user 10); x->y, y->z, z->x (user 20)
+    got = {(r[0], r[1]): r[2] for r in got_bucketed}
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1,
+        ("x", "y"): 1, ("y", "z"): 1, ("z", "x"): 1,
+    }
+
+    # reserved-name collision fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        markov_transitions_bucketed(micro.withColumn("_mtb_b", F.lit(1)))
 
 
 def test_equi_depth_histogram_rejects_missing_columns(spark):

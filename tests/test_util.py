@@ -78,18 +78,17 @@ def test_driver_window_covers_oracle_backed_queries():
 
     deliberate_demotions = {
         # Round-13 rotation ledger (VERDICT r12 item 1): the window holds
-        # the 3 r13-new queries (first rows), the 6 queries whose code or
+        # the 4 r13-new queries (first rows), the 6 queries whose code or
         # oracle changed behavior-relevantly in r13 (the Unicode language
         # trio, the two degenerate-input guards, the recall sampling
-        # dial), the wedge-refactor representative
-        # (graph_jaccard_link_topk), and the ENTIRE 40-query r8 cohort —
-        # after this rotation zero registry entries have a driver row
-        # older than r9. The other two wedge-refactor siblings
-        # (adamic_adar, preferential_attachment) are value-identical
-        # under the refactor (sweep-green at sf0.01) and keep their r12
-        # rows. Every demotion below keeps its newest green CORRECTNESS
-        # row (r9-r12) as standing evidence; ALL registered queries are
-        # oracle-backed, so this set is exactly registry-minus-window.
+        # dial), and the ENTIRE 40-query r8 cohort — after this rotation
+        # zero registry entries have a driver row older than r9. The
+        # wedge-scaffold refactor of the link-prediction trio is
+        # value-identical (all three oracles re-swept green at sf0.01
+        # this round), so the trio keeps its r12 rows. Every demotion
+        # below keeps its newest green CORRECTNESS row (r9-r12) as
+        # standing evidence; ALL registered queries are oracle-backed,
+        # so this set is exactly registry-minus-window.
         "brand_returnflag_pivot", "corpus_bpe_merges",
         "corpus_bpe_token_stats", "corpus_chunk_dup_histogram",
         "corpus_contamination_by_source", "corpus_curation_funnel",
@@ -144,9 +143,10 @@ def test_driver_window_covers_oracle_backed_queries():
         "graph_adamic_adar_topk", "graph_bfs_hops",
         "graph_clustering_coefficient", "graph_component_sizes",
         "graph_components_two_phase", "graph_degree_assortativity",
-        "graph_in_degrees", "graph_kcore_membership",
-        "graph_label_propagation", "graph_out_degrees",
-        "graph_pagerank", "graph_pagerank_reference",
+        "graph_in_degrees", "graph_jaccard_link_topk",
+        "graph_kcore_membership", "graph_label_propagation",
+        "graph_out_degrees", "graph_pagerank",
+        "graph_pagerank_reference",
         "graph_preferential_attachment_topk", "graph_sssp_weighted",
         "graph_triangle_counts", "lineitem_approx_profile",
         "lineitem_ship_lag_profile", "lineitem_zorder_keys",

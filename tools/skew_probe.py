@@ -275,6 +275,31 @@ def main() -> None:
                 .agg(F.count("*").alias("n"))
             )
 
+        def _markov_frame():
+            return evp2.select(
+                "user_id",
+                F.col("t").cast("timestamp").alias("ts"),
+                "event_id",
+                (F.col("t") % 5).cast("string").alias("event_type"),
+            )
+
+        def case_window_lead_bucketed():
+            # r13 mitigation: sequence.markov_transitions_bucketed —
+            # LEAD locally within (key, day), boundary transitions
+            # stitched from per-bucket first/last summaries
+            # (value-identical; oracle is the plain window form).
+            set_conf(aqe_skew=True, broadcast=True)
+            noop(SEQ.markov_transitions_bucketed(_markov_frame(),
+                                                 bucket_size=86400))
+
+        def case_window_lead_plain():
+            # The LEAD-1 plain twin of the mitigation above (markov
+            # shape incl. its finalize, so the pair is like-for-like;
+            # window_lead is the LEAD-2 trigram shape of the same
+            # class).
+            set_conf(aqe_skew=True, broadcast=True)
+            noop(SEQ.markov_transitions(_markov_frame()))
+
         evq = evp2.withColumn("_v", F.col("t") % 1000)
 
         def case_rank_window():
@@ -332,6 +357,8 @@ def main() -> None:
             "rank_window": case_rank_window,
             "rank_freq_table": case_rank_freq_table,
             "window_lead": case_window_lead,
+            "window_lead_plain": case_window_lead_plain,
+            "window_lead_bucketed": case_window_lead_bucketed,
         }
         for name, fn in cases.items():
             fn()  # warm (JIT, file listing); second run is the sample
@@ -406,6 +433,19 @@ def main() -> None:
         "  windows run over the tiny count table). Value-identical (unit",
         "  differentials + unchanged oracles on all five migrated queries);",
         "  the delta is the r12 migration's measured worth.",
+        "- `window_lead` / `window_lead_plain` / `window_lead_bucketed`",
+        "  (r13, VERDICT r12 item 7): the path/Markov LEAD family —",
+        "  `window_lead` is the LEAD-2 trigram shape",
+        "  (events_top_transition_paths) as the plain per-key window;",
+        "  `window_lead_plain` vs `window_lead_bucketed` is the measured",
+        "  LEAD-1 pair: sequence.markov_transitions vs",
+        "  markov_transitions_bucketed (r13 — local LEAD within (key, day),",
+        "  boundary transitions stitched from per-bucket first/last-type",
+        "  summaries; value-identical, plain-window oracle). The LEAD-n",
+        "  generalization needs first-n/last-n summaries (a path spanning",
+        "  3+ buckets forces middle buckets to hold exactly one event, so",
+        "  n rows per side always suffice) — shipped when a fixture shows",
+        "  that straggler.",
         "",
     ]
     # Replace THIS probe's section in place (re-runs must not duplicate
