@@ -4,7 +4,10 @@ operators for training-data pipelines (token stats, quality score, lang id).
 
 Tokenization semantics are identical on both sides: lowercase, collapse
 non-alphanumeric runs to single spaces, split on whitespace, drop empties
-(ScalaNotebooks/MovieSearchEngine.scala:59-63,114-118).
+(ScalaNotebooks/MovieSearchEngine.scala:59-63,114-118). The language-ID
+family alone tokenizes over the r13 UNICODE domain (_SQL_TOKS_UNI /
+`tokens(unicode=True)` — explicit BMP script ranges, İ/ς neutralized);
+every reference-parity query keeps the reference's exact ASCII class.
 """
 
 from __future__ import annotations
