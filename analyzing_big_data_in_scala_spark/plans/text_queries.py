@@ -702,7 +702,14 @@ def doc_script_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import script_char_counts
 
     docs = _docs(spark, sf_dir)
-    chars = docs.select("source", *script_char_counts("text"))
+    # chars feeds BOTH the share aggregate and the dominance aggregate:
+    # without the lineage cut each consumer re-runs the 9-regex scan
+    # projection (the multi-consumer re-plan trap — measured 5.1 s vs
+    # the counting itself at 0.8 s on sf0.1); the cut frame is narrow
+    # (source + 9 longs, no text).
+    chars = docs.select("source", *script_char_counts("text")).localCheckpoint(
+        eager=False
+    )
     stack_expr = "stack({n}, {pairs}) AS (script, c)".format(
         n=len(_MIX_SCRIPTS),
         pairs=", ".join(f"'{s}', _c_{s}" for s in _MIX_SCRIPTS),

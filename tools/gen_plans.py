@@ -104,7 +104,7 @@ PICKS = {
     "embeddings_norm_profile": "Norm histogram (r12): e4 integerization + exact BIGINT squared norms in one codegen projection over the scan; one tiny bucket aggregate + broadcast total — linear, no pairs, no window.",
     "graph_preferential_attachment_topk": "PA link prediction (r12, the AA/Jaccard trio completed): 2-hop candidate restriction (wedge-bounded), aggregate-first LEFT ANTI, two degree joins, deg(u)*deg(v) pure BIGINT — no division, no float; TakeOrderedAndProject top-k.",
     "doc_language_id": "r13 multilingual classifier: MAP-ONLY — script-block char counts, the unicode tokenize, profile hit counts (size(filter(...))), and the whole decision tree are stacked codegen projections over ONE scan; ZERO exchanges in the plan (unit-pinned), so the gate is embarrassingly parallel at any corpus size.",
-    "doc_script_mix_by_source": "Per-source script mix (r13): script counts in one scan projection, stack() unpivot (narrow 3-column rows), two map-side-combined hash aggregates (chars + dominance) joined back at source granularity; per-source totals broadcast.",
+    "doc_script_mix_by_source": "Per-source script mix (r13): script counts in one scan projection, LINEAGE-CUT before its two consumers (share + dominance aggregates — uncut, each re-ran the 9-regex scan: measured 5.1s -> 1.2s at sf0.1), stack() unpivot into narrow 3-column rows, two map-side-combined hash aggregates joined back at source granularity; per-source totals broadcast.",
     "corpus_temperature_mixture": "Temperature mixer (r13): one map-side-combined count aggregate is the only corpus-sized op; the pow() weights and ppm shares evaluate over the source-count table with a 1-row broadcast total — tiny at any corpus size.",
     "dedup_minhash_recall_sampled": "Sampled recall audit (r13): the md5 id-space predicate evaluates in the scan projection BEFORE the shingle explode on BOTH the ground-truth and candidate sides, so the f^2 inverted-index join and the banding see only the sample.",
     "events_markov_transitions_bucketed": "Skew-resistant Markov twin (r13): LEAD locally within (user, day) — the hot user's sort splits across its day buckets; boundary transitions from a LAG over tiny per-(user, day) first/last-type summaries (#buckets rows per key); union feeds the shared |types|^2 finalize. Value-identical to the plain form (the oracle IS the plain window).",
