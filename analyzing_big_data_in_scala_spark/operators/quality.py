@@ -215,9 +215,12 @@ def equi_depth_histogram(
     # but it must still NAME A REAL COLUMN — a caller passing a stale or
     # misspelled tiebreak would otherwise silently succeed and then break
     # the moment anyone reverts to (or cross-checks against) the NTILE
-    # form (ADVICE r12).
+    # form (ADVICE r12). Case-INSENSITIVE like Spark's own resolution
+    # (spark.sql.caseSensitive defaults false — a guard stricter than
+    # the engine would reject previously-working callers).
+    existing = {c.lower() for c in df.columns}
     for col in (key_col, value_col, id_col):
-        if col not in df.columns:
+        if col.lower() not in existing:
             raise ValueError(
                 f"equi_depth_histogram: column {col!r} not in {df.columns}"
             )

@@ -8,7 +8,7 @@ MinHash/SimHash are value-checked, not just row-counted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import sql_stopword_list
@@ -2274,6 +2274,37 @@ _TEMP_W_SQL = (
 )
 
 
+def _temp_total_guard(tot_col: str, max_col: str) -> Column:
+    """Loud-failure guard on the temperature finalize (r13 review): the
+    e6-quantized weight is already 1e6-scaled, so the ppm
+    cross-multiplication `2000000*w + t` wraps 2^63 once a source holds
+    ~3.3e9 docs (w = n^0.7*1e6 > ~4.6e12) — 1e6x less headroom than the
+    repo's usual `2000000*count` recipe. Spark's non-ANSI mode would
+    wrap SILENTLY (DuckDB errors loudly on its own); this is the
+    post-aggregation CASE-raises pattern from _util's overflow guards,
+    evaluated once on the 1-row totals frame."""
+    bound = (
+        F.lit(2.1e6) * F.col(max_col).cast("double")
+        + F.col(tot_col).cast("double")
+    )
+    return (
+        F.when(
+            bound >= F.lit(9.0e18),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    f"corpus_temperature_mixture: BIGINT overflow risk "
+                    f"(2000000*{max_col} + {tot_col} >= 2^63) — rescale "
+                    f"the pow quantization (e6 -> e3) for corpora beyond "
+                    f"~3e9 docs per source"
+                ),
+            ).cast("long"),
+        )
+        .otherwise(F.col(tot_col))
+        .alias(tot_col)
+    )
+
+
 @query(
     "corpus_temperature_mixture",
     # The multilingual-mixer recipe (mT5/XLM-R exponential smoothing):
@@ -2324,6 +2355,12 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("t"),
         F.sum("w03").alias("t03"),
         F.sum("w07").alias("t07"),
+        F.max("w03").alias("_m03"),
+        F.max("w07").alias("_m07"),
+    ).select(
+        "t",
+        _temp_total_guard("t03", "_m03"),
+        _temp_total_guard("t07", "_m07"),
     )
     return w.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -2790,7 +2827,10 @@ def events_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame
     # Transition counts are exact integers from LEAD over a total per-user
     # order (ts, event_id — event_id unique); probabilities use the same
     # pure-BIGINT round-half-up ppm division as the association rules.
-    oracle="""
+    # Hoisted (walrus) so the bucketed twin below grades against the
+    # IDENTICAL plain-window definition — a future tweak here cannot
+    # silently leave the twin testing a stale copy (r13 review).
+    oracle=(_MARKOV_ORACLE := """
         WITH pairs AS (
             SELECT event_type AS from_type,
                    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
@@ -2808,7 +2848,7 @@ def events_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT c.from_type, c.to_type, c.n_transitions,
                (c.n_transitions * 2000000 + t.tot) // (2 * t.tot) AS prob_ppm
         FROM counts c JOIN totals t ON t.from_type = c.from_type
-    """,
+    """),
     description="First-order Markov transition matrix between event types (per-user sequences ordered by ts,event_id): exact transition counts + row-conditional probability P(to|from) in round-half-up integer ppm — one window shuffle on the sequence key, then two aggregates over the |types|^2 space (operators/sequence.py)",
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2823,29 +2863,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 probe measured the plain per-user LEAD window at 13.1x wall
     # growth under a 50%-mass Zipf key at 64x data (window_lead in
     # SCALING.md) — the single-hot-task sort class salting can't fix.
-    # The oracle is the PLAIN single-window form (the independent
-    # derivation), so this query's green row IS the proof that the
+    # The oracle IS events_markov_transitions' plain single-window form
+    # (the SHARED constant — r13 review: a verbatim copy could silently
+    # go stale), so this query's green row IS the proof that the
     # day-bucketed local-LEAD + boundary-stitch decomposition changes
     # the physical shape and nothing else.
-    oracle="""
-        WITH pairs AS (
-            SELECT event_type AS from_type,
-                   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-            FROM events
-        ),
-        counts AS (
-            SELECT from_type, to_type, COUNT(*) AS n_transitions
-            FROM pairs WHERE to_type IS NOT NULL
-            GROUP BY from_type, to_type
-        ),
-        totals AS (
-            SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS tot
-            FROM counts GROUP BY from_type
-        )
-        SELECT c.from_type, c.to_type, c.n_transitions,
-               (c.n_transitions * 2000000 + t.tot) // (2 * t.tot) AS prob_ppm
-        FROM counts c JOIN totals t ON t.from_type = c.from_type
-    """,
+    oracle=_MARKOV_ORACLE,
     description="Skew-resistant Markov transition matrix (r13 — the carry-stitch family applied to LEAD after the probe measured the plain per-user LEAD window at 13.1x under a 50%-mass Zipf key): LEAD locally within (user, day), the one boundary transition per bucket stitched from tiny per-bucket first/last-type summaries against the previous NON-EMPTY bucket; value-identical to events_markov_transitions — the oracle IS the plain single-window form (operators/sequence.py markov_transitions_bucketed)",
 )
 def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5416,12 +5439,18 @@ BURSTINESS_PPM_SQL = (
     # so the denominator sqrt(n*ss - s^2) + s is zero exactly when
     # s = 0 AND n*ss = s^2; the CASE emits NULL on BOTH engines there
     # (mirroring the total_span_sec guard in time-weighted averages).
+    # The radicand is additionally clamped at 0 (r13 review): once s or
+    # ss exceeds 2^53 the BIGINT->DOUBLE casts round, and for an
+    # all-equal-gaps type (true variance 0, n*ss == s^2 exactly in
+    # integers) fl(n)*fl(ss) can land strictly BELOW fl(s)^2 — the s>0
+    # branch would then take sqrt of a negative and reintroduce the NaN
+    # split the guard exists to close.
     "CASE WHEN s > 0 OR CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
     " > CAST(s AS DOUBLE) * CAST(s AS DOUBLE) THEN"
-    " CAST(ROUND((sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
-    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - CAST(s AS DOUBLE))"
-    " / (sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
-    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) + CAST(s AS DOUBLE))"
+    " CAST(ROUND((sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), CAST(0 AS DOUBLE))) - CAST(s AS DOUBLE))"
+    " / (sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), CAST(0 AS DOUBLE))) + CAST(s AS DOUBLE))"
     " * 1000000) AS BIGINT)"
     " ELSE NULL END"
 )
@@ -5597,6 +5626,21 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_recall_eval(_docs(spark, sf_dir), num_perm=16, bands=4, k=3)
+
+
+# Definition-time pin for the textual surgery below (r13 review): the
+# sampled oracle pushes its hash predicate into every `documents` read of
+# _RECALL_ORACLE by string replacement, which is only sound while the
+# oracle reads documents exactly twice (outer _SQL_SHINGLES + the nested
+# _minhash_sql copy), bare and un-aliased. An alias or a new WHERE in
+# either fragment must fail HERE, at import, not as wrong-sample SQL in
+# the driver.
+if _RECALL_ORACLE.count("FROM documents") != 2 or "FROM documents d" in _RECALL_ORACLE:
+    raise RuntimeError(
+        "dedup_minhash_recall_sampled: _RECALL_ORACLE no longer reads "
+        "`FROM documents` exactly twice bare — rework the sampled "
+        "oracle's predicate pushdown"
+    )
 
 
 @query(

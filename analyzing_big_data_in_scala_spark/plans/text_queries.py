@@ -963,7 +963,7 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                (2000000 * c.n + t.t) // (2 * t.t) AS share_ppm
         FROM cells c JOIN tot t USING (lang)
     """,
-    description="Language-ID evaluation against the fixture's ground-truth lang column: confusion matrix of actual vs the r12 profile-classifier prediction with per-actual-language cell shares in round-half-up ppm (the 'how much zh/de/fr/es leaks through the en gate' audit); one token aggregate + a documents join + two tiny hash aggregates. NOTE the synthetic fixture's text is language-signal-free (all lang labels share one 31-term vocabulary), so this matrix measures the gate's behavior on signal-free input; the classifier's real separation is pinned on a genuine multilingual micro-fixture in tests/test_r12_fixes.py",
+    description="Language-ID evaluation against the fixture's ground-truth lang column: confusion matrix of actual vs the r13 Unicode classifier's prediction (script-block signal over the stop-word-profile argmax) with per-actual-language cell shares in round-half-up ppm (the 'how much zh/de/fr/es leaks through the en gate' audit); one token aggregate + a documents join + two tiny hash aggregates. NOTE the synthetic fixture's text is language-signal-free (all lang labels share one 31-term vocabulary), so this matrix measures the gate's behavior on signal-free input; the classifier's real zh/ru/ja/accented separation is pinned cross-engine on a genuine multilingual micro-fixture in tests/test_r13_unicode.py",
 )
 def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = doc_language_id(spark, sf_dir).select("doc_id", "pred_lang")
@@ -985,7 +985,7 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_language_mix_by_source",
-    # The r12 profile classifier turned downstream curation dial: each
+    # The language classifier turned downstream curation dial: each
     # source's predicted-language composition (which feeds pick the
     # multilingual mixer, which sources are en-only) with per-source
     # shares in round-half-up ppm. Zero-token docs are outside the
@@ -1006,7 +1006,7 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                (2000000 * c.n_docs + t.t) // (2 * t.t) AS share_ppm
         FROM cells c JOIN tot t USING (source)
     """,
-    description="Per-source predicted-language mix (the curation mixer's composition dial, fed by the r12 profile classifier): language_profile_table joined to the source dimension, two tiny hash aggregates, per-source shares in round-half-up ppm — pure BIGINT finalize",
+    description="Per-source predicted-language mix (the curation mixer's composition dial, fed by the r13 Unicode classifier — script-block signal over the stop-word-profile argmax): language_profile_table joined to the source dimension, two tiny hash aggregates, per-source shares in round-half-up ppm — pure BIGINT finalize",
 )
 def doc_language_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import language_profile_table

@@ -137,6 +137,28 @@ def test_minhash_recall_sampling_commutes(spark):
             minhash_recall_eval(docs, sample_mod=mod, sample_rem=rem)
 
 
+def test_temperature_guard_fires_at_finalize_wrap_point(spark):
+    """r13 review: the e6-quantized temperature weight gives the ppm
+    finalize 1e6x less headroom than the usual 2000000*count recipe —
+    the guard must raise loudly where Spark's non-ANSI mode would wrap
+    silently (~3.3e9 docs in one source), and pass below it."""
+    from analyzing_big_data_in_scala_spark.plans.pipeline_queries import (
+        _temp_total_guard,
+    )
+
+    ok = spark.createDataFrame(
+        [(4_000_000_000_000, 4_000_000_000_000)], "t07 long, _m07 long"
+    )
+    assert ok.select(_temp_total_guard("t07", "_m07")).collect()[0][
+        "t07"
+    ] == 4_000_000_000_000
+    hot = spark.createDataFrame(
+        [(5_000_000_000_000, 5_000_000_000_000)], "t07 long, _m07 long"
+    )
+    with pytest.raises(Exception, match="overflow risk"):
+        hot.select(_temp_total_guard("t07", "_m07")).collect()
+
+
 def test_markov_transitions_bucketed_matches_plain(spark):
     """VERDICT r12 item 7: the bucketed LEAD twin must be value-identical
     to the plain window form — on the real fixture AND on a crafted
@@ -211,12 +233,15 @@ def test_equi_depth_histogram_rejects_missing_columns(spark):
     df = spark.createDataFrame(
         [("a", 1.0, 1)], "event_type string, value double, event_id long"
     )
-    # valid call still works
+    # valid call still works; case-insensitive names resolve like the
+    # engine's own default resolution (spark.sql.caseSensitive=false)
     assert equi_depth_histogram(
         df, "event_type", "value", "event_id", n_buckets=1
     ).count() == 1
-    for bad in ("nope", "Event_id"):
-        with pytest.raises(ValueError, match="not in"):
-            equi_depth_histogram(df, "event_type", "value", bad)
+    assert equi_depth_histogram(
+        df, "event_type", "value", "Event_Id", n_buckets=1
+    ).count() == 1
+    with pytest.raises(ValueError, match="not in"):
+        equi_depth_histogram(df, "event_type", "value", "nope")
     with pytest.raises(ValueError, match="not in"):
         equi_depth_histogram(df, "event_type", "missing_value", "event_id")

@@ -41,6 +41,7 @@ from analyzing_big_data_in_scala_spark.operators import sequence as SEQ  # noqa:
 from analyzing_big_data_in_scala_spark.operators import fusion as FU  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators import tfidf as T  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators.merge import scd2_history  # noqa: E402
+from analyzing_big_data_in_scala_spark.operators import curation as CU  # noqa: E402
 from analyzing_big_data_in_scala_spark.operators.curation import (  # noqa: E402
     curation_funnel_stages,
 )
@@ -486,6 +487,32 @@ def main() -> None:
                     ),
                     k=3,
                 )
+            ),
+            # r13: the map-only multilingual classifier (script regexes +
+            # unicode tokenize + profile hits, zero exchanges) — expect
+            # scan-bound ~linear; this is the new language gate's
+            # whole-corpus cost curve.
+            "language_id_map_only": lambda: noop(
+                CU.language_profile_table(docs)
+            ),
+            # r13: per-source script composition (9 char-count regexes,
+            # lineage-cut chars frame, stack unpivot, two tiny
+            # aggregates) — expect scan-bound ~linear.
+            "script_counts": lambda: noop(
+                docs.select(
+                    (F.col("doc_id") % 50).cast("string").alias("source"),
+                    *CU.script_char_counts("text"),
+                )
+                .localCheckpoint(eager=False)
+                .groupBy("source")
+                .agg(F.sum("_c_latin").alias("latin"),
+                     F.sum("_c_han").alias("han"))
+            ),
+            # r13: the skew-resistant Markov twin under UNIFORM inflation
+            # — expect the window family's ~linear curve (the skew gain
+            # is measured by tools/skew_probe.py window_lead_* pair).
+            "markov_bucketed": lambda: noop(
+                SEQ.markov_transitions_bucketed(ev)
             ),
         }
         if only:
