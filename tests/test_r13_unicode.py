@@ -232,6 +232,83 @@ def test_language_classifier_is_map_only(spark, tmp_path):
     assert plan.count("regexp_replace") <= 16, plan.count("regexp_replace")
 
 
+def test_unicode_normalizer_cross_engine_fuzz(spark):
+    """Adversarial cross-engine fuzz of the r13 unicode normalizer — the
+    riskiest new surface is lower()/regex semantics DIVERGING between the
+    JVM and utf8proc/RE2 on exotic codepoints. 400 deterministic random
+    strings drawn from pools spanning every keep range, every block
+    BOUNDARY codepoint (first/last in range, one before/after), the two
+    neutralized special cases, combining marks, NFD sequences,
+    supplementary-plane chars, and excluded lookalikes (× ÷, halfwidth
+    katakana, CJK ext A) — all driven through BOTH engines in one batch
+    and compared string-for-string."""
+    import random
+
+    import duckdb
+
+    from analyzing_big_data_in_scala_spark.functions.text import (
+        LATIN_EXT_RANGES,
+        SCRIPT_BLOCKS,
+        normalize_text,
+        sql_normalize,
+    )
+
+    pools = ["abc XYZ 09 .,!?", "İıßẞ ςΣσ", "é é ü ü",  # NFC/NFD
+             "×÷ ×÷", "ｦﾝ㐀䶿",  # excluded lookalikes
+             "😀🎉\U0002070e", "‍​﻿"]  # supplementary + ZW chars
+    for _, rng in SCRIPT_BLOCKS:
+        lo, hi = rng[0], rng[-1]
+        pools.append(lo + hi + chr(ord(lo) - 1) + chr(ord(hi) + 1))
+        pools.append("".join(chr(ord(lo) + 7 * i) for i in range(6)))
+    for part in LATIN_EXT_RANGES.split("-"):
+        pools.append(part)
+    rnd = random.Random(13)
+    alphabet = "".join(pools)
+    texts = ["".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 60)))
+             for _ in range(400)]
+    texts += pools  # every pool verbatim too
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    ).select("i", normalize_text("text", unicode=True).alias("norm"))
+    got_spark = {r["i"]: r["norm"] for r in df.collect()}
+
+    con = duckdb.connect()
+    expr = sql_normalize("t.txt", unicode=True)
+    got_duck = {
+        i: con.execute(f"SELECT {expr} FROM (SELECT ? AS txt) t", [t]).fetchone()[0]
+        for i, t in enumerate(texts)
+    }
+    diffs = {i: (got_spark[i], got_duck[i], texts[i])
+             for i in got_spark if got_spark[i] != got_duck[i]}
+    assert not diffs, f"{len(diffs)} cross-engine divergences: {list(diffs.items())[:3]}"
+
+    # Same corpus through the script COUNTERS: Spark's UTF-16 length()
+    # vs DuckDB's codepoint length() must agree because every keep range
+    # is BMP (supplementary chars — counted 2 by UTF-16 — are stripped
+    # by both engines before counting). The emoji/ext-B pool would catch
+    # a non-BMP range sneaking into SCRIPT_BLOCKS.
+    from analyzing_big_data_in_scala_spark.operators.curation import (
+        script_char_counts,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    ).select("i", *script_char_counts("text"))
+    got_counts = {r["i"]: tuple(r)[1:] for r in sdf.collect()}
+    names = ["latin"] + [n for n, _ in SCRIPT_BLOCKS]
+    rngs = {"latin": f"a-zA-Z{LATIN_EXT_RANGES}"} | dict(SCRIPT_BLOCKS)
+    exprs = ", ".join(
+        f"CAST(length(regexp_replace(t.txt, '[^{rngs[n]}]+', '', 'g')) AS BIGINT)"
+        for n in names
+    )
+    for i, t in enumerate(texts):
+        duck = tuple(
+            con.execute(f"SELECT {exprs} FROM (SELECT ? AS txt) t", [t]).fetchone()
+        )
+        assert got_counts[i] == duck, (i, t, got_counts[i], duck)
+
+
 def test_unicode_normalizer_neutralizations(spark):
     """Pin the two measured case divergences: İ must not split the token
     and final sigma must canonicalize to σ — on the SPARK engine (the
