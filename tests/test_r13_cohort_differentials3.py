@@ -107,3 +107,31 @@ def test_asof_latest_order_matches_bruteforce(spark):
     }
     assert got == expected
     assert any(v[1] is not None for v in got.values())
+
+
+def test_minhash_signatures_match_bruteforce(spark):
+    """Full Python recomputation of the MinHash signatures — the
+    primitive under the entire LSH family (bands, candidates, precision/
+    recall audits): 3-token shingles over the reference tokenizer,
+    40-bit md5 base hash, min over the fixed arithmetic permutations
+    (a=2i+1, b=i^2+7 mod 2^31-1)."""
+    import re as _re
+
+    M = (1 << 31) - 1
+    params = [(2 * i + 1, i * i + 7) for i in range(1, 17)]
+    expected = {}
+    for (doc_id, text) in _rows("documents", "doc_id, text"):
+        toks = _re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+        shingles = {" ".join(toks[i: i + 3]) for i in range(len(toks) - 2)}
+        if not shingles:
+            continue
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:10], 16) for s in shingles
+        ]
+        for p, (a, b) in enumerate(params, start=1):
+            expected[(doc_id, p)] = min((a * h + b) % M for h in hs)
+    got = {
+        (r["doc_id"], r["perm"]): r["minhash"]
+        for r in QUERIES["dedup_minhash_signatures"].fn(spark, SF_MID).collect()
+    }
+    assert got == expected
