@@ -179,7 +179,13 @@ def normalize_text(col: Column | str, unicode: bool = False) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     if not unicode:
         return F.trim(F.regexp_replace(F.lower(c), NORM_CLASS_ASCII, " "))
-    pre = F.regexp_replace(c, "İ", "I")  # İ special case (above)
+    # İ→I→i BEFORE lower(): the İ special case (above) plus r14
+    # locale-proofing (ADVICE r13) — Spark's non-ASCII lower() uses the
+    # JVM default locale, and a Turkish default would map I→ı (dotless),
+    # splitting parity with DuckDB's locale-free utf8proc. Pre-mapping
+    # I→i means lower() never sees the one locale-sensitive codepoint;
+    # value-identical under POSIX (lower('I')='i' either way).
+    pre = F.regexp_replace(F.regexp_replace(c, "İ", "I"), "I", "i")
     low = F.regexp_replace(F.lower(pre), "ς", "σ")  # ς → σ
     return F.trim(F.regexp_replace(low, NORM_CLASS_UNICODE, " "))
 
@@ -190,7 +196,7 @@ def sql_normalize(expr: str, unicode: bool = False) -> str:
     two engines can never drift."""
     if not unicode:
         return f"trim(regexp_replace(lower({expr}), '{NORM_CLASS_ASCII}', ' ', 'g'))"
-    pre = f"regexp_replace({expr}, 'İ', 'I', 'g')"
+    pre = f"regexp_replace(regexp_replace({expr}, 'İ', 'I', 'g'), 'I', 'i', 'g')"
     low = f"regexp_replace(lower({pre}), 'ς', 'σ', 'g')"
     return f"trim(regexp_replace({low}, '{NORM_CLASS_UNICODE}', ' ', 'g'))"
 
@@ -199,6 +205,16 @@ def tokens(col: Column | str, normalize: bool = True, unicode: bool = False) -> 
     """F6/N3: normalized token array; empty strings filtered out
     (ScalaNotebooks/MovieSearchEngine.scala:114-118). ``unicode=True``
     tokenizes over the widened r13 keep-class (see normalize_text)."""
+    if unicode and not normalize:
+        # ADVICE r13: the unicode flag only widens the NORMALIZER's
+        # keep-class — on pre-normalized input it is a silent no-op, so
+        # a caller expecting the widened domain must be told loudly.
+        raise ValueError(
+            "tokens(unicode=True, normalize=False): the unicode flag "
+            "widens normalize_text's keep-class and has no effect when "
+            "normalization is skipped — normalize the input with "
+            "normalize_text(unicode=True) or drop the flag"
+        )
     c = (
         normalize_text(col, unicode=unicode)
         if normalize

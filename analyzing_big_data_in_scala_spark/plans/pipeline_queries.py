@@ -8,6 +8,8 @@ MinHash/SimHash are value-checked, not just row-counted.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -5640,6 +5642,16 @@ if _RECALL_ORACLE.count("FROM documents") != 2 or "FROM documents d" in _RECALL_
         "dedup_minhash_recall_sampled: _RECALL_ORACLE no longer reads "
         "`FROM documents` exactly twice bare — rework the sampled "
         "oracle's predicate pushdown"
+    )
+# r14 (ADVICE r13): a WHERE (or a comma-join) directly after a bare
+# `FROM documents` would survive the count check above yet make the
+# replacement emit invalid double-WHERE SQL — loud at driver time, not
+# at import as intended. Reject those shapes here too.
+if _re.search(r"FROM documents\s*(WHERE|,)", _RECALL_ORACLE):
+    raise RuntimeError(
+        "dedup_minhash_recall_sampled: _RECALL_ORACLE gained a WHERE or "
+        "comma-join directly after `FROM documents` — the sampled "
+        "oracle's textual predicate pushdown would emit invalid SQL"
     )
 
 

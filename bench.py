@@ -268,6 +268,11 @@ def _prepare_ivfpq_agreement(spark, sf_dir: str):
     # entry self-sufficient if that ever changes.
     live_index = _SHARED.get("ivfpq_geometry")
     if live_index is None:  # pragma: no cover - ordering guard
+        # ADVICE r13: the handoff couples two PREPARED factories through
+        # dict insertion order; if a reorder ever lands here, the entry
+        # silently goes back to timing a full geometry train — record
+        # that in the artifact so the regression is visible, not latent.
+        _SHARED["ivfpq_fallback_trained"] = True
         live_index = PQ.ivfpq_build(emb)
         for frame in live_index.values():
             if hasattr(frame, "write"):
@@ -528,6 +533,13 @@ def main() -> None:
                 "spread_max_over_min": spread,
                 "resampled": sorted(flappers),
                 "recurring_min_total": recurring_min_total,
+                # ADVICE r13: True only if the agreement factory had to
+                # train its OWN geometry (PREPARED order regression —
+                # similarity_ivfpq_index_build then re-measures the
+                # double-train the r13 sharing removed). Expected: false.
+                "ivfpq_fallback_trained": bool(
+                    _SHARED.get("ivfpq_fallback_trained", False)
+                ),
                 "notes": {
                     # The three r8 ANN index queries each BUILD their
                     # index from scratch inside the measured region
