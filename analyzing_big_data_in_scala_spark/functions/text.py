@@ -223,6 +223,67 @@ def tokens(col: Column | str, normalize: bool = True, unicode: bool = False) -> 
     return F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
 
 
+# ---------------------------------------------------------------------------
+# r14 CJK-aware tokenization (VERDICT r13 "What's missing" item 1).
+#
+# Han and kana prose carries no word spaces, so the whitespace tokenizer
+# degenerates: an entire sentence becomes ONE giant token, silently
+# breaking every token-budget, shingle, and chunking computation the
+# moment the r13 multilingual stack routes zh/ja sources into them. The
+# standard fix from CJK information retrieval is CHARACTER BIGRAMS
+# within each Han/kana run (a length-1 run emits its single character);
+# every space-delimited script — Latin, Cyrillic, Greek, Hangul (Korean
+# uses spaces), Arabic, Hebrew, Devanagari — stays word-split exactly
+# as tokens(unicode=True) splits it. Hangul is deliberately NOT in the
+# bigram class. The reference tokenizer (default tokens()) is untouched.
+# ---------------------------------------------------------------------------
+
+# Kana (U+3040-30FF) + Han (U+4E00-9FFF) — the whitespace-free scripts.
+CJK_RANGES = "぀-ヿ一-鿿"
+
+
+def tokens_cjk(col: Column | str) -> Column:
+    """CJK-aware token array: normalize with the unicode keep-class, split
+    Han/kana runs out of the whitespace stream, then expand each run into
+    character bigrams (len-1 runs emit the single char); all other tokens
+    are identical to ``tokens(col, unicode=True)``. BMP-only ranges keep
+    Spark's UTF-16 length()/substring() and DuckDB's codepoint semantics
+    in exact agreement (pinned cross-engine in tests/test_r14_cjk.py)."""
+    norm = normalize_text(col, unicode=True)
+    spaced = F.regexp_replace(norm, f"([{CJK_RANGES}]+)", " $1 ")
+    toks = F.filter(F.split(spaced, r"\s+"), lambda t: F.length(t) > 0)
+
+    def _explode(t: Column) -> Column:
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: F.substring(t, i, F.lit(2)),
+        )
+        # CASE branches evaluate lazily, so sequence(1, 0) (which would
+        # step BACKWARD) is unreachable for length-1 runs.
+        return (
+            F.when(~t.rlike(f"^[{CJK_RANGES}]+$"), F.array(t))
+            .when(F.length(t) == 1, F.array(t))
+            .otherwise(bigrams)
+        )
+
+    return F.flatten(F.transform(toks, _explode))
+
+
+def sql_tokens_cjk(expr: str) -> str:
+    """DuckDB twin of :func:`tokens_cjk` — the same normalize/space-out/
+    split/bigram chain over the same literal ranges, as a list-valued SQL
+    expression."""
+    norm = sql_normalize(expr, unicode=True)
+    spaced = f"regexp_replace({norm}, '([{CJK_RANGES}]+)', ' \\1 ', 'g')"
+    return (
+        "flatten(list_transform("
+        f"list_filter(regexp_split_to_array({spaced}, '\\s+'), t -> t <> ''), "
+        f"t -> CASE WHEN NOT regexp_matches(t, '^[{CJK_RANGES}]+$') THEN [t] "
+        "WHEN length(t) = 1 THEN [t] "
+        "ELSE list_transform(range(1, length(t)), i -> substr(t, i, 2)) END))"
+    )
+
+
 def remove_stopwords(token_col: Column, stop_words: tuple[str, ...] = STOP_WORDS) -> Column:
     """N6: case-insensitive stop-word removal (the reference's
     StopWordsCleaner is configured caseSensitive=false,

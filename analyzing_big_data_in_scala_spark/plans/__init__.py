@@ -29,77 +29,73 @@ from . import streaming_queries  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-13 rotation (VERDICT r12 item 1):
-    #  1. The r13-new queries go first for their first driver rows
-    #     (the proven pattern — new entries are prepended).
-    #  2. Every query whose CODE or ORACLE changed behavior-relevantly
-    #     this round gets a fresh row: the language trio (Unicode
-    #     script-signal classifier + unicode-domain token oracles), the
-    #     two degenerate-input guards (burstiness 0/0, norm-profile
-    #     empty vectors), and dedup_minhash_recall (sampling-dial
-    #     parameters threaded through the operator).
-    #  3. The remaining 40 slots are the ENTIRE r8 cohort — the oldest
-    #     driver rows in the repo. After this rotation ZERO registry
-    #     entries have a driver row older than r9.
-    #  Every query evicted from the r12 window is r12-green with
-    #  unchanged code, so those rows stand as current evidence.
+    # Round-14 rotation (VERDICT r13 item 1):
+    #  1. r14-new queries go first for their first driver rows (the
+    #     proven pattern — new entries are prepended as they land this
+    #     round; each prepend drops the tail r9 entries below into the
+    #     demotion ledger, which is regenerated in the same commit).
+    #  2. No r14 code/oracle change is behavior-relevant to an existing
+    #     query's VALUES so far: the unicode normalizer's locale
+    #     pre-map (I→i before lower) changes the shared oracle TEXT of
+    #     the langid trio but is value-identical under POSIX (pinned in
+    #     tests/test_r14_fixes.py; trio re-swept green at sf0.01), so —
+    #     like the r13 wedge refactor — the trio keeps its r13 rows.
+    #  3. The remaining slots are the r9 cohort — the oldest driver
+    #     rows in the repo (49 queries; the tail that doesn't fit after
+    #     r14-new prepends is the r15 rotation seed).
 
-    # r13-new queries (4) — first rows
-    "doc_script_mix_by_source",
-    "corpus_temperature_mixture",
-    "dedup_minhash_recall_sampled",
-    "events_markov_transitions_bucketed",
-    # r13 changed code/oracle (6). The link-prediction trio's wedge-
-    # scaffold refactor is VALUE-IDENTICAL (all three oracles re-swept
-    # green at sf0.01 this round; r12 driver rows standing), so the trio
-    # keeps its r12 evidence and the slots go to the r8 cohort below.
-    "doc_language_id",
-    "doc_langid_confusion",
-    "doc_language_mix_by_source",
-    "events_burstiness_index",
-    "embeddings_norm_profile",
-    "dedup_minhash_recall",
-    # the full 40-query r8 cohort (oldest driver rows)
-    "dedup_containment_pairs",
-    "dedup_cross_source_matrix",
-    "dedup_embedding_cosine",
-    "dedup_incremental_batch",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "doc_url_domains",
-    "documents_balanced_sample",
-    "documents_hash_sample_split",
-    "documents_source_mixture",
-    "documents_token_shards",
-    "events_asof_latest_order",
-    "events_hll_daily_rollup",
-    "events_markov_transitions",
-    "events_pit_state_lookback",
-    "events_range_join_daily_windows",
-    "events_rollup_backfill",
-    "events_rollup_user_erasure",
-    "events_salted_by_type",
-    "events_theta_audience_overlap",
-    "events_type_run_lengths",
-    "events_value_ewma",
-    "events_value_histogram",
-    "events_value_mad_outliers",
-    "graph_hits_authorities",
-    "graph_pagerank_tol",
-    "graph_trustrank_from_seeds",
-    "lineitem_bloom_pruned_join",
-    "orders_data_profile",
-    "orders_lineitem_join_cardinality",
-    "orders_merge_change_feed",
-    "orders_schema_evolution",
-    "orders_weekly_revenue_delta",
-    "search_hybrid_rrf",
-    "search_retrieval_eval",
-    "streaming_ann_index_ingest",
-    "streaming_click_attribution_outer",
-    "streaming_cms_heavy_hitters",
-    "streaming_hll_sketch_maintenance",
-    "tfidf_term_frequencies",
+    # r14-new queries — first rows
+    "doc_token_stats_by_script",
+    # the r9 cohort (oldest driver rows), alphabetical
+    "corpus_curation_funnel",
+    "corpus_curation_funnel_strided",
+    "corpus_curation_pipeline",
+    "corpus_leakage_safe_split",
+    "corpus_split_leakage_audit",
+    "corpus_training_shards",
+    "dedup_near_clusters",
+    "dedup_semantic",
+    "doc_chunk_dedup",
+    "doc_decontamination",
+    "doc_perplexity_proxy",
+    "doc_repetition_filters",
+    "documents_quality_topfrac",
+    "documents_quality_weighted_sample",
+    "embeddings_centroid_outliers",
+    "embeddings_dimension_profile",
+    "embeddings_kmeans_lloyd",
+    "embeddings_random_projection",
+    "entity_cooccurrence_edges",
+    "events_approx_group_profile",
+    "events_asof_last_signup_7d",
+    "events_asof_next_purchase_2h",
+    "events_conversion_funnel",
+    "events_json_by_type",
+    "events_late_arrival_profile",
+    "events_multires_rollup",
+    "events_resample_10min_gapfill",
+    "events_rolling_zscore_anomalies",
+    "events_scd2_incremental",
+    "events_session_window_native",
+    "events_sliding_20min",
+    "events_user_sessions",
+    "graph_bfs_hops",
+    "multimodal_audio_wav_features",
+    "multimodal_image_ppm_features",
+    "ner_gazetteer_counts",
+    "orders_incremental_agg_refresh",
+    "orders_quality_checks",
+    "orders_rank_functions",
+    "orders_salted_segment_revenue",
+    "similarity_ivf_topk",
+    "similarity_ivfpq_indexed_agreement",
+    "similarity_ivfpq_recall_profile",
+    "similarity_lsh_topk",
+    "similarity_pq_recall_profile",
+    "similarity_quantized_topk",
+    "streaming_ivfpq_index_ingest",
+    "streaming_sentiment_counts",
+    "tfidf_doc_frequencies_stemmed",
 )
 
 

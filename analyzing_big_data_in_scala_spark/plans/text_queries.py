@@ -540,6 +540,7 @@ from ..functions.text import LATIN_EXT_RANGES as _LATIN_RANGES  # noqa: E402
 from ..functions.text import SCRIPT_BLOCKS as _SCRIPT_BLOCKS  # noqa: E402
 from ..functions.text import sql_lang_profile as _sql_lang_profile  # noqa: E402
 from ..functions.text import sql_normalize as _sql_normalize  # noqa: E402
+from ..functions.text import sql_tokens_cjk as _sql_tokens_cjk  # noqa: E402
 
 # Unicode-domain token CTE (the langid family's tokenizer; the rest of the
 # text queries keep the reference's ASCII _SQL_TOKS above).
@@ -746,6 +747,100 @@ def doc_script_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "char_share_ppm"
             ),
         )
+    )
+
+
+@query(
+    "doc_token_stats_by_script",
+    # r14 (VERDICT r13 item 2): token-budget sanity per dominant script.
+    # The whitespace tokenizer degenerates on whitespace-free Han/kana
+    # prose (a sentence becomes ONE giant token), so token budgets,
+    # shingles, and chunking are silently wrong for the zh/ja sources
+    # the r13 multilingual stack now routes. This query measures exactly
+    # that: per dominant-script doc bucket (argmax raw-char block,
+    # alphabetical ties, 'none' when the doc has no letters), the token
+    # count under the plain unicode tokenizer vs the CJK-aware bigram
+    # tokenizer (functions/text.tokens_cjk) side by side, with the
+    # blowup in round-half-up ppm. Latin buckets sit at exactly 1e6
+    # (the two tokenizers agree off-CJK by construction); han/kana
+    # buckets explode — the measured size of the budget error.
+    oracle=f"""
+        WITH stats AS (
+            SELECT CAST(length(regexp_replace(text, '[^a-zA-Z{_LATIN_RANGES}]+', '', 'g')) AS BIGINT) AS c_latin,
+{_SQL_SCRIPT_COUNTS},
+                   CAST(len(list_filter(regexp_split_to_array({_sql_normalize("text", unicode=True)}, '\\s+'), t -> t <> '')) AS BIGINT) AS n_plain,
+                   CAST(len({_sql_tokens_cjk("text")}) AS BIGINT) AS n_cjk
+            FROM documents
+        ),
+        lab AS (
+            SELECT CASE WHEN m = 0 THEN 'none'
+                        WHEN c_arabic = m THEN 'arabic'
+                        WHEN c_cyrillic = m THEN 'cyrillic'
+                        WHEN c_devanagari = m THEN 'devanagari'
+                        WHEN c_greek = m THEN 'greek'
+                        WHEN c_han = m THEN 'han'
+                        WHEN c_hangul = m THEN 'hangul'
+                        WHEN c_hebrew = m THEN 'hebrew'
+                        WHEN c_kana = m THEN 'kana'
+                        ELSE 'latin' END AS script,
+                   n_plain, n_cjk
+            FROM (SELECT *, GREATEST(c_arabic, c_cyrillic, c_devanagari,
+                                     c_greek, c_han, c_hangul, c_hebrew,
+                                     c_kana, c_latin) AS m
+                  FROM stats)
+        )
+        SELECT script,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_plain) AS BIGINT) AS tokens_plain,
+               CAST(SUM(n_cjk) AS BIGINT) AS tokens_cjk,
+               CASE WHEN SUM(n_plain) > 0
+                    THEN (2000000 * CAST(SUM(n_cjk) AS BIGINT)
+                          + CAST(SUM(n_plain) AS BIGINT))
+                         // (2 * CAST(SUM(n_plain) AS BIGINT))
+               END AS cjk_blowup_ppm
+        FROM lab GROUP BY script
+    """,
+    description="Token-budget sanity per dominant Unicode script (r14): per dominant-script doc bucket (argmax raw-char block, alphabetical ties, 'none' for letterless docs), token counts under the plain unicode whitespace tokenizer vs the CJK-aware character-bigram tokenizer (functions/text.tokens_cjk — Han/kana runs emit char bigrams, all space-delimited scripts stay word-split), with the blowup in round-half-up ppm — the measured size of the token-budget error whitespace tokenization commits on whitespace-free zh/ja text; one scan, one tiny hash aggregate",
+)
+def doc_token_stats_by_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens, tokens_cjk
+    from ..operators.curation import script_char_counts
+
+    docs = _docs(spark, sf_dir)
+    # One scan computes the 9 script-count regexes + both token arrays;
+    # the dominance CASE below references every _c_ column ~3x, and
+    # when()/otherwise is excluded from codegen subexpression
+    # elimination — without the lineage cut projection collapse would
+    # re-evaluate each regex per reference (the doc_script_mix_by_source
+    # trap, measured 5.1 s vs 0.8 s on sf0.1). The cut frame is narrow
+    # (11 longs, no text).
+    stats = docs.select(
+        *script_char_counts("text"),
+        F.size(tokens("text", unicode=True)).cast("long").alias("n_plain"),
+        F.size(tokens_cjk("text")).cast("long").alias("n_cjk"),
+    ).localCheckpoint(eager=False)
+    m = F.greatest(*[F.col(f"_c_{s}") for s in _MIX_SCRIPTS])
+    dom_label = F.coalesce(
+        *[F.when(F.col(f"_c_{s}") == m, F.lit(s)) for s in _MIX_SCRIPTS]
+    )
+    lab = stats.select(
+        F.when(m > 0, dom_label).otherwise(F.lit("none")).alias("script"),
+        "n_plain",
+        "n_cjk",
+    )
+    return lab.groupBy("script").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_plain").cast("long").alias("tokens_plain"),
+        F.sum("n_cjk").cast("long").alias("tokens_cjk"),
+        F.when(
+            F.sum("n_plain") > 0,
+            F.call_function(
+                "div",
+                F.lit(2_000_000).cast("long") * F.sum("n_cjk").cast("long")
+                + F.sum("n_plain").cast("long"),
+                F.lit(2).cast("long") * F.sum("n_plain").cast("long"),
+            ),
+        ).alias("cjk_blowup_ppm"),
     )
 
 

@@ -234,6 +234,8 @@ HEADLINE = [
     "dedup_minhash_recall_sampled",
     "corpus_temperature_mixture",
     "events_markov_transitions_bucketed",
+    # r14: CJK-aware token-budget audit
+    "doc_token_stats_by_script",
 ]
 
 

@@ -77,111 +77,113 @@ def test_driver_window_covers_oracle_backed_queries():
     assert len(DRIVER_WINDOW) == 50
 
     deliberate_demotions = {
-        # Round-13 rotation ledger (VERDICT r12 item 1): the window holds
-        # the 4 r13-new queries (first rows), the 6 queries whose code or
-        # oracle changed behavior-relevantly in r13 (the Unicode language
-        # trio, the two degenerate-input guards, the recall sampling
-        # dial), and the ENTIRE 40-query r8 cohort — after this rotation
-        # zero registry entries have a driver row older than r9. The
-        # wedge-scaffold refactor of the link-prediction trio is
-        # value-identical (all three oracles re-swept green at sf0.01
-        # this round), so the trio keeps its r12 rows. Every demotion
-        # below keeps its newest green CORRECTNESS row (r9-r12) as
-        # standing evidence; ALL registered queries are oracle-backed,
-        # so this set is exactly registry-minus-window.
+        # Round-14 rotation ledger (VERDICT r13 item 1): the window holds
+        # the r14-new queries (first rows) and the entire 49-query r9
+        # cohort — the oldest driver rows in the repo. No r14 change so
+        # far is behavior-relevant to an existing query's values (the
+        # unicode-normalizer locale pre-map is value-identical under
+        # POSIX, pinned in tests/test_r14_fixes.py; the langid trio
+        # re-swept green at sf0.01 and keeps its r13 rows). Every
+        # demotion below keeps its newest green CORRECTNESS row
+        # (r10-r13) as standing evidence; ALL registered queries are
+        # oracle-backed, so this set is exactly registry-minus-window.
         "brand_returnflag_pivot", "corpus_bpe_merges",
         "corpus_bpe_token_stats", "corpus_chunk_dup_histogram",
-        "corpus_contamination_by_source", "corpus_curation_funnel",
-        "corpus_curation_funnel_strided", "corpus_curation_pipeline",
-        "corpus_leakage_safe_split", "corpus_ngram_novelty",
+        "corpus_contamination_by_source", "corpus_ngram_novelty",
         "corpus_pmi_collocations", "corpus_shard_manifest",
-        "corpus_split_leakage_audit", "corpus_token_drift",
-        "corpus_training_shards", "corpus_vocab_growth",
-        "corpus_zipf_slope", "customer_cohort_ltv",
-        "customer_entity_clusters", "customer_fuzzy_name_matches",
-        "customer_order_full_outer", "customer_order_running_total",
-        "customer_rfm_segments", "customer_segment_setops",
-        "customers_with_expensive_items",
-        "customers_without_orders_filtered", "dedup_exact_groups",
+        "corpus_temperature_mixture", "corpus_token_drift",
+        "corpus_vocab_growth", "corpus_zipf_slope",
+        "customer_cohort_ltv", "customer_entity_clusters",
+        "customer_fuzzy_name_matches", "customer_order_full_outer",
+        "customer_order_running_total", "customer_rfm_segments",
+        "customer_segment_setops", "customers_with_expensive_items",
+        "customers_without_orders_filtered", "dedup_containment_pairs",
+        "dedup_cross_source_matrix", "dedup_embedding_cosine",
+        "dedup_exact_groups", "dedup_incremental_batch",
         "dedup_jaccard_df_capped", "dedup_mass_by_source",
         "dedup_minhash_candidates", "dedup_minhash_precision",
-        "dedup_near_clusters", "dedup_ngram_jaccard", "dedup_semantic",
-        "dedup_simhash_pairs", "doc_bpe_token_stats", "doc_chunk_dedup",
-        "doc_decontamination", "doc_exact_substring_removal",
-        "doc_fingerprint_rolling", "doc_perplexity_proxy",
-        "doc_pii_scan", "doc_quality_scores", "doc_repetition_filters",
-        "doc_semantic_decontamination", "doc_simhash_hamming_histogram",
-        "doc_token_stats", "doc_winnow_fingerprints",
-        "documents_quality_topfrac",
-        "documents_quality_weighted_sample", "documents_volume_median",
-        "embeddings_centroid_outliers", "embeddings_dimension_profile",
-        "embeddings_kmeans_lloyd", "embeddings_principal_direction",
-        "embeddings_random_projection",
-        "embeddings_similarity_histogram", "entity_cooccurrence_edges",
-        "entity_word_count", "events_approx_group_profile",
+        "dedup_minhash_recall", "dedup_minhash_recall_sampled",
+        "dedup_minhash_signatures", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_simhash_pairs", "doc_bpe_token_stats",
+        "doc_exact_substring_removal", "doc_fingerprint_rolling",
+        "doc_langid_confusion", "doc_language_id",
+        "doc_language_mix_by_source", "doc_pii_scan",
+        "doc_quality_scores", "doc_script_mix_by_source",
+        "doc_semantic_decontamination",
+        "doc_simhash_hamming_histogram", "doc_token_stats",
+        "doc_url_domains", "doc_winnow_fingerprints",
+        "documents_balanced_sample", "documents_hash_sample_split",
+        "documents_source_mixture", "documents_token_shards",
+        "documents_volume_median", "embeddings_norm_profile",
+        "embeddings_principal_direction",
+        "embeddings_similarity_histogram", "entity_word_count",
         "events_asof_bucketed_latest_order",
-        "events_asof_last_signup_7d", "events_asof_nearest_purchase_3h",
-        "events_asof_next_purchase_2h", "events_conversion_funnel",
-        "events_conversion_time_profile", "events_dau_wau_stickiness",
+        "events_asof_latest_order", "events_asof_nearest_purchase_3h",
+        "events_burstiness_index", "events_conversion_time_profile",
+        "events_dau_wau_stickiness", "events_hll_daily_rollup",
         "events_interarrival_profile", "events_interval_coverage",
-        "events_interval_overlap", "events_json_by_type",
-        "events_kll_value_rollup", "events_late_arrival_profile",
-        "events_multires_rollup", "events_peak_concurrency",
-        "events_resample_10min_gapfill", "events_resample_10min_interp",
-        "events_rolling_zscore_anomalies", "events_scd2_incremental",
+        "events_interval_overlap", "events_kll_value_rollup",
+        "events_markov_transitions",
+        "events_markov_transitions_bucketed",
+        "events_peak_concurrency", "events_pit_state_lookback",
+        "events_range_join_daily_windows",
+        "events_resample_10min_interp", "events_rollup_backfill",
+        "events_rollup_user_erasure", "events_salted_by_type",
         "events_scd2_user_state", "events_seasonal_naive_eval",
-        "events_session_window_native", "events_sliding_20min",
-        "events_time_weighted_avg", "events_top_transition_paths",
-        "events_tumbling_10min", "events_type_association_rules",
-        "events_type_comovement", "events_type_run_lengths_bucketed",
-        "events_user_entropy", "events_user_sessions",
-        "events_value_acf", "events_value_benford",
-        "events_value_cusum_alarm", "events_value_deciles",
+        "events_theta_audience_overlap", "events_time_weighted_avg",
+        "events_top_transition_paths", "events_tumbling_10min",
+        "events_type_association_rules", "events_type_comovement",
+        "events_type_run_lengths", "events_type_run_lengths_bucketed",
+        "events_user_entropy", "events_value_acf",
+        "events_value_benford", "events_value_cusum_alarm",
+        "events_value_deciles", "events_value_ewma",
+        "events_value_histogram", "events_value_mad_outliers",
         "events_value_quartiles_by_type", "events_value_trend",
         "events_value_winsorized_stats", "events_weekly_retention",
         "global_agg_stats", "graph_adamic_adar_capped",
-        "graph_adamic_adar_topk", "graph_bfs_hops",
-        "graph_clustering_coefficient", "graph_component_sizes",
-        "graph_components_two_phase", "graph_degree_assortativity",
+        "graph_adamic_adar_topk", "graph_clustering_coefficient",
+        "graph_component_sizes", "graph_components_two_phase",
+        "graph_degree_assortativity", "graph_hits_authorities",
         "graph_in_degrees", "graph_jaccard_link_topk",
         "graph_kcore_membership", "graph_label_propagation",
         "graph_out_degrees", "graph_pagerank",
-        "graph_pagerank_reference",
+        "graph_pagerank_reference", "graph_pagerank_tol",
         "graph_preferential_attachment_topk", "graph_sssp_weighted",
-        "graph_triangle_counts", "lineitem_approx_profile",
+        "graph_triangle_counts", "graph_trustrank_from_seeds",
+        "lineitem_approx_profile", "lineitem_bloom_pruned_join",
         "lineitem_ship_lag_profile", "lineitem_zorder_keys",
         "ml_sentiment_metrics", "ml_sentiment_metrics_full_grid",
-        "multimodal_audio_wav_features",
-        "multimodal_image_ppm_features", "multimodal_payload_features",
-        "ner_gazetteer_counts", "order_priority_counts",
-        "orders_customer_order_gaps", "orders_grouping_sets",
-        "orders_incremental_agg_refresh", "orders_merge_upsert",
-        "orders_priority_mix_drift", "orders_quality_checks",
-        "orders_rank_functions", "orders_salted_segment_revenue",
-        "parts_pareto_frontier", "pricing_summary", "revenue_by_nation",
-        "revenue_cube", "revenue_gini_by_nation", "revenue_rollup",
+        "multimodal_payload_features", "order_priority_counts",
+        "orders_customer_order_gaps", "orders_data_profile",
+        "orders_grouping_sets", "orders_lineitem_join_cardinality",
+        "orders_merge_change_feed", "orders_merge_upsert",
+        "orders_priority_mix_drift", "orders_schema_evolution",
+        "orders_weekly_revenue_delta", "parts_pareto_frontier",
+        "pricing_summary", "revenue_by_nation", "revenue_cube",
+        "revenue_gini_by_nation", "revenue_rollup",
         "search_batch_queries", "search_bm25_topk",
-        "search_multi_word_cosine", "search_multi_word_reference",
+        "search_hybrid_rrf", "search_multi_word_cosine",
+        "search_multi_word_reference", "search_retrieval_eval",
         "search_single_word", "similarity_ann_recall_profile",
         "similarity_cluster_assign", "similarity_cosine_topk",
-        "similarity_ivf_topk", "similarity_ivfpq_indexed_agreement",
-        "similarity_ivfpq_recall_profile",
-        "similarity_lsh_indexed_agreement", "similarity_lsh_topk",
-        "similarity_pq_recall_profile", "similarity_projected_topk",
-        "similarity_quantized_topk", "streaming_click_purchase_join",
+        "similarity_lsh_indexed_agreement",
+        "similarity_projected_topk", "streaming_ann_index_ingest",
+        "streaming_click_attribution_outer",
+        "streaming_click_purchase_join", "streaming_cms_heavy_hitters",
         "streaming_dedup_distinct_users",
         "streaming_first_seen_custom_state",
-        "streaming_first_seen_per_user", "streaming_incremental_rollup",
-        "streaming_ivfpq_index_ingest", "streaming_kafka_feed",
-        "streaming_kll_value_maintenance", "streaming_sentiment_counts",
-        "streaming_session_windows", "streaming_static_enrichment",
-        "streaming_tumbling_counts", "streaming_user_totals",
-        "streaming_user_value_hhi", "streaming_value_exact_quantiles",
-        "streaming_value_trend", "supplier_hhi_by_parttype",
-        "supplier_part_type_share", "terms_cms_heavy_hitters",
-        "tfidf_doc_frequencies", "tfidf_doc_frequencies_stemmed",
-        "tfidf_idf", "tfidf_matrix", "top_customers_by_orders",
-        "top_customers_per_segment", "top_parts_by_revenue",
+        "streaming_first_seen_per_user",
+        "streaming_hll_sketch_maintenance",
+        "streaming_incremental_rollup", "streaming_kafka_feed",
+        "streaming_kll_value_maintenance", "streaming_session_windows",
+        "streaming_static_enrichment", "streaming_tumbling_counts",
+        "streaming_user_totals", "streaming_user_value_hhi",
+        "streaming_value_exact_quantiles", "streaming_value_trend",
+        "supplier_hhi_by_parttype", "supplier_part_type_share",
+        "terms_cms_heavy_hitters", "tfidf_doc_frequencies",
+        "tfidf_idf", "tfidf_matrix", "tfidf_term_frequencies",
+        "top_customers_by_orders", "top_customers_per_segment",
+        "top_parts_by_revenue",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
