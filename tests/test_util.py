@@ -181,9 +181,9 @@ def test_driver_window_covers_oracle_backed_queries():
         "streaming_value_exact_quantiles", "streaming_value_trend",
         "supplier_hhi_by_parttype", "supplier_part_type_share",
         "terms_cms_heavy_hitters", "tfidf_doc_frequencies",
-        "tfidf_idf", "tfidf_matrix", "tfidf_term_frequencies",
-        "top_customers_by_orders", "top_customers_per_segment",
-        "top_parts_by_revenue",
+        "tfidf_doc_frequencies_stemmed", "tfidf_idf", "tfidf_matrix",
+        "tfidf_term_frequencies", "top_customers_by_orders",
+        "top_customers_per_segment", "top_parts_by_revenue",
     }
     oracle_backed = {n for n, s in QUERIES.items() if s.oracle}
     outside = oracle_backed - set(DRIVER_WINDOW)
