@@ -150,6 +150,130 @@ def markov_transitions_bucketed(
     return _transition_matrix_finalize(local.unionByName(boundary))
 
 
+def transition_trigrams_bucketed(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket_size: int = 86400,
+) -> DataFrame:
+    """SKEW-RESISTANT LEAD-2 trigram stream (r14, VERDICT r13 item 4) —
+    the first-n/last-n generalization of :func:`markov_transitions_bucketed`
+    designed in r13: the plain (key)-partitioned LEAD-2 window
+    (events_top_transition_paths) measured 12.3× wall growth at 64× under
+    a 50%-mass Zipf key (`window_lead` in SCALING.md), because the hot
+    key's entire timeline sorts on ONE task.
+
+    Returns the (t0, t1, t2) stream of consecutive event-type triples per
+    key timeline, value-identical to two LEADs over the plain window:
+
+    - LOCAL triples: both LEADs run within (key, bucket) where bucket =
+      epoch(ts) DIV bucket_size (monotone in ts, so bucket order ==
+      time order) — a hot key's sort splits across its time buckets.
+    - BOUNDARY triples from tiny per-(key, bucket) FIRST-2/LAST-2
+      summaries stitched over the per-key bucket window (#buckets rows
+      per key, never row count). For a triple spanning buckets A<B
+      (adjacent among the key's NON-EMPTY buckets): two events in A →
+      (A.last2, A.last1, B.first1); two in B → (A.last1, B.first1,
+      B.first2). A triple spanning THREE buckets A<B<C forces B to hold
+      exactly one event (its event is consecutive with both neighbors),
+      so (A.last1, B.last1, C.first1) with the LAG-2 summary — first-2/
+      last-2 per side always suffices, the r13 design note proven here.
+
+    The summaries come from the SAME local sort the LEADs use
+    (row_number + a sortless windowed count), so the operator adds no
+    extra corpus-sized exchange: one (key, bucket) window shuffle + one
+    tiny summary aggregate."""
+    reserved = {"_tp_t", "_tp_b", "_tp_rn", "_tp_n", "t0", "t1", "t2",
+                "_f1", "_f2", "_l1", "_l2"}
+    clashes = reserved.intersection(events.columns)
+    if clashes:
+        raise ValueError(
+            f"transition_trigrams_bucketed: input columns collide with "
+            f"internal names: {sorted(clashes)}"
+        )
+    base = events.select(
+        F.col(key_col),
+        F.col(type_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("_tp_t"),
+    ).withColumn("_tp_b", F.expr(f"_tp_t DIV {int(bucket_size)}"))
+    w_local = Window.partitionBy(key_col, "_tp_b").orderBy(ts_col, id_col)
+    # the windowed count carries no ORDER BY -> no second sort
+    w_part = Window.partitionBy(key_col, "_tp_b")
+    marked = base.select(
+        F.col(key_col),
+        F.col(type_col),
+        F.col("_tp_b"),
+        F.col(type_col).alias("t0"),
+        F.lead(type_col, 1).over(w_local).alias("t1"),
+        F.lead(type_col, 2).over(w_local).alias("t2"),
+        F.row_number().over(w_local).alias("_tp_rn"),
+        F.count("*").over(w_part).alias("_tp_n"),
+    )
+    local = marked.where(F.col("t2").isNotNull()).select("t0", "t1", "t2")
+    summaries = (
+        marked.where(
+            (F.col("_tp_rn") <= 2) | (F.col("_tp_rn") >= F.col("_tp_n") - 1)
+        )
+        .select(
+            F.col(key_col),
+            "_tp_b",
+            F.when(F.col("_tp_rn") == 1, F.col(type_col)).alias("_w_f1"),
+            F.when(F.col("_tp_rn") == 2, F.col(type_col)).alias("_w_f2"),
+            F.when(F.col("_tp_rn") == F.col("_tp_n"), F.col(type_col)).alias(
+                "_w_l1"
+            ),
+            F.when(
+                F.col("_tp_rn") == F.col("_tp_n") - 1, F.col(type_col)
+            ).alias("_w_l2"),
+        )
+        .groupBy(key_col, "_tp_b")
+        .agg(
+            F.max("_w_f1").alias("_f1"),
+            F.max("_w_f2").alias("_f2"),
+            F.max("_w_l1").alias("_l1"),
+            F.max("_w_l2").alias("_l2"),
+        )
+    )
+    w_bucket = Window.partitionBy(key_col).orderBy("_tp_b")
+    stitched = summaries.select(
+        F.col("_f1"),
+        F.col("_f2"),
+        F.lag("_l1").over(w_bucket).alias("_p_l1"),
+        F.lag("_l2").over(w_bucket).alias("_p_l2"),
+        F.lag("_f2").over(w_bucket).alias("_p_f2"),
+        F.lag("_l1", 2).over(w_bucket).alias("_pp_l1"),
+    ).localCheckpoint(eager=False)  # 3 boundary consumers, tiny frame
+    # two-in-prev: (A.last2, A.last1, B.first1) — needs A.n >= 2
+    tri_a = stitched.where(F.col("_p_f2").isNotNull()).select(
+        F.col("_p_l2").alias("t0"),
+        F.col("_p_l1").alias("t1"),
+        F.col("_f1").alias("t2"),
+    )
+    # two-in-cur: (A.last1, B.first1, B.first2) — needs B.n >= 2
+    tri_b = stitched.where(
+        F.col("_p_l1").isNotNull() & F.col("_f2").isNotNull()
+    ).select(
+        F.col("_p_l1").alias("t0"),
+        F.col("_f1").alias("t1"),
+        F.col("_f2").alias("t2"),
+    )
+    # three-bucket span: (A.last1, B.only, C.first1) — needs B.n == 1
+    tri_c = stitched.where(
+        F.col("_p_l1").isNotNull()
+        & F.col("_p_f2").isNull()
+        & F.col("_pp_l1").isNotNull()
+    ).select(
+        F.col("_pp_l1").alias("t0"),
+        F.col("_p_l1").alias("t1"),
+        F.col("_f1").alias("t2"),
+    )
+    return local.unionByName(tri_a).unionByName(tri_b).unionByName(tri_c)
+
+
 def run_length_encode(
     events: DataFrame,
     key_col: str = "user_id",

@@ -47,6 +47,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r14-new queries — first rows
     "doc_token_stats_by_script",
     "doc_nfc_audit",
+    "events_top_transition_paths_bucketed",
     # the r9 cohort (oldest driver rows), alphabetical
     "corpus_curation_funnel",
     "corpus_curation_funnel_strided",
@@ -95,7 +96,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_pq_recall_profile",
     "similarity_quantized_topk",
     "streaming_ivfpq_index_ingest",
-    "streaming_sentiment_counts",
 )
 
 

@@ -5679,15 +5679,12 @@ def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_top_transition_paths",
-    # Path analysis — the 3-step extension of the Markov transition
-    # matrix (which only sees single steps): the top-20 most common
-    # event-type trigrams along each user's timeline, with full
-    # (count, path) tiebreaks. One window exchange on user_id (millions
-    # of keys — natural parallelism), two LEADs over the same window,
-    # one tiny hash aggregate, TakeOrderedAndProject.
-    oracle="""
+# Shared by the plain and bucketed path queries (the _MARKOV_ORACLE
+# pattern — the skew-resistant twin must grade against the IDENTICAL
+# text, so a future tweak to one cannot silently leave the other
+# testing a stale definition). For the bucketed query this plain
+# single-window SQL is also the INDEPENDENT derivation of the stitch.
+_PATHS_ORACLE = """
         WITH seq AS (
             SELECT user_id, event_type,
                    LEAD(event_type, 1) OVER w AS t1,
@@ -5701,7 +5698,18 @@ def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         ORDER BY n DESC, path ASC
         LIMIT 20
-    """,
+    """
+
+
+@query(
+    "events_top_transition_paths",
+    # Path analysis — the 3-step extension of the Markov transition
+    # matrix (which only sees single steps): the top-20 most common
+    # event-type trigrams along each user's timeline, with full
+    # (count, path) tiebreaks. One window exchange on user_id (millions
+    # of keys — natural parallelism), two LEADs over the same window,
+    # one tiny hash aggregate, TakeOrderedAndProject.
+    oracle=_PATHS_ORACLE,
     description="Top-20 3-step event-type paths per user timeline (path analysis — the trigram extension of the Markov matrix: funnels and scripted loops show up as dominant paths): one user-partitioned window exchange, two LEADs over the same window, tiny path aggregate, TakeOrderedAndProject with full tiebreaks",
 )
 def events_top_transition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5719,6 +5727,38 @@ def events_top_transition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "events_top_transition_paths_bucketed",
+    # r14 (VERDICT r13 item 4): the SKEW-RESISTANT twin of
+    # events_top_transition_paths — the last plain-window member of the
+    # LEAD family, measured 12.3× wall growth at 64× under a 50%-mass
+    # Zipf key (`window_lead` in SCALING.md; the single-hot-task sort
+    # class salting cannot fix because order forbids salt splits). Both
+    # LEADs run locally within (key, day); boundary trigrams stitch
+    # from per-bucket first-2/last-2 summaries (a 3-bucket span forces
+    # the middle bucket to exactly one event, so 2 rows per side always
+    # suffice — operators/sequence.transition_trigrams_bucketed). The
+    # oracle is the IDENTICAL plain single-window SQL (shared
+    # _PATHS_ORACLE), i.e. an independent derivation of the stitch.
+    oracle=_PATHS_ORACLE,
+    description="Top-20 3-step event-type paths, skew-resistant form (r14): LEAD-2 locally within (user, day) buckets + boundary trigrams stitched from per-bucket first-2/last-2 summaries over the tiny per-key bucket window — value-identical to the plain single-window form (shared oracle text), with the hot key's one corpus-sized sort task split across its time buckets (plain form measured 12.3x wall at 64x under a 50%-mass Zipf key; see SCALING.md window_lead2_*)",
+)
+def events_top_transition_paths_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sequence import transition_trigrams_bucketed
+
+    ev = load_events(spark, sf_dir)
+    tri = transition_trigrams_bucketed(ev, bucket_size=86400)
+    return (
+        tri.select(F.concat_ws(">", "t0", "t1", "t2").alias("path"))
+        .groupBy("path")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)

@@ -234,9 +234,11 @@ HEADLINE = [
     "dedup_minhash_recall_sampled",
     "corpus_temperature_mixture",
     "events_markov_transitions_bucketed",
-    # r14: CJK-aware token-budget audit; NFC-contamination ingest audit
+    # r14: CJK-aware token-budget audit; NFC-contamination ingest audit;
+    # skew-resistant LEAD-2 path twin
     "doc_token_stats_by_script",
     "doc_nfc_audit",
+    "events_top_transition_paths_bucketed",
 ]
 
 

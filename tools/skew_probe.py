@@ -300,6 +300,40 @@ def main() -> None:
             set_conf(aqe_skew=True, broadcast=True)
             noop(SEQ.markov_transitions(_markov_frame()))
 
+        def _trigram_count(tri):
+            return tri.groupBy("t0", "t1", "t2").agg(F.count("*").alias("n"))
+
+        def case_window_lead2_plain():
+            # r14 (VERDICT r13 item 4): the LEAD-2 measured pair — plain
+            # two-LEAD per-key window over the markov frame with the
+            # same trigram-count finalize as the bucketed twin.
+            set_conf(aqe_skew=True, broadcast=True)
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("user_id").orderBy("ts", "event_id")
+            f = _markov_frame()
+            tri = f.select(
+                F.col("event_type").alias("t0"),
+                F.lead("event_type", 1).over(w).alias("t1"),
+                F.lead("event_type", 2).over(w).alias("t2"),
+            ).where(F.col("t2").isNotNull())
+            noop(_trigram_count(tri))
+
+        def case_window_lead2_bucketed():
+            # r14 mitigation: sequence.transition_trigrams_bucketed —
+            # both LEADs local within (key, day), boundary trigrams
+            # stitched from per-bucket first-2/last-2 summaries
+            # (value-identical; plain-window oracle + brute-force
+            # differentials in tests/test_r14_paths.py).
+            set_conf(aqe_skew=True, broadcast=True)
+            noop(
+                _trigram_count(
+                    SEQ.transition_trigrams_bucketed(
+                        _markov_frame(), bucket_size=86400
+                    )
+                )
+            )
+
         evq = evp2.withColumn("_v", F.col("t") % 1000)
 
         def case_rank_window():
@@ -359,6 +393,8 @@ def main() -> None:
             "window_lead": case_window_lead,
             "window_lead_plain": case_window_lead_plain,
             "window_lead_bucketed": case_window_lead_bucketed,
+            "window_lead2_plain": case_window_lead2_plain,
+            "window_lead2_bucketed": case_window_lead2_bucketed,
         }
         for name, fn in cases.items():
             fn()  # warm (JIT, file listing); second run is the sample
@@ -444,8 +480,18 @@ def main() -> None:
         "  summaries; value-identical, plain-window oracle). The LEAD-n",
         "  generalization needs first-n/last-n summaries (a path spanning",
         "  3+ buckets forces middle buckets to hold exactly one event, so",
-        "  n rows per side always suffice) — shipped when a fixture shows",
-        "  that straggler.",
+        "  n rows per side always suffice) — SHIPPED in r14, next row.",
+        "- `window_lead2_plain` / `window_lead2_bucketed` (r14, VERDICT",
+        "  r13 item 4): the LEAD-2 pair — the plain two-LEAD trigram",
+        "  window (events_top_transition_paths) vs",
+        "  sequence.transition_trigrams_bucketed (both LEADs local within",
+        "  (key, day); boundary trigrams stitched from per-bucket",
+        "  first-2/last-2 summaries via LAG-1/LAG-2 over the tiny per-key",
+        "  bucket window — a 3-bucket span forces the middle bucket to one",
+        "  event, so 2 rows per side suffice). Value-identical: plain-",
+        "  window oracle + brute-force and full-stream differentials in",
+        "  tests/test_r14_paths.py; the delta is the mitigation's measured",
+        "  worth for the path query under the 50%-mass key.",
         "",
     ]
     # Replace THIS probe's section in place (re-runs must not duplicate
