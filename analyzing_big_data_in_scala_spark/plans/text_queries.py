@@ -1111,6 +1111,15 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = doc_language_id(spark, sf_dir).select("doc_id", "pred_lang")
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return langid_confusion_frame(preds, docs)
+
+
+def langid_confusion_frame(preds: DataFrame, docs: DataFrame) -> DataFrame:
+    """Finalize stage of doc_langid_confusion over an already-computed
+    (doc_id, pred_lang) prediction frame — factored (r14, VERDICT r13
+    item 5) so bench.py can reuse ONE classifier pass across the three
+    langid consumers (the ivfpq_agreement_frame precedent); the registry
+    query above stays self-contained."""
     cells = (
         preds.join(docs, "doc_id")
         .groupBy("lang", "pred_lang")
@@ -1157,6 +1166,13 @@ def doc_language_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     preds = language_profile_table(docs).select("doc_id", "pred_lang")
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return language_mix_frame(preds, src)
+
+
+def language_mix_frame(preds: DataFrame, src: DataFrame) -> DataFrame:
+    """Finalize stage of doc_language_mix_by_source over an
+    already-computed (doc_id, pred_lang) frame — factored (r14) for the
+    bench-side shared-classifier pass; see langid_confusion_frame."""
     cells = (
         preds.join(src, "doc_id")
         .groupBy("source", "pred_lang")

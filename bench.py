@@ -355,8 +355,65 @@ def _prepare_ivfpq_profile(spark, sf_dir: str):
     return build_sec, run
 
 
-# Cross-factory shared state (currently just the IVF-PQ geometry both
-# ivfpq entries derive from).
+def _prepare_langid_family(spark, sf_dir: str):
+    """ONE classifier pass for the three langid consumers (r14, VERDICT
+    r13 item 5): doc_language_id, doc_langid_confusion and
+    doc_language_mix_by_source each re-ran the full ~10-regex-per-doc
+    script-signal scan (the r13 Unicode classifier's priced-in cost —
+    1.9-2.2x their r12 numbers), but the classifier output is ONE frame
+    all three consume. The profile table is materialized once (timed,
+    reported as doc_langid_profile_build) and the consumers' finalize
+    stages run over it; the REGISTRY queries stay self-contained for the
+    driver (the ivfpq geometry-sharing precedent)."""
+    from analyzing_big_data_in_scala_spark.operators.curation import (
+        language_profile_table,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    profile = language_profile_table(docs).localCheckpoint(eager=True)
+    build_sec = time.perf_counter() - t0
+    _SHARED["langid_profile"] = profile
+
+    def run():
+        return profile
+
+    return build_sec, run
+
+
+def _langid_confusion_shared(spark, sf_dir: str):
+    from analyzing_big_data_in_scala_spark.plans.text_queries import (
+        langid_confusion_frame,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    preds = _SHARED["langid_profile"].select("doc_id", "pred_lang")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def run():
+        return langid_confusion_frame(preds, docs)
+
+    return run
+
+
+def _language_mix_shared(spark, sf_dir: str):
+    from analyzing_big_data_in_scala_spark.plans.text_queries import (
+        language_mix_frame,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    preds = _SHARED["langid_profile"].select("doc_id", "pred_lang")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def run():
+        return language_mix_frame(preds, src)
+
+    return run
+
+
+# Cross-factory shared state (the IVF-PQ geometry both ivfpq entries
+# derive from; the r14 shared langid profile frame).
 _SHARED: dict = {}
 
 
@@ -381,6 +438,20 @@ PREPARED = {
         "similarity_pq_codebook_build",
         _prepare_pq_profile,
     ),
+    # r14: one classifier pass for the langid family; the two consumers
+    # below (POST_PREPARED) reuse the stashed profile frame.
+    "doc_language_id": (
+        "doc_langid_profile_build",
+        _prepare_langid_family,
+    ),
+}
+
+# Entries whose per-sample thunk derives from _SHARED state stashed by a
+# PREPARED factory, but which have NO build cost of their own (so no
+# *_build entry). Factories run ONCE, after the PREPARED loop.
+POST_PREPARED = {
+    "doc_langid_confusion": _langid_confusion_shared,
+    "doc_language_mix_by_source": _language_mix_shared,
 }
 
 
@@ -441,6 +512,10 @@ def main() -> None:
         build_times[build_name] = round(sorted(samples_b)[1], 3)
         prepared_runs[name] = run
         run().write.mode("overwrite").format("noop").save()
+    for name, factory in POST_PREPARED.items():
+        run = factory(spark, sf_dir)
+        prepared_runs[name] = run
+        run().write.mode("overwrite").format("noop").save()  # warm
     spark.catalog.clearCache()
 
     # Median-of-3 per query (VERDICT r2 item 7): single runs drifted ~1.5x
@@ -558,6 +633,10 @@ def main() -> None:
                     "similarity_ivfpq_indexed_agreement": "search-only per sample as of r9 (VERDICT r8 item 4): agreement frame over the prebuilt indexes — the build cost moved to similarity_ivfpq_index_build; the registry query is unchanged (still self-contained build+search for the driver)",
                     "similarity_pq_codebook_build": "PQ train (m=16 x 16 centroids, 2 Lloyd rounds) + full-corpus encode, median-of-3 as of r12; similarity_pq_recall_profile then measures ADC+rerank search (plus the exact baseline it is graded against) per sample",
                     "similarity_ivfpq_geometry_build": "IVF-PQ geometry build (coarse router + per-cell sub-codebooks + code table), median-of-3 as of r12; similarity_ivfpq_recall_profile then measures the nprobe=4/8 searches (plus the exact baseline) per sample",
+                    "doc_langid_profile_build": "r14 (VERDICT r13 item 5): ONE materialization of the language_profile_table classifier pass (the ~10-regex-per-doc Unicode script signal — the r13 capability cost), median-of-3, shared by the three langid consumers below; registry queries stay self-contained for the driver",
+                    "doc_language_id": "per-sample cost is reading the shared checkpointed profile frame; the classifier pass itself is timed once under doc_langid_profile_build",
+                    "doc_langid_confusion": "finalize-only per sample as of r14 (confusion join + two tiny aggregates over the shared profile frame)",
+                    "doc_language_mix_by_source": "finalize-only per sample as of r14 (source join + two tiny aggregates over the shared profile frame)",
                     "streaming_ivfpq_index_ingest": "cost = offline geometry build + per-file micro-batch appends; the drain is the tested contract. r10 decomposition (warm, sf0.1): offline ivfpq_build 7.2s (job-count bound, the contract) + drain ~5.9s (2 batches x ~1.8s fold job-chain; trigger scheduling itself ~1.3s) + agreement searches ~3.5s. The r9 verdict's 'trigger scheduling' attribution was partly wrong — the per-batch FOLD job chain dominated the drain, so the fixture now stages 2 files instead of 4 (the minimum multi-batch commute evidence), saving ~3.5s; the remaining wall is the offline build, same class as the *_build one-shots",
                     # r8 isolated re-measure (VERDICT r7 item 6): the
                     # corpus_curation_funnel r5->r7 drift (5.1 -> 6.5 s) does
