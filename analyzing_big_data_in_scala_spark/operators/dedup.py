@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, portable_hash40, portable_hash64, tokens
+from ..functions.text import (
+    normalize_text,
+    portable_hash40,
+    portable_hash64,
+    tokens,
+    tokens_cjk,
+)
 from ._util import ensure_parallelism
 
 # Deterministic multipliers/addends for the minhash permutation family
@@ -52,16 +58,28 @@ def exact_duplicates(
 
 
 def shingle_table(
-    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cjk: bool = False,
 ) -> DataFrame:
     """Distinct k-token shingles per doc: (id, shingle). The inverted-index
     building block for jaccard and minhash.
 
     Tokenization happens in its own projection BEFORE the shingle
     transform: referencing `tokens(text)` inside the lambda would re-run
-    the regex tokenizer once per shingle (O(tokens²) per doc)."""
+    the regex tokenizer once per shingle (O(tokens²) per doc).
+
+    ``cjk=True`` (r14) shingles over the CJK-aware token stream
+    (functions/text.tokens_cjk — Han/kana runs become char bigrams): the
+    default whitespace tokens make a whole zh sentence ONE token, so a
+    3-shingle needs THREE sentences and near-dup zh pairs are invisible
+    to the whole shingle-based dedup family. The default stays
+    byte-identical to the reference-parity tokenizer."""
     toked = ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+        F.col(id_col).alias("id"),
+        (tokens_cjk(text_col) if cjk else tokens(text_col)).alias("toks"),
     )
     # sequence(1, n) counts DOWN when n < 1 — guard short docs explicitly.
     idx = F.when(
@@ -77,6 +95,7 @@ def hashed_shingle_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    cjk: bool = False,
 ) -> DataFrame:
     """Distinct k-token shingle HASHES per doc: (id, h). Same inverted-index
     role as :func:`shingle_table`, but the shingle string is hashed inside
@@ -85,10 +104,12 @@ def hashed_shingle_table(
     bytes shuffled vs. exchanging ~20-char shingle strings. Dedup-by-hash
     equals dedup-by-string up to md5 collisions, and every consumer's
     DuckDB oracle applies the identical hash, so parity is by construction.
+    ``cjk`` selects the CJK-aware token stream (see shingle_table).
     """
     hash_fn = portable_hash40 if bits == 40 else portable_hash64
     toked = ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+        F.col(id_col).alias("id"),
+        (tokens_cjk(text_col) if cjk else tokens(text_col)).alias("toks"),
     )
     idx = F.when(
         F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
@@ -109,6 +130,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_shingle_df: int | None = None,
     cache_shingles: bool = True,
+    cjk: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard similarity.
 
@@ -125,7 +147,7 @@ def ngram_jaccard_pairs(
     oracle applies the identical cap). Without a cap, semantics are plain
     exact Jaccard; :func:`minhash_candidates` is the other scale path.
     """
-    sh = hashed_shingle_table(docs, k, id_col, text_col)
+    sh = hashed_shingle_table(docs, k, id_col, text_col, cjk=cjk)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("h")
@@ -772,7 +794,7 @@ def containment_pairs(
     (id_contained, id_container, containment) — the CONTAINED doc is the
     dedup candidate.
     """
-    sh = hashed_shingle_table(docs, k, id_col, text_col)
+    sh = hashed_shingle_table(docs, k, id_col, text_col, cjk=cjk)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("h")

@@ -48,6 +48,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_token_stats_by_script",
     "doc_nfc_audit",
     "events_top_transition_paths_bucketed",
+    "dedup_ngram_jaccard_cjk",
     # the r9 cohort (oldest driver rows), alphabetical
     "corpus_curation_funnel",
     "corpus_curation_funnel_strided",
@@ -95,7 +96,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_lsh_topk",
     "similarity_pq_recall_profile",
     "similarity_quantized_topk",
-    "streaming_ivfpq_index_ingest",
 )
 
 

@@ -94,6 +94,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2)
 
 
+# CJK-aware twin of _SQL_SHINGLES: same slice/distinct chain over the
+# tokens_cjk token stream (Han/kana runs as char bigrams). Built from the
+# shared sql_tokens_cjk literal so the oracle can never drift from the
+# Spark tokenizer.
+def _sql_shingles_cjk() -> str:
+    from ..functions.text import sql_tokens_cjk
+
+    return f"""
+doc_toks AS (
+    SELECT doc_id, {sql_tokens_cjk("text")} AS toks
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id AS id,
+           array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+    FROM doc_toks, UNNEST(generate_series(1, len(toks) - 2)) t(i)
+    WHERE len(toks) >= 3
+)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard_cjk",
+    # r14 (the CJK loop closed): the default whitespace tokenizer makes a
+    # whole zh/ja sentence ONE token, so a 3-token shingle needs THREE
+    # sentences and near-dup zh pairs are INVISIBLE to the entire
+    # shingle-based dedup family — exactly the silent-wrongness VERDICT
+    # r13 named. This twin shingles over the CJK-aware token stream
+    # (Han/kana char bigrams, everything else word-split); on the ASCII
+    # driver fixture it is value-identical to dedup_ngram_jaccard (the
+    # tokenizers agree off-CJK — pinned by unit), and on the multilingual
+    # micro-fixture it finds the zh near-dup pairs the default provably
+    # cannot (tests/test_r14_cjk.py, incl. a raw-shingle brute force).
+    oracle=f"""
+        WITH {_sql_shingles_cjk()},
+        hshingles AS (
+            SELECT DISTINCT id, {_HASH64.format(x='shingle')} AS h FROM shingles
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM hshingles GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM hshingles a JOIN hshingles b USING (h)
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+    description="Near-dup pairs by 3-shingle Jaccard over the CJK-aware token stream (r14: Han/kana runs emit char bigrams, so whitespace-free zh/ja near-dups become visible to the shingle inverted index — the default tokenizer makes a whole zh sentence one token and needs three sentences per shingle); identical inverted-index join shape as dedup_ngram_jaccard, value-identical to it on non-CJK corpora",
+)
+def dedup_ngram_jaccard_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=3, threshold=0.2, cjk=True
+    )
+
+
 @query(
     "corpus_split_leakage_audit",
     # Leakage audit (r8): near-dup pairs straddling the deterministic

@@ -239,6 +239,7 @@ HEADLINE = [
     "doc_token_stats_by_script",
     "doc_nfc_audit",
     "events_top_transition_paths_bucketed",
+    "dedup_ngram_jaccard_cjk",
 ]
 
 

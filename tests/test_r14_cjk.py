@@ -192,6 +192,77 @@ def test_token_stats_by_script_multilingual_cross_engine(spark, tmp_path):
     assert out["values_match"], out
 
 
+def test_cjk_jaccard_finds_zh_near_dups_invisible_to_default(spark, tmp_path):
+    """The dedup loop closed: two near-identical whitespace-free zh docs
+    are INVISIBLE to the default shingle family (each doc is ONE token —
+    no 3-shingle exists), and dedup_ngram_jaccard_cjk finds them with a
+    jaccard matching a raw-Python shingle recomputation. Cross-engine at
+    driver strength on the same fixture."""
+    from analyzing_big_data_in_scala_spark.plans import QUERIES
+
+    zh_a = "这是一个完全没有空格的中文句子用来测试语言识别"
+    zh_b = "这是一个完全没有空格的中文句子用来测试重复检测"  # near-dup of zh_a
+    rows = [
+        (1, zh_a, "zh", "src0", 0),
+        (2, zh_b, "zh", "src0", 0),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "src1", 0),
+        (4, "the quick brown fox jumps over the lazy cat", "en", "src1", 0),
+        (5, "totally unrelated english text here", "en", "src1", 0),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf).collect()
+    }
+    cjk = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in QUERIES["dedup_ngram_jaccard_cjk"].fn(spark, sf).collect()
+    }
+    assert (1, 2) not in plain  # the blindness VERDICT r13 named
+    assert (1, 2) in cjk        # the r14 fix sees it
+    assert (3, 4) in cjk        # off-CJK behavior preserved
+
+    # raw-shingle brute force for the zh pair
+    def shingles(text):
+        toks = _brute_cjk_tokens(text)
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sa, sb = shingles(zh_a), shingles(zh_b)
+    expect_j = round(len(sa & sb) / len(sa | sb), 6)
+    assert cjk[(1, 2)] == expect_j and expect_j >= 0.2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    spec = QUERIES["dedup_ngram_jaccard_cjk"]
+    out = compare(spec.fn(spark, sf), con, spec.oracle)
+    assert out["values_match"], out
+
+
+def test_cjk_jaccard_identical_to_default_on_ascii_corpus(spark):
+    """Off-CJK the two tokenizers agree by construction, so the cjk twin
+    must reproduce dedup_ngram_jaccard EXACTLY on the (ASCII) fixture."""
+    from tests.conftest import SF_SMALL
+
+    from analyzing_big_data_in_scala_spark.plans import QUERIES
+
+    plain = sorted(
+        tuple(r)
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()
+    )
+    cjk = sorted(
+        tuple(r)
+        for r in QUERIES["dedup_ngram_jaccard_cjk"].fn(spark, SF_SMALL).collect()
+    )
+    assert plain == cjk
+    assert len(plain) > 0
+
+
 def test_default_tokenizer_untouched_on_cjk(spark):
     """Contrast pin: the reference-parity DEFAULT tokenizer still
     destroys CJK (empty token list — the exact degenerate behavior

@@ -174,8 +174,8 @@ def test_driver_window_covers_oracle_backed_queries():
         "streaming_first_seen_custom_state",
         "streaming_first_seen_per_user",
         "streaming_hll_sketch_maintenance",
-        "streaming_incremental_rollup", "streaming_kafka_feed",
-        "streaming_kll_value_maintenance",
+        "streaming_incremental_rollup", "streaming_ivfpq_index_ingest",
+        "streaming_kafka_feed", "streaming_kll_value_maintenance",
         "streaming_sentiment_counts", "streaming_session_windows",
         "streaming_static_enrichment", "streaming_tumbling_counts",
         "streaming_user_totals", "streaming_user_value_hhi",
