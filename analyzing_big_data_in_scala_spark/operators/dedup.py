@@ -778,6 +778,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    cjk: bool = False,
 ) -> DataFrame:
     """DIRECTED near-dup pairs by k-shingle containment
     |A∩B| / |A| — the asymmetric measure Jaccard under-scores: a short
