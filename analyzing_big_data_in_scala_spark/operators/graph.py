@@ -22,6 +22,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _fan_out_ready(df: DataFrame) -> DataFrame:
+    """Restore parallelism before a FAN-OUT stage (r14, guide §2.5).
+
+    A frame that went through an AQE-coalesced exchange (or a tiny
+    single-row-group scan) can carry 1-2 partitions; a downstream stage
+    whose output is a multiple of its input (the wedge self-join emits
+    deg(w) rows per adjacency row) then runs on 1-2 cores while the rest
+    of the cluster idles — measured on the sf0.1 fixture: the wedge
+    generate+aggregate stage ran 2 tasks on local[32], 6.5 s for a 0.4 s
+    job at full width. Repartition ONLY when the frame is under the
+    session's parallelism: at 100 TB the same frame arrives with
+    thousands of partitions and this is a no-op (no extra exchange), so
+    the knob is input-derived, not tuned to either deployment.
+
+    Returns a LAZY-localCheckpointed frame: the checkpoint comes first so
+    the partition-count probe (`.rdd.getNumPartitions()`) reads the
+    already-planned RDD instead of forcing a second execution of the
+    upstream AQE stages (measured: probing a join-bearing plan directly
+    re-ran its exchanges and made triangle_counts 3x SLOWER — the probe
+    must only ever touch exchange-free plans).
+    """
+    ck = df.localCheckpoint(eager=False)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if ck.rdd.getNumPartitions() < target:
+        ck = ck.repartition(target).localCheckpoint(eager=False)
+    return ck
+
+
 def edges_from_events(events: DataFrame) -> DataFrame:
     """Derive a deterministic directed edge list from the `events` fixture
     (FIXTURES.md §2): consecutive events inside each (event_type, day)
@@ -109,6 +137,12 @@ def triangle_counts(edges: DataFrame, cache_oriented: bool = True) -> DataFrame:
         )
     )
     if cache_oriented:
+        # NOT _fan_out_ready (r14): the degree-ordered orientation bounds
+        # wedge fan-out by sqrt(m), so the fixture's wedge volume is small
+        # enough that the extra exchange + 32-way task scheduling across
+        # this plan's 4 consumers measured SLOWER (5.2 s vs 2.2 s) than
+        # the coalesced 2-task compute. The link-prediction scaffold's
+        # unbounded deg(w)^2 fan-out is the shape that needs it.
         oriented = oriented.localCheckpoint(eager=False)
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
@@ -752,10 +786,14 @@ def _wedge_candidate_pairs(
     partitioning; multi-consumer frames are lineage-cut (the
     triangle_counts lesson)."""
     e = canonical_undirected(edges).localCheckpoint(eager=False)
-    adj = (
+    # The adjacency feeds the wedge SELF-JOIN, whose emit is deg(w) rows
+    # per input row — a fan-out stage that must not inherit the 1-2
+    # AQE-coalesced partitions of the distinct() above (r14: measured 2
+    # tasks / 6.5 s on local[32] vs 32 tasks / ~1 s; no-op at scale).
+    adj = _fan_out_ready(
         e.select(F.col("a").alias("w"), F.col("b").alias("n"))
         .union(e.select(F.col("b").alias("w"), F.col("a").alias("n")))
-    ).localCheckpoint(eager=False)
+    )
     deg = adj.groupBy("w").agg(F.count("*").alias("deg"))
     if with_endpoint_degrees:
         # center filter + both endpoint joins consume it
