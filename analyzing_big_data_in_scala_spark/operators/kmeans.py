@@ -82,14 +82,23 @@ def _update_centroids(
     """M-step: per-dimension mean of the member vectors' int8-quantized
     components (exact BIGINT sums / counts). Clusters that lost every
     member keep their previous centroid."""
-    q = quantize_int8(emb, id_col, vec_col).select(
-        id_col, F.col("qvec").cast("array<double>").alias("q")
-    )
-    member_dims = (
-        assigned.select(id_col, "centroid_id")
-        .join(q, id_col)
-        .select("centroid_id", F.posexplode("q").alias("j", "x"))
-    )
+    if "qvec" in assigned.columns:
+        # r14 fast path: the assignment carried its quantized vector
+        # through (spherical_assign(..., keep_qvec=True)) — the M-step
+        # needs no corpus re-quantize and no corpus-sized join.
+        member_dims = assigned.select(
+            "centroid_id",
+            F.posexplode(F.col("qvec").cast("array<double>")).alias("j", "x"),
+        )
+    else:
+        q = quantize_int8(emb, id_col, vec_col).select(
+            id_col, F.col("qvec").cast("array<double>").alias("q")
+        )
+        member_dims = (
+            assigned.select(id_col, "centroid_id")
+            .join(q, id_col)
+            .select("centroid_id", F.posexplode("q").alias("j", "x"))
+        )
     dim_means = member_dims.groupBy("centroid_id", "j").agg(
         (F.sum("x") / F.count("*")).alias("m")
     )
@@ -120,7 +129,10 @@ def kmeans_lloyd_assign(
     if k < 1 or rounds < 0:
         raise ValueError(f"kmeans_lloyd_assign: bad k={k} or rounds={rounds}")
     centroids = hash_seed_centroids(emb, k, id_col, vec_col).localCheckpoint()
-    assigned = spherical_assign(emb, centroids, id_col, vec_col)
+    # keep_qvec feeds the M-step's fast path (no corpus re-join); the
+    # return statement projects the carried qvec away, so the public
+    # schema is unchanged.
+    assigned = spherical_assign(emb, centroids, id_col, vec_col, keep_qvec=True)
     for _ in range(rounds):
         # Checkpointing the k-row centroid frame per round is the lineage
         # cut: without it, round N's plan embeds round N-1's corpus-wide
@@ -132,5 +144,5 @@ def kmeans_lloyd_assign(
         centroids = _update_centroids(
             assigned, emb, centroids, id_col, vec_col
         ).localCheckpoint()
-        assigned = spherical_assign(emb, centroids, id_col, vec_col)
-    return assigned
+        assigned = spherical_assign(emb, centroids, id_col, vec_col, keep_qvec=True)
+    return assigned.select(id_col, "centroid_id", "cosine")

@@ -99,18 +99,55 @@ def _validate_codebook(centroids: DataFrame, m: int, in_dim: int, opname: str) -
         )
 
 
-def _assign(subv_df: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
-    """(id, sub, code): nearest centroid per (vector, subspace) — broadcast
-    (m x k)-row codebook join + map-side-combined min_by argmin (6-rounded
-    L2, centroid-id tie-break). No window, one aggregate."""
-    joined = subv_df.join(F.broadcast(centroids), "sub")
-    dist = _l2(F.col("subv"), F.col("centroid"))
-    return (
-        joined.select(id_col, "sub", F.col("centroid_id"), dist.alias("_d"))
-        .groupBy(id_col, "sub")
-        .agg(F.min(F.struct("_d", "centroid_id")).alias("_best"))
-        .select(id_col, "sub", F.col("_best.centroid_id").alias("code"))
+def _assign(
+    subv_df: DataFrame, centroids: DataFrame, id_col, keep_subv: bool = False
+) -> DataFrame:
+    """(id..., sub, code): nearest centroid per (vector, subspace) —
+    MAP-ONLY as of r14 (guide §2.3/§2.4: remove the shuffle, shuffle zero
+    bytes). The (m x k)-row codebook is grouped into m rows of k
+    (centroid_id, centroid) structs sorted by centroid_id and broadcast;
+    the argmin evaluates INLINE per subvector: distances are computed
+    ONCE into a struct array (so the fold's when() never re-evaluates
+    the L2 — the r3 conditional-CSE trap), then a left fold keeps the
+    first strict minimum. Identical to the r13
+    min(struct(round6_l2, centroid_id)) aggregate: the array is sorted
+    by centroid_id, so "first strict minimum" == smallest centroid_id on
+    ties. The r13 form k-folded every subvector through a broadcast join
+    and shuffled corpus*m rows through a groupBy argmin; both the
+    fan-out and the exchange are gone, and Lloyd-loop consumers can
+    carry `subv` along (keep_subv=True) instead of re-joining it on
+    (id, sub) — a second corpus*m shuffle join per round, also gone.
+
+    `id_col` may be one name or a list of carry columns (the residual
+    search path keys query subvectors by (query_id, cell))."""
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
+    cb = centroids.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "centroid"))).alias("_cbs")
     )
+    joined = subv_df.join(F.broadcast(cb), "sub")
+    dists = F.transform(
+        F.col("_cbs"),
+        lambda c: F.struct(
+            _l2(F.col("subv"), c["centroid"]).alias("_d"),
+            c["centroid_id"].alias("_cid"),
+        ),
+    )
+    best = F.aggregate(
+        dists,
+        F.struct(
+            F.lit(float("inf")).alias("_d"),
+            F.lit(None).cast(centroids.schema["centroid_id"].dataType).alias("_cid"),
+        ),
+        lambda acc, x: F.when(x["_d"] < acc["_d"], x).otherwise(acc),
+    )
+    # No null-code guard needed: the inner join on "sub" already yields
+    # zero rows for an empty codebook, and each _cbs array is non-empty
+    # by construction (collect_list over >=1 row per sub group), so the
+    # fold always leaves the init struct. A post-hoc filter would also
+    # risk re-evaluating the fold (filter-through-project substitution +
+    # the r3 conditional-CSE exclusion).
+    keep = ["subv"] if keep_subv else []
+    return joined.select(*id_cols, "sub", *keep, best["_cid"].alias("code"))
 
 
 def pq_train(
@@ -169,10 +206,12 @@ def _train_on_qvec(
         .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
-        assigned = _assign(subv, centroids, id_col)
-        member_dims = (
-            assigned.join(subv, [id_col, "sub"])
-            .select("sub", "code", F.posexplode("subv").alias("j", "x"))
+        # keep_subv carries the subvector through the map-only argmin, so
+        # the M-step needs NO (id, sub) re-join of the corpus (r14 — the
+        # r13 form joined two corpus*m-row frames per round).
+        assigned = _assign(subv, centroids, id_col, keep_subv=True)
+        member_dims = assigned.select(
+            "sub", "code", F.posexplode("subv").alias("j", "x")
         )
         dim_means = member_dims.groupBy("sub", "code", "j").agg(
             (F.sum("x") / F.count("*")).alias("mean_x")
@@ -436,10 +475,13 @@ def ivfpq_build(
     from .similarity import spherical_assign
 
     cents = hash_seed_centroids(emb, n_cells, id_col, vec_col).localCheckpoint()
-    assigned = spherical_assign(emb, cents, id_col, vec_col)
+    # keep_qvec: the M-step reads the carried quantized vector instead of
+    # re-quantizing + re-joining the corpus per round (r14); the `cells`
+    # projection drops it.
+    assigned = spherical_assign(emb, cents, id_col, vec_col, keep_qvec=True)
     for _ in range(coarse_rounds):
         cents = _update_centroids(assigned, emb, cents, id_col, vec_col).localCheckpoint()
-        assigned = spherical_assign(emb, cents, id_col, vec_col)
+        assigned = spherical_assign(emb, cents, id_col, vec_col, keep_qvec=True)
     cells = assigned.select(id_col, F.col("centroid_id").alias("cell"))
 
     dsub = in_dim // m

@@ -1043,6 +1043,7 @@ def spherical_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    keep_qvec: bool = False,
 ) -> DataFrame:
     """Spherical k-means ASSIGNMENT over int8-quantized vectors: every
     corpus vector goes to the centroid with max cosine (ties -> min
@@ -1065,29 +1066,68 @@ def spherical_assign(
     cc = quantize_int8(centroids, centroid_id, vec_col).select(
         centroid_id, F.col("qvec").alias("cvec")
     )
-    scored = (
-        qc.select(id_col, "qvec", _norm(F.col("qvec")).alias("vn"))
-        .crossJoin(F.broadcast(cc.select(centroid_id, "cvec", _norm(F.col("cvec")).alias("cn"))))
-        .select(
-            id_col,
-            F.col(centroid_id),
+    # MAP-ONLY argmax as of r14 (guide §2.3/§2.4): the k centroids are
+    # collected into ONE broadcast row as a cid-sorted struct array (each
+    # with its norm precomputed once); every corpus vector computes all k
+    # rounded cosines INLINE into a struct array (one evaluation each —
+    # the fold's when() never recomputes them, the r3 conditional-CSE
+    # trap) and a left fold keeps the best. The r13 form k-folded the
+    # corpus through a broadcast cross join and shuffled corpus*k rows
+    # through a groupBy argmax; both are gone — zero exchanges.
+    carr = cc.select(
+        F.struct(
+            F.col(centroid_id).alias("cid"),
+            F.col("cvec"),
+            _norm(F.col("cvec")).alias("cn"),
+        ).alias("_c")
+    ).agg(F.array_sort(F.collect_list("_c")).alias("_cs"))
+    joined = qc.select(
+        F.col(id_col), "qvec", _norm(F.col("qvec")).alias("_vn")
+    ).crossJoin(F.broadcast(carr))
+    scored = F.transform(
+        F.col("_cs"),
+        lambda c: F.struct(
             F.round(
-                F.try_divide(_dot(F.col("qvec"), F.col("cvec")), F.col("vn") * F.col("cn")),
+                F.try_divide(_dot(F.col("qvec"), c["cvec"]), F.col("_vn") * c["cn"]),
                 6,
             ).alias("cosine"),
-        )
+            c["cid"].alias("cid"),
+        ),
     )
-    # argmax by (cosine, -centroid_id): max struct = best cosine, then
-    # smallest centroid id — deterministic under ties.
-    best = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(F.col("cosine"), (-F.col(centroid_id)).alias("_neg"), F.col(centroid_id).alias("cid"))
-        ).alias("b")
+    # Fold semantics == the r13 max(struct(cosine, -cid)) exactly:
+    # - init cid is NULL (never a real cid), so the first element always
+    #   replaces it (acc.cid.isNull());
+    # - a NULL cosine (all-zero vector or all-zero centroid: try_divide
+    #   0/0) sorts BELOW any non-null cosine (struct-ordering nulls-first
+    #   == the isNull branch), and among all-null cosines the FIRST
+    #   element (smallest cid, array is cid-sorted) sticks — the old
+    #   max(-cid) tie-break;
+    # - ties on a non-null cosine keep the earlier == smaller cid
+    #   (strict > comparison).
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast(centroids.schema[centroid_id].dataType).alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            acc["cid"].isNull()
+            | (acc["cosine"].isNull() & x["cosine"].isNotNull())
+            | (x["cosine"] > acc["cosine"]),
+            x,
+        ).otherwise(acc),
     )
-    return best.select(
-        id_col,
-        F.col("b.cid").alias(centroid_id),
-        F.col("b.cosine").alias("cosine"),
+    # Two-step select: `best` (a conditional fold, excluded from codegen
+    # subexpression elimination — the r3 trap) is referenced twice, so it
+    # must land in ONE named struct first. CollapseProject keeps the two
+    # projections apart exactly because _b is non-cheap and multiply
+    # referenced.
+    keep = ["qvec"] if keep_qvec else []
+    return joined.select(F.col(id_col), best.alias("_b"), *keep).select(
+        F.col(id_col),
+        F.col("_b.cid").alias(centroid_id),
+        F.col("_b.cosine").alias("cosine"),
+        *keep,
     )
 
 
