@@ -51,6 +51,28 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(min_partitions)
 
 
+def fan_out_ready(df: DataFrame) -> DataFrame:
+    """Lazy-localCheckpoint `df` and restore parallelism when the
+    checkpoint would be narrower than the session's core count (r14,
+    guide §2.5): an AQE-coalesced exchange (correct for the shuffle)
+    leaves 1-2 partitions, and a downstream FAN-OUT stage — an
+    inverted-index self-join emitting df(h) rows per probe row, a wedge
+    join emitting deg(w) rows — then runs on 1-2 cores. Measured on the
+    link-prediction scaffold: 2 tasks / 6.5 s vs 32 tasks / ~1 s.
+
+    The checkpoint comes FIRST so the partition probe reads the planned
+    RDD; probing a not-yet-checkpointed AQE plan executes its
+    intermediate stages a second time (measured 3x slowdown). At real
+    scale the checkpoint arrives with >= cores partitions and this adds
+    nothing. Distinct from :func:`ensure_parallelism`, which handles
+    file-backed scan inputs and must not checkpoint."""
+    ck = df.localCheckpoint(eager=False)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if ck.rdd.getNumPartitions() < target:
+        ck = ck.repartition(target).localCheckpoint(eager=False)
+    return ck
+
+
 _REAGGREGABLE = {"sum", "count", "min", "max"}
 
 

@@ -27,7 +27,7 @@ from ..functions.text import (
     tokens,
     tokens_cjk,
 )
-from ._util import ensure_parallelism
+from ._util import ensure_parallelism, fan_out_ready
 
 # Deterministic multipliers/addends for the minhash permutation family
 # h_i(x) = (a_i * h40(x) + b_i) mod M with M = 2^31 - 1 (Mersenne prime).
@@ -164,7 +164,11 @@ def ngram_jaccard_pairs(
     # of each re-planning it (the a/b exchange pair alone reuses, but
     # `sizes` aggregates pre-exchange and re-scans without this).
     if cache_shingles:
-        sh = sh.localCheckpoint(eager=False)
+        # fan_out_ready, not a plain checkpoint (r14, guide §2.5): the
+        # self-join below emits df(h) rows per probe row, and the
+        # distinct's AQE-coalesced 1-2 partitions would run that fan-out
+        # on 1-2 cores. No-op at scale (checkpoint already wide).
+        sh = fan_out_ready(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col("id").alias("id_a"), "h")
@@ -330,7 +334,14 @@ def minhash_candidates(
     The join key is (band, hash-of-band-rows) — collisions localize to
     buckets, never a global pairwise comparison.
     """
-    banded = minhash_band_table(docs, num_perm, bands, k, id_col, text_col)
+    # fan_out_ready (r14): materializes the band table ONCE for both join
+    # sides (each side previously re-ran the full shingle+minhash
+    # pipeline — the broadcast subtree is not exchange-reusable against
+    # the stream side) and keeps the bucket self-join's fan-out off the
+    # post-aggregate 1-2 AQE-coalesced partitions.
+    banded = fan_out_ready(
+        minhash_band_table(docs, num_perm, bands, k, id_col, text_col)
+    )
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     return (
@@ -804,7 +815,7 @@ def containment_pairs(
             .select("h")
         )
         sh = sh.join(F.broadcast(hot), "h", "left_anti")
-    sh = sh.localCheckpoint(eager=False)  # sizes + both join sides
+    sh = fan_out_ready(sh)  # sizes + both join sides; wide for the fan-out join (r14)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col("id").alias("id_a"), "h")

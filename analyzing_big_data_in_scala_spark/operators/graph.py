@@ -43,11 +43,9 @@ def _fan_out_ready(df: DataFrame) -> DataFrame:
     re-ran its exchanges and made triangle_counts 3x SLOWER — the probe
     must only ever touch exchange-free plans).
     """
-    ck = df.localCheckpoint(eager=False)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if ck.rdd.getNumPartitions() < target:
-        ck = ck.repartition(target).localCheckpoint(eager=False)
-    return ck
+    from ._util import fan_out_ready
+
+    return fan_out_ready(df)
 
 
 def edges_from_events(events: DataFrame) -> DataFrame:

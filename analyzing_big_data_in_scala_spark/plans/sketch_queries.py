@@ -697,7 +697,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="stream_cms_ckpt_")
     try:
         docs = _docs(spark, sf_dir).select("doc_id", "text")
-        docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(stage)
+        docs.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(stage)
         schema = spark.read.parquet(stage).schema
         stream = (
             spark.readStream.schema(schema)

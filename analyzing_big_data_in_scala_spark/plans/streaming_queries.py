@@ -324,13 +324,14 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import apply_agg_delta
     from ..sources.catalog import load_events
 
-    # Stage the fixture as FOUR files: a single-file source is one
+    # Stage the fixture as TWO files (r14, the r13 ingest lesson:
+    # the minimum multi-batch evidence): a single-file source is one
     # availableNow batch, which would make the incremental fold vacuous.
     stage = tempfile.mkdtemp(prefix="stream_incr_rollup_")
     ckpt = tempfile.mkdtemp(prefix="stream_incr_ckpt_")
     try:
         ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
-        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(stage)
+        ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
         schema = spark.read.parquet(stage).schema
         stream = (
             spark.readStream.schema(schema)
@@ -388,7 +389,7 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("streaming_incremental_rollup: no batches arrived")
         # Surface the micro-batch count for tests: the incremental-fold
         # property (agg_delta folded >= 2 times) is only meaningful if the
-        # staged 4-file source actually delivered multiple batches.
+        # staged 2-file source actually delivered multiple batches.
         global LAST_FOLD_BATCHES
         LAST_FOLD_BATCHES = state["batches"]
         # The eager localCheckpoints above materialized the standing
@@ -409,7 +410,7 @@ LAST_SESSION_BATCHES: int | None = None
     "streaming_session_windows",
     # Batch-equivalence oracle: the SAME SQL as the green batch query
     # events_session_window_native — the watermarked streaming
-    # session_window drain over the staged time-ordered 4-file stream
+    # session_window drain over the staged time-ordered 2-file stream
     # must produce exactly the sessions the batch sessionization yields.
     oracle="""
         WITH flagged AS (
@@ -457,7 +458,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="stream_sessions_")
     try:
         ev = load_events(spark, sf_dir).select("user_id", "ts", "value")
-        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(stage)
+        ev.repartitionByRange(2, "ts").write.mode("overwrite").parquet(stage)
         schema = spark.read.parquet(stage).schema
         stream = (
             spark.readStream.schema(schema)
@@ -522,7 +523,7 @@ LAST_TOTALS_API: str | None = None
         FROM events
         GROUP BY user_id
     """,
-    description="Custom stateful running totals per user, SELF-ACTIVATING across stateful APIs: transformWithStateInPandas (Spark-4 StatefulProcessor) where protobuf exists, applyInPandasWithState otherwise — identical contract and values, staged 4-file source so state genuinely accumulates across micro-batches",
+    description="Custom stateful running totals per user, SELF-ACTIVATING across stateful APIs: transformWithStateInPandas (Spark-4 StatefulProcessor) where protobuf exists, applyInPandasWithState otherwise — identical contract and values, staged 2-file source (r14: the minimum multi-batch evidence, per-batch job-chain cost halved) so state genuinely accumulates across micro-batches",
 )
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -534,13 +535,13 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import load_events
     from ..streaming import stateful as SF
 
-    # Stage as FOUR files (range by event_id — no event-time semantics
+    # Stage as TWO files (r14; range by event_id — no event-time semantics
     # here, timeMode None) so update-mode state genuinely accumulates
     # across micro-batches rather than one vacuous batch.
     stage = tempfile.mkdtemp(prefix="stream_totals_")
     try:
         ev = load_events(spark, sf_dir).select("user_id", "event_id", "value")
-        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(stage)
+        ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
         schema = spark.read.parquet(stage).schema
         stream = (
             spark.readStream.schema(schema)
@@ -911,9 +912,10 @@ def streaming_hll_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     ckpt = tempfile.mkdtemp(prefix="stream_hll_ckpt_")
     try:
         ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "user_id")
-        # Four staged files -> four real availableNow micro-batches (the
-        # incremental-union property is vacuous on a single batch).
-        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(stage)
+        # Two staged files -> two real availableNow micro-batches (the
+        # incremental-union property is vacuous on a single batch; two is
+        # the minimum non-vacuous evidence — r13 ingest lesson, r14).
+        ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
         schema = spark.read.parquet(stage).schema
         stream = (
             spark.readStream.schema(schema)
@@ -1247,7 +1249,7 @@ def streaming_kll_value_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         # same (type, day) cell arrives in several batches (files are
         # keyed by event_id, not day), so the pairwise-merge collision
         # branch is genuinely exercised, not vacuous.
-        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(stage)
+        ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
         schema = spark.read.parquet(stage).schema
         stream = (
             spark.readStream.schema(schema)

@@ -153,7 +153,7 @@ def test_tws_totals_env_gate(spark):
 
 
 def test_streaming_incremental_rollup_folds_multiple_batches(spark):
-    """The staged four-file source must deliver MULTIPLE micro-batches
+    """The staged multi-file source must deliver MULTIPLE micro-batches
     (a single batch would make the incremental fold vacuous), and the
     folded standing aggregate must equal the one-shot batch rollup."""
     from pyspark.sql import functions as F
@@ -178,7 +178,7 @@ def test_streaming_incremental_rollup_folds_multiple_batches(spark):
     got = {(r.bucket, r.event_type): (r.n, r.sum_value_e4) for r in out.collect()}
     want = {(r.bucket, r.event_type): (r.n, r.sum_value_e4) for r in batch.collect()}
     assert got == want
-    # A 4-file staged source under maxFilesPerTrigger=1 must have folded
+    # A multi-file staged source under maxFilesPerTrigger=1 must have folded
     # at least twice — i.e. some groups were merged across batches, which
     # only happens via apply_agg_delta (event_id ranges don't align with
     # time buckets, so buckets straddle file splits). The query surfaces
@@ -194,7 +194,7 @@ def test_streaming_incremental_rollup_folds_multiple_batches(spark):
 
 def test_streaming_session_windows_match_batch_across_batches(spark):
     """STREAMING session_window drain == batch sessionization, and the
-    staged 4-file source actually delivered multiple micro-batches (so the
+    staged multi-file source actually delivered multiple micro-batches (so the
     state store really extended/merged open sessions across batches)."""
     from analyzing_big_data_in_scala_spark.plans import QUERIES
     from analyzing_big_data_in_scala_spark.plans import pipeline_queries as PQ
@@ -237,8 +237,8 @@ def test_streaming_user_totals_self_activates_best_api(spark):
 
 
 def test_streaming_hll_sketch_maintenance_incremental_and_accurate(spark):
-    """The sketch fold must run over >= 2 real micro-batches (4 staged
-    files), and the drained per-type estimates must meet the 5% contract —
+    """The sketch fold must run over >= 2 real micro-batches (staged
+    multi-file source), and the drained per-type estimates must meet the 5% contract —
     including cross-BATCH user dedup (the same user arrives in several
     micro-batches; sketch union must count them once, which the exact
     judge columns verify)."""
