@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallelism
 from ..functions.text import tokens
 
 
@@ -37,7 +38,7 @@ def word_symbol_table(
     character sequence, with its corpus occurrence count. The ONLY
     corpus-sized pass in BPE training."""
     return (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
+        ensure_parallelism(docs).select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select(
@@ -129,7 +130,7 @@ def bpe_segment(
     chain is one composed column expression, evaluated in a single scan
     with zero shuffles beyond the source read."""
     word = F.explode(tokens(text_col)).alias("word")
-    out = docs.select(F.col(id_col), word)
+    out = ensure_parallelism(docs).select(F.col(id_col), word)
     s = F.concat_ws(" ", F.filter(F.split("word", ""), lambda c: F.length(c) > 0))
     for left, right in merges:
         s = apply_merge(s, left, right)

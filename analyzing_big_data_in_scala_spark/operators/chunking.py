@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallelism
 from ..functions.text import portable_hash64, tokens
 
 
@@ -49,7 +50,7 @@ def token_chunks(
         stride = chunk_size
     if stride <= 0 or stride > chunk_size:
         raise ValueError(f"token_chunks: need 0 < stride <= chunk_size, got {stride}")
-    toked = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    toked = ensure_parallelism(docs).select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
     n_chunks = F.ceil(F.size("toks") / F.lit(stride)).cast("int")
     idx = F.when(F.size("toks") > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
         F.array().cast("array<int>")
@@ -222,7 +223,7 @@ def _exact_substring_pass(
     # 3 parquet scans vs 1 at sf0.1 (warm-state A/B 3.1s vs 0.6s; a cold
     # run still computes the chain once, ~2.2s vs ~3.5s — the measured
     # multi-consumer recompute trap; see corpus_curation_funnel).
-    toked = docs.select(
+    toked = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), tokens(text_col).alias("toks")
     ).localCheckpoint(eager=False)
     # Full windows only: starts 0, stride, ... while start + window <= n.

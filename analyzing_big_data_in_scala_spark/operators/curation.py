@@ -55,6 +55,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallelism
 from ..functions.text import STOP_WORDS, normalize_text, portable_hash64, tokens
 
 # Gate thresholds (shared with the standalone gate queries).
@@ -82,7 +83,7 @@ def unigram_profile(
     standalone queries: same integer-valued-double divisions, same
     ROUND(quality, 6), same unrounded `stop_ratio >= 0.05` language gate.
     """
-    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    toks = ensure_parallelism(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     stats = toks.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         (F.countDistinct("term").cast("double") / F.count("*")).alias("uniq_ratio"),
@@ -195,7 +196,7 @@ def language_profile_table(
     from ..functions.text import LANG_STOP_PROFILES, tokens
 
     langs = sorted(LANG_STOP_PROFILES)  # de, en, es, fr — deterministic
-    base = docs.select(
+    base = ensure_parallelism(docs).select(
         F.col(id_col),
         tokens(text_col, unicode=True).alias("_toks"),
         *script_char_counts(text_col),

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallelism
 from ..functions.text import tokens
 
 # Default gates, Gopher A1 flavor: docs exceeding ANY are flagged.
@@ -49,7 +50,7 @@ def ngram_occurrences(
     an already-materialized array (same O(tokens^2) regex trap as
     ``shingle_table``). `sequence(1, n)` counts DOWN for n < 1, so short
     docs get an explicit empty array."""
-    toked = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    toked = ensure_parallelism(docs).select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
 
     def grams_for(n: int):
         idx = F.when(

@@ -487,15 +487,14 @@ def resample_linear_interp(
         ts_col,
         id_col,
     )
-    wpick = Window.partitionBy(group_col, "bucket").orderBy(
-        F.desc(ts_col), F.desc(id_col)
-    )
-    obs = (
-        base.select(
-            group_col, "bucket", "_v", F.row_number().over(wpick).alias("_rn")
-        )
-        .filter(F.col("_rn") == 1)
-        .select(group_col, "bucket", F.col("_v").alias("v"))
+    # max_by picks the LAST observation per bucket — same deterministic
+    # (ts, id)-DESC winner as the r13 row_number window, but as an
+    # ObjectHashAggregate with map-side partials instead of a
+    # full sort of the corpus inside each (group, bucket) partition
+    # (r14, guide §2.3 "aggregate before you shuffle": only one
+    # surviving row per bucket reaches the exchange).
+    obs = base.groupBy(group_col, "bucket").agg(
+        F.max_by("_v", F.struct(F.col(ts_col), F.col(id_col))).alias("v")
     )
     bounds = base.groupBy(group_col).agg(
         F.min("bucket").alias("b0"), F.max("bucket").alias("b1")

@@ -413,8 +413,89 @@ def _language_mix_shared(spark, sf_dir: str):
     return run
 
 
+def _prepare_wedge_family(spark, sf_dir: str):
+    """ONE wedge-candidate scaffold for the link-prediction trio (r14,
+    the langid-family precedent): adamic_adar/jaccard/preferential each
+    re-derived the same 2-hop candidate table (canonical edges ->
+    adjacency -> wedge self-join -> aggregate -> LEFT ANTI) and differ
+    only in the scoring projection + top-k. The scaffold is built once
+    WITH BOTH the AA ppm weights and the endpoint degrees (a superset of
+    what each scorer needs — the union costs two extra small joins,
+    priced into the build entry), materialized (timed, reported as
+    graph_wedge_scaffold_build), and the three consumers' per-sample
+    cost is their scoring select + TakeOrderedAndProject. The REGISTRY
+    queries stay self-contained for the driver."""
+    from pyspark.sql import functions as F
+
+    from analyzing_big_data_in_scala_spark.operators import graph as G
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    edges = G.edges_from_events(load_table(spark, sf_dir, "events"))
+    t0 = time.perf_counter()
+    scaffold = G._wedge_candidate_pairs(
+        edges,
+        max_center_degree=None,
+        center_weight_sql=G.AA_CONTRIB_PPM_SQL,
+        with_endpoint_degrees=True,
+    ).localCheckpoint(eager=True)
+    build_sec = time.perf_counter() - t0
+    _SHARED["wedge_scaffold"] = scaffold
+
+    def run():
+        # adamic_adar_topk's exact output over the shared scaffold.
+        return (
+            scaffold.select(
+                "u", "v", "common_neighbors",
+                F.col("weight_sum").alias("score_ppm"),
+            )
+            .orderBy(F.desc("score_ppm"), F.asc("u"), F.asc("v"))
+            .limit(20)
+        )
+
+    return build_sec, run
+
+
+def _jaccard_link_shared(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    scaffold = _SHARED["wedge_scaffold"]
+
+    def run():
+        return (
+            scaffold.select(
+                "u", "v", "common_neighbors",
+                F.expr(
+                    "(2000000 * common_neighbors + (_du + _dv - common_neighbors))"
+                    " DIV (2 * (_du + _dv - common_neighbors))"
+                ).alias("jaccard_ppm"),
+            )
+            .orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("v"))
+            .limit(20)
+        )
+
+    return run
+
+
+def _preferential_attachment_shared(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    scaffold = _SHARED["wedge_scaffold"]
+
+    def run():
+        return (
+            scaffold.select(
+                "u", "v", "common_neighbors",
+                (F.col("_du") * F.col("_dv")).cast("long").alias("pa_score"),
+            )
+            .orderBy(F.desc("pa_score"), F.asc("u"), F.asc("v"))
+            .limit(20)
+        )
+
+    return run
+
+
 # Cross-factory shared state (the IVF-PQ geometry both ivfpq entries
-# derive from; the r14 shared langid profile frame).
+# derive from; the r14 shared langid profile frame and wedge scaffold).
 _SHARED: dict = {}
 
 
@@ -445,6 +526,12 @@ PREPARED = {
         "doc_langid_profile_build",
         _prepare_langid_family,
     ),
+    # r14: one wedge-candidate scaffold for the link-prediction trio;
+    # jaccard + preferential (POST_PREPARED) reuse it.
+    "graph_adamic_adar_topk": (
+        "graph_wedge_scaffold_build",
+        _prepare_wedge_family,
+    ),
 }
 
 # Entries whose per-sample thunk derives from _SHARED state stashed by a
@@ -453,6 +540,8 @@ PREPARED = {
 POST_PREPARED = {
     "doc_langid_confusion": _langid_confusion_shared,
     "doc_language_mix_by_source": _language_mix_shared,
+    "graph_jaccard_link_topk": _jaccard_link_shared,
+    "graph_preferential_attachment_topk": _preferential_attachment_shared,
 }
 
 
@@ -638,6 +727,10 @@ def main() -> None:
                     "doc_language_id": "per-sample cost is reading the shared checkpointed profile frame; the classifier pass itself is timed once under doc_langid_profile_build",
                     "doc_langid_confusion": "finalize-only per sample as of r14 (confusion join + two tiny aggregates over the shared profile frame)",
                     "doc_language_mix_by_source": "finalize-only per sample as of r14 (source join + two tiny aggregates over the shared profile frame)",
+                    "graph_wedge_scaffold_build": "r14: ONE materialization of the link-prediction candidate scaffold (adjacency -> wedge self-join -> aggregate-first -> LEFT ANTI, with BOTH the AA ppm weights and the endpoint degrees), median-of-3, shared by the trio below; registry queries stay self-contained for the driver (the langid/ivfpq sharing precedent)",
+                    "graph_adamic_adar_topk": "scoring select + TakeOrderedAndProject over the shared wedge scaffold as of r14; the scaffold pass itself is timed once under graph_wedge_scaffold_build",
+                    "graph_jaccard_link_topk": "finalize-only per sample as of r14 (jaccard ppm projection + top-k over the shared wedge scaffold)",
+                    "graph_preferential_attachment_topk": "finalize-only per sample as of r14 (degree-product projection + top-k over the shared wedge scaffold)",
                     "streaming_ivfpq_index_ingest": "cost = offline geometry build + per-file micro-batch appends; the drain is the tested contract. r10 decomposition (warm, sf0.1): offline ivfpq_build 7.2s (job-count bound, the contract) + drain ~5.9s (2 batches x ~1.8s fold job-chain; trigger scheduling itself ~1.3s) + agreement searches ~3.5s. The r9 verdict's 'trigger scheduling' attribution was partly wrong — the per-batch FOLD job chain dominated the drain, so the fixture now stages 2 files instead of 4 (the minimum multi-batch commute evidence), saving ~3.5s; the remaining wall is the offline build, same class as the *_build one-shots",
                     # r8 isolated re-measure (VERDICT r7 item 6): the
                     # corpus_curation_funnel r5->r7 drift (5.1 -> 6.5 s) does
