@@ -27,7 +27,7 @@ from ..functions.text import (
     tokens,
     tokens_cjk,
 )
-from ._util import ensure_parallelism, fan_out_ready
+from ._util import ensure_parallelism
 
 # Deterministic multipliers/addends for the minhash permutation family
 # h_i(x) = (a_i * h40(x) + b_i) mod M with M = 2^31 - 1 (Mersenne prime).
@@ -164,11 +164,15 @@ def ngram_jaccard_pairs(
     # of each re-planning it (the a/b exchange pair alone reuses, but
     # `sizes` aggregates pre-exchange and re-scans without this).
     if cache_shingles:
-        # fan_out_ready, not a plain checkpoint (r14, guide §2.5): the
-        # self-join below emits df(h) rows per probe row, and the
-        # distinct's AQE-coalesced 1-2 partitions would run that fan-out
-        # on 1-2 cores. No-op at scale (checkpoint already wide).
-        sh = fan_out_ready(sh)
+        # Plain checkpoint, NOT fan_out_ready (r14): the shingle-pair
+        # fan-out is small at this corpus shape and the extra widening
+        # shuffle + second checkpoint measured net-NEGATIVE across the
+        # family in the full 190-entry bench (near_clusters +1.4 s,
+        # minhash_recall +2.1 s) despite a flat isolated A/B — the added
+        # checkpoint blocks and round-robin shuffle cost more than the
+        # 2-task probe side. The wedge scaffold (graph.py), whose fan-out
+        # is deg(w)^2-shaped, keeps the widening.
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col("id").alias("id_a"), "h")
@@ -334,14 +338,13 @@ def minhash_candidates(
     The join key is (band, hash-of-band-rows) — collisions localize to
     buckets, never a global pairwise comparison.
     """
-    # fan_out_ready (r14): materializes the band table ONCE for both join
-    # sides (each side previously re-ran the full shingle+minhash
-    # pipeline — the broadcast subtree is not exchange-reusable against
-    # the stream side) and keeps the bucket self-join's fan-out off the
-    # post-aggregate 1-2 AQE-coalesced partitions.
-    banded = fan_out_ready(
-        minhash_band_table(docs, num_perm, bands, k, id_col, text_col)
-    )
+    # Build-once materialization (r14): each join side previously re-ran
+    # the full shingle+minhash pipeline (the broadcast subtree is not
+    # exchange-reusable against the stream side). Plain checkpoint, not a
+    # widening repartition — see ngram_jaccard_pairs.
+    banded = minhash_band_table(
+        docs, num_perm, bands, k, id_col, text_col
+    ).localCheckpoint(eager=False)
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     return (
@@ -815,7 +818,7 @@ def containment_pairs(
             .select("h")
         )
         sh = sh.join(F.broadcast(hot), "h", "left_anti")
-    sh = fan_out_ready(sh)  # sizes + both join sides; wide for the fan-out join (r14)
+    sh = sh.localCheckpoint(eager=False)  # sizes + both join sides
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col("id").alias("id_a"), "h")

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallelism
+
 
 def blocked_fuzzy_pairs(
     df: DataFrame,
@@ -25,12 +27,20 @@ def blocked_fuzzy_pairs(
     name_col: str,
     block: Column,
     max_distance: int = 1,
+    widen: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, distance): record pairs sharing a block whose
     `name_col` Levenshtein distance is <= max_distance, id_a < id_b.
     One equi self-join on the block key; the distance is a post-join
     filter evaluated only inside blocks."""
-    b = df.select(
+    # ensure_parallelism (r14, guide §2.5): the block self-join fans out
+    # within blocks and pays a levenshtein per emitted pair — keep it off
+    # a 1-task single-row-group scan (no-op on multi-file inputs).
+    # `widen=False` opts out for consumers whose downstream is an
+    # iterative fixpoint over the SMALL pair output (entity_clusters'
+    # CC rounds measured 1 s slower with the wide input — the fixpoint's
+    # per-round task scheduling outweighs the parallel levenshtein).
+    b = (ensure_parallelism(df) if widen else df).select(
         F.col(key_col).alias("id"), F.col(name_col).alias("name"), block.alias("blk")
     )
     a = b.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"), "blk")
@@ -72,7 +82,7 @@ def entity_clusters(
     count aggregate."""
     from .graph import connected_components_two_phase
 
-    pairs = blocked_fuzzy_pairs(df, key_col, name_col, block, max_distance)
+    pairs = blocked_fuzzy_pairs(df, key_col, name_col, block, max_distance, widen=False)
     comps = connected_components_two_phase(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )

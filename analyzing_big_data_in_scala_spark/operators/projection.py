@@ -24,6 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallelism
 from .similarity import quantize_int8
 
 
@@ -66,7 +67,9 @@ def _validate_and_quantize(
             f"{probe[0]._n} components"
         )
     signs = sign_matrix(out_dim, in_dim)
-    q = quantize_int8(emb, id_col, vec_col)
+    # ensure_parallelism (r14): out_dim x in_dim multiply-adds per row —
+    # heavy map work that must not serialize on a 1-task scan.
+    q = quantize_int8(ensure_parallelism(emb), id_col, vec_col)
 
     def dim_sum(k: int):
         return F.aggregate(

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ._util import ensure_parallelism
 from pyspark.sql import types as T
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)
@@ -47,7 +49,10 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         elif isinstance(fields[c], T.StringType):
             aggs.append(F.min(c).alias(f"_smin_{c}"))
             aggs.append(F.max(c).alias(f"_smax_{c}"))
-    one = df.agg(*aggs)
+    # ensure_parallelism (r14): the multi-countDistinct aggregate plans
+    # as an Expand (one branch per distinct column) — len(cols)+1 rows per
+    # input row into the partial aggregate; widen a 1-task scan first.
+    one = ensure_parallelism(df).agg(*aggs)
 
     rows = F.array(
         *[
