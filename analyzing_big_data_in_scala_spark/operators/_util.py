@@ -24,7 +24,11 @@ def single_partition_key(col: Column | str) -> Column:
     return F.pmod(F.xxhash64(F.col(col) if isinstance(col, str) else col), F.lit(1))
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    file_backed_only: bool = False,
+) -> DataFrame:
     """Repartition ONLY when the input has fewer partitions than the
     cluster has cores — e.g. a small parquet file read as one row group.
 
@@ -32,6 +36,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     where map-side CPU dominates: a single-partition input would serialize
     the whole operator. At real scale inputs carry plenty of partitions and
     this is a no-op, so the extra shuffle never appears in big plans.
+
+    ``file_backed_only=True`` (r15, VERDICT r14 item 8) skips the
+    `df.rdd.getNumPartitions()` fallback entirely: non-file-backed frames
+    (joins, checkpoints, streaming micro-batches) are returned unchanged
+    instead of paying the ~1 s plan->RDD probe at plan-build time. Use it
+    on hot paths that are sometimes fed derived frames (the ANN assign
+    family) where the probe would cost more than the missed widening.
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -46,7 +57,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if files:
         if len(files) >= min_partitions:
             return df
-    elif df.rdd.getNumPartitions() >= min_partitions:
+    elif file_backed_only or df.rdd.getNumPartitions() >= min_partitions:
         return df
     return df.repartition(min_partitions)
 

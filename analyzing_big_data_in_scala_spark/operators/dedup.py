@@ -57,15 +57,23 @@ def exact_duplicates(
     return out.filter(F.col("n_dups") >= min_group_size) if min_group_size > 1 else out
 
 
-def shingle_table(
+def shingle_array_table(
     docs: DataFrame,
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     cjk: bool = False,
 ) -> DataFrame:
-    """Distinct k-token shingles per doc: (id, shingle). The inverted-index
-    building block for jaccard and minhash.
+    """(id, sh array<string>): per-doc array of DISTINCT k-token shingle
+    strings — the ONE tokenize+shingle pass every shingle consumer derives
+    from (r15, VERDICT r14 item 7). The minhash audit queries run TWO hash
+    widths (64-bit exact-Jaccard truth, 40-bit minhash permutation base)
+    over the same shingles; materializing this frame once lets both
+    widths share the regex tokenize + shingle build (a full corpus pass
+    at 100 TB) while each consumer keeps its OWN post-hash distinct —
+    value-identical to the previous per-consumer pipelines by
+    construction (the hash transform and cross-partition distinct are
+    unchanged, only the string-building map is shared).
 
     Tokenization happens in its own projection BEFORE the shingle
     transform: referencing `tokens(text)` inside the lambda would re-run
@@ -86,7 +94,24 @@ def shingle_table(
         F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)))
-    return toked.select("id", F.explode(shingles).alias("shingle")).distinct()
+    # Dedup within the array here: downstream hash transforms then run
+    # once per distinct shingle per doc (array_distinct is an in-memory
+    # pass, no shuffle).
+    return toked.select("id", F.array_distinct(shingles).alias("sh"))
+
+
+def shingle_table(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cjk: bool = False,
+) -> DataFrame:
+    """Distinct k-token shingles per doc: (id, shingle). The inverted-index
+    building block for jaccard and minhash. See :func:`shingle_array_table`
+    (the shared tokenize pass) for the shingling/cjk contract."""
+    sh = shingle_array_table(docs, k, id_col, text_col, cjk=cjk)
+    return sh.select("id", F.explode("sh").alias("shingle")).distinct()
 
 
 def hashed_shingle_table(
@@ -96,6 +121,7 @@ def hashed_shingle_table(
     text_col: str = "text",
     bits: int = 64,
     cjk: bool = False,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct k-token shingle HASHES per doc: (id, h). Same inverted-index
     role as :func:`shingle_table`, but the shingle string is hashed inside
@@ -104,22 +130,21 @@ def hashed_shingle_table(
     bytes shuffled vs. exchanging ~20-char shingle strings. Dedup-by-hash
     equals dedup-by-string up to md5 collisions, and every consumer's
     DuckDB oracle applies the identical hash, so parity is by construction.
-    ``cjk`` selects the CJK-aware token stream (see shingle_table).
-    """
+    ``cjk`` selects the CJK-aware token stream (see shingle_array_table).
+
+    ``shingle_arrays`` (r15): a prebuilt :func:`shingle_array_table` frame
+    to derive from — the minhash audit queries pass one materialized
+    frame so their 64-bit and 40-bit pipelines share a single tokenize
+    pass. Each call still applies its own hash + cross-partition
+    distinct, so results are identical with or without it."""
     hash_fn = portable_hash40 if bits == 40 else portable_hash64
-    toked = ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"),
-        (tokens_cjk(text_col) if cjk else tokens(text_col)).alias("toks"),
+    sh = (
+        shingle_arrays
+        if shingle_arrays is not None
+        else shingle_array_table(docs, k, id_col, text_col, cjk=cjk)
     )
-    idx = F.when(
-        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)))
-    # Dedup within the array BEFORE hashing: md5 runs once per distinct
-    # shingle per doc (array_distinct is an in-memory pass, no shuffle);
-    # the cross-partition distinct then exchanges only (id, long).
-    hashes = F.transform(F.array_distinct(shingles), hash_fn)
-    return toked.select("id", F.explode(hashes).alias("h")).distinct()
+    hashes = F.transform(F.col("sh"), hash_fn)
+    return sh.select("id", F.explode(hashes).alias("h")).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -22,30 +22,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _fan_out_ready(df: DataFrame) -> DataFrame:
-    """Restore parallelism before a FAN-OUT stage (r14, guide §2.5).
-
-    A frame that went through an AQE-coalesced exchange (or a tiny
-    single-row-group scan) can carry 1-2 partitions; a downstream stage
-    whose output is a multiple of its input (the wedge self-join emits
-    deg(w) rows per adjacency row) then runs on 1-2 cores while the rest
-    of the cluster idles — measured on the sf0.1 fixture: the wedge
-    generate+aggregate stage ran 2 tasks on local[32], 6.5 s for a 0.4 s
-    job at full width. Repartition ONLY when the frame is under the
-    session's parallelism: at 100 TB the same frame arrives with
-    thousands of partitions and this is a no-op (no extra exchange), so
-    the knob is input-derived, not tuned to either deployment.
-
-    Returns a LAZY-localCheckpointed frame: the checkpoint comes first so
-    the partition-count probe (`.rdd.getNumPartitions()`) reads the
-    already-planned RDD instead of forcing a second execution of the
-    upstream AQE stages (measured: probing a join-bearing plan directly
-    re-ran its exchanges and made triangle_counts 3x SLOWER — the probe
-    must only ever touch exchange-free plans).
-    """
-    from ._util import fan_out_ready
-
-    return fan_out_ready(df)
+# Fan-out widening lives in _util.fan_out_ready (rationale + the r14
+# probe-safety measurement are documented THERE, once — ADVICE r14: the
+# module-local wrapper duplicated the ~20-line docstring).
+from ._util import fan_out_ready as _fan_out_ready
 
 
 def edges_from_events(events: DataFrame) -> DataFrame:
@@ -215,10 +195,12 @@ def pagerank(
         init_rank = 1.0 / n
         join_mode = "left"
 
-    # Pre-join edge->out_deg once; this is loop-invariant.
-    contrib_edges = flow_edges.join(out_deg, "src").localCheckpoint()
+    # Pre-join edge->out_deg once; this is loop-invariant. Lazy
+    # checkpoints (r15): one RDD shared by every iteration inside the
+    # final action — materialized on first use, no separate blocking job.
+    contrib_edges = flow_edges.join(out_deg, "src").localCheckpoint(eager=False)
 
-    ranks = vertices.select("id", F.lit(float(init_rank)).alias("pagerank")).localCheckpoint()
+    ranks = vertices.select("id", F.lit(float(init_rank)).alias("pagerank")).localCheckpoint(eager=False)
 
     for i in range(max_iterations):
         contribs = (
@@ -243,7 +225,9 @@ def pagerank(
             )
         at_checkpoint = (i + 1) % checkpoint_every == 0 or (i + 1) == max_iterations
         if at_checkpoint and tol is not None:
-            updated = updated.localCheckpoint()
+            # eager=False: the delta probe right below materializes the
+            # blocks in its own job (r15).
+            updated = updated.localCheckpoint(eager=False)
             delta = (
                 updated.alias("u")
                 .join(ranks.select("id", F.col("pagerank").alias("prev")), "id", "left")
@@ -254,7 +238,10 @@ def pagerank(
             if delta is not None and delta < tol:
                 break
         else:
-            ranks = updated.localCheckpoint() if at_checkpoint else updated
+            # eager=False: single consumer (the next iteration / the final
+            # action) — the lineage cut is what matters, not when the
+            # blocks land; eager paid one blocking job per boundary (r15).
+            ranks = updated.localCheckpoint(eager=False) if at_checkpoint else updated
 
     return ranks
 
@@ -270,10 +257,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
 
     Returns (id, component) with component = min vertex id in component.
     """
+    # Lazy checkpoints (r15): each round's change count materializes the
+    # round's blocks in the same job — see connected_components_two_phase.
     und = canonical_undirected(edges)
-    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(eager=False)
 
-    labels = _vertices_from_edges(edges).select("id", F.col("id").alias("component")).localCheckpoint()
+    labels = _vertices_from_edges(edges).select("id", F.col("id").alias("component")).localCheckpoint(eager=False)
 
     for _ in range(max_iterations):
         nbr_min = (
@@ -289,7 +278,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
                     "component", F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             updated.alias("u")
@@ -317,9 +306,13 @@ def connected_components_two_phase(edges: DataFrame, max_iterations: int = 25) -
     Returns (id, component) — identical output contract to
     :func:`connected_components` (tested equal).
     """
+    # Lazy checkpoint (r15, guide §1/§5 job-chain cut): the first round's
+    # signature aggregate below materializes the blocks inside its own
+    # job — the old EAGER checkpoint paid a separate blocking job per
+    # round for the same blocks (2 driver syncs per round instead of 1).
     e = canonical_undirected(edges).select(
         F.col("a").alias("u"), F.col("b").alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     vertices = _vertices_from_edges(edges)
 
     def large_star(ed: DataFrame) -> DataFrame:
@@ -352,7 +345,9 @@ def connected_components_two_phase(edges: DataFrame, max_iterations: int = 25) -
 
     prev_sig = None
     for _ in range(max_iterations):
-        e = small_star(large_star(e)).localCheckpoint()
+        # eager=False: the signature .first() right below both computes
+        # the round AND persists the checkpoint blocks in one job.
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         # Overflow-safe content signature (ANSI mode: bigint sums can
         # throw): sum of 30-bit hash residues stays far below 2^63.
         sig = e.agg(
@@ -403,7 +398,11 @@ def bfs_hops(
         canonical_undirected(edges)
         .select(F.col("a").alias("u"), F.col("b").alias("v"))
     )
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
+    # Lazy checkpoints throughout this loop (r15): every frame is
+    # materialized by the round's own frontier-emptiness probe (or the
+    # next round's), so the old eager checkpoints each paid an extra
+    # blocking job per round for blocks the probe job persists anyway.
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint(eager=False)
     if seeds is None:
         # Seed from the TRAVERSAL edge set (sym excludes self-loops via
         # canonical_undirected), not the raw vertex set: a global-min vertex
@@ -412,7 +411,7 @@ def bfs_hops(
         # definition the SQL oracles use.
         seeds = sym.agg(F.min("u").alias("id"))
 
-    settled = seeds.select("id", F.lit(0).cast("int").alias("hops")).localCheckpoint()
+    settled = seeds.select("id", F.lit(0).cast("int").alias("hops")).localCheckpoint(eager=False)
     frontier = settled
     for _ in range(max_iterations):
         candidates = (
@@ -421,10 +420,10 @@ def bfs_hops(
             .groupBy("id")
             .agg(F.min("hops").alias("hops"))
         )
-        new = candidates.join(settled.select("id"), "id", "left_anti").localCheckpoint()
+        new = candidates.join(settled.select("id"), "id", "left_anti").localCheckpoint(eager=False)
         if new.isEmpty():
             break
-        settled = settled.union(new).localCheckpoint()
+        settled = settled.union(new).localCheckpoint(eager=False)
         frontier = new
     return settled
 
@@ -460,17 +459,19 @@ def sssp_weighted(
             + 1
         )
     w_edges = und.select("a", "b", weight.cast("long").alias("w"))
+    # Lazy checkpoints (r15): the per-round emptiness probe materializes
+    # the blocks — see bfs_hops.
     sym = w_edges.select(
         F.col("a").alias("u"), F.col("b").alias("v"), "w"
     ).union(
         w_edges.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     if seeds is None:
         # Same seed definition as bfs_hops: min vertex of the self-loop-free
         # symmetric edge set, matching the oracle's MIN(u) FROM sym.
         seeds = sym.agg(F.min("u").alias("id"))
-    settled = seeds.select("id", F.lit(0).cast("long").alias("dist")).localCheckpoint()
+    settled = seeds.select("id", F.lit(0).cast("long").alias("dist")).localCheckpoint(eager=False)
     frontier = settled
     for _ in range(max_hops):
         cand = (
@@ -483,7 +484,7 @@ def sssp_weighted(
             cand.join(settled, "id", "left")
             .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
             .select("id", F.col("nd").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if improved.isEmpty():
             break
@@ -491,7 +492,7 @@ def sssp_weighted(
             settled.union(improved)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     return settled
@@ -517,10 +518,12 @@ def kcore_vertices(
     if k < 1:
         raise ValueError(f"kcore_vertices: need k >= 1, got {k}")
     und = canonical_undirected(edges)
+    # Lazy checkpoints (r15): each round's convergence count materializes
+    # the blocks in the same job — see bfs_hops.
     cur = (
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_edges = cur.count()
     converged = prev_edges == 0
@@ -536,7 +539,7 @@ def kcore_vertices(
         nxt = (
             cur.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n = nxt.count()
         cur = nxt
@@ -630,7 +633,9 @@ def personalized_pagerank(
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: empty seed set")
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    contrib_edges = edges.select("src", "dst").join(out_deg, "src").localCheckpoint()
+    # Lazy checkpoints (r15): both frames are single RDDs shared by every
+    # iteration of the final action — materialized on first use.
+    contrib_edges = edges.select("src", "dst").join(out_deg, "src").localCheckpoint(eager=False)
     # Teleport vector: 1/|S| on seeds, 0 elsewhere — also the init.
     tele = vertices.join(
         seed_ids.withColumn("_s", F.lit(1)), "id", "left"
@@ -639,7 +644,7 @@ def personalized_pagerank(
         F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds))
         .otherwise(F.lit(0.0))
         .alias("tele"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     ranks = tele.select("id", F.col("tele").alias("ppr"))
     for i in range(iterations):
         contribs = (
@@ -855,10 +860,8 @@ def adamic_adar_topk(
     shared :func:`_wedge_candidate_pairs`; AA is the weighted member
     (per-center ppm contribution summed in the candidate aggregate) and
     skips the endpoint-degree joins its siblings need."""
-    scored = _wedge_candidate_pairs(
-        edges, max_center_degree, center_weight_sql=AA_CONTRIB_PPM_SQL
-    ).select(
-        "u", "v", "common_neighbors", F.col("weight_sum").alias("score_ppm")
+    scored = aa_scoring(
+        _wedge_candidate_pairs(edges, max_center_degree, center_weight_sql=AA_CONTRIB_PPM_SQL)
     )
     if k is None:
         # Full scored candidate set, unordered — the probe/analysis form
@@ -868,6 +871,41 @@ def adamic_adar_topk(
     return scored.orderBy(
         F.desc("score_ppm"), F.asc("u"), F.asc("v")
     ).limit(k)
+
+
+# Scoring projections over a _wedge_candidate_pairs scaffold, shared
+# VERBATIM by the registry operators above/below and bench.py's
+# shared-scaffold thunks (r15, ADVICE r14: the bench previously
+# duplicated these expressions — a formula change there would have
+# silently timed a stale score). The AA scaffold carries weight_sum; the
+# jaccard/PA scaffolds need with_endpoint_degrees=True.
+
+
+def aa_scoring(scaffold: DataFrame) -> DataFrame:
+    return scaffold.select(
+        "u", "v", "common_neighbors", F.col("weight_sum").alias("score_ppm")
+    )
+
+
+def jaccard_scoring(scaffold: DataFrame) -> DataFrame:
+    return scaffold.select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.expr(
+            "(2000000 * common_neighbors + (_du + _dv - common_neighbors))"
+            " DIV (2 * (_du + _dv - common_neighbors))"
+        ).alias("jaccard_ppm"),
+    )
+
+
+def pa_scoring(scaffold: DataFrame) -> DataFrame:
+    return scaffold.select(
+        "u",
+        "v",
+        "common_neighbors",
+        (F.col("_du") * F.col("_dv")).cast("long").alias("pa_score"),
+    )
 
 
 def jaccard_link_topk(
@@ -896,16 +934,8 @@ def jaccard_link_topk(
     Scaffold is the shared :func:`_wedge_candidate_pairs`
     (unweighted, with endpoint degrees); only the scoring expression and
     top-k live here."""
-    scored = _wedge_candidate_pairs(
-        edges, max_center_degree, with_endpoint_degrees=True
-    ).select(
-        "u",
-        "v",
-        "common_neighbors",
-        F.expr(
-            "(2000000 * common_neighbors + (_du + _dv - common_neighbors))"
-            " DIV (2 * (_du + _dv - common_neighbors))"
-        ).alias("jaccard_ppm"),
+    scored = jaccard_scoring(
+        _wedge_candidate_pairs(edges, max_center_degree, with_endpoint_degrees=True)
     )
     if k is None:
         return scored
@@ -930,13 +960,8 @@ def preferential_attachment_topk(
     the product — no division, no float. Scaffold is the shared
     :func:`_wedge_candidate_pairs` (unweighted, with endpoint degrees);
     only the deg(u)*deg(v) scoring expression and top-k live here."""
-    scored = _wedge_candidate_pairs(
-        edges, max_center_degree, with_endpoint_degrees=True
-    ).select(
-        "u",
-        "v",
-        "common_neighbors",
-        (F.col("_du") * F.col("_dv")).cast("long").alias("pa_score"),
+    scored = pa_scoring(
+        _wedge_candidate_pairs(edges, max_center_degree, with_endpoint_degrees=True)
     )
     if k is None:
         return scored

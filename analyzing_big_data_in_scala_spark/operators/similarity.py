@@ -1044,6 +1044,7 @@ def spherical_assign(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     keep_qvec: bool = False,
+    corpus_quantized: bool = False,
 ) -> DataFrame:
     """Spherical k-means ASSIGNMENT over int8-quantized vectors: every
     corpus vector goes to the centroid with max cosine (ties -> min
@@ -1061,8 +1062,38 @@ def spherical_assign(
     — no window, no shuffle of the k-expanded rows beyond the per-id
     aggregate. Fitted/persisted centroids (see :func:`build_ivf_index`)
     slot straight in as the `centroids` frame.
+
+    CONTRACT for an EMPTY centroids frame (ADVICE r14): the map-only
+    form returns every corpus row with NULL centroid_id/cosine (the
+    1-row collect_list aggregate yields an empty struct array and the
+    fold returns its init), where the r13 join form returned ZERO rows.
+    All in-repo callers construct centroids with k >= 1 (validated at
+    their entry points), so neither behavior is reachable from a
+    registry query; an emptiness probe here would cost one job per
+    E-step round — exactly the per-round overhead r15 removed — so the
+    edge is documented instead of guarded.
     """
-    qc = quantize_int8(corpus, id_col, vec_col)
+    from ._util import ensure_parallelism
+
+    # ensure_parallelism (r15, guide §2.5): the per-row work here is HEAVY
+    # — quantize (two 64-element array folds) plus k inline rounded
+    # cosines (k × dim interpreted higher-order evals, ~1 ms/row at
+    # k=16/dim=64, measured) — and the sf fixtures arrive as ONE row
+    # group, serializing the whole E-step on one core (2.0 s single-task
+    # vs ~0.2 s at 32). file_backed_only: streaming micro-batch frames
+    # and derived joins skip both the widening AND the ~1 s .rdd probe.
+    #
+    # ``corpus_quantized=True`` (r15): `corpus` already carries (id_col,
+    # qvec) — the Lloyd loops (kmeans_lloyd_assign, ivfpq_build) quantize
+    # the corpus ONCE into a checkpointed frame instead of re-running the
+    # interpreted quantize folds on every E-step round. Identical values:
+    # quantize_int8 is a pure per-row function of vec_col.
+    if corpus_quantized:
+        qc = corpus
+    else:
+        qc = quantize_int8(
+            ensure_parallelism(corpus, file_backed_only=True), id_col, vec_col
+        )
     cc = quantize_int8(centroids, centroid_id, vec_col).select(
         centroid_id, F.col("qvec").alias("cvec")
     )

@@ -46,6 +46,86 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.edges_from_events(load_table(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------------
+# r15: every graph query body is split into a `<name>_frame(edges)` helper
+# consumed by BOTH the registry fn (self-contained for the driver: edges
+# re-derived per query) and bench.py's shared-edges family (ONE
+# materialized edges_from_events pass, priced as graph_edges_build — the
+# r14 wedge-scaffold / langid precedent). Keeping the composition in one
+# place means the bench can never silently time a stale formula (ADVICE
+# r14 item on the jaccard/PA scoring duplication).
+# ---------------------------------------------------------------------------
+
+
+def out_degrees_frame(edges: DataFrame) -> DataFrame:
+    return (
+        G.out_degrees(edges)
+        .orderBy(F.desc("out_degree"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def triangle_counts_frame(edges: DataFrame) -> DataFrame:
+    return (
+        G.triangle_counts(edges)
+        .orderBy(F.desc("triangles"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def pagerank_frame(edges: DataFrame) -> DataFrame:
+    pr = G.pagerank(edges, alpha=0.15, max_iterations=10)
+    return pr.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy(
+        F.desc("pagerank"), F.asc("id")
+    ).limit(20)
+
+
+def bfs_hops_frame(edges: DataFrame) -> DataFrame:
+    hops = G.bfs_hops(edges, max_iterations=30)
+    return hops.select("id", F.col("hops").cast("int").alias("hops"))
+
+
+def sssp_weighted_frame(edges: DataFrame) -> DataFrame:
+    dist = G.sssp_weighted(edges, max_hops=15)
+    return dist.select("id", F.col("dist").cast("long").alias("dist"))
+
+
+def kcore_membership_frame(edges: DataFrame) -> DataFrame:
+    return G.kcore_vertices(edges, k=70)
+
+
+def label_propagation_frame(edges: DataFrame) -> DataFrame:
+    return G.label_propagation(edges, rounds=4)
+
+
+def trustrank_frame(edges: DataFrame) -> DataFrame:
+    verts = G._vertices_from_edges(edges)
+    seeds = verts.filter(F.col("id") % 20 == 0)
+    ppr = G.personalized_pagerank(edges, seeds, alpha=0.15, iterations=10)
+    return (
+        ppr.select("id", F.round("ppr", 6).alias("ppr"))
+        .orderBy(F.desc("ppr"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def hits_authorities_frame(edges: DataFrame) -> DataFrame:
+    res = G.hits(edges, iterations=8)
+    return (
+        res.select(
+            "id",
+            F.round("auth", 6).alias("auth"),
+            F.round("hub", 6).alias("hub"),
+        )
+        .orderBy(F.desc("auth"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def adamic_adar_capped_frame(edges: DataFrame) -> DataFrame:
+    return G.adamic_adar_topk(edges, k=20, max_center_degree=95)
+
+
 def _pagerank_sql(iterations: int = 10, reference: bool = False) -> str:
     """DuckDB oracle for the iterative PageRank queries, built by UNROLLING
     the fixpoint: one generated CTE stage per iteration (r1..rN), each the
@@ -137,11 +217,7 @@ _CC_SIZES_SQL = f"""
     description="G2 outDegrees top-20 (EpinionsGraphFrameAnalysis.scala:64-75)",
 )
 def graph_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        G.out_degrees(_edges(spark, sf_dir))
-        .orderBy(F.desc("out_degree"), F.asc("id"))
-        .limit(20)
-    )
+    return out_degrees_frame(_edges(spark, sf_dir))
 
 
 @query(
@@ -184,11 +260,7 @@ def graph_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="G6 triangleCount top-20 (EpinionsGraphFrameAnalysis.scala:119-131)",
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        G.triangle_counts(_edges(spark, sf_dir))
-        .orderBy(F.desc("triangles"), F.asc("id"))
-        .limit(20)
-    )
+    return triangle_counts_frame(_edges(spark, sf_dir))
 
 
 @query(
@@ -197,10 +269,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="G4 PageRank (damping 0.15, 10 iters) top-20 (EpinionsGraphFrameAnalysis.scala:91-103); oracle = the fixpoint UNROLLED into 10 generated CTE stages, value-checked",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pr = G.pagerank(_edges(spark, sf_dir), alpha=0.15, max_iterations=10)
-    return pr.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy(
-        F.desc("pagerank"), F.asc("id")
-    ).limit(20)
+    return pagerank_frame(_edges(spark, sf_dir))
 
 
 @query(
@@ -286,8 +355,7 @@ def graph_components_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Unweighted shortest hops (BFS frontier expansion, Pregel shape) from the min-id vertex; oracle = depth-capped recursive-CTE closure with MIN(depth) labels",
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hops = G.bfs_hops(_edges(spark, sf_dir), max_iterations=30)
-    return hops.select("id", F.col("hops").cast("int").alias("hops"))
+    return bfs_hops_frame(_edges(spark, sf_dir))
 
 
 _HASH64 = "CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
@@ -322,8 +390,7 @@ _HASH64 = "CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT
     description="Weighted SSSP (frontier-pruned Bellman-Ford, <=15-edge paths) from the min-id vertex; deterministic hash-derived weights; oracle = depth-capped recursive CTE with MIN(total weight)",
 )
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dist = G.sssp_weighted(_edges(spark, sf_dir), max_hops=15)
-    return dist.select("id", F.col("dist").cast("long").alias("dist"))
+    return sssp_weighted_frame(_edges(spark, sf_dir))
 
 
 def _kcore_sql(k: int = 3, stages: int = 30) -> str:
@@ -367,7 +434,7 @@ def _kcore_sql(k: int = 3, stages: int = 30) -> str:
     description="k-core decomposition (k=70) by iterative peeling: surviving vertices with their within-core degree — the dense-region primitive; per round one degree aggregate + two semi joins over the shrinking edge set, early-exit on the first stable round (operators/graph.py kcore_vertices; oracle = 30 unrolled peel stages matching the loop cap, exact fixpoint)",
 )
 def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.kcore_vertices(_edges(spark, sf_dir), k=70)
+    return kcore_membership_frame(_edges(spark, sf_dir))
 
 
 def _lpa_sql(rounds: int = 4) -> str:
@@ -413,7 +480,7 @@ def _lpa_sql(rounds: int = 4) -> str:
     description="Synchronous label-propagation community detection, 4 fixed rounds (GraphFrames labelPropagation counterpart): per round one edges-x-labels equi-join + per-vertex (count desc, label asc) argmax via min_by — deterministic, value-checked against a 4-round unrolled MATERIALIZED-CTE oracle (operators/graph.py)",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.label_propagation(_edges(spark, sf_dir), rounds=4)
+    return label_propagation_frame(_edges(spark, sf_dir))
 
 
 def _ppr_sql(iterations: int = 10, seed_mod: int = 20, alpha: float = 0.15) -> str:
@@ -462,15 +529,7 @@ def _ppr_sql(iterations: int = 10, seed_mod: int = 20, alpha: float = 0.15) -> s
     description="Personalized PageRank / TrustRank (Gyongyi et al. 2004): teleport uniform over a deterministic seed set (id %% 20 == 0), 10 unrolled iterations — trust propagation from hand-audited sources, the graph-side quality signal of a curation pipeline; fully value-checked (operators/graph.py personalized_pagerank)",
 )
 def graph_trustrank_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges(spark, sf_dir)
-    verts = G._vertices_from_edges(edges)
-    seeds = verts.filter(F.col("id") % 20 == 0)
-    ppr = G.personalized_pagerank(edges, seeds, alpha=0.15, iterations=10)
-    return (
-        ppr.select("id", F.round("ppr", 6).alias("ppr"))
-        .orderBy(F.desc("ppr"), F.asc("id"))
-        .limit(20)
-    )
+    return trustrank_frame(_edges(spark, sf_dir))
 
 
 def _hits_sql(iterations: int = 8) -> str:
@@ -526,16 +585,7 @@ def _hits_sql(iterations: int = 8) -> str:
     description="HITS hubs & authorities (Kleinberg 1999): 8 power-method iterations with per-half-step L2 normalization, top-20 vertices by authority with their hub scores — the link-analysis complement of PageRank (endorsement-quality vs popularity); fixpoint unrolled into generated MATERIALIZED CTE stages, fully value-checked (operators/graph.py hits)",
 )
 def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = G.hits(_edges(spark, sf_dir), iterations=8)
-    return (
-        res.select(
-            "id",
-            F.round("auth", 6).alias("auth"),
-            F.round("hub", 6).alias("hub"),
-        )
-        .orderBy(F.desc("auth"), F.asc("id"))
-        .limit(20)
-    )
+    return hits_authorities_frame(_edges(spark, sf_dir))
 
 
 @query(
@@ -684,7 +734,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Degree-capped Adamic–Adar top-20 (max_center_degree=95, binding at sf0.01): the documented hub-heavy-graph dial as an oracle-backed query — contrib centers filtered to 2 <= deg <= cap BEFORE the wedge self-join, so wedge volume is bounded by cap^2 per center; otherwise identical plan shape to graph_adamic_adar_topk (aggregate-then-anti-join, r11 ordering)",
 )
 def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.adamic_adar_topk(_edges(spark, sf_dir), k=20, max_center_degree=95)
+    return adamic_adar_capped_frame(_edges(spark, sf_dir))
 
 
 @query(

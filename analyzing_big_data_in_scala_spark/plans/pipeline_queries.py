@@ -3192,7 +3192,10 @@ def similarity_pq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 3)
-    cents = PQ.pq_train(emb, m=16, k=16, rounds=2).localCheckpoint(eager=False)
+    # pq_train returns a LocalRelation as of r15 (bounded m×k codebook
+    # collected per round) — checkpointing it would demote it to an
+    # RDD-backed frame whose every broadcast schedules a job.
+    cents = PQ.pq_train(emb, m=16, k=16, rounds=2)
     codes = PQ.pq_encode(emb, cents, m=16).localCheckpoint(eager=False)
     return pq_profile_frame(emb, probes, cents, codes)
 

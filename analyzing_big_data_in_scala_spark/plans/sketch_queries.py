@@ -15,6 +15,7 @@ from ..operators.projection import random_projection
 from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_heavy_hitters
 from ..sources.catalog import load_table
 from .registry import query
+from .streaming_queries import _staged_schema
 from .text_queries import QUERY_TERMS, _SQL_TOKS
 
 _HASH64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
@@ -698,7 +699,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs = _docs(spark, sf_dir).select("doc_id", "text")
         docs.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)

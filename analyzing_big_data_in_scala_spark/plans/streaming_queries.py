@@ -14,6 +14,25 @@ from pyspark.sql import functions as F
 from ..streaming import stream as ST
 from .registry import query
 
+
+def _staged_schema(spark, stage: str, min_files: int = 2):
+    """Schema of a staged micro-batch fixture, ASSERTING the file count
+    (ADVICE r14): the 2-file staging leaves zero margin — if
+    repartitionByRange's sampling ever produced an empty partition,
+    Spark would write ONE file, the availableNow source would deliver
+    ONE batch, and the multi-batch incremental property these queries
+    test would collapse (loudly in tests, flakily). Catch it at the
+    staging site instead."""
+    reader = spark.read.parquet(stage)
+    n = len(reader.inputFiles())
+    if n < min_files:
+        raise AssertionError(
+            f"staged stream fixture at {stage} has {n} file(s); the "
+            f"multi-batch contract needs >= {min_files} — "
+            "repartitionByRange produced an empty partition"
+        )
+    return reader.schema
+
 # Micro-batch count of the most recent streaming_incremental_rollup run,
 # surfaced so tests can assert the fold actually ran incrementally
 # (>= 2 batches) rather than collapsing into one vacuous batch.
@@ -332,7 +351,7 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
         ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -459,7 +478,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev = load_events(spark, sf_dir).select("user_id", "ts", "value")
         ev.repartitionByRange(2, "ts").write.mode("overwrite").parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -542,7 +561,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev = load_events(spark, sf_dir).select("user_id", "event_id", "value")
         ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -612,7 +631,7 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding").repartitionByRange(2, "vec_id").write.mode(
             "overwrite"
         ).parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -723,7 +742,7 @@ def streaming_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rest.select("vec_id", "embedding").repartitionByRange(2, "vec_id").write.mode(
             "overwrite"
         ).parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -844,7 +863,7 @@ def streaming_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the incremental fold vacuous; the r10 ingest lesson says batch
         # COUNT is the drain's wall, so 2 is the honest minimum).
         ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -916,7 +935,7 @@ def streaming_hll_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         # incremental-union property is vacuous on a single batch; two is
         # the minimum non-vacuous evidence — r13 ingest lesson, r14).
         ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -1038,7 +1057,7 @@ def streaming_user_value_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2 staged files = 2 real micro-batches (the honest minimum for a
         # non-vacuous incremental fold; batch COUNT is the drain's wall).
         ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -1150,7 +1169,7 @@ def streaming_value_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     try:
         ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
         ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -1250,7 +1269,7 @@ def streaming_kll_value_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         # keyed by event_id, not day), so the pairwise-merge collision
         # branch is genuinely exercised, not vacuous.
         ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(stage)
-        schema = spark.read.parquet(stage).schema
+        schema = _staged_schema(spark, stage)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)

@@ -312,7 +312,9 @@ def _prepare_pq_profile(spark, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 3)
     t0 = time.perf_counter()
-    cents = PQ.pq_train(emb, m=16, k=16, rounds=2).localCheckpoint(eager=False)
+    # pq_train returns a LocalRelation as of r15 — no checkpoint (it would
+    # demote the codebook to an RDD-backed frame; see pipeline_queries).
+    cents = PQ.pq_train(emb, m=16, k=16, rounds=2)
     codes = PQ.pq_encode(emb, cents, m=16).localCheckpoint(eager=False)
     # Force the lazy checkpoints so the build pays its own cost here.
     for frame in (cents, codes):
@@ -413,6 +415,54 @@ def _language_mix_shared(spark, sf_dir: str):
     return run
 
 
+def _prepare_graph_edges(spark, sf_dir: str):
+    """ONE materialized edges_from_events pass for the whole graph bench
+    family (r15, VERDICT r14 item 6 — the wedge-scaffold/langid sharing
+    precedent): the 11 iterative/graph entries below each re-derived the
+    SAME (events LEAD-window -> filter) edge list per sample. The edge
+    frame is checkpointed once (timed, reported as graph_edges_build);
+    every consumer's per-sample cost is its actual algorithm over the
+    shared frame, composed through the SAME plans.graph_queries
+    `*_frame(edges)` helpers the registry queries use — the bench can
+    never time a stale formula. REGISTRY queries stay self-contained for
+    the driver."""
+    from analyzing_big_data_in_scala_spark.operators import graph as G
+    from analyzing_big_data_in_scala_spark.plans.graph_queries import (
+        pagerank_frame,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    t0 = time.perf_counter()
+    edges = G.edges_from_events(
+        load_table(spark, sf_dir, "events")
+    ).localCheckpoint(eager=True)
+    build_sec = time.perf_counter() - t0
+    _SHARED["graph_edges"] = edges
+
+    def run():
+        return pagerank_frame(edges)
+
+    return build_sec, run
+
+
+def _graph_family_shared(frame_fn_name):
+    """POST_PREPARED thunk factory: look up the shared edges frame and the
+    named `*_frame` helper from plans.graph_queries."""
+
+    def factory(spark, sf_dir: str):
+        import analyzing_big_data_in_scala_spark.plans.graph_queries as GQ
+
+        edges = _SHARED["graph_edges"]
+        frame_fn = getattr(GQ, frame_fn_name)
+
+        def run():
+            return frame_fn(edges)
+
+        return run
+
+    return factory
+
+
 def _prepare_wedge_family(spark, sf_dir: str):
     """ONE wedge-candidate scaffold for the link-prediction trio (r14,
     the langid-family precedent): adamic_adar/jaccard/preferential each
@@ -430,7 +480,12 @@ def _prepare_wedge_family(spark, sf_dir: str):
     from analyzing_big_data_in_scala_spark.operators import graph as G
     from analyzing_big_data_in_scala_spark.sources.catalog import load_table
 
-    edges = G.edges_from_events(load_table(spark, sf_dir, "events"))
+    # r15: consume the shared checkpointed edge list when the graph-edges
+    # factory already built it (PREPARED order), so this entry times the
+    # scaffold pass only, not a second events LEAD-window derivation.
+    edges = _SHARED.get("graph_edges")
+    if edges is None:  # pragma: no cover - ordering guard
+        edges = G.edges_from_events(load_table(spark, sf_dir, "events"))
     t0 = time.perf_counter()
     scaffold = G._wedge_candidate_pairs(
         edges,
@@ -442,12 +497,11 @@ def _prepare_wedge_family(spark, sf_dir: str):
     _SHARED["wedge_scaffold"] = scaffold
 
     def run():
-        # adamic_adar_topk's exact output over the shared scaffold.
+        # adamic_adar_topk's exact output over the shared scaffold —
+        # scoring projection imported from operators/graph.py (r15,
+        # ADVICE r14: no duplicated formula in the bench).
         return (
-            scaffold.select(
-                "u", "v", "common_neighbors",
-                F.col("weight_sum").alias("score_ppm"),
-            )
+            G.aa_scoring(scaffold)
             .orderBy(F.desc("score_ppm"), F.asc("u"), F.asc("v"))
             .limit(20)
         )
@@ -458,17 +512,13 @@ def _prepare_wedge_family(spark, sf_dir: str):
 def _jaccard_link_shared(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
+    from analyzing_big_data_in_scala_spark.operators import graph as G
+
     scaffold = _SHARED["wedge_scaffold"]
 
     def run():
         return (
-            scaffold.select(
-                "u", "v", "common_neighbors",
-                F.expr(
-                    "(2000000 * common_neighbors + (_du + _dv - common_neighbors))"
-                    " DIV (2 * (_du + _dv - common_neighbors))"
-                ).alias("jaccard_ppm"),
-            )
+            G.jaccard_scoring(scaffold)
             .orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("v"))
             .limit(20)
         )
@@ -479,14 +529,13 @@ def _jaccard_link_shared(spark, sf_dir: str):
 def _preferential_attachment_shared(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
+    from analyzing_big_data_in_scala_spark.operators import graph as G
+
     scaffold = _SHARED["wedge_scaffold"]
 
     def run():
         return (
-            scaffold.select(
-                "u", "v", "common_neighbors",
-                (F.col("_du") * F.col("_dv")).cast("long").alias("pa_score"),
-            )
+            G.pa_scoring(scaffold)
             .orderBy(F.desc("pa_score"), F.asc("u"), F.asc("v"))
             .limit(20)
         )
@@ -507,7 +556,13 @@ PREPARED = {
     # ORDER MATTERS (r13): the geometry trainer (recall profile) runs
     # first and stashes its trained IVF-PQ geometry in _SHARED; the
     # agreement factory reuses it, so similarity_ivfpq_index_build times
-    # ONLY the persisted bucketed-table materialization.
+    # ONLY the persisted bucketed-table materialization. r15: the graph
+    # edges factory runs BEFORE the wedge factory so the scaffold build
+    # consumes the shared edge list.
+    "graph_pagerank": (
+        "graph_edges_build",
+        _prepare_graph_edges,
+    ),
     "similarity_ivfpq_recall_profile": (
         "similarity_ivfpq_geometry_build",
         _prepare_ivfpq_profile,
@@ -542,6 +597,17 @@ POST_PREPARED = {
     "doc_language_mix_by_source": _language_mix_shared,
     "graph_jaccard_link_topk": _jaccard_link_shared,
     "graph_preferential_attachment_topk": _preferential_attachment_shared,
+    # r15: the graph family over the shared edges frame (same *_frame
+    # helpers as the registry queries — see _prepare_graph_edges).
+    "graph_out_degrees": _graph_family_shared("out_degrees_frame"),
+    "graph_triangle_counts": _graph_family_shared("triangle_counts_frame"),
+    "graph_bfs_hops": _graph_family_shared("bfs_hops_frame"),
+    "graph_sssp_weighted": _graph_family_shared("sssp_weighted_frame"),
+    "graph_kcore_membership": _graph_family_shared("kcore_membership_frame"),
+    "graph_label_propagation": _graph_family_shared("label_propagation_frame"),
+    "graph_trustrank_from_seeds": _graph_family_shared("trustrank_frame"),
+    "graph_hits_authorities": _graph_family_shared("hits_authorities_frame"),
+    "graph_adamic_adar_capped": _graph_family_shared("adamic_adar_capped_frame"),
 }
 
 

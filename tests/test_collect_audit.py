@@ -62,6 +62,11 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/kmeans.py", "hash_seed_centroids"): (
         "exactly k centroid rows (k is the caller's constant)"
     ),
+    ("operators/kmeans.py", "_localized_update"): (
+        "k centroid-mean rows per Lloyd round (k is the caller's "
+        "constant, independent of corpus size) re-entering as a "
+        "LocalRelation — the r15 job-chain cut"
+    ),
     ("operators/pq.py", "_validate_codebook"): (
         "1-row schema/shape probe on the codebook table"
     ),
