@@ -156,6 +156,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     cache_shingles: bool = True,
     cjk: bool = False,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard similarity.
 
@@ -171,8 +172,13 @@ def ngram_jaccard_pairs(
     filtered shingle space (boilerplate-resistant, and every consumer's
     oracle applies the identical cap). Without a cap, semantics are plain
     exact Jaccard; :func:`minhash_candidates` is the other scale path.
+
+    ``shingle_arrays`` (r15): a prebuilt :func:`shingle_array_table`
+    frame to derive the hashed shingles from — see hashed_shingle_table.
     """
-    sh = hashed_shingle_table(docs, k, id_col, text_col, cjk=cjk)
+    sh = hashed_shingle_table(
+        docs, k, id_col, text_col, cjk=cjk, shingle_arrays=shingle_arrays
+    )
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("h")
@@ -300,14 +306,18 @@ def minhash_signatures_wide(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Signature as ONE row per doc with columns mh1..mhN: a single
     hash-aggregate with num_perm conditional min columns — one shuffle total
     (vs. exploding num_perm rows per shingle and shuffling all of them).
     The base md5 is computed once per (doc, shingle); only the 8-byte hash
     is shuffled by the distinct (min over hashes is insensitive to
-    dedup-by-hash vs dedup-by-string, so the oracle is unchanged)."""
-    base = hashed_shingle_table(docs, k, id_col, text_col, bits=40)
+    dedup-by-hash vs dedup-by-string, so the oracle is unchanged).
+    ``shingle_arrays``: prebuilt shingle arrays — see hashed_shingle_table."""
+    base = hashed_shingle_table(
+        docs, k, id_col, text_col, bits=40, shingle_arrays=shingle_arrays
+    )
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{i + 1}")
         for i, (a, b) in enumerate(_perm_params(num_perm))
@@ -322,6 +332,7 @@ def minhash_band_table(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band buckets per doc: (id, band, band_key). Docs agreeing on a
     whole band share (band, band_key) — the equi-join key for candidate
@@ -330,14 +341,17 @@ def minhash_band_table(
 
     Band keys come straight off the wide signature — zero extra shuffles.
     The key formula (hash of lexicographically-sorted "perm:minhash"
-    strings) matches the DuckDB oracle's string_agg(... ORDER BY ...)."""
+    strings) matches the DuckDB oracle's string_agg(... ORDER BY ...).
+    ``shingle_arrays``: prebuilt shingle arrays — see hashed_shingle_table."""
     if num_perm % bands != 0:
         raise ValueError(
             f"num_perm ({num_perm}) must be divisible by bands ({bands}) — "
             "leftover permutations would be silently un-banded"
         )
     rows_per_band = num_perm // bands
-    wide = minhash_signatures_wide(docs, num_perm, k, id_col, text_col)
+    wide = minhash_signatures_wide(
+        docs, num_perm, k, id_col, text_col, shingle_arrays=shingle_arrays
+    )
     band_structs = []
     for band in range(bands):
         perms = range(band * rows_per_band + 1, (band + 1) * rows_per_band + 1)
@@ -356,19 +370,21 @@ def minhash_candidates(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs whose signatures agree on ALL rows of at
     least one band. Returns (id_a, id_b, n_bands) with id_a < id_b.
 
     The join key is (band, hash-of-band-rows) — collisions localize to
     buckets, never a global pairwise comparison.
+    ``shingle_arrays``: prebuilt shingle arrays — see hashed_shingle_table.
     """
     # Build-once materialization (r14): each join side previously re-ran
     # the full shingle+minhash pipeline (the broadcast subtree is not
     # exchange-reusable against the stream side). Plain checkpoint, not a
     # widening repartition — see ngram_jaccard_pairs.
     banded = minhash_band_table(
-        docs, num_perm, bands, k, id_col, text_col
+        docs, num_perm, bands, k, id_col, text_col, shingle_arrays=shingle_arrays
     ).localCheckpoint(eager=False)
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
@@ -943,10 +959,21 @@ def minhash_precision_eval(
     then hash-join (id_b, h) for the shared count, so the cost is
     bounded by candidate volume times shingles-per-doc, never the f²
     shared-shingle pair table the uncapped exact query walks."""
+    # ONE tokenize+shingle pass for both hash widths (r15, VERDICT r14
+    # item 7): the 40-bit minhash base and the 64-bit exact-Jaccard truth
+    # both derive from the same materialized shingle arrays — at 100 TB
+    # that deletes one of the audit's two full-corpus tokenize passes.
+    # Interleaved warm A/B (tools/minhash_share_probe.py, sf0.1,
+    # median-of-5): 2.69 s -> 2.33 s, values bit-identical.
+    sharr = shingle_array_table(docs, k, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     cands = minhash_candidates(
-        docs, num_perm, bands, k, id_col, text_col
+        docs, num_perm, bands, k, id_col, text_col, shingle_arrays=sharr
     ).localCheckpoint(eager=False)
-    sh = hashed_shingle_table(docs, k, id_col, text_col).localCheckpoint(eager=False)
+    sh = hashed_shingle_table(
+        docs, k, id_col, text_col, shingle_arrays=sharr
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "h")
     b = sh.select(F.col("id").alias("id_b"), "h")
@@ -1042,10 +1069,20 @@ def minhash_recall_eval(
         docs = docs.where(
             portable_hash64(F.col(id_col)) % sample_mod == sample_rem
         )
-    true_pairs = ngram_jaccard_pairs(
-        docs, k=k, threshold=threshold, id_col=id_col, text_col=text_col
+    # ONE tokenize+shingle pass for both hash widths (r15, VERDICT r14
+    # item 7) — built AFTER the sampling filter so the sampled audit
+    # tokenizes only the sample. See minhash_precision_eval; recall A/B
+    # 2.84 s -> 2.74 s warm, values bit-identical.
+    sharr = shingle_array_table(docs, k, id_col, text_col).localCheckpoint(
+        eager=False
     )
-    cands = minhash_candidates(docs, num_perm, bands, k, id_col, text_col)
+    true_pairs = ngram_jaccard_pairs(
+        docs, k=k, threshold=threshold, id_col=id_col, text_col=text_col,
+        shingle_arrays=sharr,
+    )
+    cands = minhash_candidates(
+        docs, num_perm, bands, k, id_col, text_col, shingle_arrays=sharr
+    )
     band = F.least(F.floor(F.col("jaccard") * 5).cast("int"), F.lit(4))
     graded = (
         true_pairs.join(cands.select("id_a", "id_b", "n_bands"),

@@ -594,7 +594,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(rounds):
+    for i in range(rounds):
         nbr = und.join(
             labels.select(F.col("id").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("id"), "label")
@@ -604,7 +604,12 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
                 "label",
                 F.struct((-F.col("n")).alias("nn"), F.col("label").alias("lb")),
             ).alias("label")
-        ).localCheckpoint(eager=False)
+        )
+        # Lineage cut every 2 rounds (r15 — the pagerank/hits/ppr cadence
+        # dial, see tools/graph_cadence_probe.py): mid-loop labels is
+        # single-consumer, so the cut is plan-depth control only.
+        if (i + 1) % 2 == 0 or (i + 1) == rounds:
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -656,21 +661,25 @@ def personalized_pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("mass"))
         )
-        ranks = (
-            tele.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(alpha) * F.col("tele")
-                    + F.lit(1 - alpha) * F.coalesce("mass", F.lit(0.0))
-                ).alias("ppr"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = tele.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(alpha) * F.col("tele")
+                + F.lit(1 - alpha) * F.coalesce("mass", F.lit(0.0))
+            ).alias("ppr"),
         )
+        # Lineage cut every 2 rounds (r15 — the pagerank checkpoint_every
+        # dial): mid-loop ranks is single-consumer, so the cut is pure
+        # plan-depth control; halving the persisted block sets measured
+        # 2.92 s -> 2.53 s (tools/graph_cadence_probe.py, bit-identical).
+        if (i + 1) % 2 == 0 or (i + 1) == iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
-def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
+def hits(
+    edges: DataFrame, iterations: int = 8, checkpoint_every: int = 2
+) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999), fixed-iteration power
     method with L2 normalization each half-step:
 
@@ -682,11 +691,19 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
     signal). Same loop discipline as :func:`pagerank`: fixed iterations
     (deterministic → value-checkable by an unrolled-CTE oracle), lazy
     `localCheckpoint` lineage cuts on every frame consumed twice (the
-    edge list feeds both half-steps; auth feeds the hub step AND the
-    output — without the cut each consumer re-runs the whole upstream
-    chain). Each half-step is one equi-join + one hash aggregate; the
-    L2 norm is a 1-row aggregate broadcast back — nothing is collected
-    to the driver.
+    edge list feeds both half-steps; each raw half-step sum feeds its
+    L2 norm AND the divide — without the cut each consumer re-runs the
+    whole upstream chain). Each half-step is one equi-join + one hash
+    aggregate; the L2 norm is a 1-row aggregate broadcast back —
+    nothing is collected to the driver.
+
+    ``checkpoint_every`` (r15, the same dial as :func:`pagerank`):
+    mid-loop auth/hub are SINGLE-consumer frames, so their lineage cut
+    is plan-depth control, not dedup — cutting every 2 iterations
+    persists half the corpus-scale block sets for identical values
+    (checkpoints never change results; interleaved warm A/B in
+    tools/graph_cadence_probe.py: 4.09 s → 3.33 s at sf0.1,
+    bit-identical output).
     """
     if iterations < 1:
         raise ValueError("hits: iterations must be >= 1")
@@ -702,7 +719,7 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
     # in-link'd vertices and the hub support the out-link'd ones.
     hub = vertices.select("id", F.lit(1.0).alias("hub"))
     auth = None
-    for _ in range(iterations):
+    for i in range(iterations):
         araw = (
             e.join(hub.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
@@ -718,7 +735,6 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
                 F.col("dst").alias("id"),
                 F.try_divide("s", "n").alias("auth"),
             )
-            .localCheckpoint(eager=False)  # consumed by hub step AND output
         )
         hraw = (
             e.join(auth.withColumnRenamed("id", "dst"), "dst")
@@ -733,8 +749,12 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
                 F.col("src").alias("id"),
                 F.try_divide("s", "n").alias("hub"),
             )
-            .localCheckpoint(eager=False)
         )
+        if (i + 1) % checkpoint_every == 0 or (i + 1) == iterations:
+            # auth is consumed by the hub step AND (on the last round)
+            # the output; the cadence cut keeps plan depth constant.
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
     return (
         vertices.join(auth, "id", "left")
         .join(hub, "id", "left")

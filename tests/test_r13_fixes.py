@@ -245,3 +245,37 @@ def test_equi_depth_histogram_rejects_missing_columns(spark):
         equi_depth_histogram(df, "event_type", "value", "nope")
     with pytest.raises(ValueError, match="not in"):
         equi_depth_histogram(df, "event_type", "missing_value", "event_id")
+
+
+def test_shared_shingle_arrays_passthrough_is_value_identical(spark):
+    """r15 (VERDICT r14 item 7): every shingle consumer that accepts a
+    prebuilt shingle_array_table frame must produce EXACTLY what it
+    produces when deriving its own shingles — the shared tokenize pass
+    only factors out the string-building map, never the hash or the
+    cross-partition distinct."""
+    from analyzing_big_data_in_scala_spark.operators.dedup import (
+        hashed_shingle_table,
+        minhash_candidates,
+        ngram_jaccard_pairs,
+        shingle_array_table,
+    )
+    from analyzing_big_data_in_scala_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    sharr = shingle_array_table(docs, 3).localCheckpoint(eager=False)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for bits in (40, 64):
+        assert rows(hashed_shingle_table(docs, 3, bits=bits)) == rows(
+            hashed_shingle_table(docs, 3, bits=bits, shingle_arrays=sharr)
+        )
+    assert rows(ngram_jaccard_pairs(docs, k=3, threshold=0.2)) == rows(
+        ngram_jaccard_pairs(docs, k=3, threshold=0.2, shingle_arrays=sharr)
+    )
+    assert rows(minhash_candidates(docs, 16, 4, 3)) == rows(
+        minhash_candidates(docs, 16, 4, 3, shingle_arrays=sharr)
+    )
