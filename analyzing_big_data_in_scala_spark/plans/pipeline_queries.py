@@ -3192,10 +3192,15 @@ def similarity_pq_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 3)
-    # pq_train returns a LocalRelation as of r15 (bounded m×k codebook
-    # collected per round) — checkpointing it would demote it to an
-    # RDD-backed frame whose every broadcast schedules a job.
-    cents = PQ.pq_train(emb, m=16, k=16, rounds=2)
+    # pq_train returns a driver-built frame as of r15 (bounded m×k
+    # codebook collected per round). For the TRAIN loop that is the win
+    # (no per-round checkpoint jobs), but this PROFILE consumes the
+    # codebook in many broadcasts (ADC tables per budget + the
+    # reconstruction side), and each broadcast of a parallelized
+    # local-rows frame runs a defaultParallelism-task job — measured
+    # 6.8 s vs 3.8 s per profile pass (tools A/B, r15). One lazy
+    # checkpoint turns those into block reads.
+    cents = PQ.pq_train(emb, m=16, k=16, rounds=2).localCheckpoint(eager=False)
     codes = PQ.pq_encode(emb, cents, m=16).localCheckpoint(eager=False)
     return pq_profile_frame(emb, probes, cents, codes)
 

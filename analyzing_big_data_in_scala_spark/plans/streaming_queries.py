@@ -642,8 +642,12 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         def fold(batch_df: DataFrame, batch_id: int) -> None:
             # localCheckpoint: the file-source batch frame is re-read
             # twice inside build/append (signatures + vectors); pinning it
-            # also survives the staged files' later removal.
-            batch = batch_df.localCheckpoint()
+            # also survives the staged files' later removal. LAZY (r15):
+            # the take(1) emptiness probe right below materializes the
+            # blocks inside its own job — eager paid one extra blocking
+            # job per micro-batch for the same blocks (the fixpoint-loop
+            # pattern applied to the drain's fold chain).
+            batch = batch_df.localCheckpoint(eager=False)
             if not batch.take(1):
                 return
             if not state["built"]:
@@ -750,7 +754,10 @@ def streaming_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def fold(batch_df: DataFrame, batch_id: int) -> None:
-            batch = batch_df.localCheckpoint()
+            # Lazy checkpoint + take(1) = one job per batch (r15) — see
+            # the LSH ingest fold above; append consumers then read the
+            # persisted blocks.
+            batch = batch_df.localCheckpoint(eager=False)
             if not batch.take(1):
                 return
             PQ.ivfpq_index_append(batch, prefix=prefix)
